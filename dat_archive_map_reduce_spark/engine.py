@@ -1,0 +1,409 @@
+"""MapReduce engine facade — the reference-shaped API over DataFrames.
+
+Reference API being re-expressed (/root/reference/index.js):
+
+    define(name, {path, map, reduce})   index.js:96-109
+    index(url, {watch}) / unindex(url)  index.js:127-151
+    indexFile / unindexFile             index.js:153-175
+    get(view, key)                      index.js:117-120
+    list(view, {gt,gte,lt,lte,reverse,limit})  index.js:122-125
+    reset(view)                         index.js:111-115
+    listIndexed / isIndexed             index.js:177-187
+    events                              index.js:53-57, README.md:366-483
+
+Storage layout (all Parquet, copy-on-write snapshots via VersionedTable):
+
+    <warehouse>/changelog/                   append-only files log
+    <warehouse>/views/<view>/entries/<origin-hash>/   per-origin entry shards
+    <warehouse>/views/<view>/reduced/        folded aggregates
+    <warehouse>/offsets/                     (view, origin, last_version)
+
+Scale design: entries are sharded **per origin** so retraction/re-index
+of one source rewrites only that origin's shard — the Parquet stand-in
+for Delta ``replaceWhere``/MERGE (swap VersionedTable for a lakehouse
+table at 100 TB; operator code is unchanged). The reduced table is the
+*aggregated* (small) side; its copy-on-write rewrite is bounded by
+distinct-key count, not raw data volume, and re-aggregation touches only
+keys affected by the delta (semi-join pruning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dat_archive_map_reduce_spark.errors import SchemaError, ViewNotFoundError
+from dat_archive_map_reduce_spark.functions.keys import (
+    key_json as _canon_key_json,
+    normalize_key,
+    range_predicate,
+)
+from dat_archive_map_reduce_spark.operators.map_reduce import (
+    entries_schema,
+    reduce_entries,
+    reduced_schema,
+    run_map,
+)
+from dat_archive_map_reduce_spark.plans.catalog import (
+    OFFSETS_SCHEMA,
+    VersionedTable,
+)
+from dat_archive_map_reduce_spark.plans.view_def import ViewDefinition, validate_view_def
+from dat_archive_map_reduce_spark.sources.files import (
+    FILES_SCHEMA,
+    changelog_from_rows,
+    glob_filter,
+    latest_wins,
+)
+
+EVENTS = (
+    "open",
+    "view-reset",
+    "archive-indexing",
+    "archive-index-progress",
+    "archive-indexed",
+    "indexes-updated",
+    "archive-missing",
+    "archive-found",
+    "archive-error",
+)
+
+
+def _origin_shard(origin: str) -> str:
+    return hashlib.sha1(origin.encode()).hexdigest()[:16]
+
+
+class MapReduce:
+    """Batch + incremental view engine. One instance per warehouse dir."""
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.views: dict[str, ViewDefinition] = {}
+        self._listeners: dict[str, list[Callable[..., None]]] = {}
+        self._indexed_origins: set[str] = set()
+        self.changelog = VersionedTable(spark, f"{self.warehouse}/changelog", FILES_SCHEMA)
+        self.offsets = VersionedTable(spark, f"{self.warehouse}/offsets", OFFSETS_SCHEMA)
+        self._emit("open")
+
+    # -- events -----------------------------------------------------
+    def on(self, event: str, cb: Callable[..., None]) -> None:
+        if event not in EVENTS:
+            raise ValueError(f"unknown event {event!r}; valid: {EVENTS}")
+        self._listeners.setdefault(event, []).append(cb)
+
+    def _emit(self, event: str, **payload: Any) -> None:
+        for cb in self._listeners.get(event, []):
+            cb(**payload)
+
+    # -- view definition (reference define(), index.js:96-109) ------
+    def define(self, name: str, *, path, map, reduce=None, key_schema=("string",)) -> ViewDefinition:
+        vdef = validate_view_def(
+            ViewDefinition(name=name, path=path, map=map, reduce=reduce, key_schema=list(key_schema))
+        )
+        existing = self.views.get(name)
+        if existing is not None:
+            # redefining a view resets its materialization, as the
+            # reference requires an explicit reset after def change
+            self.reset(name)
+        self.views[name] = vdef
+        return vdef
+
+    def _view(self, name: str) -> ViewDefinition:
+        if name not in self.views:
+            raise ViewNotFoundError(name)
+        return self.views[name]
+
+    # -- storage handles --------------------------------------------
+    def _entries_table(self, view: str, origin: str) -> VersionedTable:
+        vdef = self._view(view)
+        return VersionedTable(
+            self.spark,
+            f"{self.warehouse}/views/{view}/entries/{_origin_shard(origin)}",
+            entries_schema(vdef.key_types()),
+        )
+
+    def _reduced_table(self, view: str) -> VersionedTable:
+        vdef = self._view(view)
+        return VersionedTable(
+            self.spark,
+            f"{self.warehouse}/views/{view}/reduced",
+            reduced_schema(vdef.key_types()),
+        )
+
+    def _known_origins(self) -> set[str]:
+        offs = self.offsets.read().select("origin").distinct().collect()
+        return {r["origin"] for r in offs} | set(self._indexed_origins)
+
+    def entries_df(self, view: str, origins: Sequence[str] | None = None) -> DataFrame:
+        """All current entries of a view as one DataFrame (union of
+        origin shards)."""
+        vdef = self._view(view)
+        origins = list(origins) if origins is not None else sorted(self._known_origins())
+        dfs = [self._entries_table(view, o).read() for o in origins]
+        if not dfs:
+            return self.spark.createDataFrame([], entries_schema(vdef.key_types()))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def reduced_df(self, view: str) -> DataFrame:
+        return self._reduced_table(view).read()
+
+    # -- changelog ingestion ----------------------------------------
+    def append_changes(self, rows: list[dict]) -> None:
+        """Append put/del records to the engine's changelog (the analog
+        of new entries appearing in a Dat archive's history)."""
+        self.changelog.append(changelog_from_rows(self.spark, rows))
+
+    def current_version(self, origin: str) -> int:
+        row = (
+            self.changelog.read()
+            .filter(F.col("origin") == origin)
+            .agg(F.max("version").alias("v"))
+            .first()
+        )
+        return row["v"] if row and row["v"] is not None else 0
+
+    # -- indexing (reference index(), indexArchive, applyUpdates) ---
+    def index(self, origin: str) -> None:
+        """Incrementally index one source across all views
+        (reference indexArchive, lib/indexer.js:121-179)."""
+        self._indexed_origins.add(origin)
+        target_version = self.current_version(origin)
+        log = self.changelog.read().filter(F.col("origin") == origin)
+        offsets = {r["view"]: r["last_version"] for r in self.offsets.read().filter(F.col("origin") == origin).collect()}
+        any_work = False
+        for name, vdef in self.views.items():
+            start = offsets.get(name, 0)
+            if start >= target_version:
+                continue
+            self._emit("archive-indexing", origin=origin, view=name, version=target_version)
+            updates = latest_wins(glob_filter(log, vdef.path), start=start, end=target_version)
+            self._apply_updates(vdef, origin, updates)
+            self._set_offset(name, origin, target_version)
+            self._emit("archive-indexed", origin=origin, view=name, version=target_version)
+            any_work = True
+        if any_work:
+            self._emit("indexes-updated", origin=origin, version=target_version)
+
+    def index_source(self, origin: str, rows: list[dict]) -> None:
+        """Convenience: append changes for origin then index it."""
+        self.append_changes(rows)
+        self.index(origin)
+
+    def _set_offset(self, view: str, origin: str, version: int) -> None:
+        cur = [
+            (r["view"], r["origin"], r["last_version"])
+            for r in self.offsets.read().collect()
+            if not (r["view"] == view and r["origin"] == origin)
+        ]
+        cur.append((view, origin, version))
+        self.offsets.overwrite(self.spark.createDataFrame(cur, OFFSETS_SCHEMA))
+
+    # -- the core merge: retract-then-add + re-aggregate ------------
+    def _apply_updates(self, vdef: ViewDefinition, origin: str, updates: DataFrame) -> None:
+        """Apply a latest-wins-compacted update batch for one
+        (view, origin): retract every entry derived from an updated
+        file, map the new 'put' contents, append, then re-fold only
+        the affected keys (reference readAndIndexFile/unindexFile,
+        lib/indexer.js:217-292).
+        """
+        key_types = vdef.key_types()
+        ent_table = self._entries_table(vdef.name, origin)
+
+        updates = updates.cache()
+        try:
+            if updates.isEmpty():
+                return
+            affected_urls = updates.select("url")
+
+            old_entries = ent_table.read()
+            # provenance-based retraction: drop all rows whose file_url
+            # is in this batch (lib/view.js:126-148) — an anti-join,
+            # broadcast because the update batch is the small side
+            surviving = old_entries.join(
+                F.broadcast(affected_urls),
+                old_entries["file_url"] == affected_urls["url"],
+                "left_anti",
+            )
+            new_entries = run_map(updates.filter(F.col("type") == "put"), vdef.map, key_types)
+
+            # keys touched now or before: the re-aggregation scope
+            # (old keys ∪ new keys, lib/indexer.js:228,273-274)
+            retracted_keys = (
+                old_entries.join(
+                    F.broadcast(affected_urls),
+                    old_entries["file_url"] == affected_urls["url"],
+                    "left_semi",
+                ).select("key_json")
+            )
+            new_keys = new_entries.select("key_json")
+            affected_keys = retracted_keys.union(new_keys).distinct().cache()
+
+            ent_table.overwrite(
+                surviving.unionByName(new_entries),
+                sort_cols=["key_json", "file_url", "emit_seq"],
+            )
+
+            if vdef.reduce is not None:
+                self._reaggregate(vdef, affected_keys)
+            affected_keys.unpersist()
+        finally:
+            updates.unpersist()
+
+    def _reaggregate(self, vdef: ViewDefinition, affected_keys: DataFrame) -> None:
+        """Re-fold only affected keys, merge into the reduced table.
+
+        reduced' = (reduced  ⟕anti affected) ∪ fold(entries ⟕semi affected)
+        — the Parquet copy-on-write equivalent of MERGE. Keys whose
+        entry set became empty simply vanish (delete-on-empty,
+        lib/view.js:139-143).
+        """
+        red_table = self._reduced_table(vdef.name)
+        entries = self.entries_df(vdef.name)
+        touched = entries.join(F.broadcast(affected_keys), "key_json", "left_semi")
+        refolded = reduce_entries(touched, vdef.reduce, vdef.key_types())
+        kept = red_table.read().join(F.broadcast(affected_keys), "key_json", "left_anti")
+        red_table.overwrite(kept.unionByName(refolded), sort_cols=["key_json"])
+
+    # -- single-file ops (reference indexFile/unindexFile) ----------
+    def index_file(self, origin: str, pathname: str, content: str, version: int | None = None) -> None:
+        """Ad-hoc index of one file without checkpoint bookkeeping
+        (reference index.js:153-163)."""
+        v = version if version is not None else self.current_version(origin) + 1
+        row = changelog_from_rows(
+            self.spark,
+            [{"origin": origin, "pathname": pathname, "version": v, "type": "put", "content": content}],
+        )
+        self._indexed_origins.add(origin)
+        for vdef in self.views.values():
+            upd = glob_filter(row, vdef.path)
+            self._apply_updates(vdef, origin, upd)
+
+    def unindex_file(self, origin: str, pathname: str) -> None:
+        """Retract one file everywhere (the reference *intends* this;
+        its string-URL arm is the known index.js:170 bug — we implement
+        the intended semantics, SURVEY.md §2.1 #14)."""
+        row = changelog_from_rows(
+            self.spark,
+            [{"origin": origin, "pathname": pathname, "version": self.current_version(origin) + 1, "type": "del", "content": None}],
+        )
+        for vdef in self.views.values():
+            upd = glob_filter(row, vdef.path)
+            self._apply_updates(vdef, origin, upd)
+
+    # -- source removal (fixing the reference's broken unindex) -----
+    def unindex(self, origin: str) -> None:
+        """Remove a source: drop its entry shards, re-aggregate the
+        keys it contributed, drop its offsets
+        (intended semantics of lib/indexer.js:190-204)."""
+        for name, vdef in self.views.items():
+            ent_table = self._entries_table(name, origin)
+            gone_keys = ent_table.read().select("key_json").distinct()
+            gone_keys = gone_keys.cache()
+            ent_table.reset()
+            if vdef.reduce is not None:
+                self._reaggregate(vdef, gone_keys)
+            gone_keys.unpersist()
+        remaining = [
+            (r["view"], r["origin"], r["last_version"])
+            for r in self.offsets.read().collect()
+            if r["origin"] != origin
+        ]
+        self.offsets.overwrite(self.spark.createDataFrame(remaining, OFFSETS_SCHEMA))
+        self._indexed_origins.discard(origin)
+
+    def list_indexed(self) -> list[str]:
+        return sorted(self._known_origins())
+
+    def is_indexed(self, origin: str) -> bool:
+        return origin in self._known_origins()
+
+    # -- reset (reference index.js:111-115) -------------------------
+    def reset(self, view: str) -> None:
+        for origin in self._known_origins():
+            self._entries_table(view, origin).reset()
+        self._reduced_table(view).reset()
+        remaining = [
+            (r["view"], r["origin"], r["last_version"])
+            for r in self.offsets.read().collect()
+            if r["view"] != view
+        ]
+        self.offsets.overwrite(self.spark.createDataFrame(remaining, OFFSETS_SCHEMA))
+        self._emit("view-reset", view=view)
+
+    # -- queries ----------------------------------------------------
+    def get(self, view: str, key: Any) -> dict | None:
+        """Point lookup (reference index.js:117-120, lib/view.js:51-61).
+
+        Reduced view -> {key, value: folded}; mapped view ->
+        {key, value: [all values]} in deterministic (file_url,
+        emit_seq) order; missing key -> None.
+        """
+        vdef = self._view(view)
+        comps = normalize_key(key)
+        kj = _canon_key_json(comps if len(comps) > 1 else comps[0])
+        if vdef.reduce is not None:
+            row = self.reduced_df(view).filter(F.col("key_json") == kj).first()
+            if row is None:
+                return None
+            return {"key": key, "value": json.loads(row["value"])}
+        rows = (
+            self.entries_df(view)
+            .filter(F.col("key_json") == kj)
+            .orderBy("file_url", "emit_seq")
+            .select("value")
+            .collect()
+        )
+        if not rows:
+            return None
+        return {"key": key, "value": [json.loads(r["value"]) for r in rows]}
+
+    def list_df(
+        self,
+        view: str,
+        gt: Any = None,
+        gte: Any = None,
+        lt: Any = None,
+        lte: Any = None,
+        reverse: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Range scan as a DataFrame (reference list(), index.js:122-125;
+        bounds semantics lib/util-level.js:76-84). Typed tuple
+        comparison on the key struct; mapped views are already
+        flattened (one row per entry — lib/view.js:76-82's flatten is
+        the natural Spark layout)."""
+        vdef = self._view(view)
+        key_types = vdef.key_types()
+        df = self.reduced_df(view) if vdef.reduce is not None else self.entries_df(view)
+        pred = range_predicate("key", key_types, gt=gt, gte=gte, lt=lt, lte=lte)
+        if pred is not None:
+            df = df.filter(pred)
+        order_cols = [F.col(f"key.k{i}") for i in range(len(key_types))]
+        if vdef.reduce is None:
+            order_cols += [F.col("file_url"), F.col("emit_seq")]
+        if reverse:
+            order_cols = [c.desc() for c in order_cols]
+        df = df.orderBy(*order_cols)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def list(self, view: str, **opts: Any) -> list[dict]:
+        """Collected form of list_df: [{key, value}, ...]."""
+        vdef = self._view(view)
+        n = len(vdef.key_types())
+        rows = self.list_df(view, **opts).collect()
+        out = []
+        for r in rows:
+            comps = tuple(r["key"][f"k{i}"] for i in range(n))
+            key = comps[0] if n == 1 else list(comps)
+            out.append({"key": key, "value": json.loads(r["value"])})
+        return out

@@ -1,0 +1,109 @@
+"""Warehouse catalog: versioned Parquet tables + the offsets/sources state.
+
+Plain Parquet has no transactional DELETE/MERGE, so each logical table is
+a directory of immutable snapshot versions with a tiny JSON manifest
+pointing at the current one:
+
+    <warehouse>/<table>/v00000003/part-*.parquet
+    <warehouse>/<table>/_manifest.json   -> {"current": 3}
+
+Every mutation (retraction, re-aggregation, reset) writes a NEW snapshot
+and flips the pointer — readers never see a half-rewritten table, and a
+crashed writer leaves the previous snapshot intact. This is the same
+copy-on-write idea Delta/Iceberg formalize; at 100 TB you would swap this
+class for a real lakehouse table (MERGE / replaceWhere) without touching
+any operator code, which is why all access funnels through here.
+
+Appends (the common path: new entries from newly indexed files) go into
+the *current* snapshot directory with mode=append — no rewrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str, schema: T.StructType):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.schema = schema
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return f"{self.root}/_manifest.json"
+
+    def _current(self) -> int | None:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)["current"]
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            return None
+
+    def _set_current(self, v: int) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"current": v}, f)
+        os.replace(tmp, self._manifest_path)
+
+    def _snapshot_dir(self, v: int) -> str:
+        return f"{self.root}/v{v:08d}"
+
+    # -- reads ------------------------------------------------------
+    def exists(self) -> bool:
+        return self._current() is not None
+
+    def read(self) -> DataFrame:
+        v = self._current()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(self._snapshot_dir(v))
+
+    # -- writes -----------------------------------------------------
+    def overwrite(self, df: DataFrame, sort_cols: list[str] | None = None) -> None:
+        v = (self._current() or 0) + 1
+        writer = df
+        if sort_cols:
+            # sorted-within-partitions => parquet min/max row-group
+            # stats make key-range scans prune (the engine's stand-in
+            # for LevelDB's sorted iterator, SURVEY.md §4)
+            writer = df.sortWithinPartitions(*sort_cols)
+        writer.write.mode("overwrite").parquet(self._snapshot_dir(v))
+        self._set_current(v)
+
+    def append(self, df: DataFrame, sort_cols: list[str] | None = None) -> None:
+        v = self._current()
+        if v is None:
+            self.overwrite(df, sort_cols)
+            return
+        writer = df
+        if sort_cols:
+            writer = df.sortWithinPartitions(*sort_cols)
+        writer.write.mode("append").parquet(self._snapshot_dir(v))
+
+    def reset(self) -> None:
+        """Logical wipe: point at a fresh empty snapshot (reference
+        view reset, /root/reference/lib/util-level.js:26-35)."""
+        self.overwrite(self.spark.createDataFrame([], self.schema))
+
+
+OFFSETS_SCHEMA = T.StructType(
+    [
+        T.StructField("view", T.StringType(), False),
+        T.StructField("origin", T.StringType(), False),
+        T.StructField("last_version", T.LongType(), False),
+    ]
+)
+
+SOURCES_SCHEMA = T.StructType(
+    [
+        T.StructField("origin", T.StringType(), False),
+        T.StructField("watch", T.BooleanType(), False),
+    ]
+)

