@@ -1,0 +1,277 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extensions beyond the reference (SURVEY.md §2.2): brute-force cosine
+top-k as the exact baseline, plus two sub-linear paths for scale —
+random-hyperplane LSH bucketing and an IVF (inverted-file) coarse
+quantizer. At 100 TB the exact path is the per-partition kernel; the
+index paths bound how many partitions a query touches.
+
+Vector math uses native higher-order functions (zip_with + aggregate)
+— JVM-side, no Python in the hot loop. The Pandas-UDF variant
+(`cosine_topk_pandas`) exists for wide batches where one numpy matmul
+per Arrow batch beats per-row expression eval.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via zip_with + aggregate
+    (whole-stage-codegen'd, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector.
+
+    The query is a literal array baked into the plan (broadcast by
+    construction); the scan computes one fused expression per row and
+    TakeOrderedAndProject keeps k rows per partition then k global —
+    no full sort, no shuffle of the corpus.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        corpus.select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), q).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k nearest corpus rows for EACH query row (small query side):
+    broadcast the queries, cosine per pair, rank-window per query.
+    Output: (query_id, neighbor_id, cos_sim, rnk)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            cosine(F.col("qvec").cast("array<double>"), F.col("cvec").cast("array<double>")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rnk")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Same contract as brute_force_topk but the per-batch kernel is one
+    numpy matmul (Arrow in, Arrow out). Wins when dim is large."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), True),
+        ]
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            # partial top-k per batch: only k rows leave each worker
+            idx = np.argsort(-sims)[:k]
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[idx], "cos_sim": sims[idx]})
+
+    return (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(_score, schema=out_schema)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------
+# LSH (random hyperplanes) — the scale path
+# ---------------------------------------------------------------------
+
+def hyperplane_signatures(
+    corpus: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-bit signature per vector against seeded random hyperplanes.
+
+    The hyperplane matrix is derived from the seed on each worker (no
+    broadcast needed); signature = packed int of sign bits, computed in
+    one numpy matmul per Arrow batch.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("bucket", T.LongType(), False),
+        ]
+    )
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (m @ planes.T) > 0
+            weights = (1 << np.arange(n_planes, dtype=np.int64))
+            buckets = (bits * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "bucket": buckets})
+
+    return corpus.select(id_col, vec_col).mapInPandas(_sig, schema=out_schema)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 10,
+    probe_hamming: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane bucket is
+    within `probe_hamming` bits of the query's bucket (multi-probe).
+
+    Candidate filter is a native bit_count(xor) <= h predicate over the
+    precomputable signature column — at scale the signatures table is
+    tiny and bucket-bucketed, so a query touches a small candidate set
+    instead of the full corpus.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = (planes @ qv) > 0
+    qbucket = int(((1 << np.arange(n_planes, dtype=np.int64)) * qbits).sum())
+
+    sigs = hyperplane_signatures(corpus, dim, n_planes, seed, vec_col, id_col)
+    cands = sigs.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
+    ).select(id_col)
+    pruned = corpus.join(cands, id_col, "left_semi")
+    return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted file) — coarse quantizer + probe
+# ---------------------------------------------------------------------
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (one matmul per
+    batch). Output: (id, cluster)."""
+    cents = centroids.astype(np.float64)
+    cn = np.linalg.norm(cents, axis=1)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cluster", T.IntegerType(), False),
+        ]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ cents.T) / (np.linalg.norm(m, axis=1)[:, None] * cn[None, :])
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "cluster": sims.argmax(axis=1).astype(np.int32)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(_assign, schema=out_schema)
+
+
+def train_centroids(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Mini k-means on a driver-side sample (the standard IVF training
+    recipe: train coarse quantizer on a sample, assign at scale)."""
+    sample = np.stack(
+        [r[vec_col] for r in corpus.select(vec_col).limit(4096).collect()]
+    ).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k probing only the n_probe closest clusters."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    sims = (centroids @ qv) / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(qv))
+    probe = [int(c) for c in np.argsort(-sims)[:n_probe]]
+    assign = ivf_assign(corpus, centroids, vec_col, id_col)
+    cands = assign.filter(F.col("cluster").isin(probe)).select(id_col)
+    pruned = corpus.join(cands, id_col, "left_semi")
+    return brute_force_topk(pruned, query_vec, k, vec_col, id_col)

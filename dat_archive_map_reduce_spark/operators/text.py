@@ -1,0 +1,149 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Extensions beyond the reference (SURVEY.md §2.2). Everything here is
+native Column expressions — string ops, array higher-order functions,
+md5 — so the hot path stays inside whole-stage codegen and the same
+logic is expressible in the ANSI-SQL oracle. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# heuristic language classifier. Deliberately small and public-domain:
+# the top function words of each language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "de", "que", "es", "un", "una"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "is", "in", "on", "for"]
+
+
+def tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(c), " ")
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """BPE-ish token estimate without a tokenizer model: count word
+    pieces after splitting on non-alphanumerics, plus ceil(chars/4)
+    for long words (the classic ~4-chars-per-token heuristic)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda w: F.length(w) > 0)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+
+
+def stopword_ratio(text_col: str | Column) -> Column:
+    toks = tokens(text_col)
+    stops = F.filter(toks, lambda t: t.isin(STOPWORDS))
+    return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    stripped = F.regexp_replace(c, "[a-zA-Z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_word_length(text_col: str | Column) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Composite [0,1] quality score: length band + stopword presence +
+    low punctuation + sane mean word length. The exact blend mirrors
+    common pretraining-data heuristics (C4-style filters) in a form
+    both Spark and the SQL oracle can evaluate identically."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 10000), 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(c) >= 0.05, 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) <= 0.2, 1.0).otherwise(0.0)
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 3) & (mwl <= 10), 1.0).otherwise(0.0)
+    return (len_ok + stop_ok + punct_ok + mwl_ok) / 4.0
+
+
+def _marker_count(toks: Column, markers: list[str]) -> Column:
+    # NB: the lambda must be unary — PySpark treats a 2-arg lambda in a
+    # higher-order function as (element, index), so capturing via a
+    # default argument silently binds the index column instead.
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def lang_scores(text_col: str | Column) -> dict[str, Column]:
+    toks = tokens(text_col)
+    return {lang: _marker_count(toks, markers) for lang, markers in LANG_MARKERS.items()}
+
+
+def lang_id(text_col: str | Column) -> Column:
+    """Marker-word language classifier: argmax of per-language marker
+    counts, 'und' (undetermined) when no marker hits; ties break in
+    fixed lang order via strictly-greater comparison."""
+    scores = lang_scores(text_col)
+    langs = list(scores)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Canonical document fingerprint: md5 of the normalized token
+    stream (lowercase, whitespace-collapsed). Identical function exists
+    in the SQL oracle, so fingerprints are cross-engine comparable."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    normalized = F.concat_ws(" ", F.filter(F.split(F.lower(c), "\\s+"), lambda t: F.length(t) > 0))
+    return F.md5(normalized)
+
+
+def rolling_shingle_fingerprints(text_col: str | Column, n: int = 5) -> Column:
+    """Winnowing-style fingerprint set: md5 of each word n-gram —
+    the per-document shingle sketch used for containment detection
+    (doc A quoted inside doc B), where one global fingerprint fails."""
+    toks = tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        )
+    )
+
+
+def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-pass per-document stat sheet (the 'document profile' table a
+    training-data pipeline materializes once and filters on many
+    times)."""
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(mean_word_length(text_col), 4).alias("mean_word_len"),
+        F.round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
+        F.round(punct_ratio(text_col), 4).alias("punct_ratio"),
+        F.round(quality_score(text_col), 2).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

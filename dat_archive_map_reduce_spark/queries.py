@@ -703,3 +703,243 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# =====================================================================
+# C. LLM-pipeline extensions (SURVEY.md §2.2 north star):
+#    dedup / similarity search / text analysis
+# =====================================================================
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, min-id keeper.
+    The shuffle moves 16-byte digests, never document bodies."""
+    from dat_archive_map_reduce_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT id_a, id_b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-3-gram Jaccard >= 0.5 via
+    inverted-index join (only docs sharing a shingle ever meet)."""
+    from dat_archive_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("dedup_minhash_lsh")  # no oracle: seeded-hash pipeline, not SQL-expressible
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard-verified.
+    tests/test_extensions.py asserts recall vs the exact pair set."""
+    from dat_archive_map_reduce_spark.operators.dedup import minhash_dedup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(d, "text", "doc_id", num_perm=64, bands=16, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+@query("dedup_simhash")  # no oracle: xxhash64-seeded signatures
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at Hamming distance <= 3 via the
+    pigeonhole chunk self-join (no cross join)."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = simhash_signatures(d, "text", "doc_id")
+    return simhash_near_pairs(sigs, max_distance=3)
+
+
+@query(
+    "text_profile",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split(lower(text), ' ') AS toks,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         t -> length(t) > 0) AS wtoks
+      FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           CAST(list_sum(list_transform(
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             t -> length(t) > 0),
+                 t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
+           round(list_sum(list_transform(toks, t -> length(t))) * 1.0
+                 / greatest(len(toks), 1), 4) AS mean_word_len,
+           round(len(list_filter(toks, t -> list_contains(
+                 ['the','a','an','and','or','of','to','is','in','on','for'], t))) * 1.0
+                 / greatest(len(toks), 1), 4) AS stopword_ratio,
+           round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           md5(array_to_string(wtoks, ' ')) AS fingerprint
+    FROM base
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stat sheet: char/token/BPE-ish counts, mean word
+    length, stopword & punctuation ratios, canonical md5 fingerprint —
+    all native Column expressions (operators/text.py)."""
+    from dat_archive_map_reduce_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.round(TX.mean_word_length("text"), 4).alias("mean_word_len"),
+        F.round(TX.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(TX.punct_ratio("text"), 4).alias("punct_ratio"),
+        TX.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "text_lang_quality",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             string_split(lower(text), ' ') AS toks,
+             length(text) AS n
+      FROM documents
+    ), s2 AS (
+      SELECT doc_id, lang, text, n,
+        len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it'], t))) AS s_en,
+        len(list_filter(toks, t -> list_contains(['le','la','les','de','et','est','un','une'], t))) AS s_fr,
+        len(list_filter(toks, t -> list_contains(['el','la','los','de','que','es','un','una'], t))) AS s_es,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','eine','nicht'], t))) AS s_de,
+        round(len(list_filter(toks, t -> list_contains(
+              ['the','a','an','and','or','of','to','is','in','on','for'], t))) * 1.0
+              / greatest(len(toks), 1), 4) AS stop_ratio,
+        round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+              / greatest(length(text), 1), 4) AS p_ratio,
+        list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1) AS mwl
+      FROM scored
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+           WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+           WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+           WHEN s_es >= s_de THEN 'es'
+           ELSE 'de' END AS lang_pred,
+      round(((CASE WHEN n >= 50 AND n <= 10000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN p_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.0 END)) / 4.0, 2) AS quality
+    FROM s2
+    """,
+)
+def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (marker-word argmax heuristic) + composite quality
+    score — C4-style pretraining filters as one scan."""
+    from dat_archive_map_reduce_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.lang_id("text").alias("lang_pred"),
+        F.round(TX.quality_score("text"), 2).alias("quality"),
+    )
+
+
+@query(
+    "emb_cosine_topk",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector: fused zip_with/
+    aggregate expression + TakeOrderedAndProject (k rows per partition,
+    no full sort)."""
+    from dat_archive_map_reduce_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = brute_force_topk(e.filter(F.col("vec_id") != 0), qvec, k=10)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "emb_knn_join",
+    oracle="""
+    SELECT query_id, neighbor_id, round(cos, 4) AS cos_sim, rnk FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rnk
+      FROM embeddings q JOIN embeddings c
+        ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    ) WHERE rnk <= 3
+    """,
+)
+def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN join: 3 nearest neighbors for each of 5 query vectors —
+    broadcast the small query side, rank-window per query."""
+    from dat_archive_map_reduce_spark.operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_join(e.filter(F.col("vec_id") < 5), e, k=3)
+    return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
+
+
+@query("ann_lsh_topk")  # no oracle: seeded hyperplanes, approximate by design
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH with multi-probe;
+    tests assert recall vs brute force."""
+    from dat_archive_map_reduce_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return lsh_topk(
+        e.filter(F.col("vec_id") != 0), qvec, dim=len(qvec), k=10, n_planes=8, probe_hamming=4
+    ).select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))

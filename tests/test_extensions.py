@@ -1,0 +1,158 @@
+"""Tests for the LLM-pipeline extension operators: dedup recall,
+similarity-search recall vs brute force, multimodal plumbing, text
+analysis edge cases."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dat_archive_map_reduce_spark.operators import dedup, multimodal, similarity, text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_minhash_lsh_recall(documents):
+    """LSH candidates must recover >=80% of true jaccard>=0.5 pairs
+    (16 bands x 4 rows: collision prob at s=0.5 is ~0.67 per band,
+    ~1.0 overall)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(documents, "text", "doc_id", 3, 0.5).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(documents, "text", "doc_id").collect()
+    }
+    assert found <= exact  # verified pipeline emits no false positives
+    if exact:
+        assert len(found & exact) / len(exact) >= 0.8
+
+
+def test_simhash_no_false_positives(documents):
+    sigs = dedup.simhash_signatures(documents, "text", "doc_id")
+    pairs = dedup.simhash_near_pairs(sigs, max_distance=3).collect()
+    for r in pairs:
+        assert r["hamming"] <= 3
+    # identical docs must collide at distance 0
+    dup = documents.limit(1).union(documents.limit(1)).withColumn(
+        "doc_id", F.monotonically_increasing_id()
+    )
+    sigs2 = dedup.simhash_signatures(dup, "text", "doc_id").collect()
+    assert sigs2[0]["simhash"] == sigs2[1]["simhash"]
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_lsh_topk_recall(embeddings):
+    """Multi-probe hyperplane LSH recall on RANDOM 64-dim vectors.
+
+    Random data is the documented worst case for signed random
+    projections: the true top-10 sit at cosine ~0.5 (60 deg), so
+    per-plane agreement is only ~2/3 and deep multi-probe is needed.
+    Empirically (seed=42): planes=8/probe=4 -> 6/10 recall scanning
+    ~64% of the corpus. Real embedding corpora (clustered) sit far up
+    the S-curve. We pin >=4/10 as the regression floor."""
+    qvec = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(corpus, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(
+            corpus, qvec, dim=len(qvec), k=10, n_planes=8, probe_hamming=4
+        ).collect()
+    ]
+    assert len(set(approx) & set(exact)) >= 4
+
+
+def test_ivf_topk_recall(embeddings):
+    qvec = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    cents = similarity.train_centroids(corpus, n_clusters=8)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(corpus, qvec, k=10).collect()]
+    approx = [
+        r["vec_id"] for r in similarity.ivf_topk(corpus, qvec, cents, k=10, n_probe=3).collect()
+    ]
+    assert len(set(approx) & set(exact)) >= 3
+
+
+def test_pandas_topk_matches_native(embeddings):
+    qvec = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    native = [(r["vec_id"], round(r["cos_sim"], 6))
+              for r in similarity.brute_force_topk(corpus, qvec, k=10).collect()]
+    pandas = [(r["vec_id"], round(r["cos_sim"], 6))
+              for r in similarity.cosine_topk_pandas(corpus, qvec, k=10).collect()]
+    assert native == pandas
+
+
+def test_multimodal_decode_and_features(spark):
+    media = multimodal.synth_media_corpus(spark, n=30)
+    decoded = multimodal.decode_media(media)
+    assert decoded.count() == 30
+    row = decoded.filter(F.col("kind") == "video").first()
+    assert row["n_frames"] >= 1 and row["width"] >= 8
+    feats = multimodal.extract_features(media, dim=16).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    norms = [float(np.linalg.norm(r["features"])) for r in feats]
+    assert all(abs(n - 1.0) < 1e-5 for n in norms)
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    media = multimodal.synth_media_corpus(spark, n=30)
+    frames = multimodal.frame_sample(media, every_nth=5)
+    per_vid = frames.groupBy("media_id").count().collect()
+    assert per_vid and all(r["count"] >= 1 for r in per_vid)
+    plan = multimodal.resize_plan(media, max_side=32).collect()
+    for r in plan:
+        assert max(r["target_w"], r["target_h"]) <= 32
+        assert r["target_w"] <= r["width"] and r["target_h"] <= r["height"]
+
+
+def test_multimodal_stub_raises_on_real_bytes(spark):
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_header(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_text_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "the the the"), (4, "!!! ???")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in TX.text_stats(df, "text", "doc_id").collect()}
+    assert rows[1]["n_tokens"] == 1  # split('') -> ['']
+    assert rows[2]["n_tokens"] == 1 and rows[2]["stopword_ratio"] == 0.0
+    assert rows[3]["stopword_ratio"] == 1.0
+    assert rows[4]["punct_ratio"] > 0.5
+    assert rows[2]["lang_pred"] == "und"
+    assert rows[3]["lang_pred"] == "en"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello  world ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(TX.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
