@@ -943,3 +943,64 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         e.filter(F.col("vec_id") != 0), qvec, dim=len(qvec), k=10, n_planes=8, probe_hamming=4
     ).select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+# =====================================================================
+# D. Event-time streaming operators in batch-checkable form
+#    (the same expression trees run under readStream in
+#     streaming/watch.py; tests assert stream/batch equivalence)
+# =====================================================================
+
+@query(
+    "events_sliding_window",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, event_type, value FROM events
+    ), both_windows AS (
+      SELECT w0 AS window_start, event_type, value FROM b
+      UNION ALL
+      SELECT w0 - INTERVAL '30 minutes', event_type, value FROM b
+    )
+    SELECT window_start, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM both_windows GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h window, 30 min slide): every event lands in
+    exactly two windows. Oracle derives the same assignment by bucket
+    arithmetic."""
+    from dat_archive_map_reduce_spark.streaming.watch import windowed_counts
+
+    e = _t(spark, sf_dir, "events")
+    return windowed_counts(e, "1 hour", slide="30 minutes")
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10 min inactivity gap) per user via native
+    F.session_window; the oracle reproduces the merge with a
+    gaps-and-islands window construction."""
+    from dat_archive_map_reduce_spark.streaming.watch import session_windows
+
+    e = _t(spark, sf_dir, "events")
+    return session_windows(e, gap="10 minutes")

@@ -1,0 +1,187 @@
+"""Watch mode: continuous incremental view maintenance via Structured
+Streaming.
+
+The reference's watch path (/root/reference/lib/indexer.js:67-87):
+subscribe to file-activity events filtered by the union of all view
+globs, debounce 500 ms, then re-run the incremental index cycle.
+
+Spark-first translation:
+
+- file-activity stream  -> ``spark.readStream`` over the engine's
+  append-only changelog directory (new parquet files = new events)
+- debounce              -> micro-batch trigger (processingTime) —
+  a burst of changes lands in one batch, exactly the amortization the
+  debounce buys the reference
+- re-index cycle        -> ``foreachBatch`` running the SAME
+  retract-then-add merge the batch path uses (engine._apply_updates),
+  so watch mode converges to the identical state as a cold re-index
+  (the reference's test/view.js:187-231 equivalence contract)
+- exactly-once          -> streaming checkpointLocation + the engine's
+  per-(view, origin) offsets; replayed batches are no-ops because
+  updates at or below the stored offset are filtered out.
+
+Event-time operators (windowed aggregations over the `events` table)
+live here too: tumbling / sliding / session windows with watermarks.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dat_archive_map_reduce_spark.sources.files import FILES_SCHEMA, glob_filter, latest_wins
+
+
+def watch(
+    engine,
+    trigger: dict | None = None,
+    on_batch: Callable[[int, int], None] | None = None,
+):
+    """Start continuous maintenance of all defined views.
+
+    Returns the StreamingQuery; call ``.stop()`` to unwatch (the
+    reference's unwatchArchive, lib/indexer.js:94-100). ``trigger``
+    defaults to availableNow (drain-and-stop, used by tests); pass
+    ``{"processingTime": "500 milliseconds"}`` for the reference's
+    debounce cadence.
+    """
+    spark = engine.spark
+    snap = engine.changelog._current()
+    src_dir = engine.changelog._snapshot_dir(snap) if snap is not None else None
+    if src_dir is None:
+        # ensure the changelog has a snapshot directory to stream from
+        engine.changelog.reset()
+        src_dir = engine.changelog._snapshot_dir(engine.changelog._current())
+
+    stream = (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(src_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        rows_origin = [r["origin"] for r in batch_df.select("origin").distinct().collect()]
+        n = 0
+        for origin in sorted(rows_origin):
+            engine._indexed_origins.add(origin)
+            log = batch_df.filter(F.col("origin") == origin)
+            target = log.agg(F.max("version")).first()[0] or 0
+            offsets = {
+                r["view"]: r["last_version"]
+                for r in engine.offsets.read().filter(F.col("origin") == origin).collect()
+            }
+            for name, vdef in engine.views.items():
+                start = offsets.get(name, 0)
+                updates = latest_wins(glob_filter(log, vdef.path), start=start)
+                engine._emit("archive-indexing", origin=origin, view=name, version=target)
+                engine._apply_updates(vdef, origin, updates)
+                if target > start:
+                    engine._set_offset(name, origin, target)
+                engine._emit("archive-indexed", origin=origin, view=name, version=target)
+            engine._emit("indexes-updated", origin=origin, version=target)
+            n += 1
+        if on_batch is not None:
+            on_batch(batch_id, n)
+
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", f"{engine.warehouse}/_stream_checkpoint")
+        .outputMode("update")
+    )
+    if trigger is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def watch_until_caught_up(engine) -> None:
+    """Drain all pending changelog files once (availableNow) and block
+    until done — the deterministic form of watch used by tests."""
+    q = watch(engine)
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------------
+# Event-time windowed aggregation (streaming + batch-equivalent forms)
+# ---------------------------------------------------------------------
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) window counts per
+    event_type with a late-data watermark.
+
+    The same expression tree serves batch and streaming: in streaming
+    mode the watermark bounds state (late rows beyond it are dropped);
+    in batch mode it is a no-op, which is what makes the
+    batch-vs-stream equivalence test meaningful.
+    """
+    df = events
+    if streaming:
+        df = df.withWatermark("ts", watermark)
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+    streaming: bool = False,
+) -> DataFrame:
+    """Session windows per user: activity bursts separated by >= gap.
+
+    Uses native F.session_window (merging-state windows in streaming)."""
+    df = events
+    if streaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_over_directory(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    schema,
+) -> None:
+    """Drive any event-time transform as a real stream over a parquet
+    directory (availableNow), sinking to parquet in complete mode via
+    foreachBatch overwrite — the test harness for stream/batch
+    equivalence."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    out = transform(stream)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        out.writeStream.foreachBatch(_sink)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

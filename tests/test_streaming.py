@@ -1,0 +1,130 @@
+"""Streaming tests: watch-mode equivalence to batch re-index (the
+reference's test/view.js:187-231 contract) and event-time windowed
+aggregation stream/batch equivalence."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dat_archive_map_reduce_spark.engine import MapReduce
+from dat_archive_map_reduce_spark.sources.tables import load_table
+from dat_archive_map_reduce_spark.streaming import watch as W
+
+SF = "/root/testdata/sf0.001"
+
+
+def map_first(content, meta, emit):
+    obj = json.loads(content)
+    emit(obj["first"], meta["url"])
+
+
+def map_origin_one(content, meta, emit):
+    emit(meta["origin"], 1)
+
+
+def rows_for(i, version=1, suffix=""):
+    origin = f"dat://w{i}"
+    rec = lambda f, s, t: json.dumps({"first": f, "second": s, "third": t})
+    return [
+        {"origin": origin, "pathname": "/single.json", "version": version,
+         "content": rec(f"first{i}{suffix}", i, "x")},
+        {"origin": origin, "pathname": "/multi/1.json", "version": version,
+         "content": rec(f"first{i}{suffix}", i, "y")},
+        {"origin": origin, "pathname": "/multi/2.json", "version": version,
+         "content": rec(f"first{i}{suffix}b", i, "z")},
+    ]
+
+
+def test_watch_converges_to_batch_state(spark, tmp_path):
+    """Index via watch-mode streaming; assert identical state to a
+    batch-indexed twin engine."""
+    wh_stream = str(tmp_path / "wh_stream")
+    wh_batch = str(tmp_path / "wh_batch")
+    engines = []
+    for wh in (wh_stream, wh_batch):
+        db = MapReduce(spark, wh)
+        db.define("multi", path="/multi/*.json", map=map_first, key_schema=["string"])
+        db.define("multi-reduced", path="/multi/*.json", map=map_origin_one,
+                  reduce="count", key_schema=["string"])
+        engines.append(db)
+    dbs, dbb = engines
+
+    # batch twin: append + index
+    for i in range(3):
+        dbb.append_changes(rows_for(i))
+        dbb.index(f"dat://w{i}")
+
+    # streaming twin: append (files land in changelog dir), then drain
+    batches_seen = []
+    for i in range(3):
+        dbs.append_changes(rows_for(i))
+    q = W.watch(dbs, on_batch=lambda bid, n: batches_seen.append((bid, n)))
+    q.awaitTermination()
+    assert batches_seen and sum(n for _, n in batches_seen) >= 3
+
+    assert dbs.list("multi") == dbb.list("multi")
+    assert dbs.list("multi-reduced") == dbb.list("multi-reduced")
+
+
+def test_watch_incremental_update_retracts(spark, tmp_path):
+    """Second watch drain after file rewrites retracts old keys
+    (update semantics under continuous ingestion)."""
+    db = MapReduce(spark, str(tmp_path / "wh"))
+    db.define("multi", path="/multi/*.json", map=map_first, key_schema=["string"])
+    db.define("multi-reduced", path="/multi/*.json", map=map_origin_one,
+              reduce="count", key_schema=["string"])
+    db.append_changes(rows_for(0))
+    W.watch_until_caught_up(db)
+    assert db.get("multi", "first0") is not None
+    # rewrite with new keys at version 2
+    db.append_changes(rows_for(0, version=2, suffix="X"))
+    W.watch_until_caught_up(db)
+    assert db.get("multi", "first0") is None
+    assert db.get("multi", "first0X") is not None
+    assert db.get("multi-reduced", "dat://w0") == {"key": "dat://w0", "value": 2}
+
+
+def test_stream_windowed_counts_equals_batch(spark, tmp_path):
+    """Tumbling-window counts over a real stream (availableNow) match
+    the batch computation on the same data."""
+    events = load_table(spark, SF, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    out = str(tmp_path / "out")
+
+    W.run_stream_over_directory(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        out,
+        lambda df: W.windowed_counts(df, "1 hour", streaming=True),
+        events.schema,
+    )
+    streamed = spark.read.parquet(out)
+    batch = W.windowed_counts(events, "1 hour", streaming=False)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_session_windows_merge_gaps(spark):
+    events = load_table(spark, SF, "events")
+    sess = W.session_windows(events, gap="10 minutes")
+    rows = sess.limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
+    # sanity: total events preserved across sessions
+    total = sess.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()
+
+
+def test_sliding_window_multiplicity(spark):
+    """A sliding window (1h window, 30m slide) assigns each event to
+    exactly 2 windows -> total weighted count doubles."""
+    events = load_table(spark, SF, "events")
+    slid = W.windowed_counts(events, "1 hour", slide="30 minutes")
+    total = slid.agg(F.sum("n")).first()[0]
+    assert total == 2 * events.count()
