@@ -78,6 +78,42 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return df.withColumn("shingles", shingles)
 
 
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct (doc, n_sh, shingle) rows per document.
+
+    Deliberately NOT the array-transform formulation: Catalyst inlines
+    the tokenization into every lambda element and duplicates the whole
+    array expression into the Generate's inferred non-empty filter,
+    making it O(tokens^2) per doc. Here split() runs once per row
+    (posexplode), shingles assemble via window lead() — linear work,
+    and every stage stays in whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    # shingle and the tail guard must be computed in the SAME
+    # projection: window functions evaluate over the rows present at
+    # their own operator, so filtering first would re-window over the
+    # shortened partition and emit truncated tail shingles
+    grams = (
+        toks.select(
+            "doc",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tok", n - 1).over(w).alias("tail_guard"),
+        )
+        .filter(F.col("tail_guard").isNotNull())
+        .select("doc", "shingle")
+        .distinct()
+    )
+    wd = Window.partitionBy("doc")
+    return grams.withColumn("n_sh", F.count(F.lit(1)).over(wd))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -88,30 +124,25 @@ def ngram_jaccard_pairs(
     """All pairs with shingle-set Jaccard >= threshold, via inverted-
     index join (only docs sharing >=1 shingle ever meet).
 
-    Scale: the shuffle key is the shingle; hot shingles (stop-phrases)
-    would skew — mitigated upstream by shingle length n>=3 and AQE skew
-    handling. Output: (id_a, id_b, jaccard), id_a < id_b.
+    The per-doc shingle-set size rides along on every exploded row, so
+    the join output already carries |A| and |B| — no separate sizes
+    table, no extra joins. Scale: the shuffle key is the shingle; hot
+    shingles (stop-phrases) would skew — mitigated by shingle length
+    n>=3 and AQE skew handling. Output: (id_a, id_b, jaccard),
+    id_a < id_b.
     """
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
-    )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = shingle_rows(df, text_col, id_col, n)
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        common.join(sa, F.col("id_a") == F.col("sa.doc"))
-        .join(sb, F.col("id_b") == F.col("sb.doc"))
-        .withColumn(
-            "jaccard",
-            F.col("common") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")),
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
         )
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -218,10 +249,23 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> banded buckets
     -> candidate pairs -> exact-Jaccard verification (no false
-    positives leave this operator; recall is the LSH S-curve)."""
+    positives leave this operator; recall is the LSH S-curve).
+
+    Verification is restricted to docs that appear in some candidate
+    pair (semi-join pruning) — at scale the exact-Jaccard join runs
+    over the tiny candidate subset, not the corpus.
+    """
     sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
     cands = lsh_candidate_pairs(sigs, bands)
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n=shingle_n, threshold=threshold)
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    pruned = df.join(
+        F.broadcast(cand_ids), df[id_col] == F.col("cid"), "left_semi"
+    )
+    exact = ngram_jaccard_pairs(pruned, text_col, id_col, n=shingle_n, threshold=threshold)
     return cands.join(exact, ["id_a", "id_b"], "inner").select("id_a", "id_b", "jaccard")
 
 
@@ -232,32 +276,33 @@ def minhash_dedup_pairs(
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign of the token-hash bit-vote sum.
 
-    Native-ish: token hashing uses xxhash64 JVM-side; the bit votes run
-    in a vectorized pandas stage (numpy popcount-style unpacking).
+    Fully native — no Python anywhere: token hashing is xxhash64
+    JVM-side; each bit's vote is one aggregate expression
+    ``sum(2*bit - 1)`` (64 of them, all computed in a single
+    partial-aggregating groupBy pass inside whole-stage codegen); the
+    signature is reassembled with shifts. One shuffle on the doc id,
+    carrying 64 longs per doc.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
 
-    out_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType(), False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
-    )
-
-    def _vote(pdf: pd.DataFrame) -> pd.DataFrame:
-        doc_id = int(pdf["id"].iloc[0])
-        hs = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(i)
-        return pd.DataFrame({"id": [doc_id], "simhash": [int(sig.astype(np.int64))]})
-
-    return toks.groupBy("id").applyInPandas(_vote, schema=out_schema)
+    vote_aggs = [
+        F.sum(
+            (
+                F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).cast("long")
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    votes = toks.groupBy("id").agg(*vote_aggs)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(signatures: DataFrame, max_distance: int = 3) -> DataFrame:

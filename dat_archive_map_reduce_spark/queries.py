@@ -532,12 +532,23 @@ def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = o.filter(F.col("o_totalprice") > 150000).select(
         F.col("o_custkey").alias("c_custkey")
     ).distinct()
-    rows = [
-        ("union", building.union(big).distinct().count()),
-        ("intersect", building.intersect(big).count()),
-        ("except", building.exceptAll(big).distinct().count()),
+    # one action: the three set-op branches union into a single plan
+    # instead of three driver-side count() jobs
+    counts = [
+        building.union(big).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("union").alias("op"), "n"
+        ),
+        building.intersect(big).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("intersect").alias("op"), "n"
+        ),
+        building.exceptAll(big).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("except").alias("op"), "n"
+        ),
     ]
-    return spark.createDataFrame(rows, "op string, n long")
+    out = counts[0]
+    for c2 in counts[1:]:
+        out = out.union(c2)
+    return out
 
 
 @query(
