@@ -1,0 +1,151 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+banned/binned range join.
+
+The reference engine has no joins at all (SURVEY.md §2.2 — its
+cross-site views are per-key partitions, /root/reference/README.md
+"cross-site" examples); these are part of the standard relational
+surface the new engine ships. Both are implemented as compositions of
+existing DataFrame ops — no UDFs, fully codegen-able — using the two
+standard distributed formulations:
+
+* as-of join: union + ordered window `last(ignorenulls)` — one shuffle
+  on the join key, linear in rows, no range-join row explosion. This
+  is how you do "attribute each purchase to the user's last preceding
+  click" on 100 TB: the alternative (equi-join on user then filter
+  ts-range then window) materializes |L|x|R| per key first.
+* range join: bin the time axis so the theta condition becomes an
+  equi-join on (key, bin) with a residual filter — candidate pairs
+  are only those within one bin-width, not the full per-key cross
+  product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join_binned"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: dict[str, str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Backward inclusive as-of join: for every left row, the single
+    right row with the greatest ``right_ts <= left_ts`` within the
+    same ``on`` key group.
+
+    Formulation: tag and union both sides, sort each key partition by
+    (ts, right-before-left-on-ties), and carry the right payload
+    forward with ``last(..., ignorenulls=True)`` over an unbounded-
+    preceding running frame. One shuffle (on the key), one sort, no
+    pair materialization — the plan scales linearly where an
+    inequality join would square.
+
+    ``right_cols`` maps right column -> output alias; defaults to
+    ``{right_ts: "asof_" + right_ts}``. ``how`` is 'inner' (drop left
+    rows with no earlier right row) or 'left'.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = {right_ts: f"asof_{right_ts}"}
+    out_aliases = list(right_cols.values())
+
+    # Common event-time axis; _side=0 sorts right rows before left rows
+    # at equal timestamps, which is exactly inclusive `right_ts <= left_ts`.
+    l_tag = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[src].dataType).alias(dst) for src, dst in right_cols.items()],
+    )
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l_tag.unionByName(r_tag).select(
+        "_side",
+        "_lrow",
+        *[F.last(dst, ignorenulls=True).over(w).alias(dst) for dst in out_aliases],
+    )
+    out = matched.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *out_aliases,
+    )
+    if how == "inner":
+        out = out.filter(F.col(out_aliases[0]).isNotNull())
+    return out
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_seconds: int = 0,
+    upper_seconds: int = 86400,
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Interval join: pair (l, r) where ``l.key == r.key`` and
+    ``l_ts + lower < r_ts <= l_ts + upper`` — e.g. "events by the same
+    user within the day after".
+
+    Each left row is exploded to the (few) time bins its window
+    covers; each right row lives in exactly one bin; the theta
+    condition becomes an equi-join on (key, bin) plus a residual
+    filter. Candidate pairs are bounded by bin co-residency instead of
+    the full per-key cross product, so the shuffle carries
+    O(|L| * windows/bin + |R|) rows — the standard way to keep an
+    interval join from quadratic blowup when keys are hot.
+
+    Output: all left columns (as ``l_<name>``) + all right columns
+    (as ``r_<name>``).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if bin_seconds is None:
+        bin_seconds = max(upper_seconds - lower_seconds, 1)
+
+    l_epoch = F.unix_timestamp(F.col(left_ts))
+    lo = l_epoch + F.lit(lower_seconds)
+    hi = l_epoch + F.lit(upper_seconds)
+    l_bins = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        F.explode(
+            F.sequence(
+                F.floor(lo / bin_seconds).cast("long"),
+                F.floor(hi / bin_seconds).cast("long"),
+            )
+        ).alias("_bin"),
+    )
+    r_bins = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        F.unix_timestamp(F.col(right_ts)).alias("_rts"),
+    ).withColumn("_bin", F.floor(F.col("_rts") / bin_seconds).cast("long"))
+
+    # equi-condition on (keys..., bin) so the hash/SMJ shuffle
+    # partitions on the full compound key, not the bin alone
+    cond: Column = l_bins["_bin"] == r_bins["_bin"]
+    for k in keys:
+        cond = cond & (F.col(f"l_{k}") == F.col(f"r_{k}"))
+    return (
+        l_bins.join(r_bins, cond)
+        .filter((F.col("_rts") > F.col("_lo")) & (F.col("_rts") <= F.col("_hi")))
+        .drop("_bin", "_lo", "_hi", "_rts")
+    )

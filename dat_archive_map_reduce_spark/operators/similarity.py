@@ -275,3 +275,100 @@ def ivf_topk(
     cands = assign.filter(F.col("cluster").isin(probe)).select(id_col)
     pruned = corpus.join(cands, id_col, "left_semi")
     return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------
+# Exact all-pairs cosine (near-dup verification kernel)
+# ---------------------------------------------------------------------
+
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-matrix self-join.
+
+    Rows are hashed into `n_blocks` blocks; each row is replicated to
+    every unordered block pair it participates in (B copies), and one
+    numpy matmul per (block_i, block_j) group scores that tile of the
+    similarity matrix. Work is the same O(N^2 * d) as the naive
+    cross-join, but executed as ~B^2/2 dense GEMM tiles instead of
+    N^2/2 interpreted array-expression evaluations — and each tile is
+    an independent task, so the square spreads across the cluster.
+
+    Replication factor B is the knob: shuffle volume is N*B rows while
+    tile count is B(B+1)/2; pick B ~ sqrt(desired parallelism). At
+    100 TB you don't run exact all-pairs at all — LSH/IVF candidates
+    first (lsh_topk/ivf_topk), then THIS as the verify kernel on the
+    pruned set.
+
+    Output: (id_a, id_b, cos_sim), id_a < id_b, exact doubles.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    blocked = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # replicate each row to all unordered block pairs containing its block
+    pairs = blocked.select(
+        "id",
+        "vec",
+        "blk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda j: F.struct(
+                    F.least(F.col("blk"), j).alias("pa"),
+                    F.greatest(F.col("blk"), j).alias("pb"),
+                ),
+            )
+        ).alias("pair"),
+    ).select("id", "vec", "blk", F.col("pair.pa").alias("pa"), F.col("pair.pb").alias("pb"))
+
+    thr = float(threshold)
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+    )
+
+    def _tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = int(pdf["pa"].iloc[0]), int(pdf["pb"].iloc[0])
+        m = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        m = m / nrm[:, None]
+        ids = pdf["id"].to_numpy()
+        if pa == pb:
+            sims = m @ m.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            ids_a = ids_b = ids
+        else:
+            amask = (pdf["blk"] == pa).to_numpy()
+            ma, ids_a = m[amask], ids[amask]
+            mb, ids_b = m[~amask], ids[~amask]
+            if not len(ids_a) or not len(ids_b):
+                return empty
+            sims = ma @ mb.T
+            ii, jj = np.indices(sims.shape).reshape(2, -1)
+        keep = sims[ii, jj] >= thr
+        a_ids, b_ids = ids_a[ii[keep]], ids_b[jj[keep]]
+        vals = sims[ii[keep], jj[keep]]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame(
+            {"id_a": lo.astype("int64"), "id_b": hi.astype("int64"), "cos_sim": vals}
+        )
+
+    # each row hits each unordered block pair exactly once: for j in
+    # 0..B-1, (min(b,j), max(b,j)) enumerates (0,b)..(b,b)..(b,B-1)
+    return pairs.groupBy("pa", "pb").applyInPandas(_tile, schema=out_schema)

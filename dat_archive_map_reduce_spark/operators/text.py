@@ -123,11 +123,13 @@ def rolling_shingle_fingerprints(text_col: str | Column, n: int = 5) -> Column:
     the per-document shingle sketch used for containment detection
     (doc A quoted inside doc B), where one global fingerprint fails."""
     toks = tokens(text_col)
+    # guard: Spark's sequence(1, 0) yields DESCENDING [1, 0], and
+    # slice(_, 0, n) throws — short docs must map to an empty sketch
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
-        )
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
     )
 
 

@@ -1015,3 +1015,476 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "events")
     return session_windows(e, gap="10 minutes")
+
+
+# =====================================================================
+# E. Temporal joins (as-of / range) + extended relational surface
+# =====================================================================
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts,
+           c.ts AS click_ts, round(c.value, 4) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: attribute each purchase to the same user's most
+    recent preceding click (last-touch attribution). Implemented as
+    union + ordered window last(ignorenulls) — one shuffle on user_id,
+    linear in rows; no per-key pair materialization (operators/joins.py).
+    Oracle uses DuckDB's native ASOF JOIN."""
+    from dat_archive_map_reduce_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases, clicks, on="user_id",
+        left_ts="ts", right_ts="ts",
+        right_cols={"ts": "click_ts", "value": "click_value"},
+        how="inner",
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        "click_ts",
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT a.event_id, count(*) AS n_follow, round(sum(b.value), 4) AS sum_follow
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL '1 day'
+    GROUP BY a.event_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: per event, the count and value-sum of the
+    same user's events in the following 24h. Binned formulation
+    (operators/joins.py): the time axis is bucketed so the theta
+    condition becomes an equi-join on (user, bin) + residual filter —
+    candidate pairs stay bounded at 100 TB where a per-key cross
+    product would square."""
+    from dat_archive_map_reduce_spark.operators.joins import range_join_binned
+
+    e = _t(spark, sf_dir, "events")
+    pairs = range_join_binned(
+        e.select("event_id", "user_id", "ts"),
+        e.select("user_id", "ts", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_seconds=0,
+        upper_seconds=86400,
+    )
+    return pairs.groupBy(F.col("l_event_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.round(F.sum("r_value"), 4).alias("sum_follow"),
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(cn.n_nationkey, sn.n_nationkey) AS nationkey,
+           cn.n_customers, sn.n_suppliers
+    FROM (SELECT c_nationkey AS n_nationkey, count(*) AS n_customers
+          FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN (SELECT s_nationkey AS n_nationkey, count(*) AS n_suppliers
+                     FROM supplier GROUP BY 1) sn
+      ON cn.n_nationkey = sn.n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join of two pre-aggregated sides (nations with
+    customers but no suppliers and vice versa both survive). Aggregating
+    BEFORE the join keeps the outer join over tiny inputs."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("cnk")).agg(F.count(F.lit(1)).alias("n_customers"))
+    sn = s.groupBy(F.col("s_nationkey").alias("snk")).agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return cn.join(sn, cn["cnk"] == sn["snk"], "full_outer").select(
+        F.coalesce(F.col("cnk"), F.col("snk")).alias("nationkey"),
+        "n_customers",
+        "n_suppliers",
+    )
+
+
+@query(
+    "join_cross_small",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join of two small dims (broadcast nested loop —
+    the only place a cross product is ever acceptable; guarded by dim
+    size at scale)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer control than cube/rollup): one
+    shuffle computes all three granularities via expand."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate
+    reaches the parquet reader (PushedFilters), zero joins, zero
+    shuffles beyond the final single-row reduce."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+    Both nation dims broadcast; the nation filters semi-reduce supplier
+    and customer before the fact joins."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    nations = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    n1 = nations.select(F.col("n_nationkey").alias("n1k"), F.col("n_name").alias("supp_nation"))
+    n2 = nations.select(F.col("n_nationkey").alias("n2k"), F.col("n_name").alias("cust_nation"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), o["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1k"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2k"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-04-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. Date + returnflag filters push to the scans; nation
+    broadcast; TakeOrderedAndProject for the top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregation over a broadcast part join."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(t.total_qty, 2) AS total_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders via HAVING on a grouped
+    fact, then enrich with dims. The having-filtered aggregate is tiny,
+    so it broadcasts into the orders join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    t = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(t), o["o_orderkey"] == t["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# =====================================================================
+# F. More LLM-pipeline extensions: embedding near-dup, IVF ANN,
+#    multimodal pipeline, fingerprint containment
+# =====================================================================
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to the synthetic
+    corpus's cosine distribution; real near-dup corpora use ~0.95).
+    Exact all-pairs via the block-matrix self-join kernel — one numpy
+    GEMM per block-pair tile instead of N^2/2 interpreted array
+    expressions; tiles parallelize across executors. At 100 TB the same
+    kernel runs after an LSH/IVF candidate prefilter
+    (operators/similarity.py) instead of over the full corpus."""
+    from dat_archive_map_reduce_spark.operators.similarity import cosine_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(e, threshold=0.45, n_blocks=8)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query("ann_ivf_topk")  # no oracle: k-means-seeded coarse quantizer, approximate
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: train a coarse quantizer on a sample, probe the 2
+    nearest clusters, exact-rank within the probed subset — the scale
+    path for similarity search (tests assert recall vs brute force)."""
+    from dat_archive_map_reduce_spark.operators.similarity import ivf_topk, train_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cents = train_centroids(e, n_clusters=8, iters=3, seed=42)
+    top = ivf_topk(e.filter(F.col("vec_id") != 0), qvec, cents, k=10, n_probe=2)
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query("multimodal_pipeline")  # no oracle: binary decode pipeline, not SQL-expressible
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns end-to-end: synthetic binary corpus ->
+    Arrow-batched decode (stubbed codec, real plumbing) -> per-kind
+    shape/byte stats + feature-vector norm check. Deterministic (seeded)
+    so the rows-only gate is stable across runs."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        synth_media_corpus,
+    )
+
+    media = synth_media_corpus(spark, n=64, seed=42)
+    decoded = decode_media(media)
+    feats = extract_features(media, dim=16)
+    fnorm = F.sqrt(F.aggregate(
+        F.transform(F.col("features"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ))
+    return (
+        decoded.join(feats, "media_id")
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("width").alias("max_w"),
+            F.max("height").alias("max_h"),
+            F.max("n_frames").alias("max_frames"),
+            F.round(F.avg(fnorm), 2).alias("avg_feat_norm"),
+        )
+        .orderBy("kind")
+    )
+
+
+@query(
+    "text_containment_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), fp AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> md5(array_to_string(t[i:i+4], ' '))))) AS f
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+           round(count(*) * 1.0 / least(sa.n, sb.n), 4) AS containment
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+    HAVING count(*) * 1.0 / least(sa.n, sb.n) >= 0.2
+    """,
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting for containment: rolling word-5-gram md5
+    sketch per doc; pairs whose shared-fingerprint count covers >= 20%
+    of the smaller doc (catches doc-quoted-inside-doc, where global
+    Jaccard fails). Same inverted-index join shape as n-gram dedup."""
+    from dat_archive_map_reduce_spark.operators.text import rolling_shingle_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(rolling_shingle_fingerprints("text", n=5)).alias("f"),
+    )
+    wd = Window.partitionBy("doc")
+    fp = fp.withColumn("n_fp", F.count(F.lit(1)).over(wd))
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("a.n_fp").alias("n_a"),
+            F.first("b.n_fp").alias("n_b"),
+        )
+        .withColumn("containment", F.round(F.col("n_shared") / F.least("n_a", "n_b"), 4))
+        .filter(F.col("containment") >= 0.2)
+        .select("id_a", "id_b", "n_shared", "containment")
+    )

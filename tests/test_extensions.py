@@ -156,3 +156,25 @@ def test_fingerprint_normalization(spark):
     )
     fps = [r["fp"] for r in df.select(TX.fingerprint("text").alias("fp")).collect()]
     assert fps[0] == fps[1] == fps[2]
+
+
+def test_cosine_near_pairs_matches_bruteforce(embeddings):
+    """Block-matrix all-pairs must equal the naive cross-join pair set
+    (same ids, same similarities to 1e-9)."""
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.cosine_near_pairs(embeddings, threshold=0.4, n_blocks=4).collect()
+    }
+    rows = embeddings.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    expected = {}
+    mat = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+    sims = mat @ mat.T
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sims[i, j] >= 0.4:
+                expected[(ids[i], ids[j])] = sims[i, j]
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert abs(got[k] - v) < 1e-9

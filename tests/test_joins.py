@@ -1,0 +1,126 @@
+"""Tests for the temporal join operators (operators/joins.py):
+as-of join tie/boundary semantics and range-join bin correctness —
+checked against tiny hand-computed fixtures plus a brute-force
+cross-join reference on real data."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dat_archive_map_reduce_spark.operators.joins import asof_join, range_join_binned
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "events").cache()
+
+
+def test_asof_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "p1"),  # after r at 09:00 -> matches 09:00
+            (1, _ts("2024-01-01T09:00:00"), "p2"),  # EQUAL ts -> inclusive match
+            (1, _ts("2024-01-01T08:00:00"), "p3"),  # before all right rows -> no match
+            (2, _ts("2024-01-01T12:00:00"), "p4"),  # key with no right rows
+        ],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 10.0),
+            (1, _ts("2024-01-01T09:30:00"), 20.0),
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = {
+        r["tag"]: (r["click_ts"], r["click_value"])
+        for r in asof_join(
+            left, right, on="user_id",
+            right_cols={"ts": "click_ts", "value": "click_value"}, how="left",
+        ).collect()
+    }
+    assert out["p1"] == (_ts("2024-01-01T09:30:00"), 20.0)
+    assert out["p2"] == (_ts("2024-01-01T09:00:00"), 10.0)  # inclusive >=
+    assert out["p3"] == (None, None)
+    assert out["p4"] == (None, None)
+    inner = asof_join(
+        left, right, on="user_id",
+        right_cols={"ts": "click_ts"}, how="inner",
+    )
+    assert {r["tag"] for r in inner.collect()} == {"p1", "p2"}
+
+
+def test_asof_matches_bruteforce_on_events(events):
+    purchases = events.filter(F.col("event_type") == "purchase")
+    clicks = events.filter(F.col("event_type") == "click")
+    got = asof_join(
+        purchases, clicks, on="user_id", right_cols={"ts": "click_ts"}, how="inner"
+    ).select("event_id", "click_ts")
+    brute = (
+        purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id")) & (F.col("p.ts") >= F.col("c.ts")),
+        )
+        .groupBy(F.col("p.event_id").alias("event_id"))
+        .agg(F.max(F.col("c.ts")).alias("click_ts"))
+    )
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+
+
+def test_range_join_matches_bruteforce(events):
+    e = events.select("event_id", "user_id", "ts", "value")
+    got = (
+        range_join_binned(
+            e.select("event_id", "user_id", "ts"),
+            e.select("user_id", "ts", "value"),
+            on="user_id",
+            upper_seconds=3600,
+            bin_seconds=600,  # deliberately much smaller than the window
+        )
+        .groupBy("l_event_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    brute = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("a.event_id").alias("l_event_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+
+
+def test_range_join_no_dup_across_bins(spark):
+    """A right row on a bin boundary must pair exactly once."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 100)], "user_id int, ts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T00:10:00"), 1),   # inside
+            (1, _ts("2024-01-01T01:00:00"), 2),   # exactly at upper bound -> inclusive
+            (1, _ts("2024-01-01T01:00:01"), 3),   # just past -> excluded
+            (1, _ts("2024-01-01T00:00:00"), 4),   # equal to left ts -> excluded (strict >)
+        ],
+        "user_id int, ts timestamp, rid int",
+    )
+    out = range_join_binned(
+        left, right, on="user_id", upper_seconds=3600, bin_seconds=600
+    )
+    assert sorted(r["r_rid"] for r in out.collect()) == [1, 2]
