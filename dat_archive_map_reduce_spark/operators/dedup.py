@@ -198,19 +198,27 @@ def minhash_signatures(
                 sigs.append(sig.astype(np.int64).tolist())
             yield pd.DataFrame({"id": ids, "signature": sigs})
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    return fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
         _sig_batches, schema=out_schema
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, num_perm: int | None = None
+) -> DataFrame:
     """Band the signatures and emit candidate pairs per equal bucket.
 
     rows-per-band r = num_perm/bands; two docs collide iff some band's
     r-slice matches exactly. The bucket join shuffles on
     (band, band_hash) — sub-quadratic, no cross join anywhere.
+
+    Pass ``num_perm`` when known: the fallback probes it with a
+    ``first()``, which costs a full evaluation of the signature
+    pipeline before the real job even starts.
     """
-    n_perm = len(signatures.select("signature").first()["signature"])
+    n_perm = num_perm or len(signatures.select("signature").first()["signature"])
     r = n_perm // bands
     banded = signatures.select(
         "id",
@@ -255,8 +263,12 @@ def minhash_dedup_pairs(
     pair (semi-join pruning) — at scale the exact-Jaccard join runs
     over the tiny candidate subset, not the corpus.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n)
-    cands = lsh_candidate_pairs(sigs, bands)
+    # persist: signatures feed both sides of the bucket self-join, and
+    # the candidate set is consumed twice (id prune + final verify
+    # join). At 100 TB this materialization is a signatures table on
+    # storage; in-session, memory/disk cache serves the same role.
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).persist()
+    cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm).persist()
     cand_ids = (
         cands.select(F.col("id_a").alias("cid"))
         .union(cands.select("id_b"))

@@ -69,7 +69,14 @@ def synth_media_corpus(spark: SparkSession, n: int = 64, seed: int = 42) -> Data
             frames if kind == "video" else None,
         )
         rows.append((i, kind, bytearray(content), meta))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # slice count sized to the corpus, not the core count: 64 rows on
+    # 32 default slices would spawn 32 python workers per UDF stage for
+    # 2 rows each — pure overhead locally, and the same knob a real
+    # binaryFile read gets from file splits
+    n_slices = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
 
 
 def _decode_header(content: bytes) -> tuple[int, int, int]:
