@@ -1488,3 +1488,108 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.2)
         .select("id_a", "id_b", "n_shared", "containment")
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`). One shuffle; for 100 TB dashboards swap in
+    approx_percentile's mergeable t-digest-style sketch — same plan
+    shape, bounded memory."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT quartile, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM (
+      SELECT o_totalprice,
+             ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+      FROM orders
+    ) GROUP BY quartile
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing (spend quartiles) then per-bucket rollup. The
+    global ORDER BY window is the scale hazard — a real 100 TB variant
+    ranks within hash partitions or uses approx quantile cut-points;
+    kept global here because the oracle semantics require it."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) FILTER (o.o_orderstatus = 'F') AS F,
+           count(*) FILTER (o.o_orderstatus = 'O') AS O,
+           count(*) FILTER (o.o_orderstatus = 'P') AS P
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): order-status counts per market segment.
+    Explicit pivot values keep it one pass — without them Spark first
+    runs a distinct() job just to discover the columns."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@query(
+    "subquery_correlated_avg",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                              WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders at >2x their customer's
+    average), decorrelated the way Catalyst itself would: aggregate
+    once per customer, then join — one pass over the fact instead of
+    one subquery per row."""
+    o = _t(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("cust_avg")
+    )
+    return (
+        o.join(avgs, o["o_custkey"] == avgs["k"])
+        .filter(F.col("o_totalprice") > 2 * F.col("cust_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )

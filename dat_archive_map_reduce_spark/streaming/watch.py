@@ -185,3 +185,75 @@ def run_stream_over_directory(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals
+    maintained in explicit group state (applyInPandasWithState).
+
+    What the built-in agg cannot express: the state here is an
+    arbitrary Python structure updated by arbitrary code per
+    micro-batch (running count, value sum, and high-water-mark
+    timestamp), the shape of session scoring / per-entity model state
+    in a production stream. Emits one row per user per batch with the
+    post-batch totals (update-mode semantics, like the reference's
+    continuously re-folded reduce views, /root/reference/lib/indexer.js:245-254).
+
+    State is partitioned by the group key, so it scales horizontally
+    with executors; memory is O(distinct users), the same bound the
+    reference's reduced sublevel has.
+    """
+    import pandas as pd  # noqa: F811  (worker-side import)
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("sum_value", T.DoubleType(), False),
+            T.StructField("last_ts", T.TimestampType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType(), False),
+            T.StructField("total", T.DoubleType(), False),
+            T.StructField("last_us", T.LongType(), True),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                batch_max = pdf["ts"].max()
+                us = int(batch_max.value // 1000)
+                last_us = us if last_us is None else max(last_us, us)
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total],
+                "last_ts": [pd.Timestamp(last_us * 1000) if last_us is not None else None],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

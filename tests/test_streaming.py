@@ -128,3 +128,52 @@ def test_sliding_window_multiplicity(spark):
     slid = W.windowed_counts(events, "1 hour", slide="30 minutes")
     total = slid.agg(F.sum("n")).first()[0]
     assert total == 2 * events.count()
+
+
+def test_stateful_user_totals_equals_batch(spark, tmp_path):
+    """Custom applyInPandasWithState totals: the LAST emitted row per
+    user (update-mode) must equal a plain batch groupBy — even when the
+    stream is forced through multiple micro-batches, proving the state
+    carries across batches."""
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF, "events")
+    # two files -> with maxFilesPerTrigger=1 the stream runs >=2 batches
+    events.filter(F.col("event_id") % 2 == 0).write.parquet(f"{src}/a.parquet")
+    events.filter(F.col("event_id") % 2 == 1).write.parquet(f"{src}/b.parquet")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out_dir = str(tmp_path / "out")
+    emitted = []
+
+    def _sink(batch_df, batch_id):
+        emitted.extend((batch_id, r) for r in batch_df.collect())
+
+    q = (
+        W.stateful_user_totals(stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len({b for b, _ in emitted}) >= 2, "expected multiple micro-batches"
+    last = {}
+    for batch_id, r in emitted:
+        last[r["user_id"]] = (batch_id, r)
+    got = {
+        u: (r["n_events"], round(r["sum_value"], 4), r["last_ts"])
+        for u, (_, r) in last.items()
+    }
+    expected = {
+        r["user_id"]: (r["n"], round(r["s"], 4), r["m"])
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"), F.max("ts").alias("m"))
+        .collect()
+    }
+    assert got == expected
