@@ -525,30 +525,38 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def setop_union_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations with SQL DISTINCT semantics: union / intersect /
-    except cardinalities of two customer-key sets."""
+    except cardinalities of two customer-key sets.
+
+    Computed in ONE pass: tag each side with a presence flag, union,
+    groupBy key (the single shuffle), then derive all three
+    cardinalities from the flag pairs. The literal formulation
+    (union.distinct + intersect + exceptAll as separate subplans) costs
+    9 shuffles; this costs 1 + a single-row final agg — the difference
+    between one wave and nine at 100 TB.
+    """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
     big = o.filter(F.col("o_totalprice") > 150000).select(
-        F.col("o_custkey").alias("c_custkey")
-    ).distinct()
-    # one action: the three set-op branches union into a single plan
-    # instead of three driver-side count() jobs
-    counts = [
-        building.union(big).distinct().agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit("union").alias("op"), "n"
-        ),
-        building.intersect(big).agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit("intersect").alias("op"), "n"
-        ),
-        building.exceptAll(big).distinct().agg(F.count(F.lit(1)).alias("n")).select(
-            F.lit("except").alias("op"), "n"
-        ),
-    ]
-    out = counts[0]
-    for c2 in counts[1:]:
-        out = out.union(c2)
-    return out
+        F.col("o_custkey").alias("c_custkey"), F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    flags = (
+        building.union(big)
+        .groupBy("c_custkey")
+        .agg(F.max("in_a").alias("a"), F.max("in_b").alias("b"))
+    )
+    totals = flags.agg(
+        F.count(F.lit(1)).alias("union_n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("long")).alias("intersect_n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("long")).alias("except_n"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 'union', union_n, 'intersect', intersect_n, 'except', except_n)"
+        ).alias("op", "n")
+    )
 
 
 @query(

@@ -1,0 +1,89 @@
+"""Tests for the scale patterns: salted join / two-phase agg
+equivalence, and bucketed tables joining without a shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dat_archive_map_reduce_spark.operators.skew import salted_join, two_phase_agg
+from dat_archive_map_reduce_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events").cache()
+
+
+def test_salted_join_equals_plain_join(spark, events):
+    """Salted equi-join must produce exactly the rows of the plain
+    join (here: per-event join to a per-user dim)."""
+    dim = events.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    plain = (
+        events.join(dim, "user_id")
+        .select("event_id", F.round("user_avg", 6).alias("user_avg"))
+    )
+    salted = salted_join(
+        events, dim, on="user_id", salt=4, uniquifier=F.col("event_id")
+    ).select("event_id", F.round("user_avg", 6).alias("user_avg"))
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_two_phase_agg_collect_list(spark, events):
+    """Salted collect_list merge must carry every element exactly once
+    (order-insensitive compare)."""
+    got = two_phase_agg(
+        events,
+        "user_id",
+        partial_aggs=[F.collect_list("event_id").alias("part")],
+        merge_aggs=[F.flatten(F.collect_list("part")).alias("ids")],
+        salt=4,
+        uniquifier=F.col("event_id"),
+    ).select("user_id", F.array_sort("ids").alias("ids"))
+    expected = (
+        events.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("event_id")).alias("ids"))
+    )
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Tables bucketed+sorted on the join key must sort-merge-join with
+    ZERO Exchange nodes — the co-located join strategy for repeated
+    fact-to-fact joins at scale."""
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .saveAsTable("b_orders")
+    )
+    (
+        lineitem.write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .saveAsTable("b_lineitem")
+    )
+    try:
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually computes the right thing
+        assert joined.count() == lineitem.join(
+            orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
