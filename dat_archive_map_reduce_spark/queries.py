@@ -1601,3 +1601,110 @@ def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(50)
     )
+
+
+def _map_docs_emit(content, meta, emit):
+    """Worker-side map UDF for view_map_udf_adapter: 0 emits (filter)
+    for short docs, 1 projection emit, +1 extra emit for long docs
+    (flatMap) — the reference's three emit cardinalities
+    (/root/reference/lib/indexer.js:228-239) in one function."""
+    import json as _json
+
+    obj = _json.loads(content)
+    if obj["n_chars"] <= 300:
+        return
+    emit([obj["lang"], obj["doc_id"]], obj["n_chars"])
+    if obj["n_chars"] > 600:
+        emit(["long", obj["doc_id"]], obj["n_chars"])
+
+
+@query(
+    "view_map_udf_adapter",
+    oracle="""
+    SELECT lang AS k0, doc_id AS k1, n_chars AS value,
+           'dat://docs/' || doc_id || '.json' AS file_url
+    FROM documents WHERE n_chars > 300
+    UNION ALL
+    SELECT 'long', doc_id, n_chars, 'dat://docs/' || doc_id || '.json'
+    FROM documents WHERE n_chars > 600
+    """,
+)
+def view_map_udf_adapter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emit-style map adapter (operators/map_reduce.run_map) driven
+    end-to-end against the oracle: documents are framed as changelog
+    'files' (origin/pathname/url/content), the user map UDF runs in
+    Arrow batches and emits 0/1/2 entries per file, and the typed
+    compound keys + provenance come back out as columns. This is the
+    UDF-path twin of view_map_entries (which checks the native
+    lowering)."""
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.operators.map_reduce import run_map
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.lit("dat://docs").alias("origin"),
+        F.concat(F.lit("/"), F.col("doc_id"), F.lit(".json")).alias("pathname"),
+        F.concat(F.lit("dat://docs/"), F.col("doc_id"), F.lit(".json")).alias("url"),
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("content"),
+    )
+    entries = run_map(files, _map_docs_emit, [T.StringType(), T.LongType()])
+    return entries.select(
+        F.col("key.k0").alias("k0"),
+        F.col("key.k1").alias("k1"),
+        F.col("value").cast("long").alias("value"),
+        "file_url",
+    )
+
+
+def _map_docs_lang_key(content, meta, emit):
+    import json as _json
+
+    obj = _json.loads(content)
+    if obj["n_chars"] > 300:
+        emit(obj["lang"], obj["doc_id"])
+
+
+def _fold_concat_ids(acc, value, key):
+    """Deliberately NON-commutative fold: proves the engine folds in
+    the reference's deterministic (file_url, emit_seq) order
+    (/root/reference/lib/indexer.js:245-254 folds the entry list
+    sequentially)."""
+    s = str(value)
+    return s if acc is None else acc + "," + s
+
+
+@query(
+    "view_reduce_python_fold",
+    oracle="""
+    SELECT lang AS k0,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY 'dat://docs/' || doc_id || '.json') AS value
+    FROM documents WHERE n_chars > 300
+    GROUP BY lang
+    """,
+)
+def view_reduce_python_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic Python reduce path (applyInPandas fold over entries
+    sorted by provenance) with a non-commutative fold, checked against
+    the oracle's ORDER BY string_agg — order-sensitive equality, not
+    just set equality."""
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.operators.map_reduce import reduce_entries, run_map
+
+    d = _t(spark, sf_dir, "documents")
+    files = d.select(
+        F.lit("dat://docs").alias("origin"),
+        F.concat(F.lit("/"), F.col("doc_id"), F.lit(".json")).alias("pathname"),
+        F.concat(F.lit("dat://docs/"), F.col("doc_id"), F.lit(".json")).alias("url"),
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("content"),
+    )
+    entries = run_map(files, _map_docs_lang_key, [T.StringType()])
+    reduced = reduce_entries(entries, _fold_concat_ids, [T.StringType()])
+    return reduced.select(
+        F.col("key.k0").alias("k0"),
+        # value column holds the JSON-encoded fold result; '$' unquotes
+        # the scalar string
+        F.get_json_object("value", "$").alias("value"),
+    )
