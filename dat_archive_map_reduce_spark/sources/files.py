@@ -119,7 +119,10 @@ def read_directory_corpus(
             F.lit(origin_lit).alias("origin"),
             F.col("pathname"),
             F.concat(F.lit(origin_lit), F.col("pathname")).alias("url"),
-            F.lit(0).cast("long").alias("version"),
+            # version 1, not 0: the engine indexes (offset, target]
+            # half-open, so a version-0 snapshot would be skipped by
+            # the fresh-source offset of 0
+            F.lit(1).cast("long").alias("version"),
             F.lit("put").alias("type"),
             F.col("value").alias("content"),
         )
