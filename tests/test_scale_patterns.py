@@ -87,3 +87,20 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned parquet sink: a filter on the partition column
+    must prune at planning time (PartitionFilters), scanning only the
+    matching directory — the layout views use for per-origin shards."""
+    events = load_table(spark, SF, "events")
+    out = str(tmp_path / "by_type")
+    (
+        events.write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == events.filter(F.col("event_type") == "click").count()

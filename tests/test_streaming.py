@@ -177,3 +177,57 @@ def test_stateful_user_totals_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark contract: after batch 1 advances the
+    watermark, rows older than (max_ts - delay) arriving in batch 2
+    are dropped from the windowed aggregation; in-watermark late rows
+    still update their window. Run as two availableNow drains sharing
+    one checkpoint so the watermark persists between batches."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+    def _mk(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    emitted = []
+
+    def _drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = W.windowed_counts(stream, window="1 hour", watermark="30 minutes", streaming=True)
+
+        def _sink(batch_df, batch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: on-time events at 10:xx and 11:00 -> watermark becomes 10:30
+    _mk(
+        [(1, t(10, 5), 1, "click", 1.0), (2, t(10, 40), 1, "click", 1.0),
+         (3, t(11, 0), 1, "click", 1.0)],
+        "a",
+    )
+    _drain()
+    # batch 2: one too-late row (08:10 < watermark 10:30, dropped) and
+    # one in-watermark late row (10:50, must update the 10:00 window)
+    _mk([(4, t(8, 10), 1, "click", 1.0), (5, t(10, 50), 1, "click", 1.0)], "b")
+    _drain()
+
+    final = {}
+    for r in emitted:
+        final[(r["window_start"], r["event_type"])] = r["n"]
+    assert final[(t(10, 0), "click")] == 3  # 10:05 + 10:40 + late 10:50
+    assert final[(t(11, 0), "click")] == 1
+    assert (t(8, 0), "click") not in final  # too-late row dropped
