@@ -1797,3 +1797,27 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "the").alias("has_the"),
         F.concat_ws("-", F.slice(F.sort_array(toks), 1, 3)).alias("first3"),
     )
+
+
+@query("multimodal_frames_resize")  # no oracle: binary decode pipeline
+def multimodal_frames_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal stages 2: frame sampling (1->N explode per video,
+    every 5th frame) joined to the resize plan (pure-metadata target
+    dims) — per-video sampled-frame counts with resize targets.
+    Deterministic (seeded corpus), rows-only gate."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        frame_sample,
+        resize_plan,
+        synth_media_corpus,
+    )
+
+    media = synth_media_corpus(spark, n=64, seed=42)
+    frames = frame_sample(media, every_nth=5)
+    targets = resize_plan(media, max_side=32)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .join(targets, "media_id")
+        .select("media_id", "n_sampled", "width", "height", "target_w", "target_h")
+        .orderBy("media_id")
+    )
