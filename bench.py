@@ -31,9 +31,18 @@ def _sf_from_dir(d: str) -> float:
 
 def main() -> None:
     spark = get_spark("bench")
-    # warm the JVM + parquet footers once so per-query timings measure
-    # the query, not session startup
+    # Steady-state warmup so per-query timings measure the query, not
+    # one-time session costs: JVM + parquet footers, the events-table
+    # nanos shim, whole-stage codegen compilation, and the Python
+    # worker daemon pool (forked on first Arrow UDF use).
+    from pyspark.sql import functions as F
+
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    ev = load_table(spark, SF_DIR, "events")
+    ev.groupBy("event_type").agg(F.count(F.lit(1))).count()
+    ev.limit(32).mapInPandas(lambda it: it, schema=ev.schema).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -114,34 +114,77 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     return grams.withColumn("n_sh", F.count(F.lit(1)).over(wd))
 
 
+def inverted_index_pair_counts(
+    posting_rows: DataFrame, hot_cap: int | None = None
+) -> DataFrame:
+    """(doc, token, n_tok) posting rows -> co-occurrence pair counts
+    (id_a, id_b, common, n_a, n_b), id_a < id_b.
+
+    Bucket formulation instead of a self-join: group postings by token
+    (ONE shuffle of the posting list — a token self-join shuffles it
+    twice and builds a hash table), drop singleton buckets (most
+    tokens; they cannot produce pairs), then explode each bucket's
+    sorted doc list into its ordered pairs JVM-side.
+
+    ``hot_cap`` drops buckets with more than that many docs — a stop-
+    phrase token with 1e5 docs would emit 5e9 pairs from one task. At
+    100 TB you ALWAYS set it (the pairs such buckets produce are
+    near-zero-signal anyway); left None here for oracle-exact results.
+    """
+    buckets = (
+        posting_rows.groupBy("token")
+        .agg(F.sort_array(F.collect_list(F.struct("doc", "n_tok"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if hot_cap is not None:
+        buckets = buckets.filter(F.size("ds") <= hot_cap)
+    # ordered pairs of the sorted bucket: (ds[i], ds[j]) for i < j
+    pairs = F.flatten(
+        F.transform(
+            F.slice(F.col("ds"), 1, F.size("ds") - 1),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(
+                    x["doc"].alias("id_a"),
+                    y["doc"].alias("id_b"),
+                    x["n_tok"].alias("n_a"),
+                    y["n_tok"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    hot_cap: int | None = None,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold, via inverted-
-    index join (only docs sharing >=1 shingle ever meet).
-
-    The per-doc shingle-set size rides along on every exploded row, so
-    the join output already carries |A| and |B| — no separate sizes
-    table, no extra joins. Scale: the shuffle key is the shingle; hot
-    shingles (stop-phrases) would skew — mitigated by shingle length
-    n>=3 and AQE skew handling. Output: (id_a, id_b, jaccard),
+    """All pairs with shingle-set Jaccard >= threshold via the
+    inverted-index bucket formulation (inverted_index_pair_counts):
+    only docs sharing a shingle ever meet, singleton shingles are
+    pruned before any pair work, and per-doc set sizes ride along so
+    no extra joins are needed. Output: (id_a, id_b, jaccard),
     id_a < id_b.
     """
-    sh = shingle_rows(df, text_col, id_col, n)
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sh = shingle_rows(df, text_col, id_col, n).select(
+        "doc", F.col("shingle").alias("token"), F.col("n_sh").alias("n_tok")
+    )
     return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
-        )
+        inverted_index_pair_counts(sh, hot_cap=hot_cap)
         .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

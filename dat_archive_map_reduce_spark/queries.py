@@ -1473,28 +1473,23 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch per doc; pairs whose shared-fingerprint count covers >= 20%
     of the smaller doc (catches doc-quoted-inside-doc, where global
     Jaccard fails). Same inverted-index join shape as n-gram dedup."""
+    from dat_archive_map_reduce_spark.operators.dedup import inverted_index_pair_counts
     from dat_archive_map_reduce_spark.operators.text import rolling_shingle_fingerprints
 
     d = _t(spark, sf_dir, "documents")
+    # explode FIRST, count per doc with a window AFTER: putting
+    # size(fps) and explode(fps) in one projection makes Catalyst
+    # evaluate the whole md5-array expression twice per row
     fp = d.select(
         F.col("doc_id").alias("doc"),
-        F.explode(rolling_shingle_fingerprints("text", n=5)).alias("f"),
+        F.explode(rolling_shingle_fingerprints("text", n=5)).alias("token"),
     )
-    wd = Window.partitionBy("doc")
-    fp = fp.withColumn("n_fp", F.count(F.lit(1)).over(wd))
-    a = fp.alias("a")
-    b = fp.alias("b")
+    fp = fp.withColumn("n_tok", F.count(F.lit(1)).over(Window.partitionBy("doc")))
     return (
-        a.join(b, (F.col("a.f") == F.col("b.f")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.first("a.n_fp").alias("n_a"),
-            F.first("b.n_fp").alias("n_b"),
-        )
-        .withColumn("containment", F.round(F.col("n_shared") / F.least("n_a", "n_b"), 4))
+        inverted_index_pair_counts(fp)
+        .withColumn("containment", F.round(F.col("common") / F.least("n_a", "n_b"), 4))
         .filter(F.col("containment") >= 0.2)
-        .select("id_a", "id_b", "n_shared", "containment")
+        .select("id_a", "id_b", F.col("common").alias("n_shared"), "containment")
     )
 
 
