@@ -59,11 +59,45 @@ class VersionedTable:
     def exists(self) -> bool:
         return self._current() is not None
 
-    def read(self) -> DataFrame:
-        v = self._current()
+    def versions(self) -> list[int]:
+        """All snapshot versions still on disk, ascending."""
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+        return sorted(out)
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to an older one.
+
+        Snapshots are immutable once superseded (every mutation writes
+        a new directory), so an old `version` is a stable historical
+        read — the lakehouse time-travel contract. Only the CURRENT
+        snapshot receives in-place appends; a superseded version never
+        changes again.
+        """
+        v = version if version is not None else self._current()
         if v is None:
             return self.spark.createDataFrame([], self.schema)
+        if version is not None and not os.path.isdir(self._snapshot_dir(version)):
+            raise FileNotFoundError(
+                f"snapshot v{version} of {self.root} not on disk "
+                f"(available: {self.versions()}) — vacuumed or never written"
+            )
         return self.spark.read.schema(self.schema).parquet(self._snapshot_dir(v))
+
+    # -- retention --------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest `keep_last` snapshots (never the
+        current one). Returns the versions removed. The retention
+        trade-off is the usual one: time-travel depth vs storage."""
+        import shutil
+
+        cur = self._current()
+        victims = [v for v in self.versions()[:-keep_last] if v != cur]
+        for v in victims:
+            shutil.rmtree(self._snapshot_dir(v), ignore_errors=True)
+        return victims
 
     # -- writes -----------------------------------------------------
     def overwrite(self, df: DataFrame, sort_cols: list[str] | None = None) -> None:

@@ -104,3 +104,27 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1][:120]
     assert back.count() == events.filter(F.col("event_type") == "click").count()
+
+
+def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
+    """Copy-on-write snapshots: every overwrite is a new immutable
+    version readable by number (time travel); vacuum trims history but
+    never the current snapshot."""
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.plans.catalog import VersionedTable
+
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+    t = VersionedTable(spark, str(tmp_path / "t"), schema)
+    for gen in range(3):
+        t.overwrite(spark.range(gen + 1).select(F.col("id").alias("x")))
+    assert t.versions() == [1, 2, 3]
+    assert t.read().count() == 3
+    assert t.read(version=1).count() == 1
+    assert t.read(version=2).count() == 2
+    removed = t.vacuum(keep_last=2)
+    assert removed == [1]
+    assert t.versions() == [2, 3]
+    assert t.read().count() == 3
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
