@@ -1,0 +1,75 @@
+"""Plan-shape regression guards: the scale contracts PLANS.md
+documents, enforced. A change that silently adds a shuffle to a
+headline query or drops a broadcast/pushdown fails here, not on the
+cluster.
+
+AQE is disabled for the audit (it hides the static plan behind
+AdaptiveSparkPlan until execution); shuffle counts are the static
+plan's Exchange nodes.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from dat_archive_map_reduce_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _audit(spark, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from audit_plans import audit, formatted_plan
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return audit(formatted_plan(QUERIES[name](spark, SF)))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+# (query, max_shuffles, min_broadcasts, wants_topk, wants_pushdown)
+CONTRACTS = [
+    ("q3_shipping_priority", 1, 2, True, True),
+    ("q5_local_supplier_volume", 1, 4, False, True),
+    ("q7_volume_shipping", 1, 4, False, True),
+    ("q10_returned_items", 1, 3, True, True),
+    ("q18_large_volume", 1, 2, True, True),
+    ("q6_forecast_revenue", 1, 0, False, True),
+    ("join_asof", 1, 0, False, True),
+    ("flagship_recent_per_key", 1, 0, False, False),
+    ("view_list_range", 0, 0, True, True),
+    ("setop_union_intersect_except", 2, 0, False, False),
+    ("q1_pricing_summary", 1, 0, False, True),
+]
+
+
+@pytest.mark.parametrize("name,max_sh,min_bc,topk,pushdown", CONTRACTS)
+def test_plan_contract(spark, name, max_sh, min_bc, topk, pushdown):
+    a = _audit(spark, name)
+    assert a["shuffles"] <= max_sh, f"{name}: {a['shuffles']} shuffles > {max_sh}"
+    assert a["bcast"] >= min_bc, f"{name}: {a['bcast']} broadcasts < {min_bc}"
+    if topk:
+        assert a["topk"], f"{name}: TakeOrderedAndProject missing"
+    if pushdown:
+        assert a["pushdown"], f"{name}: no predicate reached the parquet scan"
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered query may plan a CartesianProduct — the one
+    intentional cross join is a broadcast nested loop over two dims."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from audit_plans import formatted_plan
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for name, fn in QUERIES.items():
+            plan = formatted_plan(fn(spark, SF))
+            assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
