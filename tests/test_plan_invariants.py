@@ -24,6 +24,9 @@ def _audit(spark, name):
     sys.path.insert(0, "/root/repo/tools")
     from audit_plans import audit, formatted_plan
 
+    # other modules cache() these tables; the cache manager would
+    # substitute InMemoryRelation into our plans and hide the scans
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         return audit(formatted_plan(QUERIES[name](spark, SF)))
@@ -66,6 +69,7 @@ def test_no_cartesian_products_anywhere(spark):
     sys.path.insert(0, "/root/repo/tools")
     from audit_plans import formatted_plan
 
+    spark.catalog.clearCache()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for name, fn in QUERIES.items():

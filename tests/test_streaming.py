@@ -231,3 +231,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert final[(t(10, 0), "click")] == 3  # 10:05 + 10:40 + late 10:50
     assert final[(t(11, 0), "click")] == 1
     assert (t(8, 0), "click") not in final  # too-late row dropped
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exactly-once dedup: duplicate event_ids arriving in a
+    later batch (within the watermark) are suppressed —
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    horizon, the bounded-memory form of streaming dedup."""
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id bigint, ts timestamp, value double"
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    seen = []
+
+    def _drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+
+        def _sink(batch_df, batch_id):
+            seen.extend(r["event_id"] for r in batch_df.collect())
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, t(0), 1.0), (2, t(5), 2.0), (2, t(6), 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _drain()
+    # batch 2 re-delivers ids 1 and 2 (at-least-once source) + new id 3
+    spark.createDataFrame(
+        [(1, t(10), 1.0), (2, t(11), 2.0), (3, t(12), 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    _drain()
+
+    assert sorted(seen) == [1, 2, 3]
