@@ -1,0 +1,127 @@
+"""Scalable exact global ranking / NTILE.
+
+``ntile(n) OVER (ORDER BY ...)`` with no PARTITION BY funnels the whole
+table through ONE task (Spark's WindowExec warns "Moving all data to a
+single partition") — a non-starter at 100 TB. This module computes the
+same exact answer with an explicitly distributed plan:
+
+1. **Bucket** rows by deterministic range cut-points on the ordering
+   column (``approxQuantile`` — a mergeable Greenwald-Khanna sketch,
+   one partial-aggregate pass). Cut-points are pure value functions,
+   so — unlike ``repartitionByRange``'s random reservoir sample — the
+   bucket of a row is identical across jobs and no cache is needed for
+   the offsets job and the main job to agree.
+2. **Rank within buckets**: one shuffle on the bucket id, parallel
+   WindowExec per bucket. Equal ordering-column values always share a
+   bucket, so tie-breakers resolve inside a single partition.
+3. **Offset**: per-bucket row counts (tiny — one row per bucket) get a
+   cumulative-sum prefix and are broadcast-joined back.
+4. **NTILE** via the exact SQL remainder formula (first ``total % n``
+   tiles get one extra row) in integer math.
+
+Reference parity: the reference's only ordering surface is the sorted
+LevelDB iterator (lib/util-level.js:76-84); global ranking generalizes
+that scan-order contract to a distributed setting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET, _CNT, _OFF, _TOTAL = "__gr_bucket", "__gr_cnt", "__gr_off", "__gr_total"
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_col: str,
+    *,
+    descending: bool = False,
+    tie_breakers: Sequence[Column] = (),
+    pos_col: str = "global_pos",
+    num_buckets: int | None = None,
+    quantile_err: float = 0.001,
+) -> DataFrame:
+    """Add ``pos_col`` = exact 1-based global position of each row under
+    ``ORDER BY order_col [DESC], *tie_breakers`` — without a
+    single-partition window. ``order_col`` must be numeric non-null;
+    tie-breakers must make the order total for ``pos`` to be
+    deterministic. Also leaves the ``__gr_total`` column (row count of
+    ``df``) for downstream position math.
+    """
+    spark = df.sparkSession
+    n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, fracs, quantile_err)))
+
+    c = F.col(order_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        # monotone in the scan order: bucket 0 holds the rows that sort
+        # first; equal values always land in the same bucket
+        hit = (c < F.lit(b)) if descending else (c > F.lit(b))
+        bucket = bucket + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+    tagged = df.withColumn(_BUCKET, bucket)
+
+    counts = tagged.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias(_CNT))
+    # tiny frame (one row per bucket): constant partition key keeps the
+    # prefix-sum window off the "no partition defined" path
+    w_meta = Window.partitionBy(F.lit(0)).orderBy(_BUCKET)
+    offsets = counts.select(
+        _BUCKET,
+        F.coalesce(
+            F.sum(_CNT).over(w_meta.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias(_OFF),
+        F.sum(_CNT)
+        .over(
+            w_meta.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        .alias(_TOTAL),
+    )
+
+    lead = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w_rank = Window.partitionBy(_BUCKET).orderBy(lead, *tie_breakers)
+    return (
+        tagged.join(F.broadcast(offsets), _BUCKET)
+        .withColumn(pos_col, F.row_number().over(w_rank) + F.col(_OFF))
+        .drop(_BUCKET, _OFF)
+    )
+
+
+def exact_global_ntile(
+    df: DataFrame,
+    order_col: str,
+    n_tiles: int,
+    *,
+    descending: bool = False,
+    tie_breakers: Sequence[Column] = (),
+    tile_col: str = "tile",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``NTILE(n_tiles) OVER (ORDER BY ...)`` as a distributed
+    plan. With ``total = q*n + r``, the first ``r`` tiles have ``q+1``
+    rows; integer math throughout (CASE guards the q=0 division so ANSI
+    mode never divides by zero).
+    """
+    pos_col = "__gr_pos"
+    ranked = exact_global_rank(
+        df,
+        order_col,
+        descending=descending,
+        tie_breakers=tie_breakers,
+        pos_col=pos_col,
+        num_buckets=num_buckets,
+    )
+    pos, total = F.col(pos_col), F.col(_TOTAL)
+    q = F.floor(total / n_tiles)
+    r = total % n_tiles
+    fat = r * (q + 1)  # rows covered by the first r (q+1)-sized tiles
+    tile = (
+        F.when(q == 0, pos)
+        .when(pos <= fat, F.floor((pos + q) / (q + 1)))
+        .otherwise(r + F.floor((pos - fat + q - 1) / q))
+    )
+    return ranked.withColumn(tile_col, tile.cast("int")).drop(pos_col, _TOTAL)

@@ -1528,19 +1528,26 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile bucketing (spend quartiles) then per-bucket rollup. The
-    global ORDER BY window is the scale hazard — a real 100 TB variant
-    ranks within hash partitions or uses approx quantile cut-points;
-    kept global here because the oracle semantics require it."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
-        )
+    """ntile bucketing (spend quartiles) then per-bucket rollup —
+    computed with `exact_global_ntile` (operators/ranking.py): range
+    cut-points from an approxQuantile sketch, parallel within-bucket
+    ranking, broadcast offsets, exact NTILE remainder math. Same answer
+    as `ntile(4) OVER (ORDER BY ...)` but no single-partition
+    WindowExec, so the plan survives 100 TB."""
+    from .operators.ranking import exact_global_ntile
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    tiled = exact_global_ntile(
+        o,
+        "o_totalprice",
+        4,
+        descending=True,
+        tie_breakers=[F.asc("o_orderkey")],
+        tile_col="quartile",
+    )
+    return tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 

@@ -128,3 +128,59 @@ def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
     assert t.read().count() == 3
     with pytest.raises(FileNotFoundError):
         t.read(version=1)
+
+
+def test_exact_global_ntile_matches_window_ntile(spark, events):
+    """exact_global_ntile must reproduce Spark's own global-window
+    ntile bit-for-bit (tie-broken total order), including uneven tile
+    sizes (remainder rows go to the earliest tiles)."""
+    from pyspark.sql import Window
+
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_ntile
+
+    df = events.select("event_id", "value").filter(F.col("value").isNotNull())
+    w = Window.orderBy(F.desc("value"), F.asc("event_id"))
+    expected = df.select(
+        "event_id", F.ntile(7).over(w).alias("tile")
+    )
+    got = exact_global_ntile(
+        df, "value", 7, descending=True, tie_breakers=[F.asc("event_id")]
+    ).select("event_id", "tile")
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_exact_global_ntile_fewer_rows_than_tiles(spark):
+    """q = 0 edge: with total < n_tiles, row at position p gets tile p
+    (SQL NTILE semantics); the CASE guard keeps ANSI mode from a
+    divide-by-zero."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_ntile
+
+    df = spark.createDataFrame([(1, 10.0), (2, 5.0), (3, 7.5)], "id int, v double")
+    rows = exact_global_ntile(df, "v", 8, tie_breakers=[F.asc("id")]).collect()
+    by_id = {r["id"]: r["tile"] for r in rows}
+    assert by_id == {2: 1, 3: 2, 1: 3}  # ascending v order
+
+
+def test_exact_global_ntile_plan_has_no_global_window(spark, events):
+    """The big-side WindowExec must be partitioned (by bucket) — the
+    whole point is avoiding the single-partition global sort window."""
+    import io
+    from contextlib import redirect_stdout
+
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_ntile
+
+    df = events.select("event_id", "value")
+    got = exact_global_ntile(
+        df, "value", 4, tie_breakers=[F.asc("event_id")]
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # a global-window sort would funnel everything through an
+    # "Exchange SinglePartition"; both windows here are partitioned
+    # (__gr_bucket on the fact side, the lit(0) constant on the
+    # bucket-counts side)
+    assert "Exchange SinglePartition" not in plan
+    assert "__gr_bucket" in plan
