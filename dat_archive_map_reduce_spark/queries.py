@@ -1823,3 +1823,121 @@ def multimodal_frames_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "n_sampled", "width", "height", "target_w", "target_h")
         .orderBy("media_id")
     )
+
+
+# =====================================================================
+# E. Training-pipeline corpus management: deterministic splits,
+#    heavy hitters, normalization (LLM-data-pipeline extensions)
+# =====================================================================
+
+@query(
+    "corpus_hash_split",
+    oracle="""
+    SELECT split, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-free id hashing —
+    the reproducible alternative to randomSplit (whose assignment
+    changes with partitioning). Bucketing on the first md5 hex byte
+    gives ~80/10/10; the assignment is a pure row function, so it is
+    stable across cluster sizes, re-runs, and engines (the oracle
+    computes the identical md5 bucket), and needs no shuffle at all
+    until the final tiny rollup. At 100 TB this is a narrow map stage.
+    """
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(F.col("n_chars"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    SELECT token, count(*) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+      FROM documents
+    )
+    WHERE length(token) >= 3
+    GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT 20
+    """,
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by document frequency
+    (stop-word discovery / vocab pruning). Distinct-per-doc explode,
+    then count — the count is algebraic, so Spark's partial aggregation
+    combines map-side and ships one row per (partition, token); the
+    top-k is TakeOrderedAndProject, never a global sort. Deterministic
+    tie-break on token. At 100 TB swap count for approx_top_k-style
+    sketching only if the vocabulary itself outgrows memory."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token"),
+    ).filter(F.length("token") >= 3)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_normalize_redact",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(length(clean)) AS total_clean_chars,
+           sum(CASE WHEN clean <> lower(text) THEN 1 ELSE 0 END) AS n_redacted
+    FROM (
+      SELECT source, text,
+             trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                                 ' +', ' ', 'g')) AS clean
+      FROM documents
+    ) GROUP BY source
+    """,
+)
+def text_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cleaning pass: lowercase, digit-run redaction, whitespace
+    collapse — the normalize step ahead of dedup/tokenization. Pure
+    JVM regexp_replace chain (one narrow stage, no Python), aggregated
+    per source for the oracle check."""
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"), " +", " "
+        )
+    )
+    return (
+        d.select("source", "text", clean.alias("clean"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("clean")).alias("total_clean_chars"),
+            F.sum(
+                F.when(F.col("clean") != F.lower(F.col("text")), 1).otherwise(0)
+            ).alias("n_redacted"),
+        )
+    )
