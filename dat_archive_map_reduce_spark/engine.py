@@ -62,6 +62,7 @@ from dat_archive_map_reduce_spark.sources.files import (
 
 EVENTS = (
     "open",
+    "open-failed",
     "view-reset",
     "archive-indexing",
     "archive-index-progress",
@@ -80,14 +81,29 @@ def _origin_shard(origin: str) -> str:
 class MapReduce:
     """Batch + incremental view engine. One instance per warehouse dir."""
 
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        listeners: dict[str, list[Callable[..., None]]] | None = None,
+    ):
+        """``listeners`` registers callbacks before the warehouse opens
+        (the reference attaches handlers before open(), index.js:34-60,
+        so `open`/`open-failed` are observable)."""
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.views: dict[str, ViewDefinition] = {}
         self._listeners: dict[str, list[Callable[..., None]]] = {}
+        for event, cbs in (listeners or {}).items():
+            for cb in cbs:
+                self.on(event, cb)
         self._indexed_origins: set[str] = set()
-        self.changelog = VersionedTable(spark, f"{self.warehouse}/changelog", FILES_SCHEMA)
-        self.offsets = VersionedTable(spark, f"{self.warehouse}/offsets", OFFSETS_SCHEMA)
+        try:
+            self.changelog = VersionedTable(spark, f"{self.warehouse}/changelog", FILES_SCHEMA)
+            self.offsets = VersionedTable(spark, f"{self.warehouse}/offsets", OFFSETS_SCHEMA)
+        except Exception as e:  # reference open-failed, index.js:57
+            self._emit("open-failed", error=str(e))
+            raise
         self._emit("open")
 
     # -- events -----------------------------------------------------
@@ -185,7 +201,22 @@ class MapReduce:
                 continue
             self._emit("archive-indexing", origin=origin, view=name, version=target_version)
             updates = latest_wins(glob_filter(log, vdef.path), start=start, end=target_version)
-            self._apply_updates(vdef, origin, updates)
+            try:
+                applied = self._apply_updates(vdef, origin, updates)
+            except Exception as e:  # reference archive-error, indexer.js:338
+                self._emit("archive-error", origin=origin, view=name, error=str(e))
+                raise
+            # progress granularity is the compacted batch, not the
+            # single file: one emission per (view, origin) delta
+            # (reference ticks per update, lib/indexer.js:413-418 —
+            # per-row driver callbacks would defeat batch execution)
+            self._emit(
+                "archive-index-progress",
+                origin=origin,
+                view=name,
+                processed=applied,
+                total=applied,
+            )
             self._set_offset(name, origin, target_version)
             self._emit("archive-indexed", origin=origin, view=name, version=target_version)
             any_work = True
@@ -207,12 +238,13 @@ class MapReduce:
         self.offsets.overwrite(self.spark.createDataFrame(cur, OFFSETS_SCHEMA))
 
     # -- the core merge: retract-then-add + re-aggregate ------------
-    def _apply_updates(self, vdef: ViewDefinition, origin: str, updates: DataFrame) -> None:
+    def _apply_updates(self, vdef: ViewDefinition, origin: str, updates: DataFrame) -> int:
         """Apply a latest-wins-compacted update batch for one
         (view, origin): retract every entry derived from an updated
         file, map the new 'put' contents, append, then re-fold only
         the affected keys (reference readAndIndexFile/unindexFile,
-        lib/indexer.js:217-292).
+        lib/indexer.js:217-292). Returns the number of file updates
+        applied (for archive-index-progress).
         """
         key_types = vdef.key_types()
         ent_table = self._entries_table(vdef.name, origin)
@@ -220,7 +252,8 @@ class MapReduce:
         updates = updates.cache()
         try:
             if updates.isEmpty():
-                return
+                return 0
+            n_updates = updates.count()  # cheap: cached + needed below
             affected_urls = updates.select("url")
 
             old_entries = ent_table.read()
@@ -254,6 +287,7 @@ class MapReduce:
             if vdef.reduce is not None:
                 self._reaggregate(vdef, affected_keys)
             affected_keys.unpersist()
+            return n_updates
         finally:
             updates.unpersist()
 

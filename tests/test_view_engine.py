@@ -174,3 +174,47 @@ def test_events_fire(spark, tmp_path):
          "content": json.dumps({"first": "x", "second": 1, "third": "y"})},
     ])
     assert seen and seen[0]["origin"] == "dat://e1"
+
+
+def test_lifecycle_and_progress_events(spark, tmp_path):
+    """Full event-surface parity with the reference's emitter
+    (index.js:53-57, indexer.js:142-175,413-418): ctor-registered
+    `open`, per-view indexing/progress/indexed ordering, and
+    archive-error on a failing map UDF."""
+    log = []
+    rec = lambda name: (lambda **kw: log.append((name, kw)))
+    db = MapReduce(
+        spark,
+        str(tmp_path / "wh_ev"),
+        listeners={
+            "open": [rec("open")],
+            "archive-indexing": [rec("indexing")],
+            "archive-index-progress": [rec("progress")],
+            "archive-indexed": [rec("indexed")],
+        },
+    )
+    assert [n for n, _ in log] == ["open"]
+    db.define("v", path="/*.json", map=map_first, key_schema=["string"])
+    db.index_source("dat://ev", [
+        {"origin": "dat://ev", "pathname": f"/p{i}.json", "version": i + 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(3)
+    ])
+    names = [n for n, _ in log]
+    assert names == ["open", "indexing", "progress", "indexed"]
+    progress = dict(log[2][1])
+    assert progress["processed"] == progress["total"] == 3
+
+    errs = []
+    db.on("archive-error", lambda **kw: errs.append(kw))
+
+    def bad_map(value, meta, emit):
+        raise RuntimeError("boom")
+
+    db.define("broken", path="/*.json", map=bad_map, key_schema=["string"])
+    with pytest.raises(Exception):
+        db.index_source("dat://ev2", [
+            {"origin": "dat://ev2", "pathname": "/q.json", "version": 1,
+             "content": json.dumps({"first": "a", "second": 1, "third": "t"})},
+        ])
+    assert errs and errs[0]["origin"] == "dat://ev2"
