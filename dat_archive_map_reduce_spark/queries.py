@@ -1941,3 +1941,43 @@ def text_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_redacted"),
         )
     )
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(CASE WHEN (lang = 'en' AND h < '40')
+                      OR (lang <> 'en' AND h < 'c0')
+                    THEN 1 ELSE 0 END) AS n_sampled
+    FROM (
+      SELECT lang,
+             substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      FROM documents
+    ) GROUP BY lang
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — rebalance a corpus by
+    keeping 25% of the head language and 75% of the tail, decided by a
+    salted md5 bucket of the doc id (salt 'strat:' keeps it independent
+    of corpus_hash_split's buckets). Unlike sampleBy, the kept set is
+    a pure row predicate: reproducible across engines, partitionings,
+    and re-runs, and verifiable by the oracle. Narrow map + one tiny
+    rollup; at 100 TB the filter runs inside the scan stage."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    keep = ((F.col("lang") == "en") & (h < "40")) | (
+        (F.col("lang") != "en") & (h < "c0")
+    )
+    return (
+        d.select("lang", keep.cast("int").alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_sampled"),
+        )
+    )
