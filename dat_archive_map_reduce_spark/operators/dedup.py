@@ -108,10 +108,16 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
         )
         .filter(F.col("tail_guard").isNotNull())
         .select("doc", "shingle")
-        .distinct()
     )
-    wd = Window.partitionBy("doc")
-    return grams.withColumn("n_sh", F.count(F.lit(1)).over(wd))
+    # dedup + set size in ONE aggregation keyed like the window above:
+    # the lead() window already hash-partitioned by doc, so Catalyst
+    # elides the Exchange here — one shuffle total for shingling where
+    # distinct() + count-window would take three. Per-doc set size is
+    # bounded by document length, the same bound the window pass held.
+    sets = grams.groupBy("doc").agg(F.collect_set("shingle").alias("sh"))
+    return sets.select(
+        "doc", F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
+    )
 
 
 def inverted_index_pair_counts(
