@@ -1253,7 +1253,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(23,4))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1283,9 +1284,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
+            # Sum in DECIMAL so the result is independent of partial-agg
+            # order: money inputs are exact 2-decimal values, so the
+            # 4-decimal product cast is exact and the decimal sum is
+            # associative — float summation flipped a half-cent boundary
+            # (253473.325) between Spark and DuckDB at sf0.01.
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(23,4)")),
+                2,
             )
+            .cast("double")
+            .alias("revenue")
         )
         .select("c_custkey", "c_name", "n_name", "revenue")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))

@@ -38,7 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed the
+            # 2^53 exact-double range, so float division rounds the low
+            # microseconds and the oracle hash diverges by ±1 µs.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         return df
     return spark.read.parquet(path)
 

@@ -29,6 +29,11 @@ TABLES = [
 
 
 def _norm_cell(v) -> str:
+    # STRICTER than the driver's hash normalization on purpose: full
+    # microsecond timestamps and shortest-roundtrip float repr, so any
+    # representation drift between Spark and DuckDB fails HERE first.
+    # (Round-1 lesson: %.6g floats and second-truncated datetimes hid 7
+    # driver hash failures.)
     if v is None:
         return "NULL"
     if isinstance(v, float):
@@ -36,9 +41,9 @@ def _norm_cell(v) -> str:
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
