@@ -69,12 +69,18 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     higher-order functions (no Python): transform over an index
     sequence + slice + concat_ws."""
     toks = F.split(F.lower(F.col(text_col)), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    # Docs shorter than n tokens yield an empty shingle set. The guard
+    # must be a when(): sequence(1, 0) is a DESCENDING range in Spark,
+    # so the unguarded form slices at position 0 and throws.
+    shingles = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.withColumn("shingles", shingles)
 
 

@@ -58,37 +58,52 @@ def asof_join(
 
     # Common event-time axis; _side=0 sorts right rows before left rows
     # at equal timestamps, which is exactly inclusive `right_ts <= left_ts`.
+    #
+    # The whole right payload rides in ONE struct with a constant _m
+    # marker, for two reasons: (a) a matched-but-NULL payload value must
+    # not read as "no match" (the struct is non-null even when every
+    # payload field is null), and (b) last(ignorenulls) over separate
+    # columns could stitch the output from DIFFERENT right rows when
+    # payload values are null; over the struct it is all-or-nothing.
+    r_tag = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.lit(True).alias("_m"),
+            *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+        ).alias("_rpay"),
+    )
     l_tag = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*left.columns).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[src].dataType).alias(dst) for src, dst in right_cols.items()],
     )
-    r_tag = right.select(
-        *[F.col(k) for k in keys],
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
-    )
+    l_tag = l_tag.withColumn("_rpay", F.lit(None).cast(r_tag.schema["_rpay"].dataType))
+    r_tag = r_tag.withColumn("_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType))
+    # _rpay as the final sort key makes ties among right rows with equal
+    # (key, ts) deterministic: the struct-greatest payload wins,
+    # independent of partitioning or task retries.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rpay").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l_tag.unionByName(r_tag).select(
         "_side",
         "_lrow",
-        *[F.last(dst, ignorenulls=True).over(w).alias(dst) for dst in out_aliases],
+        F.last("_rpay", ignorenulls=True).over(w).alias("_rpay"),
     )
-    out = matched.filter(F.col("_side") == 1).select(
-        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *out_aliases,
-    )
+    out = matched.filter(F.col("_side") == 1)
     if how == "inner":
-        out = out.filter(F.col(out_aliases[0]).isNotNull())
-    return out
+        out = out.filter(F.col("_rpay").isNotNull())
+    elif how != "left":
+        raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_rpay.{dst}").alias(dst) for dst in out_aliases],
+    )
 
 
 def range_join_binned(

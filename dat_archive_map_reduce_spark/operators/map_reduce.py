@@ -167,16 +167,27 @@ def _reduce_builtin(entries: DataFrame, name: str) -> DataFrame:
         "min": F.min(val),
         "max": F.max(val),
         "avg": F.avg(val),
-        "collect": F.sort_array(
-            F.collect_list(F.struct("file_url", "emit_seq", "value"))
-        ).getField("value"),
+        # entries.value ALREADY holds JSON text, so the array must be
+        # assembled from the raw fragments — to_json() over the strings
+        # would double-encode ('["\"a\""]' instead of '["a"]')
+        "collect": F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("file_url", "emit_seq", "value"))
+                    ).getField("value"),
+                    lambda v: F.coalesce(v, F.lit("null")),
+                ),
+                ",",
+            ),
+            F.lit("]"),
+        ),
     }
     if name not in aggs:
         raise ValueError(f"unknown builtin fold {name!r}")
     agg_col = aggs[name]
-    out_value = (
-        F.to_json(agg_col) if name == "collect" else agg_col.cast("string")
-    )
+    out_value = agg_col if name == "collect" else agg_col.cast("string")
     return (
         entries.groupBy("key", "key_json")
         .agg(out_value.alias("value"))

@@ -45,8 +45,23 @@ def salted_join(
     now hashes to `salt` of them. Shuffle volume grows by |right|×salt
     — the explicit price of levelling; pick salt ≈ hot-key share ×
     parallelism.
+
+    ``uniquifier`` defaults to a hash over ALL left columns — derived
+    from row payload, so retried tasks salt identically regardless of
+    partition layout (monotonically_increasing_id would not). Pass an
+    explicit id/row-number column when available; payload hashing puts
+    exact-duplicate rows in the same salt bucket, which is correct but
+    levels slightly worse when duplicates dominate.
+
+    Only 'inner' and 'left' are valid: under 'right'/'full', unmatched
+    right rows survive in ALL `salt` replicas and would duplicate.
     """
-    uniq = uniquifier if uniquifier is not None else F.monotonically_increasing_id()
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (right/full would "
+            f"duplicate unmatched right rows across salts), got {how!r}"
+        )
+    uniq = uniquifier if uniquifier is not None else F.xxhash64(*left.columns)
     l_s = left.withColumn("_salt", F.pmod(F.xxhash64(uniq), F.lit(salt)).cast("int"))
     r_s = right.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = l_s.join(r_s, [on, "_salt"], how)
@@ -75,7 +90,9 @@ def two_phase_agg(
     aggregation already does this — use plain groupBy there.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    uniq = uniquifier if uniquifier is not None else F.monotonically_increasing_id()
+    # payload-derived default salt: reproducible across partitionings
+    # and task retries (see salted_join)
+    uniq = uniquifier if uniquifier is not None else F.xxhash64(*df.columns)
     salted = df.withColumn("_salt", F.pmod(F.xxhash64(uniq), F.lit(salt)).cast("int"))
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*merge_aggs)

@@ -178,3 +178,19 @@ def test_cosine_near_pairs_matches_bruteforce(embeddings):
     assert set(got) == set(expected)
     for k, v in expected.items():
         assert abs(got[k] - v) < 1e-9
+
+
+def test_with_shingles_short_doc_yields_empty_set(spark):
+    """Docs shorter than n tokens: empty shingle array, no crash
+    (sequence(1,0) is a DESCENDING range in Spark — the unguarded
+    form throws INVALID_PARAMETER_VALUE.START from slice)."""
+    df = spark.createDataFrame(
+        [(1, "only two"), (2, "a"), (3, ""), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["shingles"]
+            for r in dedup.with_shingles(df, "text", n=3).collect()}
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == []
+    assert rows[4] == ["one two three", "two three four"]

@@ -124,3 +124,54 @@ def test_range_join_no_dup_across_bins(spark):
         left, right, on="user_id", upper_seconds=3600, bin_seconds=600
     )
     assert sorted(r["r_rid"] for r in out.collect()) == [1, 2]
+
+
+def test_asof_null_payload_is_a_match(spark):
+    """A matched right row whose payload value is legitimately NULL must
+    be kept under how='inner' and must NOT be replaced by an older
+    right row's non-null value."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p1")],
+        "user_id int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T08:00:00"), 5.0),   # older, non-null
+            (1, _ts("2024-01-01T09:00:00"), None),  # newest match, NULL payload
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    rows = asof_join(
+        left, right, on="user_id",
+        right_cols={"ts": "click_ts", "value": "click_value"}, how="inner",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["click_ts"] == _ts("2024-01-01T09:00:00")
+    assert rows[0]["click_value"] is None  # not 5.0 stitched from the older row
+
+
+def test_asof_equal_ts_tie_is_deterministic(spark):
+    """Multiple right rows at the SAME (key, ts): the winner must be
+    stable across arbitrary input partitionings."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p1")],
+        "user_id int, ts timestamp, tag string",
+    )
+    right_rows = [(1, _ts("2024-01-01T09:00:00"), float(v)) for v in (7, 3, 9, 1)]
+    results = set()
+    for parts in (1, 2, 7):
+        right = spark.createDataFrame(
+            right_rows, "user_id int, ts timestamp, value double"
+        ).repartition(parts)
+        out = asof_join(
+            left, right, on="user_id",
+            right_cols={"value": "click_value"}, how="inner",
+        ).collect()
+        results.add(out[0]["click_value"])
+    assert len(results) == 1
+
+
+def test_asof_rejects_unknown_how(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"))], "user_id int, ts timestamp")
+    with pytest.raises(ValueError, match="inner.*left"):
+        asof_join(left, left, on="user_id", how="full")

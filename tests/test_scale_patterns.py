@@ -184,3 +184,33 @@ def test_exact_global_ntile_plan_has_no_global_window(spark, events):
     # bucket-counts side)
     assert "Exchange SinglePartition" not in plan
     assert "__gr_bucket" in plan
+
+
+def test_salted_partial_composition_stable_across_partitioning(spark, events):
+    """Default salt must derive from row payload, not partition layout:
+    the multiset of per-salt partial counts per key is identical no
+    matter how the input is partitioned (retry/re-run determinism)."""
+    from dat_archive_map_reduce_spark.operators.skew import two_phase_agg
+
+    df = events.select("user_id", "value")
+
+    def partial_profile(d):
+        out = two_phase_agg(
+            d, "user_id",
+            partial_aggs=[F.count(F.lit(1)).alias("part")],
+            merge_aggs=[F.sort_array(F.collect_list("part")).alias("parts")],
+            salt=8,
+        )
+        return {r["user_id"]: r["parts"] for r in out.collect()}
+
+    a = partial_profile(df.repartition(3))
+    b = partial_profile(df.repartition(17, "value"))
+    assert a == b
+
+
+def test_salted_join_rejects_right_full(spark, events):
+    from dat_archive_map_reduce_spark.operators.skew import salted_join
+
+    df = events.select("user_id", "value")
+    with pytest.raises(ValueError, match="inner.*left|duplicate"):
+        salted_join(df, df, on="user_id", how="right")

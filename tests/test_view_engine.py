@@ -218,3 +218,23 @@ def test_lifecycle_and_progress_events(spark, tmp_path):
              "content": json.dumps({"first": "a", "second": 1, "third": "t"})},
         ])
     assert errs and errs[0]["origin"] == "dat://ev2"
+
+
+def test_reduce_collect_roundtrips_original_values(spark, tmp_path):
+    """The 'collect' builtin must yield a JSON array of the ORIGINAL
+    emitted values — entries.value is already JSON text, so re-encoding
+    it would return ['"dat://x/a.json"'] instead of ['dat://x/a.json']."""
+    db = MapReduce(spark, str(tmp_path / "wh-collect"))
+    db.define("collected", path="/*.json", map=map_first,
+              reduce="collect", key_schema=["string"])
+    db.index_source("dat://c", [
+        {"origin": "dat://c", "pathname": "/a.json", "version": 1,
+         "content": json.dumps({"first": "k", "second": 1, "third": "t"})},
+        {"origin": "dat://c", "pathname": "/b.json", "version": 1,
+         "content": json.dumps({"first": "k", "second": 2, "third": "t"})},
+    ])
+    got = db.get("collected", "k")
+    assert got is not None
+    assert sorted(got["value"]) == ["dat://c/a.json", "dat://c/b.json"]
+    for v in got["value"]:
+        assert not v.startswith('"')  # not double-encoded JSON text
