@@ -277,6 +277,77 @@ def ivf_topk(
     return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
 
 
+def signbit_chunk_codes(
+    corpus: DataFrame,
+    n_bits: int = 8,
+    n_chunks: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic axis-aligned sign-LSH codes: bit i = (vec[i] >= 0),
+    split into ``n_chunks`` chunk codes (columns c0..c{n_chunks-1}).
+
+    Pigeonhole: two signatures within Hamming distance < n_chunks agree
+    on at least one full chunk, so candidate generation is an equi-join
+    per chunk — no cross join, no random state. Axis-aligned planes
+    (instead of the seeded gaussian ones in hyperplane_signatures) keep
+    the whole pipeline native-column AND oracle-expressible in SQL.
+    """
+    bits_per = n_bits // n_chunks
+    cols = []
+    for c in range(n_chunks):
+        code: Column = F.lit(0)
+        for j in range(bits_per):
+            dim = c * bits_per + j  # 0-based vector dim
+            code = code + F.when(
+                F.element_at(F.col(vec_col), dim + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+        cols.append(code.alias(f"c{c}"))
+    return corpus.select(F.col(id_col).alias("id"), *cols)
+
+
+def ann_cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_bits: int = 8,
+    n_chunks: int = 2,
+    n_blocks: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The scale path for embedding near-dup: sign-LSH candidate
+    prefilter -> exact block-GEMM cosine verify on the pruned set.
+
+    This is the composition cosine_near_pairs' docstring prescribes for
+    100 TB: the O(N^2) GEMM kernel runs only over vectors that share an
+    LSH chunk with someone (typically a small fraction), and the final
+    semi-join keeps only same-bucket pairs so the output is exactly
+    'candidate pair AND cosine >= threshold' — reproducible in SQL for
+    the oracle. Recall vs the exact pair set is asserted in
+    tests/test_extensions.py.
+    """
+    codes = signbit_chunk_codes(corpus, n_bits, n_chunks, vec_col, id_col)
+    cand = None
+    for c in range(n_chunks):
+        a = codes.select(F.col("id").alias("id_a"), F.col(f"c{c}").alias("code"))
+        b = codes.select(F.col("id").alias("id_b"), F.col(f"c{c}").alias("code"))
+        p = (
+            a.join(b, "code")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.distinct()
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = corpus.join(ids, id_col, "left_semi")
+    scored = cosine_near_pairs(pruned, threshold, vec_col, id_col, n_blocks)
+    return scored.join(cand, ["id_a", "id_b"], "left_semi")
+
+
 # ---------------------------------------------------------------------
 # Exact all-pairs cosine (near-dup verification kernel)
 # ---------------------------------------------------------------------

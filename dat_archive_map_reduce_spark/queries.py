@@ -777,6 +777,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped variant of dedup_ngram_jaccard: hot shingle
+    buckets (> hot_cap docs) are dropped BEFORE pair explosion, so one
+    stop-phrase shingle shared by 1e5 docs can never emit 5e9 pairs
+    from a single bucket row. Jaccard denominators still use the full
+    per-doc set sizes; the oracle reproduces the cap exactly.
+    hot_cap=4 bites at sf0.01 (max bucket there is 7 docs)."""
+    from dat_archive_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, hot_cap=4)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 @query("dedup_minhash_lsh")  # no oracle: seeded-hash pipeline, not SQL-expressible
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs, exact-Jaccard-verified.
@@ -1406,6 +1446,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     pairs = cosine_near_pairs(e, threshold=0.45, n_blocks=8)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+@query(
+    "dedup_embedding_ann_gemm",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), sig AS (
+      SELECT vec_id, e,
+             (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END) AS c0,
+             (CASE WHEN e[5] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN e[6] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN e[7] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN e[8] >= 0 THEN 8 ELSE 0 END) AS c1,
+             (CASE WHEN e[9] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN e[10] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN e[11] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN e[12] >= 0 THEN 8 ELSE 0 END) AS c2,
+             (CASE WHEN e[13] >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN e[14] >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN e[15] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN e[16] >= 0 THEN 8 ELSE 0 END) AS c3
+      FROM v
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.vec_id < b.vec_id
+       AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(va.e, vb.e), 4) AS cos_sim
+    FROM cand c
+    JOIN v va ON va.vec_id = c.id_a
+    JOIN v vb ON vb.vec_id = c.id_b
+    WHERE list_cosine_similarity(va.e, vb.e) >= 0.45
+    """,
+)
+def dedup_embedding_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at 100 TB shape: deterministic sign-LSH
+    candidate prefilter (16 axis-aligned bits, 4 pigeonhole chunks) ->
+    exact block-GEMM cosine verify over the pruned vector set only.
+    This registers the composition dedup_embedding_cosine's docstring
+    prescribes instead of standalone O(N^2) all-pairs; the oracle
+    reproduces prefilter + verify exactly in SQL. On this synthetic
+    corpus 0.45-cosine pairs are far from duplicates, so the prefilter
+    keeps ~23% of pairs at ~0.5 recall; at real near-dup thresholds
+    (>= 0.95) the same pipeline holds >= 0.9 recall with far fewer
+    candidates — asserted in tests/test_extensions.py on a
+    perturbed-duplicate corpus."""
+    from dat_archive_map_reduce_spark.operators.similarity import ann_cosine_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = ann_cosine_near_pairs(e, threshold=0.45, n_bits=16, n_chunks=4, n_blocks=4)
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 

@@ -194,3 +194,49 @@ def test_with_shingles_short_doc_yields_empty_set(spark):
     assert rows[2] == []
     assert rows[3] == []
     assert rows[4] == ["one two three", "two three four"]
+
+
+def test_ann_gemm_high_recall_on_true_near_dups(spark):
+    """The sign-LSH -> block-GEMM composition must recover nearly all
+    TRUE near-duplicates (cosine >= 0.95): a perturbed copy flips few
+    sign bits, so it almost always agrees with its source on at least
+    one pigeonhole chunk."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(100, 64))
+    rows = [(i, base[i].astype("float32").tolist()) for i in range(100)]
+    # 30 near-duplicates: tiny perturbation keeps cosine ~0.999
+    for j in range(30):
+        rows.append((1000 + j, (base[j] + rng.normal(scale=0.02, size=64))
+                     .astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_pairs(df, threshold=0.95, n_blocks=4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.ann_cosine_near_pairs(
+            df, threshold=0.95, n_bits=16, n_chunks=4, n_blocks=4
+        ).collect()
+    }
+    assert len(exact) >= 30
+    assert got <= exact  # verify step is exact: no false positives
+    assert len(got) / len(exact) >= 0.9
+
+
+def test_hot_cap_bounds_bucket_explosion(spark):
+    """A stop-phrase shingle shared by every doc must not emit the full
+    quadratic pair set when hot_cap is on."""
+    stop = "the quick brown"  # one shingle shared by all docs
+    docs = [(i, f"the quick brown unique{i} word{i} tail{i}") for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = dedup.shingle_rows(df, "text", "doc_id", n=3).select(
+        "doc", F.col("shingle").alias("token"), F.col("n_sh").alias("n_tok")
+    )
+    uncapped = dedup.inverted_index_pair_counts(sh).count()
+    capped = dedup.inverted_index_pair_counts(sh, hot_cap=10).count()
+    assert uncapped == 40 * 39 // 2  # every pair meets via the hot shingle
+    assert capped == 0  # hot bucket dropped before pair explosion
