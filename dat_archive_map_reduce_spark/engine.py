@@ -50,6 +50,7 @@ from dat_archive_map_reduce_spark.operators.map_reduce import (
 )
 from dat_archive_map_reduce_spark.plans.catalog import (
     OFFSETS_SCHEMA,
+    AppendOnlyLog,
     VersionedTable,
 )
 from dat_archive_map_reduce_spark.plans.view_def import ViewDefinition, validate_view_def
@@ -98,8 +99,12 @@ class MapReduce:
             for cb in cbs:
                 self.on(event, cb)
         self._indexed_origins: set[str] = set()
+        self._missing_origins: set[str] = set()
+        self._active_streams: list = []
+        self._closed = False
         try:
-            self.changelog = VersionedTable(spark, f"{self.warehouse}/changelog", FILES_SCHEMA)
+            # append-only: watch mode streams from this stable directory
+            self.changelog = AppendOnlyLog(spark, f"{self.warehouse}/changelog", FILES_SCHEMA)
             self.offsets = VersionedTable(spark, f"{self.warehouse}/offsets", OFFSETS_SCHEMA)
         except Exception as e:  # reference open-failed, index.js:57
             self._emit("open-failed", error=str(e))
@@ -187,11 +192,35 @@ class MapReduce:
         return row["v"] if row and row["v"] is not None else 0
 
     # -- indexing (reference index(), indexArchive, applyUpdates) ---
-    def index(self, origin: str) -> None:
+    def index(self, origin: str, watch: bool = False) -> None:
         """Incrementally index one source across all views
-        (reference indexArchive, lib/indexer.js:121-179)."""
+        (reference indexArchive, lib/indexer.js:121-179).
+
+        ``watch=True`` reproduces the reference's coupled
+        ``index(url, {watch: true})`` ergonomics (index.js:127-141):
+        after the catch-up pass, a continuous maintenance stream is
+        started (once per engine) so later changelog appends index
+        automatically. Stop it with close().
+
+        Source availability: the reference's p2p retry loop emits
+        `archive-missing` when an archive cannot be loaded and
+        `archive-found` when it appears (lib/indexer.js:309-340). The
+        Spark analog probes the changelog: an origin indexed while it
+        has NO changelog rows is missing; the first index pass that
+        sees rows for a previously-missing origin emits found.
+        """
         self._indexed_origins.add(origin)
         target_version = self.current_version(origin)
+        if target_version == 0:
+            if origin not in self._missing_origins:
+                self._missing_origins.add(origin)
+                self._emit("archive-missing", origin=origin)
+            if watch:
+                self.watch_views()
+            return
+        if origin in self._missing_origins:
+            self._missing_origins.discard(origin)
+            self._emit("archive-found", origin=origin)
         log = self.changelog.read().filter(F.col("origin") == origin)
         offsets = {r["view"]: r["last_version"] for r in self.offsets.read().filter(F.col("origin") == origin).collect()}
         any_work = False
@@ -222,11 +251,13 @@ class MapReduce:
             any_work = True
         if any_work:
             self._emit("indexes-updated", origin=origin, version=target_version)
+        if watch:
+            self.watch_views()
 
-    def index_source(self, origin: str, rows: list[dict]) -> None:
+    def index_source(self, origin: str, rows: list[dict], watch: bool = False) -> None:
         """Convenience: append changes for origin then index it."""
         self.append_changes(rows)
-        self.index(origin)
+        self.index(origin, watch=watch)
 
     def _set_offset(self, view: str, origin: str, version: int) -> None:
         cur = [
@@ -352,6 +383,49 @@ class MapReduce:
         ]
         self.offsets.overwrite(self.spark.createDataFrame(remaining, OFFSETS_SCHEMA))
         self._indexed_origins.discard(origin)
+
+    # -- continuous maintenance / lifecycle -------------------------
+    def watch_views(self, trigger: dict | None = None, on_batch=None):
+        """Start (once) the continuous view-maintenance stream over the
+        changelog (reference watch mode, lib/indexer.js:67-87). Returns
+        the active StreamingQuery. Idempotent: a second call returns
+        the already-running stream."""
+        for q in self._active_streams:
+            if q.isActive:
+                return q
+        from dat_archive_map_reduce_spark.streaming.watch import watch as _watch
+
+        return _watch(
+            self,
+            trigger=trigger or {"processingTime": "500 milliseconds"},
+            on_batch=on_batch,
+        )
+
+    def close(self) -> None:
+        """Stop every active watch stream and mark the engine closed
+        (reference close(), index.js:62-77: detaches watchers and closes
+        the level DB; data stays on disk, a new MapReduce on the same
+        warehouse reopens it). Idempotent."""
+        for q in self._active_streams:
+            try:
+                if q.isActive:
+                    q.stop()
+            except Exception:
+                pass
+        self._active_streams.clear()
+        self._closed = True
+
+    def destroy(self) -> None:
+        """close() then delete the warehouse — all views, changelog,
+        offsets, and stream checkpoints (reference destroy(),
+        index.js:79-94: destroys the DB and wipes storage)."""
+        import shutil
+
+        self.close()
+        shutil.rmtree(self.warehouse, ignore_errors=True)
+        self.views.clear()
+        self._indexed_origins.clear()
+        self._missing_origins.clear()
 
     def list_indexed(self) -> list[str]:
         return sorted(self._known_origins())

@@ -127,6 +127,30 @@ class VersionedTable:
         self.overwrite(self.spark.createDataFrame([], self.schema))
 
 
+class AppendOnlyLog:
+    """Append-only parquet log in ONE stable directory.
+
+    The changelog is a log — nothing ever rewrites it — so it needs no
+    snapshot versioning, and a streaming reader (watch mode) can trust
+    the directory path for the lifetime of the warehouse. Streaming
+    from a VersionedTable snapshot dir would silently strand a running
+    readStream the moment any overwrite flipped the manifest to a new
+    vNNNNNNNN directory.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, schema: T.StructType):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.schema = schema
+        os.makedirs(self.root, exist_ok=True)
+
+    def read(self) -> DataFrame:
+        return self.spark.read.schema(self.schema).parquet(self.root)
+
+    def append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.root)
+
+
 OFFSETS_SCHEMA = T.StructType(
     [
         T.StructField("view", T.StringType(), False),

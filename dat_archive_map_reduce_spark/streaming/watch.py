@@ -48,17 +48,14 @@ def watch(
     debounce cadence.
     """
     spark = engine.spark
-    snap = engine.changelog._current()
-    src_dir = engine.changelog._snapshot_dir(snap) if snap is not None else None
-    if src_dir is None:
-        # ensure the changelog has a snapshot directory to stream from
-        engine.changelog.reset()
-        src_dir = engine.changelog._snapshot_dir(engine.changelog._current())
-
+    # The changelog is an AppendOnlyLog: ONE stable directory for the
+    # warehouse's lifetime, so the stream keeps seeing appends no
+    # matter what happens to other tables. (Streaming a VersionedTable
+    # snapshot dir would go silently stale after any overwrite.)
     stream = (
         spark.readStream.schema(FILES_SCHEMA)
         .option("maxFilesPerTrigger", 64)
-        .parquet(src_dir)
+        .parquet(engine.changelog.root)
     )
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -66,6 +63,12 @@ def watch(
         n = 0
         for origin in sorted(rows_origin):
             engine._indexed_origins.add(origin)
+            if origin in engine._missing_origins:
+                # data arrived for a source that was registered before
+                # it had any changelog rows (reference archive-found,
+                # lib/indexer.js:309-340)
+                engine._missing_origins.discard(origin)
+                engine._emit("archive-found", origin=origin)
             log = batch_df.filter(F.col("origin") == origin)
             target = log.agg(F.max("version")).first()[0] or 0
             offsets = {
@@ -94,7 +97,9 @@ def watch(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(**trigger)
-    return writer.start()
+    q = writer.start()
+    engine._active_streams.append(q)
+    return q
 
 
 def watch_until_caught_up(engine) -> None:

@@ -277,3 +277,74 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _drain()
 
     assert sorted(seen) == [1, 2, 3]
+
+
+def test_watch_processes_appends_after_stream_start(spark, tmp_path):
+    """Rows appended to the changelog AFTER the stream starts must be
+    picked up — the stream watches the stable append-only log dir, not
+    a point-in-time snapshot."""
+    import json
+    import time
+
+    from dat_archive_map_reduce_spark.engine import MapReduce
+
+    db = MapReduce(spark, str(tmp_path / "wh-live"))
+    db.define("v", path="/*.json", map=map_first, key_schema=["string"])
+    db.index_source("dat://live", [
+        {"origin": "dat://live", "pathname": "/a.json", "version": 1,
+         "content": json.dumps({"first": "k1"})},
+    ], watch=True)
+    try:
+        assert db.get("v", "k1") is not None
+        # live append while the stream runs
+        db.append_changes([
+            {"origin": "dat://live", "pathname": "/b.json", "version": 2,
+             "content": json.dumps({"first": "k2"})},
+        ])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if db.get("v", "k2") is not None:
+                break
+            time.sleep(0.5)
+        assert db.get("v", "k2") == {"key": "k2", "value": ["dat://live/b.json"]}
+    finally:
+        db.close()
+    assert db._active_streams == []
+
+
+def test_lifecycle_close_destroy_and_missing_found(spark, tmp_path):
+    """open -> index(missing) -> data arrives (found) -> close ->
+    reopen persists -> destroy wipes storage; archive-missing and
+    archive-found actually fire."""
+    import json
+    import os
+
+    from dat_archive_map_reduce_spark.engine import MapReduce
+
+    wh = str(tmp_path / "wh-life")
+    log = []
+    db = MapReduce(spark, wh, listeners={
+        "archive-missing": [lambda **kw: log.append(("missing", kw["origin"]))],
+        "archive-found": [lambda **kw: log.append(("found", kw["origin"]))],
+    })
+    db.define("v", path="/*.json", map=map_first, key_schema=["string"])
+    db.index("dat://ghost")  # registered before any changelog rows
+    assert ("missing", "dat://ghost") in log
+    assert db.get("v", "g1") is None
+    db.index_source("dat://ghost", [
+        {"origin": "dat://ghost", "pathname": "/g.json", "version": 1,
+         "content": json.dumps({"first": "g1"})},
+    ])
+    assert ("found", "dat://ghost") in log
+    assert db.get("v", "g1") is not None
+    db.close()
+    assert db._closed
+
+    # reopen: state persisted on disk
+    db2 = MapReduce(spark, wh)
+    db2.define("v", path="/*.json", map=map_first, key_schema=["string"])
+    assert db2.get("v", "g1") == {"key": "g1", "value": ["dat://ghost/g.json"]}
+
+    db2.destroy()
+    assert not os.path.exists(wh)
+    assert db2.views == {}
