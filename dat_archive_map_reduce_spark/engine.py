@@ -224,6 +224,7 @@ class MapReduce:
         log = self.changelog.read().filter(F.col("origin") == origin)
         offsets = {r["view"]: r["last_version"] for r in self.offsets.read().filter(F.col("origin") == origin).collect()}
         any_work = False
+        offset_updates: list[tuple[str, str, int]] = []
         for name, vdef in self.views.items():
             start = offsets.get(name, 0)
             if start >= target_version:
@@ -246,9 +247,10 @@ class MapReduce:
                 processed=applied,
                 total=applied,
             )
-            self._set_offset(name, origin, target_version)
+            offset_updates.append((name, origin, target_version))
             self._emit("archive-indexed", origin=origin, view=name, version=target_version)
             any_work = True
+        self._set_offsets(offset_updates)
         if any_work:
             self._emit("indexes-updated", origin=origin, version=target_version)
         if watch:
@@ -260,12 +262,24 @@ class MapReduce:
         self.index(origin, watch=watch)
 
     def _set_offset(self, view: str, origin: str, version: int) -> None:
+        self._set_offsets([(view, origin, version)])
+
+    def _set_offsets(self, updates: list[tuple[str, str, int]]) -> None:
+        """Upsert a batch of (view, origin, last_version) rows in ONE
+        table rewrite. The offsets table is one row per (view, origin)
+        — driver-side rewrite is bounded by view*source count, and
+        batching makes an index() cycle write it once instead of once
+        per view (O(views * sources) rewrites per full re-index became
+        O(sources))."""
+        if not updates:
+            return
+        changed = {(v, o) for v, o, _ in updates}
         cur = [
             (r["view"], r["origin"], r["last_version"])
             for r in self.offsets.read().collect()
-            if not (r["view"] == view and r["origin"] == origin)
+            if (r["view"], r["origin"]) not in changed
         ]
-        cur.append((view, origin, version))
+        cur.extend(updates)
         self.offsets.overwrite(self.spark.createDataFrame(cur, OFFSETS_SCHEMA))
 
     # -- the core merge: retract-then-add + re-aggregate ------------
@@ -482,19 +496,40 @@ class MapReduce:
         lte: Any = None,
         reverse: bool = False,
         limit: int | None = None,
+        text_order: bool = False,
     ) -> DataFrame:
         """Range scan as a DataFrame (reference list(), index.js:122-125;
         bounds semantics lib/util-level.js:76-84). Typed tuple
         comparison on the key struct; mapped views are already
         flattened (one row per entry — lib/view.js:76-82's flatten is
-        the natural Spark layout)."""
+        the natural Spark layout).
+
+        ``text_order=True`` is the reference-fidelity mode: order and
+        bound by the canonical JSON text of the key — byte-for-byte the
+        reference's LevelDB ``JSON.stringify(key)`` ordering, where
+        numbers inside compound keys sort lexicographically
+        ("100" < "2"). Default stays typed ordering (the documented
+        deviation, SURVEY.md §1.2); use this when porting range queries
+        that depend on the reference's exact ordering quirk.
+        """
         vdef = self._view(view)
         key_types = vdef.key_types()
         df = self.reduced_df(view) if vdef.reduce is not None else self.entries_df(view)
-        pred = range_predicate("key", key_types, gt=gt, gte=gte, lt=lt, lte=lte)
-        if pred is not None:
-            df = df.filter(pred)
-        order_cols = [F.col(f"key.k{i}") for i in range(len(key_types))]
+        if text_order:
+            import operator as _op
+
+            for bound, fn in ((gt, _op.gt), (gte, _op.ge), (lt, _op.lt), (lte, _op.le)):
+                if bound is None:
+                    continue
+                comps = normalize_key(bound)
+                bj = _canon_key_json(comps if len(comps) > 1 else comps[0])
+                df = df.filter(fn(F.col("key_json"), F.lit(bj)))
+            order_cols = [F.col("key_json")]
+        else:
+            pred = range_predicate("key", key_types, gt=gt, gte=gte, lt=lt, lte=lte)
+            if pred is not None:
+                df = df.filter(pred)
+            order_cols = [F.col(f"key.k{i}") for i in range(len(key_types))]
         if vdef.reduce is None:
             order_cols += [F.col("file_url"), F.col("emit_seq")]
         if reverse:

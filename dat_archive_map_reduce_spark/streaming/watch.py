@@ -75,14 +75,16 @@ def watch(
                 r["view"]: r["last_version"]
                 for r in engine.offsets.read().filter(F.col("origin") == origin).collect()
             }
+            offset_updates = []
             for name, vdef in engine.views.items():
                 start = offsets.get(name, 0)
                 updates = latest_wins(glob_filter(log, vdef.path), start=start)
                 engine._emit("archive-indexing", origin=origin, view=name, version=target)
                 engine._apply_updates(vdef, origin, updates)
                 if target > start:
-                    engine._set_offset(name, origin, target)
+                    offset_updates.append((name, origin, target))
                 engine._emit("archive-indexed", origin=origin, view=name, version=target)
+            engine._set_offsets(offset_updates)
             engine._emit("indexes-updated", origin=origin, version=target)
             n += 1
         if on_batch is not None:

@@ -238,3 +238,30 @@ def test_reduce_collect_roundtrips_original_values(spark, tmp_path):
     assert sorted(got["value"]) == ["dat://c/a.json", "dat://c/b.json"]
     for v in got["value"]:
         assert not v.startswith('"')  # not double-encoded JSON text
+
+
+def map_num_key(content, meta, emit):
+    obj = json.loads(content)
+    emit([meta["origin"], obj["second"]], meta["url"])
+
+
+def test_list_text_order_mode_matches_reference_quirk(spark, tmp_path):
+    """Opt-in text_order reproduces the reference's JSON.stringify byte
+    ordering, where numbers in compound keys sort lexicographically
+    (100 before 2); default stays typed ordering."""
+    db = MapReduce(spark, str(tmp_path / "wh-textorder"))
+    db.define("byn", path="/*.json", map=map_num_key,
+              key_schema=["string", "long"])
+    db.index_source("dat://t", [
+        {"origin": "dat://t", "pathname": f"/f{n}.json", "version": 1,
+         "content": json.dumps({"first": "x", "second": n, "third": "t"})}
+        for n in (2, 100, 30)
+    ])
+    typed = [r["key"][1] for r in db.list("byn")]
+    assert typed == [2, 30, 100]
+    text = [r["key"][1] for r in db.list("byn", text_order=True)]
+    assert text == [100, 2, 30]  # "100" < "2" < "30" as JSON text
+    # bounds also compare as text in this mode
+    bounded = [r["key"][1] for r in db.list("byn", text_order=True,
+                                            gt=["dat://t", 100])]
+    assert bounded == [2, 30]
