@@ -8,32 +8,29 @@ for 100 TB corpora:
 - **n-gram Jaccard**: shingle -> inverted-index self-join -> exact
   Jaccard. The join explodes only on *shared* shingles, so cost scales
   with actual overlap, not |docs|^2.
-- **MinHash + LSH**: per-doc signature (vectorized numpy over Arrow
-  batches), banded bucketing, candidate pairs only within equal
-  (band, band-hash) buckets — the classic sub-quadratic near-dup path;
-  candidates then verified with exact Jaccard.
+- **MinHash + LSH**: per-doc signature folded natively in one narrow
+  projection (no Python, no shuffle), banded bucketing, candidate
+  pairs only within equal (band, band-hash) buckets — the classic
+  sub-quadratic near-dup path; candidates then verified with exact
+  Jaccard.
 - **SimHash**: 64-bit signature; Hamming-≤k pairs found via the
   pigeonhole band trick (split signature into k+1 chunks; any pair
   within distance k matches on ≥1 chunk) — again no full cross join.
 
-All signatures are seeded and content-derived (zlib.crc32 / blake2)
-so re-runs and retries are deterministic.
+All signatures are seeded and content-derived (xxhash64 with baked-in
+seed coefficients) so re-runs and retries are deterministic.
 """
 
 from __future__ import annotations
 
-import zlib
-from typing import Iterator, Sequence
+from typing import Sequence
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# a large 32-bit prime for universal hashing
+# Mersenne prime modulus for the universal-hash permutations
 _MERSENNE = (1 << 61) - 1
-_MAX32 = 1 << 32
 
 
 # ---------------------------------------------------------------------
@@ -207,15 +204,6 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    toks = text.lower().split(" ")
-    if len(toks) < n:
-        grams = [" ".join(toks)]
-    else:
-        grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-    return np.array([zlib.crc32(g.encode()) for g in grams], dtype=np.uint64)
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -226,38 +214,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — one MinHash signature per doc.
 
-    Vectorized per Arrow batch: for each doc the permuted hash matrix is
-    (num_perm x n_shingles) computed in one numpy broadcast; worker-side
-    state is just the (a, b) coefficient vectors derived from the seed.
+    Fully native AND fully narrow (the same shape as
+    simhash_signatures): per row, shingle hashes come from
+    ``transform(... xxhash64(...))`` and the num_perm mins fold in one
+    higher-order ``aggregate`` whose accumulator is the signature
+    array. Seed-derived (a, b) coefficients are baked into the plan as
+    array literals — no broadcast, no Python workers, no shuffle;
+    signature cost is one pass over each doc's shingles at any scale.
+    Docs shorter than shingle_n hash as one whole-text gram.
     """
+    # 31-bit coefficients x 32-bit shingle hashes keep every product
+    # under 2^63 — no long overflow under ANSI mode, no need for
+    # wrap-around semantics.
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-
-    out_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType(), False),
-            T.StructField("signature", T.ArrayType(T.LongType()), False),
-        ]
+    a = rng.randint(1, 1 << 31, size=num_perm).tolist()
+    b = rng.randint(0, 1 << 31, size=num_perm).tolist()
+    a_lit = "array(" + ",".join(f"{x}L" for x in a) + ")"
+    b_lit = "array(" + ",".join(f"{x}L" for x in b) + ")"
+    toks = f"split(lower({text_col}), ' ')"
+    expr = F.expr(
+        f"""
+        aggregate(
+          CASE WHEN size({toks}) >= {shingle_n}
+               THEN array_distinct(transform(
+                      sequence(1, size({toks}) - {shingle_n - 1}),
+                      i -> xxhash64(concat_ws(' ', slice({toks}, i, {shingle_n}))) & 4294967295L))
+               ELSE array(xxhash64(concat_ws(' ', {toks})) & 4294967295L)
+          END,
+          array_repeat({_MERSENNE}L, {num_perm}),
+          (acc, h) -> zip_with(acc, sequence(0, {num_perm - 1}),
+            (v, i) -> least(v, pmod({a_lit}[i] * h + {b_lit}[i], {_MERSENNE}L))))
+        """
     )
-
-    def _sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                hs = _shingle_hashes(text, shingle_n)
-                # (num_perm, n_shingles) universal hashes; min over shingles
-                m = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
-                sig = m.min(axis=1) % _MAX32
-                ids.append(int(doc_id))
-                sigs.append(sig.astype(np.int64).tolist())
-            yield pd.DataFrame({"id": ids, "signature": sigs})
-
-    from dat_archive_map_reduce_spark.operators._util import fan_out
-
-    return fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col))).mapInPandas(
-        _sig_batches, schema=out_schema
-    )
+    return df.select(F.col(id_col).alias("id"), expr.alias("signature"))
 
 
 def lsh_candidate_pairs(
