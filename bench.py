@@ -44,16 +44,26 @@ def main() -> None:
     ev.groupBy("event_type").agg(F.count(F.lit(1))).count()
     ev.limit(32).mapInPandas(lambda it: it, schema=ev.schema).count()
 
+    # Two passes per query: pass 0 is the cold number (includes that
+    # query's codegen/JIT compilation — methodology of BENCH_r01, kept
+    # as the primary metric), pass 1 re-plans and re-executes the same
+    # query warm. min(cold, warm) is reported as the steady-state
+    # number — the marginal cost of the query once the JVM has compiled
+    # it, i.e. what a long-running cluster actually pays per run.
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()  # force full execution
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
-        print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()  # force full execution
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(runs[0], 4)
+        steady[name] = round(min(runs), 4)
+        total += runs[0]
+        print(f"# {name}: cold={runs[0]:.3f}s steady={min(runs):.3f}s rows={n}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -62,6 +72,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "total_steady_sec": round(sum(steady.values()), 4),
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -307,11 +307,17 @@ def minhash_dedup_pairs(
     pair (semi-join pruning) — at scale the exact-Jaccard join runs
     over the tiny candidate subset, not the corpus.
     """
-    # persist: signatures feed both sides of the bucket self-join, and
-    # the candidate set is consumed twice (id prune + final verify
-    # join). At 100 TB this materialization is a signatures table on
-    # storage; in-session, memory/disk cache serves the same role.
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_n).persist()
+    # fan_out the INPUT (the signature projection is narrow, so a
+    # single-file input would otherwise fold every signature on one
+    # task), then persist the signatures: the cache is the
+    # materialization barrier that stops projection collapse from
+    # re-evaluating the signature fold inside every downstream
+    # consumer (both self-join sides, band explode). At 100 TB this
+    # materialization is a signatures table on storage; in-session,
+    # memory/disk cache serves the same role.
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    sigs = minhash_signatures(fan_out(df), text_col, id_col, num_perm, shingle_n).persist()
     cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm).persist()
     cand_ids = (
         cands.select(F.col("id_a").alias("cid"))
@@ -328,6 +334,20 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------
+
+def simhash_dedup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_distance: int = 3
+) -> DataFrame:
+    """Full SimHash near-dup pipeline: fan out the input (the signature
+    fold is narrow — a single-file input would run it on one task),
+    persist the signatures (the barrier that keeps the self-join from
+    re-evaluating the fold on both sides), then pigeonhole pair
+    search. Mirrors minhash_dedup_pairs' materialization discipline."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    sigs = simhash_signatures(fan_out(df), text_col, id_col).persist()
+    return simhash_near_pairs(sigs, max_distance=max_distance)
+
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per doc: sign of the token-hash bit-vote sum.

@@ -832,14 +832,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming distance <= 3 via the
     pigeonhole chunk self-join (no cross join)."""
-    from dat_archive_map_reduce_spark.operators.dedup import (
-        simhash_near_pairs,
-        simhash_signatures,
-    )
+    from dat_archive_map_reduce_spark.operators.dedup import simhash_dedup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    sigs = simhash_signatures(d, "text", "doc_id")
-    return simhash_near_pairs(sigs, max_distance=3)
+    return simhash_dedup_pairs(d, "text", "doc_id", max_distance=3)
 
 
 @query(
