@@ -75,7 +75,13 @@ def knn_join(
 ) -> DataFrame:
     """k nearest corpus rows for EACH query row (small query side):
     broadcast the queries, cosine per pair, rank-window per query.
-    Output: (query_id, neighbor_id, cos_sim, rnk)."""
+    Output: (query_id, neighbor_id, cos_sim, rnk).
+
+    Contract: the QUERY side must be broadcastable (say <= 10^4-10^5
+    rows); work is |queries| x |corpus|, spread across corpus
+    partitions. When both sides are large this degenerates to all-pairs
+    — use ann_cosine_near_pairs / lsh_topk / ivf_topk to prune
+    candidates first and keep this as the per-candidate scorer."""
     from pyspark.sql import Window
 
     q = queries.select(
