@@ -194,6 +194,59 @@ def run_stream_over_directory(
     q.awaitTermination()
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact-dedup: keep the first row per key, with state
+    bounded by the watermark.
+
+    Batch mode: plain dropDuplicates (the watermark is a no-op), so the
+    stream/batch equivalence test is meaningful. Streaming mode:
+    ``dropDuplicatesWithinWatermark`` — duplicate keys arriving within
+    the watermark horizon are suppressed and per-key state is evicted
+    once the watermark passes, the only formulation whose state does
+    NOT grow unboundedly on an infinite stream. This is the streaming
+    twin of exact_dedup for continuous training-data ingestion.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    upper_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    pair rows with equal ``on`` where ``left_ts < right_ts <=
+    left_ts + upper_seconds``.
+
+    In streaming mode both sides carry watermarks and the time-bound
+    condition lets Spark evict join state: a buffered left row can be
+    dropped once the right watermark passes left_ts + upper — without
+    the interval bound, stream-stream state grows forever. The same
+    expression tree runs in batch (watermarks no-op) for the
+    equivalence test. Caller pre-renames columns so the sides don't
+    collide: left columns ``l_*`` (key ``l_<on>``), right ``r_*``.
+    """
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (F.col(f"l_{on}") == F.col(f"r_{on}"))
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
+    )
+    return l.join(r, cond, "inner")
+
+
 # ---------------------------------------------------------------------
 # Custom stateful operator: applyInPandasWithState
 # ---------------------------------------------------------------------

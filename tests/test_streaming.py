@@ -247,11 +247,9 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     seen = []
 
     def _drain():
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(src)
-            .withWatermark("ts", "1 hour")
-            .dropDuplicatesWithinWatermark(["event_id"])
+        stream = W.streaming_dedup(
+            spark.readStream.schema(schema).parquet(src),
+            keys=["event_id"], ts_col="ts", watermark="1 hour",
         )
 
         def _sink(batch_df, batch_id):
@@ -348,3 +346,53 @@ def test_lifecycle_close_destroy_and_missing_found(spark, tmp_path):
     db2.destroy()
     assert not os.path.exists(wh)
     assert db2.views == {}
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (purchase joined to the
+    same user's clicks in the following hour) produces exactly the
+    batch join's pairs — the time bound is what lets Spark evict
+    buffered state on an infinite stream."""
+    events = load_table(spark, SF, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in W.stream_stream_interval_join(
+            purchases, clicks, on="user_id", upper_seconds=3600
+        ).collect()
+    }
+    assert batch  # fixture produces at least one qualifying pair
+
+    psrc, csrc = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.write.parquet(psrc)
+    clicks.write.parquet(csrc)
+    joined = W.stream_stream_interval_join(
+        spark.readStream.schema(purchases.schema).parquet(psrc),
+        spark.readStream.schema(clicks.schema).parquet(csrc),
+        on="user_id",
+        upper_seconds=3600,
+    )
+    got = []
+
+    def _sink(batch_df, batch_id):
+        got.extend((r["l_event_id"], r["r_event_id"]) for r in batch_df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert set(got) == batch
+    assert len(got) == len(batch)  # exactly-once, no duplicate pairs
