@@ -4,8 +4,13 @@ exercised over the synthetic tables (/root/repo/TESTDATA.md).
 Every entry here is registered with BOTH a PySpark DataFrame builder and
 an equivalent ANSI-SQL string for the DuckDB oracle (driver contract in
 /root/repo/__spark_entry__.py). Column names are aliased identically on
-both sides; double-valued aggregates are rounded to a fixed precision on
-both sides so value-hashes are insensitive to summation order.
+both sides. Money aggregates (sums of exact-decimal terms rounded to
+fewer decimals) sum in DECIMAL on both sides (_money_sum) — float
+summation order is NOT hidden by rounding there, because 4-decimal money
+sums land exactly on half-cent midpoints ~10% of the time. Aggregates of
+full-precision doubles (events.value and ratios/avgs) round to a fixed
+precision instead; their true values are not grid-aligned, so midpoint
+collisions are measure-zero.
 
 Organization mirrors SURVEY.md §2: the reference's own view-engine
 contract recast onto the `events` table, then the standard relational
@@ -37,6 +42,22 @@ def query(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _money_sum(term: F.Column, scale: int = 2) -> F.Column:
+    """Order-independent money aggregate: sum exact DECIMAL(23,4) terms,
+    round half-up IN DECIMAL, output double.
+
+    Money columns are exact 2-decimal values, so 4-decimal products
+    (price * discount factor) cast to DECIMAL(23,4) losslessly and the
+    decimal sum is associative — float summation order flipped q10's
+    revenue at a half-cent boundary, and ~10% of revenue group sums
+    land EXACTLY on a half-cent (the 4-decimal grid makes midpoints
+    common), so every float-summed round-2 money aggregate is a latent
+    coin flip between Spark and the oracle. The SQL twin is
+    CAST(round(sum(CAST(term AS DECIMAL(23,4))), {scale}) AS DOUBLE).
+    """
+    return F.round(F.sum(term.cast("decimal(23,4)")), scale).cast("double")
 
 
 # =====================================================================
@@ -287,7 +308,8 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(23,4))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -316,9 +338,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -330,7 +350,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(23,4))), 2) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -356,9 +377,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -695,7 +714,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))), 2) AS DOUBLE) AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS count_order
@@ -714,7 +733,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
@@ -1215,7 +1234,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(23,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1235,7 +1254,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
@@ -1244,7 +1263,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(23,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -1278,9 +1298,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
