@@ -2101,3 +2101,645 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("keep").alias("n_sampled"),
         )
     )
+
+
+# =====================================================================
+# G. TPC-H completion — the remaining 13 query shapes (2, 4, 9, 11,
+#    12, 13, 15, 16, 17, 19, 20, 21, 22), adapted to this schema
+#    (no partsupp table, no commit/receipt dates, no phone column).
+#    Each keeps the defining plan shape of its TPC-H namesake:
+#    correlated-min join (q2), EXISTS semi join (q4), multi-dim
+#    star join (q9), scalar-threshold HAVING (q11), conditional agg
+#    over a derived class (q12), outer-join count distribution (q13),
+#    argmax-by-scalar-subquery (q15), NOT-IN anti join with
+#    countDistinct (q16), correlated-avg filter (q17), disjunctive
+#    pushdown predicate (q19), nested IN-with-aggregate (q20),
+#    EXISTS / NOT EXISTS multi-correlation (q21), and
+#    anti-join-against-activity with a scalar threshold (q22).
+# =====================================================================
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ), eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey WHERE r.r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p.p_partkey, eu.s_suppkey, eu.s_name, eu.s_acctbal, eu.n_name, ps.unit_cost
+      FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+      JOIN eu ON eu.s_suppkey = ps.l_suppkey
+      WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, s_suppkey,
+           round(unit_cost, 4) AS unit_cost
+    FROM cand c
+    WHERE unit_cost = (SELECT min(c2.unit_cost) FROM cand c2
+                       WHERE c2.p_partkey = c.p_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per part (part-supplier
+    unit costs derived from lineitem; the schema has no partsupp).
+    The correlated min-subquery becomes a groupBy-min on the already
+    part-slice-filtered candidate set, broadcast back onto it — the
+    min table is tiny after the selective part filter, so the argmin
+    equality join is broadcast, never a second big shuffle. min() is a
+    selection (not arithmetic), so the double equality is exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    cand = (
+        ps.join(F.broadcast(p.select("p_partkey")), ps["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(eu), ps["l_suppkey"] == eu["s_suppkey"])
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "unit_cost")
+    )
+    best = cand.groupBy("p_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    return (
+        cand.alias("c")
+        .join(
+            F.broadcast(best).alias("b"),
+            (F.col("c.p_partkey") == F.col("b.p_partkey"))
+            & (F.col("c.unit_cost") == F.col("b.best_cost")),
+        )
+        .select(
+            F.round("c.s_acctbal", 2).alias("s_acctbal"),
+            "c.s_name",
+            "c.n_name",
+            "c.p_partkey",
+            "c.s_suppkey",
+            F.round("c.unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts for orders with at least one
+    late line (shipped >60 days after order; the schema has no
+    commit/receipt dates). The EXISTS lowers to a left-semi join with
+    the correlation as a join-side inequality — one shuffle on
+    orderkey, no pair materialization, date filter pushed to the
+    orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.82 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(23,4))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for one
+    part-name family (cost proxied as 0.82×retail since the schema has
+    no partsupp.ps_supplycost). All three dims broadcast; the only
+    big-big shuffle is lineitem⨝orders on orderkey, and the selective
+    p_name filter shrinks the fact before that shuffle. Profit terms
+    stay on the 4-decimal grid, so the decimal sum is order-exact."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.82 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+               l["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              l["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o.select("o_orderkey", "o_orderdate"),
+              l["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_money_sum(profit).alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH asia_supp AS (
+      SELECT s_suppkey FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_regionkey = 2
+    ), val AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS value_dec
+      FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM asia_supp)
+      GROUP BY 1
+    ), tot AS (SELECT sum(value_dec) AS total_dec FROM val)
+    SELECT l_partkey AS p_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+    FROM val, tot WHERE value_dec * 1500 > total_dec
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose ASIA-supplied value exceeds a
+    fraction of the total (value from lineitem; no partsupp). The
+    scalar threshold is a 1-row broadcast cross join, and the
+    fractional HAVING is multiplied through (value×1500 > total) so
+    the comparison is exact decimal arithmetic — no division, no
+    float rounding to disagree across engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    asia = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    val = (
+        l.join(F.broadcast(asia), l["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(23,4)"
+                )
+            ).alias("value_dec")
+        )
+    )
+    tot = val.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_dec") * 1500 > F.col("total_dec"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value_dec", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q12_ship_latency",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90 THEN 'SLOW'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30 THEN 'MEDIUM'
+                ELSE 'FAST' END AS latency_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority mix per shipping-latency class (the
+    schema has no l_shipmode, so the class is derived from
+    ship-vs-order day lag). One orderkey shuffle joins the
+    year-filtered fact to orders; the conditional counts are map-side
+    partial aggregates. Both engines compute calendar-day differences
+    on midnight-only timestamps, so the class boundaries are exact."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    latency = (
+        F.when(lag > 90, "SLOW").when(lag > 30, "MEDIUM").otherwise("FAST")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+               l["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(latency.alias("latency_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts with
+    the filter in the JOIN condition (so zero-order customers survive
+    as c_count=0). First aggregate shuffles on custkey; the second
+    input is one row per customer and the count domain is tiny, so the
+    redistribution is trivial. At 100× the first shuffle dominates and
+    partial counts combine map-side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o["o_custkey"] == c["c_custkey"])
+            & (o["o_orderpriority"] != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(round(r.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+    The scalar max is a 1-row broadcast; equality against it is exact
+    because revenue is an order-independent decimal sum on both sides
+    (a float sum here would make the argmax itself nondeterministic)."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(23,4)"
+            )
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q16_parts_suppliers",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size) excluding flagged suppliers (negative balance stands in for
+    the complaint-comment filter; part-supplier pairs come from
+    lineitem). The NOT IN lowers to a broadcast anti join; the
+    distinct pair projection shuffles 16-byte key pairs, never wide
+    rows."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+                ps["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(bad), ps["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH small_parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = 'Brand#12' AND p_type = 'SMALL'
+    ), lp AS (
+      SELECT l.l_quantity, l.l_extendedprice,
+             avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+      FROM lineitem l JOIN small_parts sp ON sp.p_partkey = l.l_partkey
+    )
+    SELECT CAST(round(CAST(sum(CAST(l_extendedprice AS DECIMAL(23,4))) AS DOUBLE)
+                      / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lp WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: yearly revenue from unusually small orders of
+    one brand/type family — the correlated per-part average becomes a
+    window avg over partkey on the part-filtered fact (one shuffle;
+    no second scan of lineitem, which the naive correlated-subquery
+    plan would do). Quantities are integers stored as doubles, so the
+    per-part average and the 0.2× comparison are bit-identical across
+    engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    sp = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    lp = l.join(F.broadcast(sp), l["l_partkey"] == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = lp.withColumn("avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return flagged.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(23,4)")).cast("double")
+            / 7.0,
+            2,
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(23,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a 3-arm disjunctive predicate
+    mixing part and lineitem attributes. The shared l_partkey equi-key
+    keeps this a broadcast hash join (part prunes to the 3 brands
+    before broadcast); the OR residual evaluates post-join inside
+    codegen. A quantity-range prefilter (the union of all arms) is
+    pushed to the lineitem scan so the fact shrinks before the join."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#21", "Brand#15")
+    )
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#21")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+               l["l_partkey"] == F.col("p_partkey"))
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q20_promo_shippers",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1 HAVING sum(l.l_quantity) > 400
+    )
+    """,
+)
+def q20_promo_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved real volume of one part
+    family in one year — a nested IN whose inner query is itself an
+    aggregate with HAVING. The inner aggregate is tiny (one row per
+    qualifying supplier), so the IN lowers to a broadcast semi join;
+    quantity sums over integer-valued doubles are exact, so the
+    HAVING boundary cannot flip between engines."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    movers = (
+        l.join(F.broadcast(promo), l["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(movers), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.o_orderstatus = 'F' AND n.n_regionkey = 2
+      AND date_diff('day', o.o_orderdate, l1.l_shipdate) > 60
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND date_diff('day', o.o_orderdate, l3.l_shipdate) > 60)
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: ASIA suppliers who were the sole late shipper
+    in finished multi-supplier orders (late = shipped >60 days after
+    order date). The EXISTS / NOT-EXISTS double correlation is
+    restated as one order-level aggregate — distinct suppliers ≥ 2 and
+    exactly one distinct late supplier — computed on the same
+    orderkey partitioning the lineitem⨝orders join already produced,
+    so the whole query is ONE big shuffle instead of the naive plan's
+    three self-joins of the fact. An l1 line then qualifies iff it is
+    late and its order passed the gate (its supplier is necessarily
+    the unique late one)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    asia = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "s_name"
+    )
+    le = l.join(o, l["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "late", F.datediff("l_shipdate", "o_orderdate") > 60
+    )
+    gate = (
+        le.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+                "n_late"
+            ),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .select(F.col("l_orderkey").alias("g_orderkey"))
+    )
+    return (
+        le.filter(F.col("late"))
+        .join(F.broadcast(asia), le["l_suppkey"] == asia["s_suppkey"])
+        .join(gate, le["l_orderkey"] == gate["g_orderkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(23,4)) AS bal
+      FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)
+    ), thresh AS (
+      SELECT count(*) AS n_pos, sum(bal) AS tot FROM pool WHERE bal > 0
+    )
+    SELECT c_nationkey AS nation, count(*) AS numcust,
+           CAST(round(sum(bal), 2) AS DOUBLE) AS totacctbal
+    FROM pool, thresh
+    WHERE bal * n_pos > tot
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pool.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers in a nation
+    subset with no recent orders (nation keys stand in for phone
+    prefixes; every sf0.01 customer has SOME order, so dormancy is
+    'no order since 2000'). The average comparison is multiplied
+    through (bal × n_pos > total) so it is exact decimal arithmetic
+    with no division; the activity check is an anti join against the
+    date-filtered orders scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    pool = c.filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9)).select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(23,4)").alias("bal"),
+    )
+    thresh = pool.filter(F.col("bal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"), F.sum("bal").alias("tot")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        pool.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal") * F.col("n_pos") > F.col("tot"))
+        .join(recent, pool["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+    )
