@@ -81,8 +81,8 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return df.withColumn("shingles", shingles)
 
 
-def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct (doc, n_sh, shingle) rows per document.
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(doc, sh array<string>, n_sh) — the distinct shingle SET per doc.
 
     Deliberately NOT the array-transform formulation: Catalyst inlines
     the tokenization into every lambda element and duplicates the whole
@@ -118,8 +118,14 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     # distinct() + count-window would take three. Per-doc set size is
     # bounded by document length, the same bound the window pass held.
     sets = grams.groupBy("doc").agg(F.collect_set("shingle").alias("sh"))
-    return sets.select(
-        "doc", F.explode("sh").alias("shingle"), F.size("sh").alias("n_sh")
+    return sets.select("doc", "sh", F.size("sh").alias("n_sh"))
+
+
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct (doc, n_sh, shingle) posting rows per document — the
+    exploded form of shingle_sets, for inverted-index consumers."""
+    return shingle_sets(df, text_col, id_col, n).select(
+        "doc", F.explode("sh").alias("shingle"), F.col("n_sh")
     )
 
 
@@ -290,6 +296,52 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_jaccard_pairs(
+    cands: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verify a known (id_a, id_b) candidate-pair set.
+
+    The pairs are ALREADY known, so no inverted index and no pair
+    re-discovery: semi-join the corpus down to docs that appear in some
+    pair, build each survivor's shingle set once (shingle_sets — one
+    shuffle), then join the sets onto the pair list by id and compute
+    ``size(array_intersect)`` natively. Cost scales with |candidates|,
+    never with co-occurrence among the pruned docs — rebuilding an
+    inverted index here re-derives every pair the LSH buckets already
+    produced plus all incidental ones, 2-3x the work for zero output.
+    """
+    cand_ids = (
+        cands.select(F.col("id_a").alias("cid"))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    pruned = df.join(F.broadcast(cand_ids), df[id_col] == F.col("cid"), "left_semi")
+    # persisted: both pair sides join against the same shingle-set
+    # relation; without the cache each side re-runs the whole
+    # shingle pass (the two joins key on different pair columns, so
+    # exchange reuse never fires)
+    sets = shingle_sets(pruned, text_col, id_col, n).persist()
+    a = sets.select(
+        F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    b = sets.select(
+        F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", common / (F.col("n_a") + F.col("n_b") - common))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -303,9 +355,9 @@ def minhash_dedup_pairs(
     -> candidate pairs -> exact-Jaccard verification (no false
     positives leave this operator; recall is the LSH S-curve).
 
-    Verification is restricted to docs that appear in some candidate
-    pair (semi-join pruning) — at scale the exact-Jaccard join runs
-    over the tiny candidate subset, not the corpus.
+    Verification is verify_jaccard_pairs — a direct join of per-doc
+    shingle sets onto the candidate list; at scale it runs over the
+    tiny candidate subset, not the corpus.
     """
     # fan_out the INPUT (the signature projection is narrow, so a
     # single-file input would otherwise fold every signature on one
@@ -318,17 +370,10 @@ def minhash_dedup_pairs(
     from dat_archive_map_reduce_spark.operators._util import fan_out
 
     sigs = minhash_signatures(fan_out(df), text_col, id_col, num_perm, shingle_n).persist()
+    # persisted: verification consumes the candidate list twice (the
+    # broadcast id prune and the final pair join)
     cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm).persist()
-    cand_ids = (
-        cands.select(F.col("id_a").alias("cid"))
-        .union(cands.select("id_b"))
-        .distinct()
-    )
-    pruned = df.join(
-        F.broadcast(cand_ids), df[id_col] == F.col("cid"), "left_semi"
-    )
-    exact = ngram_jaccard_pairs(pruned, text_col, id_col, n=shingle_n, threshold=threshold)
-    return cands.join(exact, ["id_a", "id_b"], "inner").select("id_a", "id_b", "jaccard")
+    return verify_jaccard_pairs(cands, df, text_col, id_col, n=shingle_n, threshold=threshold)
 
 
 # ---------------------------------------------------------------------
