@@ -240,3 +240,44 @@ def test_hot_cap_bounds_bucket_explosion(spark):
     capped = dedup.inverted_index_pair_counts(sh, hot_cap=10).count()
     assert uncapped == 40 * 39 // 2  # every pair meets via the hot shingle
     assert capped == 0  # hot bucket dropped before pair explosion
+
+
+def test_prefix_filter_jaccard_matches_inverted_index(documents):
+    """Prefix filtering is EXACT: same output as the inverted-index
+    formulation on the same corpus/threshold."""
+    want = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.ngram_jaccard_pairs(documents, "text", "doc_id", 3, 0.5).collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            documents, "text", "doc_id", 3, 0.5
+        ).collect()
+    )
+    assert want == got
+    assert len(want) > 0
+
+
+def test_prefix_filter_drops_hot_shingle_candidates(spark):
+    """On a Zipfian corpus (one stop-phrase shingle shared by all docs)
+    the hot shingle sorts out of every prefix, so candidate count stays
+    near the true-duplicate count while the plain inverted index emits
+    the full quadratic pair set."""
+    stop = "the quick brown fox jumps"
+    docs = [(i, f"{stop} unique{i} word{i} tail{i} extra{i}") for i in range(40)]
+    # two true near-dups that share rare shingles
+    docs += [(100, "alpha beta gamma delta epsilon zeta"),
+             (101, "alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = dedup.shingle_sets(df, "text", "doc_id", n=3).persist()
+    n_cands = dedup.prefix_filter_candidates(sets, 0.5).count()
+    sh = dedup.shingle_rows(df, "text", "doc_id", n=3).select(
+        "doc", F.col("shingle").alias("token"), F.col("n_sh").alias("n_tok")
+    )
+    n_cooccur = dedup.inverted_index_pair_counts(sh).count()
+    assert n_cooccur >= 40 * 39 // 2  # hot shingles force quadratic pairs
+    assert n_cands < n_cooccur / 10  # prefixes exclude the hot shingles
+    # and the exact result still comes out
+    pairs = dedup.ngram_jaccard_pairs_prefix(df, "text", "doc_id", 3, 0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(100, 101)}
