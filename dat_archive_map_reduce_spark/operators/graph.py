@@ -1,0 +1,105 @@
+"""Connected components over pair edges — dedup clustering.
+
+Near-dup operators (dedup.py) emit PAIRS; a pipeline acting on them
+(keep one representative per duplicate group) needs CLUSTERS, i.e. the
+connected components of the pair graph. Not in the reference (its view
+engine has no graph ops); needed by any training-data dedup pass.
+
+Algorithm: alternating large-star / small-star (the standard
+MapReduce-model connected-components method; converges in O(log n)
+rounds on any graph, each round a constant number of shuffles). No
+driver-side graph state — the driver loop only compares a per-round
+(count, hash-sum) fingerprint, so a 10^11-edge graph iterates exactly
+like a 25-edge one. Per-round ``localCheckpoint`` truncates the plan
+lineage that otherwise grows linearly in rounds and overwhelms the
+optimizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, v) with u > v, self-loops dropped, deduped."""
+    return (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect u and all its (smaller) neighbors to the min neighbor.
+
+    Input is canonical (u > v), so N(u) here is exactly the
+    smaller-neighbor set the algorithm calls for.
+    """
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    rewire = (
+        e.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfedge = mins.select("u", F.col("m").alias("v"))
+    return rewire.union(selfedge).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    """(edge count, order-independent hash sum) — cheap convergence
+    probe; one aggregate per round, O(1) rows to the driver."""
+    # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).first()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every node incident to an edge, where
+    component = the smallest node id in that node's connected
+    component. Isolated nodes never appear (callers coalesce).
+
+    Deterministic: component labels are data-derived minima, not
+    partition-dependent. ``max_iter`` is a safety rail — alternating
+    star provably converges in O(log n) rounds, so 25 covers any
+    realistic graph; raise only for adversarial billion-node chains.
+    """
+    e = _canonical(edges, src, dst).localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged edge set is a star forest: (node -> component root)
+    comps = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    return comps.union(roots).groupBy("node").agg(F.min("component").alias("component"))

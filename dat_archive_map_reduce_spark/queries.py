@@ -858,6 +858,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ), cop AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    jpairs AS (
+      SELECT id_a, id_b FROM cop
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM jpairs
+      UNION SELECT id_b, id_a FROM jpairs
+    ), reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+    ), comp AS (
+      SELECT node, least(node, min(r)) AS c FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, coalesce(c.c, d.doc_id) AS cluster_id,
+           count(*) OVER (PARTITION BY coalesce(c.c, d.doc_id)) AS cluster_size
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components of
+    the exact n-gram-Jaccard>=0.5 pair graph (operators/graph.py,
+    alternating large-star/small-star — O(log n) shuffle rounds, no
+    driver-side graph state), labeled by each component's min doc_id.
+    Pairs say "these two match"; acting on dedup (keep one
+    representative per group) needs the transitive closure. The oracle
+    recomputes the same closure with a recursive CTE."""
+    from dat_archive_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+    from dat_archive_map_reduce_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    out = d.select("doc_id").join(cc, d["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    return out.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    )
+
+
+@query(
     "text_profile",
     oracle="""
     WITH base AS (

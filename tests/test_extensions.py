@@ -281,3 +281,23 @@ def test_prefix_filter_drops_hot_shingle_candidates(spark):
     # and the exact result still comes out
     pairs = dedup.ngram_jaccard_pairs_prefix(df, "text", "doc_id", 3, 0.5).collect()
     assert {(r.id_a, r.id_b) for r in pairs} >= {(100, 101)}
+
+
+def test_connected_components_chain_triangle_path(spark):
+    """Alternating-star CC labels every component by its min node:
+    chain + triangle + pair, and a 64-node path (worst case for naive
+    label propagation; star converges in O(log n) rounds)."""
+    from dat_archive_map_reduce_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21), (5, 4)],
+        "src long, dst long",
+    )
+    got = sorted((r.node, r.component) for r in connected_components(edges, "src", "dst").collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+                   (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
+
+    n = 64
+    path = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
+    got2 = sorted((r.node, r.component) for r in connected_components(path).collect())
+    assert got2 == [(i, 0) for i in range(n + 1)]
