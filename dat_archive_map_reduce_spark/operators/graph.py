@@ -37,12 +37,13 @@ def _large_star(e: DataFrame) -> DataFrame:
     """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
     bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    # no distinct here: small_star's aggregates dedup anyway, and the
+    # extra exchange per round costs more than the duplicate rows
     return (
         bidir.join(mins, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
