@@ -149,3 +149,56 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def cross_containment_pairs(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_containment: float = 0.3,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """Contamination check: (probe_id, corpus_id, n_shared, containment)
+    for probe docs whose rolling n-gram fingerprints are covered >=
+    ``min_containment`` by some corpus doc — the train/test-leakage
+    scan every eval pipeline needs (did my benchmark doc leak into the
+    training corpus, verbatim or quoted?).
+
+    Shape: two-sided inverted index. Both posting lists shuffle once on
+    the fingerprint; only (probe, corpus) doc pairs sharing a
+    fingerprint ever meet, so cost scales with actual cross-corpus
+    overlap, not |probe| x |corpus|. Containment denominators are the
+    PROBE side's sketch size (the question is "how much of the probe
+    doc is covered", not symmetric Jaccard). ``hot_cap`` drops
+    fingerprints present in more than that many corpus docs — a
+    boilerplate phrase shared by 1e5 training docs explodes the join
+    and carries no leakage signal; always set it at scale.
+    """
+    from pyspark.sql import Window
+
+    p = probe.select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(rolling_shingle_fingerprints(text_col, n)).alias("fp"),
+    )
+    # window AFTER explode: size()+explode() in one projection would
+    # evaluate the md5-array expression twice per row
+    p = p.withColumn("n_probe", F.count(F.lit(1)).over(Window.partitionBy("probe_id")))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(rolling_shingle_fingerprints(text_col, n)).alias("fp"),
+    )
+    if hot_cap is not None:
+        keep = c.groupBy("fp").agg(F.count(F.lit(1)).alias("cdf")).filter(
+            F.col("cdf") <= hot_cap
+        )
+        c = c.join(keep.select("fp"), "fp", "left_semi")
+    return (
+        p.join(c, "fp")
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"), F.first("n_probe").alias("n_probe"))
+        .withColumn("containment", F.round(F.col("n_shared") / F.col("n_probe"), 4))
+        .filter(F.col("containment") >= min_containment)
+        .select("probe_id", "corpus_id", "n_shared", "containment")
+    )

@@ -2047,6 +2047,51 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_contamination",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train' ELSE 'eval' END AS part
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, part, string_split(lower(text), ' ') AS t FROM split
+    ), fp AS (
+      SELECT doc_id, part, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> md5(array_to_string(t[i:i+4], ' '))))) AS f
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM fp WHERE part = 'eval' GROUP BY 1
+    )
+    SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+           count(*) AS n_shared,
+           round(count(*) * 1.0 / s.n, 4) AS containment
+    FROM fp p JOIN fp c ON p.f = c.f AND p.part = 'eval' AND c.part = 'train'
+    JOIN sizes s ON s.doc_id = p.doc_id
+    GROUP BY p.doc_id, c.doc_id, s.n
+    HAVING count(*) * 1.0 / s.n >= 0.3
+    """,
+)
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage scan: split the corpus by the deterministic
+    md5 id hash (same bucket function as corpus_hash_split), then find
+    eval docs whose rolling 5-gram fingerprint sketch is >=30% covered
+    by some train doc (operators/text.py::cross_containment_pairs —
+    two-sided inverted index, one shuffle per posting list, cost
+    scales with actual cross-corpus overlap)."""
+    from dat_archive_map_reduce_spark.operators.text import cross_containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    train = d.filter(h < "cd")
+    probe = d.filter(~(h < "cd"))
+    return cross_containment_pairs(
+        probe, train, "text", "doc_id", n=5, min_containment=0.3
+    )
+
+
+@query(
     "text_heavy_hitters",
     oracle="""
     SELECT token, count(*) AS doc_freq

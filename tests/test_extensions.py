@@ -301,3 +301,27 @@ def test_connected_components_chain_triangle_path(spark):
     path = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
     got2 = sorted((r.node, r.component) for r in connected_components(path).collect())
     assert got2 == [(i, 0) for i in range(n + 1)]
+
+
+def test_cross_containment_finds_quoted_probe(spark):
+    """An eval doc quoted verbatim inside a train doc must surface with
+    containment 1.0; hot_cap must drop boilerplate fingerprints."""
+    quoted = "alpha beta gamma delta epsilon zeta eta"
+    boiler = "the terms of service apply to all users here"
+    train = spark.createDataFrame(
+        [(1, f"intro words {quoted} closing words"),
+         (2, f"unrelated train text about something else entirely {boiler}"),
+         (3, f"more unrelated training material goes right here {boiler}")],
+        "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(100, quoted), (101, boiler), (102, "totally novel eval content nothing shared")],
+        "doc_id long, text string")
+    got = TX.cross_containment_pairs(probe, train, "text", "doc_id", n=5, min_containment=0.5)
+    rows = {(r.probe_id, r.corpus_id): r.containment for r in got.collect()}
+    assert rows[(100, 1)] == 1.0          # quoted doc fully covered
+    assert (101, 2) in rows and (101, 3) in rows  # boilerplate matches both
+    assert not any(p == 102 for p, _ in rows)     # novel doc clean
+    capped = TX.cross_containment_pairs(
+        probe, train, "text", "doc_id", n=5, min_containment=0.5, hot_cap=1)
+    crows = {(r.probe_id, r.corpus_id) for r in capped.collect()}
+    assert crows == {(100, 1)}  # boilerplate fps (2 train docs) dropped
