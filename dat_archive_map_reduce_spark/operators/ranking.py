@@ -125,3 +125,59 @@ def exact_global_ntile(
         .otherwise(r + F.floor((pos - fat + q - 1) / q))
     )
     return ranked.withColumn(tile_col, tile.cast("int")).drop(pos_col, _TOTAL)
+
+
+def exact_global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    cumsum_col: str = "cumsum_before",
+    num_buckets: int | None = None,
+    quantile_err: float = 0.001,
+) -> DataFrame:
+    """Add ``cumsum_col`` = EXCLUSIVE global running sum of
+    ``value_col`` under ``ORDER BY order_col`` (sum of all strictly
+    earlier rows; first row gets 0) — the same bucketed plan as
+    exact_global_rank, so no single-partition window anywhere.
+    ``order_col`` must be numeric, non-null, and unique (a total
+    order) for the prefix to be well-defined.
+
+    This is the primitive behind concat-and-chunk sequence packing:
+    the running token count IS each document's start offset in the
+    concatenated training stream.
+    """
+    spark = df.sparkSession
+    n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(order_col, fracs, quantile_err)))
+
+    c = F.col(order_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(c > F.lit(b), F.lit(1)).otherwise(F.lit(0))
+    tagged = df.withColumn(_BUCKET, bucket)
+
+    sums = tagged.groupBy(_BUCKET).agg(F.sum(value_col).alias(_CNT))
+    w_meta = Window.partitionBy(F.lit(0)).orderBy(_BUCKET)
+    offsets = sums.select(
+        _BUCKET,
+        F.coalesce(
+            F.sum(_CNT).over(w_meta.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias(_OFF),
+    )
+
+    w_in = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), _BUCKET)
+        .withColumn(
+            cumsum_col,
+            F.coalesce(F.sum(value_col).over(w_in), F.lit(0)) + F.col(_OFF),
+        )
+        .drop(_BUCKET, _OFF)
+    )

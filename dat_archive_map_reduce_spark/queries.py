@@ -2047,6 +2047,54 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pack_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_token
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_token,
+           CAST(floor(start_token / 2048) AS BIGINT) AS first_chunk,
+           CAST(floor((start_token + n_tokens - 1) / 2048) AS BIGINT) AS last_chunk
+    FROM c
+    """,
+)
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate the corpus in
+    doc_id order into one token stream and cut fixed 2048-token
+    training windows; emit each doc's start offset and the chunk range
+    it lands in. The start offset is an EXCLUSIVE global running token
+    sum — computed by operators/ranking.py::exact_global_cumsum
+    (range-bucket by doc_id, per-bucket window sums, broadcast bucket
+    offsets), so there is no single-partition window: the same plan
+    shape that makes NTILE scale makes packing scale. The oracle is
+    the plain single-node SUM OVER (ORDER BY) window."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+    from dat_archive_map_reduce_spark.operators.text import token_count
+
+    chunk = 2048
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    c = exact_global_cumsum(d, "doc_id", "n_tokens", cumsum_col="start_token")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "start_token",
+        F.floor(F.col("start_token") / chunk).alias("first_chunk"),
+        F.floor((F.col("start_token") + F.col("n_tokens") - 1) / chunk).alias(
+            "last_chunk"
+        ),
+    )
+
+
+@query(
     "corpus_contamination",
     oracle="""
     WITH split AS (

@@ -214,3 +214,37 @@ def test_salted_join_rejects_right_full(spark, events):
     df = events.select("user_id", "value")
     with pytest.raises(ValueError, match="inner.*left|duplicate"):
         salted_join(df, df, on="user_id", how="right")
+
+
+def test_exact_global_cumsum_correct_and_distributed(spark, events):
+    """Exclusive running sum matches the single-partition window's
+    answer while the plan keeps every window partitioned."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Window
+
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+
+    df = events.select("event_id", "value").limit(2000)
+    got = exact_global_cumsum(df, "event_id", "value", cumsum_col="run")
+    want = df.withColumn(
+        "run",
+        F.coalesce(
+            F.sum("value").over(
+                Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ),
+    )
+    g = {r.event_id: r.run for r in got.collect()}
+    w = {r.event_id: r.run for r in want.collect()}
+    assert set(g) == set(w)
+    assert all(abs(g[k] - w[k]) < 1e-6 for k in g)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange SinglePartition" not in plan
+    assert "__gr_bucket" in plan
