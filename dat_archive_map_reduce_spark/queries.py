@@ -2047,6 +2047,95 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    ), tstats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_cnt
+      FROM tc GROUP BY 1
+    ), big AS (
+      SELECT doc_id, t AS toks2 FROM (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      )
+    ), bg AS (
+      SELECT doc_id, toks2[i] || ' ' || toks2[i+1] AS bigram
+      FROM big, unnest(generate_series(1, len(toks2) - 1)) AS u(i)
+    ), bc AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+    ), bstats AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             count(*) AS n_distinct_bigrams
+      FROM bc GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_tokens,
+           round(1.0 - t.n_distinct * 1.0 / t.n_tokens, 4) AS dup_token_frac,
+           round(t.top_cnt * 1.0 / t.n_tokens, 4) AS top_token_frac,
+           round(1.0 - b.n_distinct_bigrams * 1.0 / b.n_bigrams, 4)
+             AS dup_bigram_frac
+    FROM tstats t JOIN bstats b ON b.doc_id = t.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile — the standard corpus-quality
+    filter (docs dominated by one token or by repeated n-grams are
+    boilerplate/spam): duplicate-token fraction, most-common-token
+    fraction, duplicate-bigram fraction. One tokenize pass feeds both
+    the unigram and bigram counts (bigrams assemble from a lead()
+    window over the same exploded rows, already partitioned by doc);
+    everything is native columns — no Python anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    both = toks.select(
+        "doc_id",
+        "tok",
+        F.when(
+            F.lead("tok", 1).over(w).isNotNull(),
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)),
+        ).alias("bigram"),
+    )
+    tstats = (
+        both.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_cnt"),
+        )
+    )
+    bstats = (
+        both.filter(F.col("bigram").isNotNull())
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    return tstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+            "dup_token_frac"
+        ),
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias("top_token_frac"),
+        F.round(
+            1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@query(
     "corpus_pack_chunks",
     oracle="""
     WITH t AS (
