@@ -83,3 +83,65 @@ def test_latest_wins_keeps_max_version_per_path(spark, versions):
         if cur is None or r["version"] > cur[0]:
             expected[r["pathname"]] = (r["version"], r["type"])
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Alternating-star CC equals a plain union-find ground truth on
+    arbitrary random graphs (self-loops and duplicates included)."""
+    from dat_archive_map_reduce_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df, "src", "dst").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        if a != b:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for a, b in edge_list if a != b for n in (a, b)}
+    expected = {(n, find(n)) for n in nodes}
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1000), min_size=1, max_size=60, unique=True
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_exact_global_cumsum_matches_python_prefix(spark, ids):
+    """Distributed exclusive prefix sum equals the sequential scan for
+    any unique ordering column."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+
+    rows = [(i, (i * 7919) % 97 + 1) for i in ids]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {r.k: r.c for r in exact_global_cumsum(df, "k", "v", cumsum_col="c").collect()}
+    acc, expected = 0, {}
+    for k, v in sorted(rows):
+        expected[k] = acc
+        acc += v
+    assert got == expected
