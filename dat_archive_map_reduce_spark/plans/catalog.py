@@ -121,6 +121,43 @@ class VersionedTable:
             writer = df.sortWithinPartitions(*sort_cols)
         writer.write.mode("append").parquet(self._snapshot_dir(v))
 
+    def compact(
+        self,
+        sort_cols: list[str] | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """OPTIMIZE-style compaction: rewrite the current snapshot as a
+        NEW snapshot with ~target-sized files (copy-on-write, so time
+        travel to the pre-compaction version still works). Every
+        ``append`` leaves one file per task; at 100 TB the resulting
+        small-file swarm kills scan throughput (a footer fetch and no
+        column-chunk locality per file). With ``sort_cols`` the rewrite
+        is ``repartitionByRange`` + ``sortWithinPartitions`` — a
+        range-clustered sorted layout whose parquet min/max stats prune
+        key-range scans both across files and within row groups.
+        Returns the new version number.
+        """
+        import math
+
+        cur = self._current()
+        if cur is None:
+            raise ValueError("cannot compact a table with no snapshots")
+        size = 0
+        for dirpath, _, files in os.walk(self._snapshot_dir(cur)):
+            size += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        n_files = max(1, math.ceil(size / target_file_bytes))
+        df = self.read()
+        if sort_cols:
+            out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        else:
+            out = df.repartition(n_files)
+        v = cur + 1
+        out.write.mode("overwrite").parquet(self._snapshot_dir(v))
+        self._set_current(v)
+        return v
+
     def reset(self) -> None:
         """Logical wipe: point at a fresh empty snapshot (reference
         view reset, /root/reference/lib/util-level.js:26-35)."""

@@ -248,3 +248,32 @@ def test_exact_global_cumsum_correct_and_distributed(spark, events):
     plan = buf.getvalue()
     assert "Exchange SinglePartition" not in plan
     assert "__gr_bucket" in plan
+
+
+def test_versioned_table_compact_merges_small_files(spark, tmp_path):
+    """Many small appends -> one compacted sorted snapshot: fewer
+    files, identical content, pre-compaction version still readable
+    (copy-on-write), and the rewrite is range-clustered by the sort
+    key so min/max stats prune key-range scans."""
+    import glob as pyglob
+
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.plans.catalog import VersionedTable
+
+    schema = T.StructType([T.StructField("x", T.LongType(), False)])
+    t = VersionedTable(spark, str(tmp_path / "t"), schema)
+    t.overwrite(spark.range(0, 10).select(F.col("id").alias("x")))
+    for lo in range(10, 100, 10):
+        t.append(spark.range(lo, lo + 10).select(F.col("id").alias("x")))
+    v_before = t.versions()[-1]
+    files_before = pyglob.glob(f"{t._snapshot_dir(v_before)}/*.parquet")
+    assert len(files_before) >= 10  # one-plus file per append
+
+    v_new = t.compact(sort_cols=["x"])
+    files_after = pyglob.glob(f"{t._snapshot_dir(v_new)}/*.parquet")
+    assert len(files_after) < len(files_before)
+    got = sorted(r.x for r in t.read().collect())
+    assert got == list(range(100))
+    # time travel to the pre-compaction snapshot still works
+    assert t.read(version=v_before).count() == 100
