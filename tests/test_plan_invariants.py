@@ -47,6 +47,12 @@ CONTRACTS = [
     ("view_list_range", 0, 0, True, True),
     ("setop_union_intersect_except", 2, 0, False, False),
     ("q1_pricing_summary", 1, 0, False, True),
+    # two-sided inverted index: posting lists meet in ONE fp join
+    ("corpus_contamination", 4, 0, False, False),
+    # distributed prefix sum: bucket agg + broadcast offsets, never a
+    # single-partition window (asserted in test_scale_patterns too)
+    ("corpus_pack_chunks", 3, 1, False, False),
+    ("text_repetition_stats", 4, 0, False, False),
 ]
 
 
