@@ -255,6 +255,26 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), expr.alias("signature"))
 
 
+def banded_signatures(
+    signatures: DataFrame, bands: int, num_perm: int
+) -> DataFrame:
+    """(id, band, bucket) rows: hash each signature's r = num_perm/bands
+    slice per band. Two docs collide iff some band's slice matches."""
+    r = num_perm // bands
+    return signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.hash(F.slice("signature", bi * r + 1, r)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, num_perm: int | None = None
 ) -> DataFrame:
@@ -269,19 +289,7 @@ def lsh_candidate_pairs(
     pipeline before the real job even starts.
     """
     n_perm = num_perm or len(signatures.select("signature").first()["signature"])
-    r = n_perm // bands
-    banded = signatures.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.hash(F.slice("signature", bi * r + 1, r)).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = banded_signatures(signatures, bands, n_perm)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -472,6 +480,69 @@ def minhash_dedup_pairs(
     # broadcast id prune and the final pair join)
     cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm).persist()
     return verify_jaccard_pairs(cands, df, text_col, id_col, n=shingle_n, threshold=threshold)
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    base_sigs: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-time near-dup check: verified pairs touching the NEW
+    batch — (new, base) cross pairs plus within-batch pairs — without
+    ever re-banding the accumulated corpus' documents.
+
+    This is how MinHash dedup runs operationally at 100 TB: signatures
+    are computed once per document and PERSISTED (``base_sigs`` — e.g.
+    a VersionedTable the caller appends each batch's signatures to);
+    each incoming batch only pays signature cost for its own docs plus
+    one bucket join against the base's banded signatures. Returns
+    ``(pairs, new_sigs)`` — append ``new_sigs`` to the signature table
+    after the batch commits. Batch-split invariance: processing a
+    corpus in any batch order yields exactly the union of the one-shot
+    ``minhash_dedup_pairs`` output, because signatures, banding, and
+    verification are all per-doc deterministic (tested).
+    """
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    new_sigs = minhash_signatures(
+        fan_out(new_docs), text_col, id_col, num_perm, shingle_n
+    ).persist()
+    nb = banded_signatures(new_sigs, bands, num_perm)
+    within = lsh_candidate_pairs(new_sigs, bands, num_perm=num_perm)
+    if base_sigs is not None:
+        bb = banded_signatures(base_sigs, bands, num_perm)
+        a, b = nb.alias("a"), bb.alias("b")
+        cross = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least("a.id", "b.id").alias("id_a"),
+                F.greatest("a.id", "b.id").alias("id_b"),
+            )
+            .distinct()
+        )
+        cands = within.union(cross).distinct()
+        corpus = base_docs.select(id_col, text_col).union(
+            new_docs.select(id_col, text_col)
+        )
+    else:
+        cands = within
+        corpus = new_docs.select(id_col, text_col)
+    cands = cands.persist()
+    pairs = verify_jaccard_pairs(
+        cands, corpus, text_col, id_col, n=shingle_n, threshold=threshold
+    )
+    return pairs, new_sigs
 
 
 # ---------------------------------------------------------------------

@@ -325,3 +325,26 @@ def test_cross_containment_finds_quoted_probe(spark):
         probe, train, "text", "doc_id", n=5, min_containment=0.5, hot_cap=1)
     crows = {(r.probe_id, r.corpus_id) for r in capped.collect()}
     assert crows == {(100, 1)}  # boilerplate fps (2 train docs) dropped
+
+
+def test_incremental_minhash_equals_batch(documents):
+    """Batch-split invariance: ingesting the corpus in two batches
+    against an accumulated signature table finds exactly the one-shot
+    pipeline's verified pair set."""
+    full = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_dedup_pairs(documents, "text", "doc_id").collect()
+    }
+    half_a = documents.filter(F.col("doc_id") % 2 == 0)
+    half_b = documents.filter(F.col("doc_id") % 2 == 1)
+    p1, sigs_a = dedup.incremental_minhash_pairs(
+        half_a, half_a.limit(0), None, "text", "doc_id"
+    )
+    p2, _ = dedup.incremental_minhash_pairs(
+        half_b, half_a, sigs_a, "text", "doc_id"
+    )
+    got = {(r.id_a, r.id_b) for r in p1.collect()} | {
+        (r.id_a, r.id_b) for r in p2.collect()
+    }
+    assert got == full
+    assert len(full) > 0
