@@ -216,6 +216,94 @@ def streaming_dedup(
     return events.dropDuplicates(keys)
 
 
+def streaming_neardup_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_root: str,
+    pairs_out: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> None:
+    """Continuous near-dup ingestion: stream document batches from a
+    parquet directory, check each micro-batch against the ACCUMULATED
+    corpus via incremental MinHash (operators/dedup.py::
+    incremental_minhash_pairs), append verified pairs to ``pairs_out``
+    and the batch's signatures + docs to the state tables.
+
+    State layout under ``state_root``:
+      - ``sigs``: AppendOnlyLog of (id, signature) — banded per batch,
+        never recomputed; the base side of every bucket join
+      - ``docs``: AppendOnlyLog of (id, text) — verification corpus
+        (at 100 TB this is the main table itself, not a copy)
+    Exactly-once: the stream checkpoint makes batch replay idempotent
+    only if the sinks tolerate it; parquet appends do not, so this
+    helper is availableNow/test-grade — a production run would MERGE
+    into a transactional table keyed on (id_a, id_b).
+    """
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+    from dat_archive_map_reduce_spark.plans.catalog import AppendOnlyLog
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("signature", T.ArrayType(T.LongType()), False),
+        ]
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(text_col, T.StringType(), False),
+        ]
+    )
+    sigs_log = AppendOnlyLog(spark, f"{state_root}/sigs", sig_schema)
+    docs_log = AppendOnlyLog(spark, f"{state_root}/docs", doc_schema)
+
+    def _log_nonempty(log: AppendOnlyLog) -> bool:
+        import glob as _g
+
+        return bool(_g.glob(f"{log.root}/*.parquet"))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        new_docs = batch_df.select(id_col, text_col).persist()
+        have_base = _log_nonempty(sigs_log)
+        base_sigs = sigs_log.read() if have_base else None
+        base_docs = docs_log.read() if have_base else new_docs.limit(0)
+        pairs, new_sigs = incremental_minhash_pairs(
+            new_docs,
+            base_docs,
+            base_sigs,
+            text_col,
+            id_col,
+            num_perm=num_perm,
+            bands=bands,
+            threshold=threshold,
+        )
+        pairs.write.mode("append").parquet(pairs_out)
+        sigs_log.append(new_sigs)
+        docs_log.append(new_docs)
+        new_docs.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

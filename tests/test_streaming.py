@@ -396,3 +396,35 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
     q.awaitTermination()
     assert set(got) == batch
     assert len(got) == len(batch)  # exactly-once, no duplicate pairs
+
+
+def test_streaming_neardup_ingest_equals_batch(spark, tmp_path):
+    """Continuous near-dup ingestion over micro-batches must find
+    exactly the one-shot MinHash pipeline's verified pair set: docs
+    arrive in two files (one per trigger), each batch is checked
+    against the accumulated signature/doc logs."""
+    from dat_archive_map_reduce_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").cache()
+    src = str(tmp_path / "src")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    pairs_out = str(tmp_path / "pairs")
+    W.streaming_neardup_ingest(
+        spark,
+        source_dir=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_root=str(tmp_path / "state"),
+        pairs_out=pairs_out,
+        schema=docs.schema,
+    )
+    got = {
+        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_out).collect()
+    }
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(docs, "text", "doc_id").collect()
+    }
+    assert got == want
+    assert len(want) > 0
