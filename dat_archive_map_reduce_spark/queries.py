@@ -1011,6 +1011,73 @@ def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_quantize_int8",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, emb,
+             greatest(list_max(list_transform(emb, x -> abs(x))) / 127.0,
+                      1e-12) AS scale
+      FROM d
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           list_transform(emb,
+                          x -> CAST(round(x / scale) AS INTEGER)) AS qvec,
+           round(list_avg(list_transform(
+                   emb, x -> abs(x - round(x / scale) * scale))), 6)
+             AS mean_abs_err
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization — the 4x storage/bandwidth
+    compression every large embedding corpus applies before ANN
+    serving: per-vector scale = max|x|/127, codes = round(x/scale),
+    plus the mean absolute reconstruction error as the quality metric.
+    Entirely native higher-order functions in one narrow projection —
+    no shuffle, no Python; at 100 TB this is a map-only rewrite of the
+    embedding table."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        # double from the start: float-then-double arithmetic orders
+        # differ between engines in the last ulp, which flips codes at
+        # rounding edges; float->double widening itself is exact
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    scale = F.greatest(
+        F.array_max(F.transform("emb", lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),
+    )
+    # raw scale keeps a distinct name: aliasing the ROUNDED value as
+    # "scale" in the same select would make the lambda references
+    # resolve to the lateral alias (the rounded value) instead of the
+    # child column — codes must quantize against the raw scale
+    s = e.select("vec_id", "emb", scale.alias("_scale"))
+    return s.select(
+        "vec_id",
+        F.round("_scale", 6).alias("scale"),
+        F.transform(
+            "emb", lambda x: F.round(x / F.col("_scale")).cast("int")
+        ).alias("qvec"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "emb",
+                    lambda x: F.abs(x - F.round(x / F.col("_scale")) * F.col("_scale")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("emb"),
+            6,
+        ).alias("mean_abs_err"),
+    )
+
+
+@query(
     "emb_cosine_topk",
     oracle="""
     SELECT e.vec_id,
