@@ -2114,6 +2114,73 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_train_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+    ), quality AS (
+      SELECT * FROM base WHERE n_tokens >= 20
+    ), dedup AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    ), kept AS (
+      SELECT q.doc_id, q.n_tokens,
+             CASE WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val' ELSE 'test' END AS split
+      FROM quality q JOIN dedup d ON d.doc_id = q.doc_id
+    ), train AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_token
+      FROM kept WHERE split = 'train'
+    )
+    SELECT doc_id, n_tokens, start_token,
+           CAST(floor(start_token / 2048) AS BIGINT) AS first_chunk
+    FROM train
+    """,
+)
+def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data flow, one declarative plan:
+    quality filter (>= 20 tokens) -> exact dedup (min-id per content
+    digest) -> deterministic md5 split -> concat-and-chunk packing of
+    the train split (distributed prefix sum, no single-partition
+    window). Every stage is an operator proven elsewhere; this query
+    proves the COMPOSITION against a single-statement SQL oracle — the
+    'a user could run their whole preprocessing here' check. At 100 TB
+    the same plan runs unchanged: narrow filter, one 16-byte-key
+    dedup shuffle, broadcast bucket offsets."""
+    from dat_archive_map_reduce_spark.operators.dedup import exact_dedup
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+    from dat_archive_map_reduce_spark.operators.text import token_count
+
+    chunk = 2048
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", token_count("text").alias("n_tokens")
+    )
+    quality = d.filter(F.col("n_tokens") >= 20)
+    keep_ids = exact_dedup(quality, "text", "doc_id").select("doc_id")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    kept = quality.join(keep_ids, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    train = kept.filter(F.col("split") == "train").select("doc_id", "n_tokens")
+    packed = exact_global_cumsum(train, "doc_id", "n_tokens", cumsum_col="start_token")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "start_token",
+        F.floor(F.col("start_token") / chunk).alias("first_chunk"),
+    )
+
+
+@query(
     "text_repetition_stats",
     oracle="""
     WITH toks AS (
