@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_jsonl", "read_csv"]
+__all__ = ["read_jsonl", "read_csv", "read_orc", "write_orc"]
 
 
 def read_jsonl(
@@ -54,3 +54,23 @@ def read_csv(
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """ORC — the other columnar lakehouse format Spark reads natively;
+    same predicate-pushdown and column-pruning behavior as parquet."""
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from dat_archive_map_reduce_spark.engine import MapReduce
 from dat_archive_map_reduce_spark.sources.files import read_directory_corpus
-from dat_archive_map_reduce_spark.sources.formats import read_csv, read_jsonl
+from dat_archive_map_reduce_spark.sources.formats import read_csv, read_jsonl, read_orc, write_orc
 from dat_archive_map_reduce_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.001"
@@ -69,3 +69,23 @@ def test_jsonl_csv_roundtrip_matches_parquet(spark, tmp_path):
     for df in (j, c):
         assert df.exceptAll(orders).count() == 0
         assert orders.exceptAll(df).count() == 0
+
+
+def test_orc_roundtrip_matches_parquet_with_pushdown(spark, tmp_path):
+    """ORC write/read roundtrips exactly, and predicates reach the ORC
+    scan (searchArgument pushdown) just like parquet."""
+    import io
+    from contextlib import redirect_stdout
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    odir = str(tmp_path / "o")
+    write_orc(orders, odir)
+    o = read_orc(spark, odir)
+    assert o.exceptAll(orders).count() == 0
+    assert orders.exceptAll(o).count() == 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        o.filter(F.col("o_orderkey") == 1).explain("formatted")
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in buf.getvalue()
