@@ -2114,6 +2114,71 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_domain_mix",
+    oracle="""
+    WITH copies AS (
+      SELECT doc_id, lang, c,
+             substr(md5('mix:' || CAST(doc_id AS VARCHAR) || ':'
+                        || CAST(c AS VARCHAR)), 1, 2) AS h
+      FROM documents, unnest(CASE WHEN lang = 'en' THEN [1, 2]
+                                  ELSE [1] END) AS t(c)
+    ), kept AS (
+      SELECT lang FROM copies
+      WHERE (lang = 'en' AND (c = 1 OR h < '80'))
+         OR (lang = 'de' AND h < '80')
+         OR (lang NOT IN ('en', 'de'))
+    )
+    SELECT d.lang, count(DISTINCT d.doc_id) AS n_docs,
+           (SELECT count(*) FROM kept k WHERE k.lang = d.lang) AS n_emitted
+    FROM documents d GROUP BY d.lang
+    """,
+)
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing — the resampling step of a training
+    recipe: upsample English 1.5x (every doc once, plus a salted-hash
+    half gets a second copy), downsample German 0.5x, keep the rest at
+    1.0. Copy c of a doc survives iff the md5 of (doc, c) falls under
+    the per-copy threshold — a pure row predicate like the stratified
+    sampler, so the emitted multiset is reproducible across engines,
+    partitionings, and re-runs (randomSplit/sample cannot promise
+    that). Narrow explode + filter; at 100 TB this runs inside the
+    scan stage with no shuffle before the final tiny rollup."""
+    d = _t(spark, sf_dir, "documents")
+    n_copies = F.when(F.col("lang") == "en", 2).otherwise(1)
+    c = d.select(
+        "doc_id", "lang", F.explode(F.sequence(F.lit(1), n_copies)).alias("c")
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit("mix:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("c").cast("string"),
+            )
+        ),
+        1,
+        2,
+    )
+    keep = (
+        ((F.col("lang") == "en") & ((F.col("c") == 1) | (h < "80")))
+        | ((F.col("lang") == "de") & (h < "80"))
+        | (~F.col("lang").isin("en", "de"))
+    )
+    kept = c.filter(keep)
+    return (
+        d.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_emitted")),
+            "lang",
+            "left",
+        )
+        .select("lang", "n_docs", F.coalesce("n_emitted", F.lit(0)).alias("n_emitted"))
+    )
+
+
+@query(
     "corpus_train_pipeline",
     oracle="""
     WITH base AS (
