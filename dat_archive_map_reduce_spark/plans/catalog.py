@@ -125,6 +125,7 @@ class VersionedTable:
         self,
         sort_cols: list[str] | None = None,
         target_file_bytes: int = 128 << 20,
+        zorder: bool = False,
     ) -> int:
         """OPTIMIZE-style compaction: rewrite the current snapshot as a
         NEW snapshot with ~target-sized files (copy-on-write, so time
@@ -134,7 +135,10 @@ class VersionedTable:
         column-chunk locality per file). With ``sort_cols`` the rewrite
         is ``repartitionByRange`` + ``sortWithinPartitions`` — a
         range-clustered sorted layout whose parquet min/max stats prune
-        key-range scans both across files and within row groups.
+        key-range scans both across files and within row groups; with
+        ``zorder=True`` (and >= 2 sort cols) the layout follows the
+        Morton curve instead (operators/zorder.py), so min/max stats
+        prune on ANY clustered column, not just the leading one.
         Returns the new version number.
         """
         import math
@@ -147,7 +151,11 @@ class VersionedTable:
             size += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
         n_files = max(1, math.ceil(size / target_file_bytes))
         df = self.read()
-        if sort_cols:
+        if zorder and sort_cols and len(sort_cols) >= 2:
+            from dat_archive_map_reduce_spark.operators.zorder import zorder_layout
+
+            out = zorder_layout(df, sort_cols, n_files)
+        elif sort_cols:
             out = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
                 *sort_cols
             )

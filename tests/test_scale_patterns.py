@@ -277,3 +277,50 @@ def test_versioned_table_compact_merges_small_files(spark, tmp_path):
     assert got == list(range(100))
     # time travel to the pre-compaction snapshot still works
     assert t.read(version=v_before).count() == 100
+
+
+def test_zorder_compaction_prunes_on_second_column(spark, tmp_path):
+    """Z-order layout: parquet min/max stats must prune files for a
+    predicate on the SECOND clustered column, where a linear sort on
+    the first column cannot skip anything (every file spans all y)."""
+    import glob as pyglob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.plans.catalog import VersionedTable
+
+    def files_containing(snapshot_dir: str, col: str, val: int) -> tuple[int, int]:
+        paths = pyglob.glob(f"{snapshot_dir}/*.parquet")
+        hit = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            if lo <= val <= hi:
+                hit += 1
+        return hit, len(paths)
+
+    grid = spark.range(0, 64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / F.lit(64)).cast("long").alias("y")
+    )
+    schema = T.StructType(
+        [T.StructField("x", T.LongType(), False), T.StructField("y", T.LongType(), False)]
+    )
+
+    linear = VersionedTable(spark, str(tmp_path / "linear"), schema)
+    linear.overwrite(grid)
+    v_lin = linear.compact(sort_cols=["x", "y"], target_file_bytes=1 << 10)
+    zord = VersionedTable(spark, str(tmp_path / "zord"), schema)
+    zord.overwrite(grid)
+    v_z = zord.compact(sort_cols=["x", "y"], target_file_bytes=1 << 10, zorder=True)
+
+    lin_hit, lin_total = files_containing(linear._snapshot_dir(v_lin), "y", 7)
+    z_hit, z_total = files_containing(zord._snapshot_dir(v_z), "y", 7)
+    assert lin_total >= 8 and z_total >= 8  # enough files for pruning to matter
+    assert lin_hit == lin_total  # linear x-sort: every file spans all y
+    assert z_hit <= z_total // 2  # z-order: most files exclude y=7
+    # and content survives the rewrite
+    assert zord.read().count() == 64 * 64
