@@ -2114,6 +2114,51 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_ewma_per_user",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, len(vals) AS n_events,
+           round(CASE WHEN len(vals) = 1 THEN vals[1]
+                      ELSE list_reduce(vals,
+                             (acc, x) -> acc * 0.75 + x * 0.25)
+                 END, 6) AS ewma
+    FROM ordered
+    """,
+)
+def agg_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values in strict (ts, event_id) order — the canonical RECURSIVE
+    per-key fold: ewma_i = 0.75*ewma_{i-1} + 0.25*x_i seeded from the
+    first value. No SQL window expresses this (the recurrence needs
+    the previous OUTPUT, not a frame aggregate); here it's one shuffle
+    into sort_array(collect_list(struct)) + a native higher-order
+    aggregate — per-key state bounded by the key's history, identical
+    fold order to the oracle's list_reduce, so doubles match bit for
+    bit."""
+    e = _t(spark, sf_dir, "events")
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    grouped = e.groupBy("user_id").agg(vals.alias("vals"))
+    ewma = F.when(F.size("vals") == 1, F.col("vals")[0]).otherwise(
+        F.aggregate(
+            F.slice("vals", 2, F.size("vals") - 1),
+            F.col("vals")[0],
+            lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+        )
+    )
+    return grouped.select(
+        "user_id",
+        F.size("vals").alias("n_events"),
+        F.round(ewma, 6).alias("ewma"),
+    )
+
+
+@query(
     "corpus_domain_mix",
     oracle="""
     WITH copies AS (
