@@ -2114,6 +2114,118 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sessionize",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(sum(new_sess) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_id
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1
+                  WHEN ts - lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    )
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-ID ASSIGNMENT (vs. session_window's aggregate-only
+    view): a session break is a >30-minute gap; the running sum of
+    break flags numbers each user's sessions 1..k. Both windows share
+    one (user_id) shuffle and sort — the lag and the cumulative sum
+    run in the same WindowExec pass."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+    FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+           LEFT JOIN s2 ON s2.user_id = u.user_id
+           LEFT JOIN s3 ON s3.user_id = u.user_id
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: how far does each user get through
+    view -> click -> purchase in strict event-time order? ONE shuffle:
+    sorted collect per user, then a native higher-order fold whose
+    struct accumulator (stage, last_ts) advances greedily on the
+    earliest qualifying event — provably the same matching the
+    oracle's min-timestamp chain produces (greedy-earliest is optimal
+    for subsequence matching; strict ts comparison keeps tie semantics
+    identical). The multi-join SQL formulation re-scans events once
+    per funnel step; the fold reads each user's history exactly
+    once."""
+    e = _t(spark, sf_dir, "events")
+    evs = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("last")
+    )
+    step = lambda acc, ev: (
+        F.when(
+            (acc["stage"] == 0) & (ev["event_type"] == "view"),
+            F.struct(F.lit(1).alias("stage"), ev["ts"].alias("last")),
+        )
+        .when(
+            (acc["stage"] == 1)
+            & (ev["event_type"] == "click")
+            & (ev["ts"] > acc["last"]),
+            F.struct(F.lit(2).alias("stage"), ev["ts"].alias("last")),
+        )
+        .when(
+            (acc["stage"] == 2)
+            & (ev["event_type"] == "purchase")
+            & (ev["ts"] > acc["last"]),
+            F.struct(F.lit(3).alias("stage"), ev["ts"].alias("last")),
+        )
+        .otherwise(acc)
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(evs.alias("evs"))
+        .select(
+            "user_id",
+            F.aggregate("evs", init, step)["stage"].alias("funnel_stage"),
+        )
+    )
+
+
+@query(
     "agg_ewma_per_user",
     oracle="""
     WITH ordered AS (
