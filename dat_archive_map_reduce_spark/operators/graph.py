@@ -77,7 +77,11 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node incident to an edge, where
     component = the smallest node id in that node's connected
@@ -87,9 +91,19 @@ def connected_components(
     partition-dependent. ``max_iter`` is a safety rail — alternating
     star provably converges in O(log n) rounds, so 25 covers any
     realistic graph; raise only for adversarial billion-node chains.
+
+    Adaptive parallelism: the initial fingerprint already counts the
+    canonical edge set, so when it is under ``small_graph_edges`` the
+    iteration runs coalesced to one task — after a near-dup pass the
+    pair graph is typically tiny relative to the corpus, and a
+    32-partition shuffle per star round would be pure scheduling
+    overhead. Above the threshold the identical rounds run fully
+    distributed; the labels are the same either way.
     """
     e = _canonical(edges, src, dst).localCheckpoint(eager=True)
     prev = _fingerprint(e)
+    if prev[0] <= small_graph_edges:
+        e = e.coalesce(1)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = _fingerprint(e)
