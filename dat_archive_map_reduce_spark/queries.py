@@ -2114,6 +2114,48 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week,
+                    CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS BIGINT)
+             AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, the
+    classic (cohort, week-offset) -> active-users triangle. Two
+    shuffles (per-user min, then the cohort rollup); the firsts side
+    is one row per user, broadcastable at dashboard scales and a plain
+    shuffle join at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                           F.col("cohort_week"))
+                / 7
+            ).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
     "events_sessionize",
     oracle="""
     SELECT user_id, event_id,
