@@ -324,3 +324,22 @@ def test_zorder_compaction_prunes_on_second_column(spark, tmp_path):
     assert z_hit <= z_total // 2  # z-order: most files exclude y=7
     # and content survives the rewrite
     assert zord.read().count() == 64 * 64
+
+
+def test_shuffle_hash_join_hint_avoids_sort(spark, events):
+    """When a dim is too big to broadcast but one side fits a hash
+    table per partition, the shuffle_hash hint picks ShuffledHashJoin
+    — skipping both sides' sorts that sort-merge would pay. The
+    contract: the hint is honored (Spark may silently fall back)."""
+    import io
+    from contextlib import redirect_stdout
+
+    fact = events.select("user_id", "value")
+    dim = events.select("user_id").distinct().withColumn("w", F.lit(1))
+    joined = fact.join(dim.hint("shuffle_hash"), "user_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    assert "ShuffledHashJoin" in plan
+    assert joined.count() > 0
