@@ -2184,8 +2184,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     run in the same WindowExec pass."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # Compare timestamps directly (ts may be TIMESTAMP_NTZ, which Spark
+    # refuses to cast to BIGINT) — `ts > prev + 30min` is the oracle's
+    # `ts - lag(ts) > INTERVAL 30 MINUTE`, and NULL prev stays NULL.
+    prev = F.lag("ts").over(w)
+    gap_break = F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")
+    new_sess = F.when(prev.isNull() | gap_break, 1).otherwise(0)
     return e.select(
         "user_id",
         "event_id",
