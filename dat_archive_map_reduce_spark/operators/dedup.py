@@ -482,6 +482,83 @@ def minhash_dedup_pairs(
     return verify_jaccard_pairs(cands, df, text_col, id_col, n=shingle_n, threshold=threshold)
 
 
+def portable_minhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH with an ENGINE-PORTABLE hash family, so the whole
+    pipeline — signatures, banding, candidate buckets, verified pairs —
+    is reproducible bit-for-bit in any SQL engine and can sit behind
+    the exact-hash oracle gate.
+
+    "Permutation" i maps a shingle to the hex text ``md5(i ':' s)``;
+    the signature slot is the MINIMUM such string over the doc's
+    shingle set. md5 produces identical lowercase hex everywhere, and
+    min over strings is a total order, so an oracle can replay every
+    stage exactly — unlike ``minhash_dedup_pairs`` (xxhash64 + seeded
+    affine permutations, cheaper per shingle but Spark-specific).
+    Collision probability per slot is still Pr[argmin agrees] =
+    J(a, b): md5 is a fixed pseudo-random order on shingles, the same
+    guarantee the integer family gives. Banding: ``bands`` buckets of
+    r = num_perm/bands concatenated slots; candidates sharing any
+    bucket are verified with exact Jaccard (no false positives leave).
+
+    Scale shape is identical to the production path: narrow signature
+    pass (one md5 per (slot, shingle)), one shuffle to band buckets,
+    pair explode JVM-side from sorted bucket lists, verification joins
+    only the candidate subset. Costs ~num_perm md5s per shingle, so
+    keep num_perm small (8 slots resolve >= 0.5 Jaccard fine) or pay
+    linearly for sharper S-curves.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be a multiple of bands")
+    r = num_perm // bands
+    # persisted: feeds the signature pass AND both verify sides
+    sets = shingle_sets(df, text_col, id_col, shingle_n).persist()
+    sig = sets.select(
+        "doc",
+        F.expr(
+            f"transform(sequence(0, {num_perm - 1}), i -> "
+            f"array_min(transform(sh, s -> md5(concat(cast(i AS string), ':', s)))))"
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b AS band, "
+                f"concat_ws('', slice(sig, b * {r} + 1, {r})) AS bucket))"
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    # ordered pairs (ds[i], ds[j]), i < j, exploded JVM-side
+    pair_col = F.flatten(
+        F.transform(
+            F.slice(F.col("ds"), 1, F.size("ds") - 1),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pair_col).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    return _verify_pairs_against_sets(cands, sets, threshold)
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     base_docs: DataFrame,

@@ -847,6 +847,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query(
+    "dedup_minhash_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM toks WHERE len(t) >= 3
+    ), sig AS (
+      SELECT doc,
+             list_transform(range(0, 8), i ->
+               list_min(list_transform(sh,
+                 s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+      FROM sh
+    ), banded AS (
+      SELECT doc, u.b AS band, sig[2 * u.b + 1] || sig[2 * u.b + 2] AS bucket
+      FROM sig, unnest(range(0, 4)) AS u(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc AS id_a, b2.doc AS id_b
+      FROM banded a JOIN banded b2
+        ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc < b2.doc
+    )
+    SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+      FROM cands c
+      JOIN sh sa ON sa.doc = c.id_a
+      JOIN sh sb ON sb.doc = c.id_b
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) built on an engine-portable hash family
+    (signature slot i = min md5(i ':' shingle) hex string), so the
+    ENTIRE LSH pipeline — signatures, banding, candidate buckets,
+    exact-Jaccard verify — replays bit-for-bit under the SQL oracle.
+    Proof twin of dedup_minhash_lsh: that one keeps the cheaper
+    xxhash64/affine family (engine-specific, recall-tested); this one
+    puts the same pipeline shape under the hard hash gate."""
+    from dat_archive_map_reduce_spark.operators.dedup import portable_minhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = portable_minhash_pairs(
+        d, "text", "doc_id", num_perm=8, bands=4, shingle_n=3, threshold=0.5
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 @query("dedup_simhash")  # no oracle: xxhash64-seeded signatures
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming distance <= 3 via the

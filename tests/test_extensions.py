@@ -42,6 +42,25 @@ def test_minhash_lsh_recall(documents):
         assert len(found & exact) / len(exact) >= 0.8
 
 
+def test_portable_minhash_recall_and_no_false_positives(documents):
+    """The md5-string MinHash family (the oracle-replayable twin of
+    minhash_dedup_pairs) obeys the same LSH contract: verified output
+    is a subset of the exact jaccard>=0.5 pairs, with high recall
+    (4 bands x 2 rows: collision prob at s=0.5 is 1-(1-0.25)^4 ~ 0.68
+    per true pair, but true pairs here sit well above threshold)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(documents, "text", "doc_id", 3, 0.5).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.portable_minhash_pairs(documents, "text", "doc_id").collect()
+    }
+    assert found <= exact
+    if exact:
+        assert len(found & exact) / len(exact) >= 0.8
+
+
 def test_simhash_no_false_positives(documents):
     sigs = dedup.simhash_signatures(documents, "text", "doc_id")
     pairs = dedup.simhash_near_pairs(sigs, max_distance=3).collect()
