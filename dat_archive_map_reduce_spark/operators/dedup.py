@@ -670,13 +670,75 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("id"), expr.alias("simhash"))
 
 
-def simhash_near_pairs(signatures: DataFrame, max_distance: int = 3) -> DataFrame:
+def portable_simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_distance: int = 3
+) -> DataFrame:
+    """60-bit SimHash near-dup pairs built on an ENGINE-PORTABLE hash:
+    bit j of a token's hash is bit j of md5(token)'s hex digest
+    (nibble lookup + power-of-two arithmetic — no engine-specific
+    shift/hash builtins), and a document's bit is the MAJORITY vote
+    over its token MULTISET (strict: a tie votes 0). Frequency
+    weighting matters: on a corpus drawn from a small shared
+    vocabulary, distinct-token majorities converge to the vocabulary's
+    own majority bits and every signature collapses toward one point;
+    term-frequency votes preserve per-document variation (the same
+    weighting simhash_dedup_pairs uses). Every stage —
+    signatures, pigeonhole chunk buckets, Hamming verify — replays
+    bit-for-bit in any SQL engine, so the pipeline can sit behind the
+    exact-hash oracle gate. Proof twin of simhash_dedup_pairs
+    (xxhash64 + native shifts, the cheaper production path).
+
+    Same scale shape: the signature fold is narrow (one md5 per
+    distinct token, bit extraction from the SAME hex string via the
+    vote accumulator), pair search is the pigeonhole chunk join —
+    max_distance+1 chunks of 60/(max_distance+1) bits; any pair within
+    distance d agrees exactly on >= 1 chunk. 60 bits (15 md5 nibbles),
+    not 64: the top bit of a 64-bit signature would overflow signed
+    BIGINT arithmetic, and portable engines disagree on unsigned.
+    """
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    # one md5 per token (hoisted out of the per-bit lambda by mapping
+    # tokens -> digests FIRST; inlining md5 inside the (acc, j) lambda
+    # would recompute it 32x per token)
+    votes = """
+        aggregate(
+          transform(toks, t -> md5(t)),
+          array_repeat(0L, 60),
+          (acc, h) -> zip_with(acc, sequence(0L, 59L),
+            (v, j) -> v + CAST(floor(
+                (instr('0123456789abcdef',
+                       substr(h, CAST(j div 4 AS INT) + 1, 1)) - 1)
+                / power(2, 3 - j % 4)) AS BIGINT) % 2))
+    """
+    sig = f"""
+        aggregate(
+          zip_with({votes}, sequence(0L, 59L),
+            (v, j) -> IF(2 * v > size(toks),
+                         CAST(power(2, 59 - j) AS BIGINT), 0L)),
+          0L, (a, x) -> a + x)
+    """
+    sigs = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.expr(f"split(lower({text_col}), ' ')").alias("toks"),
+        )
+        .select("id", F.expr(sig).alias("simhash"))
+        .persist()
+    )
+    return simhash_near_pairs(sigs, max_distance=max_distance, bits=60)
+
+
+def simhash_near_pairs(
+    signatures: DataFrame, max_distance: int = 3, bits: int = 64
+) -> DataFrame:
     """Pairs with Hamming distance <= max_distance via the pigeonhole
-    band trick: split 64 bits into (max_distance+1) chunks; any
+    band trick: split the bits into (max_distance+1) chunks; any
     qualifying pair agrees exactly on >=1 chunk, so candidates come
     from equal-chunk buckets only. Verification = bit_count(xor)."""
     n_chunks = max_distance + 1
-    width = 64 // n_chunks
+    width = bits // n_chunks
     # shiftrightunsigned needs a variable shift amount -> SQL expr form
     # (the Python API only accepts a literal int shift)
     chunks = F.expr(

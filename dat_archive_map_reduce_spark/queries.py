@@ -900,6 +900,57 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query(
+    "dedup_simhash_portable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split(lower(text), ' ') AS toks
+      FROM documents
+    ), hs AS (
+      SELECT id, len(toks) AS n,
+             list_transform(toks, t -> md5(t)) AS hs
+      FROM toks
+    ), votes AS (
+      SELECT id, n,
+             list_transform(range(0, 60), j ->
+               list_sum(list_transform(hs, h ->
+                 CAST(floor(
+                   (strpos('0123456789abcdef',
+                           substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+                   / power(2, 3 - j % 4)) AS BIGINT) % 2))) AS votes
+      FROM hs
+    ), sig AS (
+      SELECT id,
+             CAST(list_sum(list_transform(range(0, 60), j ->
+               CASE WHEN 2 * votes[CAST(j AS INT) + 1] > n
+                    THEN CAST(power(2, 59 - j) AS BIGINT) ELSE 0 END))
+             AS BIGINT) AS simhash
+      FROM votes
+    ), banded AS (
+      SELECT id, simhash, u.c AS chunk,
+             (simhash // CAST(power(2, 15 * u.c) AS BIGINT)) % 32768 AS val
+      FROM sig, unnest(range(0, 4)) AS u(c)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash at Hamming distance <= 3 built on an
+    engine-portable hash (md5-nibble bit votes, majority rule), so
+    signatures, pigeonhole chunk buckets, and the Hamming verify all
+    replay bit-for-bit under the SQL oracle. Proof twin of
+    dedup_simhash (xxhash64 + native shifts — the production path)."""
+    from dat_archive_map_reduce_spark.operators.dedup import portable_simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return portable_simhash_pairs(d, "text", "doc_id", max_distance=3)
+
+
 @query("dedup_simhash")  # no oracle: xxhash64-seeded signatures
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at Hamming distance <= 3 via the

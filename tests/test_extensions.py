@@ -74,6 +74,24 @@ def test_simhash_no_false_positives(documents):
     assert sigs2[0]["simhash"] == sigs2[1]["simhash"]
 
 
+def test_portable_simhash_contract(spark, documents):
+    """The md5-vote SimHash twin obeys the SimHash contract: verified
+    distances respect the bound, identical docs collide at distance 0,
+    and the pair count stays in the same regime as the xxhash path
+    (signatures must NOT collapse to one point — the distinct-token
+    formulation did, emitting thousands of spurious pairs)."""
+    pairs = dedup.portable_simhash_pairs(documents, "text", "doc_id").collect()
+    for r in pairs:
+        assert r["hamming"] <= 3
+    assert len(pairs) < 100
+    dup = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "alpha beta alpha gamma")],
+        "doc_id long, text string",
+    )
+    s = dedup.portable_simhash_pairs(dup, "text", "doc_id").collect()
+    assert len(s) == 1 and s[0]["hamming"] == 0
+
+
 def test_exact_dedup_counts(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
