@@ -208,6 +208,84 @@ def lsh_topk(
     return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
 
 
+def _portable_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Rademacher (+/-1) hyperplanes derived from md5(p ':' d) — entry
+    is +1 when the digest's first hex nibble is >= 8. md5 is identical
+    in every engine, so an oracle can re-derive the exact planes in
+    SQL; Rademacher projections satisfy the same sign-LSH guarantee as
+    Gaussian ones (Achlioptas-style database-friendly projections)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def portable_lsh_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-LSH approximate top-k with ENGINE-PORTABLE hyperplanes, so
+    the whole path — plane derivation, signatures, multi-probe
+    candidate filter, exact-cosine rerank — replays bit-for-bit in any
+    SQL engine with md5. Proof twin of lsh_topk (Gaussian planes from
+    a seeded RNG — not reproducible outside numpy).
+
+    Determinism requires matching FLOAT SUMMATION ORDER, not just the
+    planes: the projection folds dimension-by-dimension left-to-right
+    (Spark `aggregate`, oracle `list_reduce`, and the driver-side
+    query-signature loop below all fold identically), and +/-1
+    multiplies are exact, so the sign test agrees everywhere. Same
+    scale shape as lsh_topk: narrow signature scan, native
+    bit_count(xor) probe predicate, TakeOrderedAndProject rerank over
+    the candidate subset only.
+    """
+    dim = len(query_vec)
+    planes = _portable_planes(num_planes, dim)
+    planes_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(("1.0D" if v > 0 else "-1.0D") for v in pl) + ")"
+            for pl in planes
+        )
+        + ")"
+    )
+    sig_expr = F.expr(
+        f"""
+        aggregate(
+          zip_with(sequence(0, {num_planes - 1}), {planes_lit}, (p, pl) ->
+            IF(aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), pl,
+                                  (x, r) -> x * r),
+                         CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0,
+               CAST(power(2, {num_planes - 1} - p) AS INT), 0)),
+          0, (a, x) -> a + x)
+        """
+    )
+    qv = [float(x) for x in query_vec]
+    qsig = 0
+    for p, pl in enumerate(planes):
+        acc = 0.0
+        for x, r in zip(qv, pl):
+            acc += x * r
+        if acc > 0:
+            qsig |= 1 << (num_planes - 1 - p)
+    cands = corpus.withColumn("_sig", sig_expr).filter(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming
+    )
+    return brute_force_topk(cands.drop("_sig"), query_vec, k, vec_col, id_col)
+
+
 # ---------------------------------------------------------------------
 # IVF (inverted file) — coarse quantizer + probe
 # ---------------------------------------------------------------------

@@ -1234,6 +1234,50 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"), "rnk")
 
 
+@query(
+    "ann_lsh_portable_topk",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), sig AS (
+      SELECT vec_id, emb,
+        CAST(list_sum(list_transform(range(0, 8), p ->
+          CASE WHEN list_reduce(
+                 list_transform(range(0, 64), d ->
+                   emb[CAST(d AS INT) + 1] *
+                   CASE WHEN strpos('89abcdef',
+                          substr(md5(CAST(p AS VARCHAR) || ':' ||
+                                     CAST(d AS VARCHAR)), 1, 1)) > 0
+                        THEN 1.0 ELSE -1.0 END),
+                 (a, b) -> a + b) > 0
+               THEN CAST(power(2, 7 - p) AS INT) ELSE 0 END)) AS INT) AS sig
+      FROM emb
+    ), q AS (
+      SELECT sig AS qsig, emb AS qemb FROM sig WHERE vec_id = 0
+    )
+    SELECT s.vec_id, round(list_cosine_similarity(s.emb, q.qemb), 4) AS cos_sim
+    FROM sig s, q
+    WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, q.qsig)) <= 2
+    ORDER BY list_cosine_similarity(s.emb, q.qemb) DESC, s.vec_id
+    LIMIT 10
+    """,
+)
+def ann_lsh_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-10 with md5-derived Rademacher planes:
+    the plane matrix, signatures, multi-probe filter (Hamming <= 2),
+    and exact-cosine rerank all replay bit-for-bit under the SQL
+    oracle — the hash-gated proof twin of ann_lsh_topk (Gaussian
+    planes, recall-tested only)."""
+    from dat_archive_map_reduce_spark.operators.similarity import portable_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = portable_lsh_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, num_planes=8, probe_hamming=2
+    )
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 @query("ann_lsh_topk")  # no oracle: seeded hyperplanes, approximate by design
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH with multi-probe;

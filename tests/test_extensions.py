@@ -121,6 +121,21 @@ def test_lsh_topk_recall(embeddings):
     assert len(set(approx) & set(exact)) >= 4
 
 
+def test_portable_lsh_topk_recall(embeddings):
+    """The md5-Rademacher-plane twin meets the same recall floor as
+    the Gaussian-plane path on random 64-dim vectors (worst case for
+    sign LSH), and returns candidates ranked by exact cosine."""
+    qvec = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(corpus, qvec, k=10).collect()]
+    rows = similarity.portable_lsh_topk(
+        corpus, qvec, k=10, num_planes=8, probe_hamming=4
+    ).collect()
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert len(set(r["vec_id"] for r in rows) & set(exact)) >= 4
+
+
 def test_ivf_topk_recall(embeddings):
     qvec = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
     corpus = embeddings.filter(F.col("vec_id") != 0)
