@@ -290,6 +290,74 @@ def portable_lsh_topk(
 # IVF (inverted file) — coarse quantizer + probe
 # ---------------------------------------------------------------------
 
+def portable_ivf_topk(
+    corpus: DataFrame,
+    query_vec: Sequence[float],
+    centroid_ids: Sequence[int] = tuple(range(1, 9)),
+    n_probe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k with a DATA-POINT codebook: the centroids
+    are the corpus vectors with the given ids (a k-medoids-style
+    sampled codebook — no iterative training), so the whole path —
+    codebook, cluster assignment, probe choice, exact-cosine rerank —
+    is deterministic and replays bit-for-bit in any SQL engine. Proof
+    twin of ivf_topk (numpy k-means centroids; matmul summation order
+    is BLAS-dependent, so no oracle can reproduce them).
+
+    Assignment is argmax over per-centroid cosines computed with the
+    same ordered folds everywhere (Spark `aggregate` / oracle
+    `list_reduce` / the driver-side probe loop); ties break to the
+    smaller centroid id. Scale shape matches ivf_topk: the codebook is
+    a bounded driver-side fetch baked into the plan as literals, the
+    assignment scan is narrow, and only vectors in the ``n_probe``
+    clusters nearest the query are reranked.
+    """
+    rows = {
+        r[id_col]: [float(x) for x in r[vec_col]]
+        for r in corpus.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    cents = [(cid, rows[cid]) for cid in sorted(rows)]
+
+    def _py_cos(a: Sequence[float], b: Sequence[float]) -> float:
+        dot_ = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot_ += x * y
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot_ / ((na ** 0.5) * (nb ** 0.5))
+
+    qv = [float(x) for x in query_vec]
+    probed = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _py_cos(qv, cv)) for cid, cv in cents),
+            key=lambda t: (-t[1], t[0]),
+        )[:n_probe]
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    choices = F.array(
+        *[
+            F.struct(
+                cosine(v, F.array(*[F.lit(x) for x in cv])).alias("c"),
+                F.lit(-cid).alias("nid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    assigned = corpus.withColumn("_cluster", -F.array_max(choices)["nid"])
+    cands = assigned.filter(F.col("_cluster").isin(probed)).drop("_cluster")
+    return brute_force_topk(cands, query_vec, k, vec_col, id_col)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: np.ndarray,

@@ -1792,6 +1792,65 @@ def dedup_embedding_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+@query(
+    "ann_ivf_portable_topk",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, emb,
+             sqrt(list_reduce(list_transform(emb, x -> x * x),
+                              (a, b) -> a + b)) AS nv
+      FROM emb
+    ), cents AS (
+      SELECT vec_id AS cid, emb AS cemb, nv AS cn
+      FROM nrm WHERE vec_id BETWEEN 1 AND 8
+    ), q AS (
+      SELECT emb AS qemb, nv AS qn FROM nrm WHERE vec_id = 0
+    ), probe AS (
+      SELECT cid FROM cents, q
+      ORDER BY list_reduce(list_transform(range(0, 64), d ->
+                 qemb[CAST(d AS INT) + 1] * cemb[CAST(d AS INT) + 1]),
+                 (a, b) -> a + b) / (qn * cn) DESC, cid
+      LIMIT 2
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_reduce(list_transform(range(0, 64), d ->
+                   v.emb[CAST(d AS INT) + 1] * c.cemb[CAST(d AS INT) + 1]),
+                   (a, b) -> a + b) / (v.nv * c.cn) DESC, c.cid) AS rn
+        FROM nrm v, cents c WHERE v.vec_id <> 0
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM (
+      SELECT s.vec_id,
+             list_reduce(list_transform(range(0, 64), d ->
+               s.emb[CAST(d AS INT) + 1] * q.qemb[CAST(d AS INT) + 1]),
+               (a, b) -> a + b) / (s.nv * q.qn) AS cos_sim
+      FROM nrm s
+      JOIN assign a ON a.vec_id = s.vec_id
+      JOIN probe p ON p.cid = a.cid, q
+    ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 with a data-point codebook (vectors 1-8
+    as centroids, n_probe=2): codebook, assignment argmax, probe
+    choice, and exact-cosine rerank all replay bit-for-bit under the
+    SQL oracle — the hash-gated proof twin of ann_ivf_topk (numpy
+    k-means centroids, recall-tested only)."""
+    from dat_archive_map_reduce_spark.operators.similarity import portable_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = portable_ivf_topk(
+        e.filter(F.col("vec_id") != 0), qvec, centroid_ids=tuple(range(1, 9)),
+        n_probe=2, k=10,
+    )
+    return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 @query("ann_ivf_topk")  # no oracle: k-means-seeded coarse quantizer, approximate
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: train a coarse quantizer on a sample, probe the 2

@@ -147,6 +147,21 @@ def test_ivf_topk_recall(embeddings):
     assert len(set(approx) & set(exact)) >= 3
 
 
+def test_portable_ivf_topk_recall(embeddings):
+    """The data-point-codebook IVF twin returns exact-cosine-ranked
+    results from its probed clusters and overlaps the true top-10.
+    With 8 random centroids and n_probe=4 (half the codebook) on
+    random vectors, expected candidate coverage is ~50%, so >=3/10
+    is a safe regression floor."""
+    qvec = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
+    corpus = embeddings.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(corpus, qvec, k=10).collect()]
+    rows = similarity.portable_ivf_topk(corpus, qvec, n_probe=4, k=10).collect()
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert len(set(r["vec_id"] for r in rows) & set(exact)) >= 3
+
+
 def test_pandas_topk_matches_native(embeddings):
     qvec = embeddings.filter(F.col("vec_id") == 0).first()["embedding"]
     corpus = embeddings.filter(F.col("vec_id") != 0)
