@@ -49,18 +49,37 @@ _MAGIC = b"SGMM"  # synth-media header: MAGIC + u16 width + u16 height + u32 fra
 
 
 def synth_media_corpus(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media corpus (seeded): header + payload bytes.
+    """Deterministic fake media corpus: header + payload bytes.
 
     Stands in for spark.read.format('binaryFile') over an object store.
+    Every field derives from md5 of the media id (byte k of the hex
+    digest, written b(k) below), NOT from a numpy RNG: an oracle in any
+    SQL engine with md5 can independently re-derive the metadata that
+    gets packed into the binary header, which turns the decode
+    pipeline's output into a hash-checkable roundtrip proof —
+    encode -> binary column -> Arrow batch -> stub decode must return
+    exactly the md5-derived values. ``seed`` is kept for API
+    compatibility and ignored.
+
+      w      = 8 + b(0) % 56             (8..63, as before)
+      h      = 8 + b(1) % 56
+      frames = 1 + b(2) % 29 (video; else 1)
+      plen   = 64 + (b(3)*256 + b(4)) % 448   (64..511)
+      payload[j] = digest16(id ':p')[j % 16]
     """
-    rng = np.random.RandomState(seed)
+    import hashlib
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        w, h = int(rng.randint(8, 64)), int(rng.randint(8, 64))
-        frames = int(rng.randint(1, 30)) if kind == "video" else 1
-        payload = rng.bytes(int(rng.randint(64, 512)))
+        hb = hashlib.md5(str(i).encode()).digest()
+        w = 8 + hb[0] % 56
+        h = 8 + hb[1] % 56
+        frames = 1 + hb[2] % 29 if kind == "video" else 1
+        plen = 64 + (hb[3] * 256 + hb[4]) % 448
+        pbytes = hashlib.md5(f"{i}:p".encode()).digest()
+        payload = (pbytes * (plen // 16 + 1))[:plen]
         content = _MAGIC + struct.pack("<HHI", w, h, frames) + payload
         meta = (
             w if kind != "audio" else None,

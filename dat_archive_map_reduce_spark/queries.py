@@ -1865,12 +1865,51 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-@query("multimodal_pipeline")  # no oracle: binary decode pipeline, not SQL-expressible
+@query(
+    "multimodal_pipeline",
+    oracle="""
+    WITH m AS (
+      SELECT i,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+             md5(CAST(i AS VARCHAR)) AS h
+      FROM range(0, 64) t(i)
+    ), fields AS (
+      SELECT i, kind,
+        8 + (16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 56 AS w,
+        8 + (16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 56 AS ht,
+        CASE WHEN kind = 'video'
+             THEN 1 + (16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                         + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 29
+             ELSE 1 END AS frames,
+        64 + ((16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+                 + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) * 256
+              + (16 * (strpos('0123456789abcdef', substr(h, 9, 1)) - 1)
+                   + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1))) % 448
+          AS plen
+      FROM m
+    )
+    SELECT kind, count(*) AS n, max(w) AS max_w, max(ht) AS max_h,
+           max(frames) AS max_frames,
+           CAST(sum(12 + plen) AS BIGINT) AS sum_bytes,
+           CAST(1.0 AS DOUBLE) AS avg_feat_norm
+    FROM fields GROUP BY kind ORDER BY kind
+    """,
+)
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal columns end-to-end: synthetic binary corpus ->
     Arrow-batched decode (stubbed codec, real plumbing) -> per-kind
-    shape/byte stats + feature-vector norm check. Deterministic (seeded)
-    so the rows-only gate is stable across runs."""
+    shape/byte stats + feature-vector norm check.
+
+    Oracle-gated roundtrip proof: the corpus derives every header field
+    from md5(media_id) (see synth_media_corpus), so the oracle
+    re-derives the expected metadata ARITHMETICALLY — without touching
+    any binary — and the hash gate then asserts that pack -> binary
+    column -> Arrow batch -> stub decode returned exactly those values.
+    avg_feat_norm asserts the extractor's L2-normalization contract
+    (norm of a unit vector, 1.0 at 2 decimals; float32 error ~1e-7)."""
     from dat_archive_map_reduce_spark.operators.multimodal import (
         decode_media,
         extract_features,
@@ -1893,6 +1932,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("width").alias("max_w"),
             F.max("height").alias("max_h"),
             F.max("n_frames").alias("max_frames"),
+            F.sum("n_bytes").alias("sum_bytes"),
             F.round(F.avg(fnorm), 2).alias("avg_feat_norm"),
         )
         .orderBy("kind")
@@ -2252,12 +2292,38 @@ def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frames_resize")  # no oracle: binary decode pipeline
+@query(
+    "multimodal_frames_resize",
+    oracle="""
+    WITH m AS (
+      SELECT i, md5(CAST(i AS VARCHAR)) AS h
+      FROM range(0, 64) t(i) WHERE i % 3 = 2
+    ), fields AS (
+      SELECT i,
+        8 + (16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 56 AS w,
+        8 + (16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 56 AS ht,
+        1 + (16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+               + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) % 29 AS frames
+      FROM m
+    )
+    SELECT i AS media_id,
+           CAST((frames + 4) // 5 AS BIGINT) AS n_sampled,
+           w AS width, ht AS height,
+           CAST(ceil(w * least(1.0, 32.0 / greatest(w, ht))) AS INT) AS target_w,
+           CAST(ceil(ht * least(1.0, 32.0 / greatest(w, ht))) AS INT) AS target_h
+    FROM fields ORDER BY media_id
+    """,
+)
 def multimodal_frames_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal stages 2: frame sampling (1->N explode per video,
     every 5th frame) joined to the resize plan (pure-metadata target
     dims) — per-video sampled-frame counts with resize targets.
-    Deterministic (seeded corpus), rows-only gate."""
+    Oracle-gated like multimodal_pipeline: the md5-derived corpus lets
+    the oracle re-derive frame counts and resize targets arithmetically
+    and the hash gate checks the binary roundtrip + explode + metadata
+    math reproduced them exactly."""
     from dat_archive_map_reduce_spark.operators.multimodal import (
         frame_sample,
         resize_plan,
