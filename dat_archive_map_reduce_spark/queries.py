@@ -687,6 +687,65 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_distinct_portable",
+    oracle="""
+    WITH hs AS (
+      SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
+    ), kmin AS (
+      SELECT h FROM hs ORDER BY h LIMIT 256
+    ), kth AS (
+      SELECT max(h) AS h, count(*) AS n FROM kmin
+    )
+    SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                ELSE round((256 - 1) / list_reduce(
+                       list_transform(range(1, 14), i ->
+                         (strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)
+                         * power(16.0, -i)),
+                       (a, b) -> a + b), 4)
+           END AS approx_parts
+    FROM kth
+    """,
+)
+def approx_distinct_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct count via a KMV (k-minimum-values) sketch
+    on md5 — the oracle-replayable twin of approx_distinct's HLL++
+    (whose sketch layout is engine-specific by design). KMV: hash every
+    value to a uniform fraction of [0,1); if the k-th smallest distinct
+    hash lands at fraction f, distinct-count ~ (k-1)/f. md5 hex strings
+    ARE the uniform order (binary collation both engines), and the
+    fraction is re-derived from the ONE k-th string's nibbles with a
+    fixed-order fold, so the estimate is bit-identical everywhere.
+
+    Scale shape: map-side-combined distinct on 16-byte hashes, then
+    TakeOrderedAndProject(k) — k values reach the driver, never the
+    corpus. Mergeable like any KMV: union per-partition k-min sets,
+    re-take k (exactly what TakeOrdered's partial top-k does)."""
+    k = 256
+    l = _t(spark, sf_dir, "lineitem")
+    kmin = (
+        l.select(F.md5(F.col("l_partkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = kmin.agg(F.max("h").alias("h"), F.count(F.lit(1)).alias("n"))
+    frac = F.expr(
+        """
+        aggregate(
+          transform(sequence(1, 13), i ->
+            CAST(instr('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1
+                 AS DOUBLE) * power(16.0, -i)),
+          CAST(0.0 AS DOUBLE), (a, b) -> a + b)
+        """
+    )
+    return agg.select(
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(F.round((k - 1) / frac, 4))
+        .alias("approx_parts")
+    )
+
+
+@query(
     "events_tumbling_window",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -92,6 +92,20 @@ def test_portable_simhash_contract(spark, documents):
     assert len(s) == 1 and s[0]["hamming"] == 0
 
 
+def test_kmv_estimate_within_tolerance(spark, documents):
+    """The portable KMV sketch estimates distinct counts within the
+    theoretical ~1/sqrt(k) relative error band (k=256 -> ~6%; assert
+    15% for slack) and falls back to exact when distinct < k."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    est = QUERIES["approx_distinct_portable"](spark, sf).first()["approx_parts"]
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    exact = load_table(spark, sf, "lineitem").select("l_partkey").distinct().count()
+    assert abs(est - exact) / exact < 0.15
+
+
 def test_exact_dedup_counts(spark):
     df = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
