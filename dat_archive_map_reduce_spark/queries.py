@@ -3716,3 +3716,137 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
         )
     )
+
+
+# =====================================================================
+# F. Round-2 widening: null-safe joins, distribution window functions,
+#    time-series gap-fill (resample + forward fill)
+# =====================================================================
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH n AS (
+      SELECT n_nationkey AS k, nullif(n_regionkey, 2) AS rk FROM nation
+    )
+    SELECT a.rk, count(*) AS n_pairs
+    FROM n a JOIN n b ON a.rk IS NOT DISTINCT FROM b.rk AND a.k < b.k
+    GROUP BY a.rk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match EACH OTHER instead of vanishing, the semantics CDC merge and
+    dedup-on-nullable-key pipelines rely on. Region 2 is nulled out,
+    so its nations pair up under the null-safe comparison — a plain
+    equi-join would return no NULL group at all. Catalyst still plans
+    <=> as a hash join (the comparison is an equality on a
+    null-wrapped key), not a nested loop."""
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"),
+        F.expr("nullif(n_regionkey, 2)").alias("rk"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.rk").eqNullSafe(F.col("b.rk")) & (F.col("a.k") < F.col("b.k")))
+        .groupBy(F.col("a.rk").alias("rk"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(c_custkey, 3) OVER w AS third_key
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    nth_value per market segment, acctbal-ranked. percent_rank's
+    (rank-1)/(n-1) and cume_dist's n_le/n are exact small-integer
+    ratios, so the doubles are bit-identical across engines; the
+    custkey tiebreak makes the order total (RANGE frame == ROWS
+    frame, no peer ambiguity). One shuffle, one sort, all three
+    functions in the same WindowExec pass."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 3).over(w).alias("third_key"),
+    )
+
+
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    )
+    SELECT s.user_id, s.hour, coalesce(h.n, 0) AS n,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM spine s
+    LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: per-user hourly grid
+    (sequence-explode between each user's first and last active hour),
+    left join the observed hourly aggregates, then carry the last
+    non-null value forward with last(ignorenulls) — the standard
+    gap-fill shape for sensor/metrics pipelines. The spine explode is
+    narrow (no shuffle: bounds reuse the hourly agg's partitioning);
+    one window pass fills every gap. At scale the grid is bounded by
+    users x active-hours, never by raw event count."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+        )
+    )

@@ -29,10 +29,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright. Read nanos as raw int64 (legacy conf)
-        # and convert to a micros timestamp exactly the way DuckDB's
-        # reader does (integer truncation) so oracle values match.
+        # Defensive shim for TIMESTAMP(NANOS) events data (earlier
+        # testdata generations used it; current files store micros and
+        # read as TIMESTAMP_NTZ, making this a no-op). If nanos come
+        # back, Spark's vectorized reader rejects them outright: read
+        # nanos as raw int64 (legacy conf) and convert to a micros
+        # timestamp exactly the way DuckDB's reader does (integer
+        # truncation) so oracle values match.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
