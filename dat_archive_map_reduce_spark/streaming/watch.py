@@ -115,6 +115,18 @@ def watch_until_caught_up(engine) -> None:
 # Event-time windowed aggregation (streaming + batch-equivalent forms)
 # ---------------------------------------------------------------------
 
+def _as_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local tz):
+    watermarks reject TIMESTAMP_NTZ outright, and the testdata's
+    parquet micros read as NTZ. The session timezone is pinned to UTC
+    (session.py), so the cast is value-preserving. Applied in BOTH
+    batch and streaming modes so stream/batch twins keep identical
+    output schemas."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(
     events: DataFrame,
     window: str = "1 hour",
@@ -130,7 +142,7 @@ def windowed_counts(
     in batch mode it is a no-op, which is what makes the
     batch-vs-stream equivalence test meaningful.
     """
-    df = events
+    df = _as_event_time(events, "ts")
     if streaming:
         df = df.withWatermark("ts", watermark)
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
@@ -150,7 +162,7 @@ def session_windows(
     """Session windows per user: activity bursts separated by >= gap.
 
     Uses native F.session_window (merging-state windows in streaming)."""
-    df = events
+    df = _as_event_time(events, "ts")
     if streaming:
         df = df.withWatermark("ts", watermark)
     return (
@@ -211,6 +223,7 @@ def streaming_dedup(
     NOT grow unboundedly on an infinite stream. This is the streaming
     twin of exact_dedup for continuous training-data ingestion.
     """
+    events = _as_event_time(events, ts_col)
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
@@ -325,6 +338,8 @@ def stream_stream_interval_join(
     equivalence test. Caller pre-renames columns so the sides don't
     collide: left columns ``l_*`` (key ``l_<on>``), right ``r_*``.
     """
+    left = _as_event_time(left, left_ts)
+    right = _as_event_time(right, right_ts)
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
     r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
     cond = (
