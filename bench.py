@@ -63,6 +63,13 @@ def main() -> None:
         timings[name] = round(runs[0], 4)
         steady[name] = round(min(runs), 4)
         total += runs[0]
+        # Several operators persist() intermediates (shingle sets,
+        # signatures) that only their own plan consumes; across 99
+        # queries x 2 passes the leaked cache blocks pile up to
+        # GB-scale and the resulting GC pressure inflated LATE-running
+        # queries ~10x (measured: ann_lsh_portable_topk 9s in-bench vs
+        # 0.6s isolated). Clearing between queries restores isolation.
+        spark.catalog.clearCache()
         print(f"# {name}: cold={runs[0]:.3f}s steady={min(runs):.3f}s rows={n}", file=sys.stderr)
 
     print(
