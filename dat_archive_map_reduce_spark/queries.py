@@ -3850,3 +3850,75 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
         )
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_max(o_custkey, printf('%012.2f|%012d', o_totalprice, o_custkey))
+             AS top_custkey,
+           round(max(o_totalprice), 2) AS max_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax aggregation (max_by / arg_max): the customer behind the
+    priciest order per priority class — one hash aggregate, no
+    join-back and no window. max_by is NONDETERMINISTIC on ties in
+    both engines, so the ordering key is a zero-padded printf of
+    (price, custkey): string order == numeric order and ties resolve
+    to the max custkey identically everywhere."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "max_by(o_custkey, format_string('%012.2f|%012d', o_totalprice, o_custkey))"
+        ).alias("top_custkey"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "text_fuzzy_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, substr(lower(text), 1, 24) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 8
+    """,
+)
+def text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: document pairs whose lowercased 24-char
+    heads are within Levenshtein distance 8, BLOCKED on language (the
+    classic record-linkage shape: cheap equality blocking key bounds
+    the candidate set, the quadratic edit-distance kernel runs only
+    within blocks). Edit distance is exactly defined, so the output is
+    engine-portable with no float concerns. At 100 TB the blocking key
+    is the scale lever — block on (lang, length-band, first-token) to
+    keep per-block cardinality bounded, same inverted-index discipline
+    as the dedup family."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring(F.lower("text"), 1, 24).alias("head")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein("a.head", "b.head").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )
