@@ -343,3 +343,42 @@ def test_shuffle_hash_join_hint_avoids_sort(spark, events):
     plan = buf.getvalue()
     assert "ShuffledHashJoin" in plan
     assert joined.count() > 0
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """When the broadcast path is off (sides too big at scale), Spark
+    can still inject a BLOOM-FILTER runtime filter: the selective dim
+    side's join keys build a bloom filter that pre-filters the fact
+    scan before the shuffle — the 100 TB answer to 'shuffle join with
+    a selective dim'. Assert the optimizer actually injects it
+    (might_contain on the fact side) under explicit thresholds, so a
+    Spark upgrade or conf regression that silently drops the filter
+    fails here."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+        o = load_table(spark, "/root/testdata/sf0.01", "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "bloomfilter" in plan or "might_contain" in plan
+        assert j.count() == 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
