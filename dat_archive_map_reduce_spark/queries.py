@@ -3922,3 +3922,37 @@ def text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 8)
     )
+
+
+@query(
+    "unpivot_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): pivot revenue into one column per
+    priority, then melt back to (status, priority, revenue) rows with
+    DataFrame.unpivot. The oracle computes the long form directly, so
+    the hash gate proves the pivot/unpivot roundtrip is lossless
+    (include-nulls off: absent combinations drop on both sides).
+    Decimal money sums keep the revenue cells order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(_money_sum(F.col("o_totalprice")))
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderstatus"],
+            values=prios,
+            variableColumnName="o_orderpriority",
+            valueColumnName="revenue",
+        )
+        .filter(F.col("revenue").isNotNull())
+    )

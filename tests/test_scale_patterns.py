@@ -382,3 +382,32 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_versioned_table_schema_evolution_add_column(spark, tmp_path):
+    """ADD COLUMN evolution contract: a handle opened with the widened
+    schema reads new snapshots fully and time-travels into
+    pre-evolution snapshots with the added column backfilled as NULL —
+    the lakehouse add-column semantics (schema-on-read projection over
+    immutable snapshot dirs; no rewrite of history)."""
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.plans.catalog import VersionedTable
+
+    root = str(tmp_path / "tbl")
+    v1_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("a", T.StringType())]
+    )
+    t1 = VersionedTable(spark, root, v1_schema)
+    t1.overwrite(spark.createDataFrame([(1, "x"), (2, "y")], v1_schema))
+
+    v2_schema = v1_schema.add(T.StructField("b", T.LongType()))
+    t2 = VersionedTable(spark, root, v2_schema)
+    t2.overwrite(spark.createDataFrame([(1, "x", 10), (3, "z", 30)], v2_schema))
+
+    cur = {r["k"]: (r["a"], r["b"]) for r in t2.read().collect()}
+    assert cur == {1: ("x", 10), 3: ("z", 30)}
+    old = {r["k"]: (r["a"], r["b"]) for r in t2.read(version=1).collect()}
+    assert old == {1: ("x", None), 2: ("y", None)}
+    # a pre-evolution handle still reads its own schema from history
+    assert sorted(r["a"] for r in t1.read(version=1).collect()) == ["x", "y"]
