@@ -3956,3 +3956,47 @@ def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("revenue").isNotNull())
     )
+
+
+@query(
+    "events_rolling_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(27,6))) OVER w AS DOUBLE)
+             AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY date_trunc('second', ts)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time ROLLING window (RANGE frame over an interval): per
+    user, count and sum of the trailing hour AT EVERY EVENT — the
+    sliding-aggregate shape alerting and feature-backfill pipelines
+    use, where tumbling buckets are too coarse. Spark's rangeBetween
+    is numeric, so the order key is epoch seconds — a FLOOR to whole
+    seconds — and the oracle must range over the same truncated key
+    (date_trunc('second')): with full-microsecond ordering an event
+    sitting exactly 1h +/- a few hundred us away would flip frame
+    membership between engines. Frame memberships vary per row, so float
+    sums are order-hazardous: round-then-decimal-sum makes the
+    aggregate associative and engine-exact (the _money_sum discipline
+    for arbitrary doubles). One shuffle + one sort serves both window
+    functions."""
+    e = _t(spark, sf_dir, "events")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.round("value", 6).cast("decimal(27,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
