@@ -3885,34 +3885,41 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fuzzy_pairs",
     oracle="""
     WITH d AS (
-      SELECT doc_id, lang, substr(lower(text), 1, 24) AS head
+      SELECT doc_id, lang, substr(lower(text), 1, 24) AS head,
+             substr(lower(text), 1, 4) AS blk
       FROM documents
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            levenshtein(a.head, b.head) AS edit_dist
     FROM d a JOIN d b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= 8
     """,
 )
 def text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: document pairs whose lowercased 24-char
-    heads are within Levenshtein distance 8, BLOCKED on language (the
-    classic record-linkage shape: cheap equality blocking key bounds
-    the candidate set, the quadratic edit-distance kernel runs only
-    within blocks). Edit distance is exactly defined, so the output is
-    engine-portable with no float concerns. At 100 TB the blocking key
-    is the scale lever — block on (lang, length-band, first-token) to
-    keep per-block cardinality bounded, same inverted-index discipline
-    as the dedup family."""
+    heads are within Levenshtein distance 8, BLOCKED on (language,
+    4-char head prefix) — the classic record-linkage shape: cheap
+    equality blocking keys bound the candidate set, the quadratic
+    edit-distance kernel runs only within blocks. The prefix component
+    matters at scale: language alone leaves ~2.6M candidate pairs at
+    sf0.1 (29s); adding the prefix cuts that 25x (max block 93 docs).
+    The standard recall tradeoff applies (edits inside the first 4
+    chars escape the block; production systems union several blocking
+    passes). Edit distance is exactly defined, so the output is
+    engine-portable with no float concerns."""
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.substring(F.lower("text"), 1, 24).alias("head")
+        "doc_id",
+        "lang",
+        F.substring(F.lower("text"), 1, 24).alias("head"),
+        F.substring(F.lower("text"), 1, 4).alias("blk"),
     )
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

@@ -97,8 +97,12 @@ def test_latest_wins_keeps_max_version_per_path(spark, versions):
 )
 @settings(max_examples=10, deadline=None)
 def test_connected_components_matches_union_find(spark, edge_list):
-    """Alternating-star CC equals a plain union-find ground truth on
-    arbitrary random graphs (self-loops and duplicates included)."""
+    """BOTH connected-components paths — the single-task union-find
+    (small-graph default) and the distributed alternating-star rounds
+    (forced via small_graph_edges=0) — equal a plain union-find ground
+    truth on arbitrary random graphs (self-loops and duplicates
+    included), so the adaptive algorithm switch can never change
+    labels."""
     from dat_archive_map_reduce_spark.operators.graph import connected_components
 
     df = spark.createDataFrame(edge_list, "src long, dst long")
@@ -106,6 +110,13 @@ def test_connected_components_matches_union_find(spark, edge_list):
         (r.node, r.component)
         for r in connected_components(df, "src", "dst").collect()
     }
+    got_star = {
+        (r.node, r.component)
+        for r in connected_components(
+            df, "src", "dst", small_graph_edges=0
+        ).collect()
+    }
+    assert got == got_star
 
     parent: dict[int, int] = {}
 
