@@ -185,20 +185,24 @@ def run_stream_over_directory(
     out_dir: str,
     transform: Callable[[DataFrame], DataFrame],
     schema,
+    output_mode: str = "complete",
 ) -> None:
     """Drive any event-time transform as a real stream over a parquet
-    directory (availableNow), sinking to parquet in complete mode via
-    foreachBatch overwrite — the test harness for stream/batch
-    equivalence."""
+    directory (availableNow), sinking to parquet via foreachBatch —
+    the test harness for stream/batch equivalence. ``output_mode``:
+    "complete" (aggregations; each batch overwrites with full state)
+    or "append" (stateless transforms like stream-static enrichment;
+    batches accumulate)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     out = transform(stream)
+    write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(out_dir)
+        batch_df.write.mode(write_mode).parquet(out_dir)
 
     q = (
         out.writeStream.foreachBatch(_sink)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -428,3 +428,43 @@ def test_streaming_neardup_ingest_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static join (dimension enrichment): a streaming fact
+    joined to a STATIC dimension — the standard streaming-ETL shape
+    (no watermark needed on the static side; Spark re-plans the static
+    relation per micro-batch). The enriched stream must equal the
+    batch join on the same data."""
+    events = load_table(spark, SF, "events")
+    dim = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("user_events"),
+        F.round(F.avg("value"), 6).alias("user_avg"),
+    )
+
+    def enrich(df):
+        return (
+            df.join(dim, "user_id")
+            .select(
+                "event_id",
+                "user_id",
+                "user_events",
+                (F.round(F.col("value"), 6) - F.col("user_avg")).alias("delta"),
+            )
+            .select(
+                "event_id", "user_id", "user_events", F.round("delta", 4).alias("delta")
+            )
+        )
+
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    out = str(tmp_path / "out")
+    W.run_stream_over_directory(
+        spark, src, str(tmp_path / "ckpt"), out, enrich, events.schema,
+        output_mode="append",
+    )
+    streamed = spark.read.parquet(out)
+    batch = enrich(events)
+    assert streamed.count() == batch.count() == events.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
