@@ -202,3 +202,69 @@ def cross_containment_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("probe_id", "corpus_id", "n_shared", "containment")
     )
+
+
+def mg_heavy_hitters(
+    tok_rows: DataFrame,
+    support_frac: float,
+    counters: int = 64,
+    token_col: str = "token",
+) -> DataFrame:
+    """EXACT heavy hitters without a full-vocabulary shuffle: two-pass
+    Misra-Gries. Pass 1 runs an MG summary with ``counters`` slots
+    inside each partition (Arrow-batched; state spans the partition's
+    batches) and emits only the surviving candidate tokens — by the MG
+    guarantee, any token with global frequency > N/(counters+1) must
+    survive in at least one partition, so with
+    ``support_frac > 1/(counters+1)`` the candidate set provably
+    contains every qualifying token. Pass 2 broadcast-semi-joins the
+    token stream down to candidates and counts those exactly.
+
+    This is the 100 TB path the plain groupBy heavy hitter can't walk:
+    the full-vocab aggregation shuffles one row per (partition, token)
+    — fine until the vocabulary outgrows memory — while MG shuffles at
+    most ``counters`` tokens per partition in pass 1 and only
+    candidate-token rows in pass 2, with EXACT final counts (unlike
+    count-min/SpaceSaving outputs, which are partition-order-dependent
+    estimates and could never pass a hash gate).
+    """
+    if not 0 < support_frac <= 1:
+        raise ValueError("support_frac must be in (0, 1]")
+    if counters + 1 < 1 / support_frac:
+        raise ValueError(
+            f"counters={counters} cannot guarantee support_frac={support_frac}; "
+            f"need counters >= {int(1 / support_frac)}"
+        )
+    import pandas as pd
+
+    def _mg(batches):
+        cnt: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf[token_col]:
+                if t in cnt:
+                    cnt[t] += 1
+                elif len(cnt) < counters:
+                    cnt[t] = 1
+                else:
+                    for k in list(cnt):
+                        cnt[k] -= 1
+                        if cnt[k] == 0:
+                            del cnt[k]
+        yield pd.DataFrame({token_col: list(cnt)})
+
+    cands = (
+        tok_rows.select(token_col)
+        .mapInPandas(_mg, f"{token_col} string")
+        .distinct()
+    )
+    total = tok_rows.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        tok_rows.join(F.broadcast(cands), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("doc_freq") >= F.ceil(F.lit(support_frac) * F.col("n_docs")))
+        .select(token_col, "doc_freq")
+    )

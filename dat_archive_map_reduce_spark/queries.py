@@ -4007,3 +4007,39 @@ def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_1h"),
     )
+
+
+@query(
+    "text_heavy_hitters_scalable",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+      FROM documents
+    ), filtered AS (
+      SELECT doc_id, token FROM toks WHERE length(token) >= 3
+    )
+    SELECT token, count(*) AS doc_freq
+    FROM filtered
+    GROUP BY token
+    HAVING count(*) >= ceil(0.1 * (SELECT count(DISTINCT doc_id) FROM filtered))
+    """,
+)
+def text_heavy_hitters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters the way a 100 TB corpus has to do it: two-pass
+    Misra-Gries (operators/text.py::mg_heavy_hitters). Pass 1 keeps a
+    64-slot MG summary per partition and ships ONLY surviving
+    candidates (provably a superset of every token above the 10%
+    support, since 64+1 > 1/0.1); pass 2 broadcast-semi-joins the
+    stream to candidates and counts exactly. The plain groupBy twin
+    (text_heavy_hitters) shuffles one row per (partition, token) —
+    fine until the vocabulary outgrows memory. Output is EXACT (the
+    oracle is a plain GROUP BY ... HAVING), unlike sketch-based
+    heavy-hitter estimates which could never pass a hash gate."""
+    from dat_archive_map_reduce_spark.operators.text import mg_heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token"),
+    ).filter(F.length("token") >= 3)
+    return mg_heavy_hitters(toks, support_frac=0.1, counters=64)

@@ -429,3 +429,35 @@ def test_incremental_minhash_equals_batch(documents):
     }
     assert got == full
     assert len(full) > 0
+
+
+def test_mg_heavy_hitters_partitioning_invariant(spark, documents):
+    """The two-pass Misra-Gries heavy hitter must return EXACTLY the
+    plain groupBy answer under any partition layout — the MG guarantee
+    (candidates superset all tokens above support) is per-partition,
+    so repartitioning is the adversarial input."""
+    from dat_archive_map_reduce_spark.operators.text import mg_heavy_hitters
+
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token"),
+    ).filter(F.length("token") >= 3)
+    n_docs = toks.select("doc_id").distinct().count()
+    import math
+
+    thresh = math.ceil(0.1 * n_docs)
+    expected = {
+        (r["token"], r["doc_freq"])
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= thresh)
+        .collect()
+    }
+    for parts in (1, 7, 32):
+        got = {
+            (r["token"], r["doc_freq"])
+            for r in mg_heavy_hitters(
+                toks.repartition(parts), support_frac=0.1, counters=64
+            ).collect()
+        }
+        assert got == expected, f"mismatch at {parts} partitions"
