@@ -23,3 +23,24 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def eager_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Materialize ``result`` into its own cache, then release the fat
+    intermediate persists it was built from.
+
+    Operators that persist mid-pipeline relations (shingle sets,
+    minhash/simhash signatures, candidate lists) call this on their
+    final output so the GB-scale intermediates never outlive the
+    operator call — previously they leaked until something swept the
+    whole cache, evicting legitimately shared blocks along with them.
+    The caller owns only the returned result's cache, which for every
+    dedup operator is the verified pair list (rows ~ true-duplicate
+    density, orders of magnitude smaller than the corpus); unpersist
+    it whenever.
+    """
+    out = result.persist()
+    out.count()
+    for df in intermediates:
+        df.unpersist()
+    return out

@@ -332,9 +332,12 @@ def verify_jaccard_pairs(
     # persisted: both pair sides join against the same shingle-set
     # relation; without the cache each side re-runs the whole
     # shingle pass (the two joins key on different pair columns, so
-    # exchange reuse never fires)
+    # exchange reuse never fires). Released once the verified pairs
+    # are materialized.
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     sets = shingle_sets(pruned, text_col, id_col, n).persist()
-    return _verify_pairs_against_sets(cands, sets, threshold)
+    return eager_release(_verify_pairs_against_sets(cands, sets, threshold), sets)
 
 
 def _verify_pairs_against_sets(
@@ -394,9 +397,11 @@ def ngram_jaccard_pairs_prefix(
     broadly and the plain inverted index with hot_cap is the better
     trade — measure on your corpus.
     """
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     sets = shingle_sets(df, text_col, id_col, n).persist()
     cands = prefix_filter_candidates(sets, threshold)
-    return _verify_pairs_against_sets(cands, sets, threshold)
+    return eager_release(_verify_pairs_against_sets(cands, sets, threshold), sets)
 
 
 def prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
@@ -475,11 +480,18 @@ def minhash_dedup_pairs(
     # memory/disk cache serves the same role.
     from dat_archive_map_reduce_spark.operators._util import fan_out
 
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     sigs = minhash_signatures(fan_out(df), text_col, id_col, num_perm, shingle_n).persist()
     # persisted: verification consumes the candidate list twice (the
-    # broadcast id prune and the final pair join)
+    # broadcast id prune and the final pair join). Both released once
+    # the verified pairs materialize (verify_jaccard_pairs returns
+    # them eagerly cached already, so the extra count is free).
     cands = lsh_candidate_pairs(sigs, bands, num_perm=num_perm).persist()
-    return verify_jaccard_pairs(cands, df, text_col, id_col, n=shingle_n, threshold=threshold)
+    pairs = verify_jaccard_pairs(
+        cands, df, text_col, id_col, n=shingle_n, threshold=threshold
+    )
+    return eager_release(pairs, sigs, cands)
 
 
 def portable_minhash_pairs(
@@ -556,7 +568,9 @@ def portable_minhash_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    return _verify_pairs_against_sets(cands, sets, threshold)
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(_verify_pairs_against_sets(cands, sets, threshold), sets)
 
 
 def incremental_minhash_pairs(
@@ -615,10 +629,17 @@ def incremental_minhash_pairs(
     else:
         cands = within
         corpus = new_docs.select(id_col, text_col)
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     cands = cands.persist()
-    pairs = verify_jaccard_pairs(
-        cands, corpus, text_col, id_col, n=shingle_n, threshold=threshold
+    pairs = eager_release(
+        verify_jaccard_pairs(
+            cands, corpus, text_col, id_col, n=shingle_n, threshold=threshold
+        ),
+        cands,
     )
+    # new_sigs stays persisted by design: it is the incremental state
+    # the caller folds into the signature table for the next batch
     return pairs, new_sigs
 
 
@@ -636,8 +657,10 @@ def simhash_dedup_pairs(
     search. Mirrors minhash_dedup_pairs' materialization discipline."""
     from dat_archive_map_reduce_spark.operators._util import fan_out
 
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     sigs = simhash_signatures(fan_out(df), text_col, id_col).persist()
-    return simhash_near_pairs(sigs, max_distance=max_distance)
+    return eager_release(simhash_near_pairs(sigs, max_distance=max_distance), sigs)
 
 
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -718,6 +741,8 @@ def portable_simhash_pairs(
                          CAST(power(2, 59 - j) AS BIGINT), 0L)),
           0L, (a, x) -> a + x)
     """
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     sigs = (
         fan_out(df)
         .select(
@@ -727,7 +752,9 @@ def portable_simhash_pairs(
         .select("id", F.expr(sig).alias("simhash"))
         .persist()
     )
-    return simhash_near_pairs(sigs, max_distance=max_distance, bits=60)
+    return eager_release(
+        simhash_near_pairs(sigs, max_distance=max_distance, bits=60), sigs
+    )
 
 
 def simhash_near_pairs(

@@ -392,11 +392,20 @@ def train_centroids(
     iters: int = 3,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Mini k-means on a driver-side sample (the standard IVF training
-    recipe: train coarse quantizer on a sample, assign at scale)."""
+    recipe: train coarse quantizer on a bounded sample, assign at
+    scale). The sample is the top-4096 rows by ``id_col`` — an ordered
+    TakeOrderedAndProject, so the trained centroids (and therefore
+    every downstream ivf_topk answer) are identical across partition
+    layouts; a bare limit() would hand back whichever partitions
+    report first."""
     sample = np.stack(
-        [r[vec_col] for r in corpus.select(vec_col).limit(4096).collect()]
+        [
+            r[vec_col]
+            for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(4096).collect()
+        ]
     ).astype(np.float64)
     rng = np.random.RandomState(seed)
     cents = sample[rng.choice(len(sample), size=n_clusters, replace=False)]

@@ -9,6 +9,8 @@ logic is expressible in the ANSI-SQL oracle. No Python UDFs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -209,33 +211,61 @@ def mg_heavy_hitters(
     support_frac: float,
     counters: int = 64,
     token_col: str = "token",
+    doc_col: str = "doc_id",
 ) -> DataFrame:
     """EXACT heavy hitters without a full-vocabulary shuffle: two-pass
-    Misra-Gries. Pass 1 runs an MG summary with ``counters`` slots
-    inside each partition (Arrow-batched; state spans the partition's
-    batches) and emits only the surviving candidate tokens — by the MG
-    guarantee, any token with global frequency > N/(counters+1) must
-    survive in at least one partition, so with
-    ``support_frac > 1/(counters+1)`` the candidate set provably
-    contains every qualifying token. Pass 2 broadcast-semi-joins the
+    Misra-Gries. Pass 1 runs an MG summary inside each partition
+    (Arrow-batched; state spans the partition's batches) and emits only
+    the surviving candidate tokens; pass 2 broadcast-semi-joins the
     token stream down to candidates and counts those exactly.
+
+    PRECONDITION: ``tok_rows`` must hold at most one row per
+    (``doc_col``, ``token_col``) pair — i.e. tokens deduplicated
+    within each document — so that a row count IS a document
+    frequency. The operator does not dedup internally (that would be
+    exactly the full-vocabulary shuffle this operator exists to
+    avoid); callers dedup inside the row (e.g. ``array_distinct``
+    before ``explode``), which is shuffle-free.
+
+    Exactness guard (data-aware): the MG survival bound is relative to
+    the TOTAL (doc, token) row count N, while the support threshold is
+    ``ceil(support_frac * n_docs)`` documents — off by the average
+    distinct-tokens-per-doc factor. A fixed slot count can therefore
+    silently evict a qualifying token (e.g. 64 slots, 100 docs x 64
+    unique fillers each, one token in 15 docs at 10% support: the
+    token is evicted while the naive ``counters+1 > 1/support_frac``
+    check accepts). So this operator first computes N and n_docs in
+    one cheap pass (map-side partial agg; the countDistinct shuffles
+    doc ids, not tokens) and grows the per-partition slot budget to
+    ``floor(N / threshold) + 1``, which makes survival provable: a
+    token absent from every partition summary has per-partition count
+    f_i <= N_i/(c+1), so globally f <= N/(c+1) < threshold.
 
     This is the 100 TB path the plain groupBy heavy hitter can't walk:
     the full-vocab aggregation shuffles one row per (partition, token)
     — fine until the vocabulary outgrows memory — while MG shuffles at
-    most ``counters`` tokens per partition in pass 1 and only
+    most c tokens per partition in pass 1 (c = slot budget, bounded by
+    1/effective-support, independent of vocabulary size) and only
     candidate-token rows in pass 2, with EXACT final counts (unlike
     count-min/SpaceSaving outputs, which are partition-order-dependent
     estimates and could never pass a hash gate).
     """
     if not 0 < support_frac <= 1:
         raise ValueError("support_frac must be in (0, 1]")
-    if counters + 1 < 1 / support_frac:
-        raise ValueError(
-            f"counters={counters} cannot guarantee support_frac={support_frac}; "
-            f"need counters >= {int(1 / support_frac)}"
-        )
     import pandas as pd
+
+    stats = tok_rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(doc_col).alias("n_docs"),
+    ).first()
+    n_rows, n_docs = int(stats["n_rows"]), int(stats["n_docs"])
+    if n_docs == 0:
+        return tok_rows.select(token_col).limit(0).withColumn(
+            "doc_freq", F.lit(0).cast("long")
+        )
+    # same IEEE-double product the SQL oracle computes (ceil(frac * n))
+    threshold = max(1, math.ceil(support_frac * n_docs))
+    slots = max(counters, n_rows // threshold + 1)
 
     def _mg(batches):
         cnt: dict[str, int] = {}
@@ -243,7 +273,7 @@ def mg_heavy_hitters(
             for t in pdf[token_col]:
                 if t in cnt:
                     cnt[t] += 1
-                elif len(cnt) < counters:
+                elif len(cnt) < slots:
                     cnt[t] = 1
                 else:
                     for k in list(cnt):
@@ -257,14 +287,10 @@ def mg_heavy_hitters(
         .mapInPandas(_mg, f"{token_col} string")
         .distinct()
     )
-    total = tok_rows.select(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
     return (
         tok_rows.join(F.broadcast(cands), token_col, "left_semi")
         .groupBy(token_col)
         .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("doc_freq") >= F.ceil(F.lit(support_frac) * F.col("n_docs")))
+        .filter(F.col("doc_freq") >= F.lit(threshold))
         .select(token_col, "doc_freq")
     )

@@ -192,13 +192,20 @@ def run_stream_over_directory(
     the test harness for stream/batch equivalence. ``output_mode``:
     "complete" (aggregations; each batch overwrites with full state)
     or "append" (stateless transforms like stream-static enrichment;
-    batches accumulate)."""
+    batches accumulate). Both sinks are idempotent under foreachBatch
+    retries: complete mode overwrites the whole directory, append mode
+    overwrites a batch_id-keyed subdirectory (a retried batch replaces
+    its own partial output instead of duplicating rows — plain
+    mode('append') into one directory is only at-least-once). Read
+    append output with ``option("recursiveFileLookup", "true")``."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
     out = transform(stream)
-    write_mode = "overwrite" if output_mode == "complete" else "append"
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode(write_mode).parquet(out_dir)
+        if output_mode == "complete":
+            batch_df.write.mode("overwrite").parquet(out_dir)
+        else:
+            batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch-{batch_id}")
 
     q = (
         out.writeStream.foreachBatch(_sink)
@@ -304,10 +311,14 @@ def streaming_neardup_ingest(
             bands=bands,
             threshold=threshold,
         )
-        pairs.write.mode("append").parquet(pairs_out)
+        # batch_id-keyed overwrite: a foreachBatch retry replaces its
+        # own partial output instead of duplicating pairs (read back
+        # with recursiveFileLookup)
+        pairs.write.mode("overwrite").parquet(f"{pairs_out}/batch-{batch_id}")
         sigs_log.append(new_sigs)
         docs_log.append(new_docs)
         new_docs.unpersist()
+        new_sigs.unpersist()
 
     q = (
         spark.readStream.schema(schema)

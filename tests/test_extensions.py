@@ -461,3 +461,49 @@ def test_mg_heavy_hitters_partitioning_invariant(spark, documents):
             ).collect()
         }
         assert got == expected, f"mismatch at {parts} partitions"
+
+
+def test_mg_heavy_hitters_adversarial_filler_corpus(spark):
+    """ADVICE round-2 regression: 100 docs x 64 unique filler tokens
+    each, plus one token appearing in 15 docs (15% support — qualifies
+    at support_frac=0.1). With a FIXED 64-slot budget the hot token is
+    evicted in pass 1 (its 15 rows drown in 6400 filler rows) and
+    silently missing from the 'EXACT' output. The data-aware slot
+    budget (floor(N/threshold)+1) must recover it under every
+    partition layout."""
+    from dat_archive_map_reduce_spark.operators.text import mg_heavy_hitters
+
+    rows = []
+    for d in range(100):
+        for i in range(64):
+            rows.append((d, f"filler_{d}_{i}"))
+        if d < 15:
+            rows.append((d, "hot_token"))
+    toks = spark.createDataFrame(rows, "doc_id int, token string")
+    for parts in (1, 7, 32):
+        got = {
+            (r["token"], r["doc_freq"])
+            for r in mg_heavy_hitters(
+                toks.repartition(parts), support_frac=0.1, counters=64
+            ).collect()
+        }
+        assert got == {("hot_token", 15)}, f"mismatch at {parts} partitions: {got}"
+
+
+def test_mg_heavy_hitters_empty_input(spark):
+    from dat_archive_map_reduce_spark.operators.text import mg_heavy_hitters
+
+    toks = spark.createDataFrame([], "doc_id int, token string")
+    assert mg_heavy_hitters(toks, support_frac=0.1).count() == 0
+
+
+def test_train_centroids_partitioning_invariant(embeddings):
+    """IVF centroid training must not depend on partition layout: the
+    sample is ordered (orderBy(id).limit), so centroids are bit-equal
+    across 1/7/32-partition inputs."""
+    ref = similarity.train_centroids(embeddings.repartition(1), n_clusters=4, iters=2)
+    for parts in (7, 32):
+        got = similarity.train_centroids(
+            embeddings.repartition(parts), n_clusters=4, iters=2
+        )
+        assert np.array_equal(ref, got), f"centroids drifted at {parts} partitions"

@@ -53,6 +53,10 @@ CONTRACTS = [
     # single-partition window (asserted in test_scale_patterns too)
     ("corpus_pack_chunks", 3, 1, False, False),
     ("text_repetition_stats", 4, 0, False, False),
+    # fact groupBy runs on the part-slice-filtered lineitem (see
+    # test_q2_filters_fact_before_aggregate); 2 shuffles = candidate
+    # agg + per-part argmin agg, both post-filter
+    ("q2_min_cost_supplier", 2, 3, True, True),
 ]
 
 
@@ -83,3 +87,22 @@ def test_no_cartesian_products_anywhere(spark):
             assert "CartesianProduct" not in plan, name
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_q2_filters_fact_before_aggregate(spark):
+    """Round-2 verdict regression: q2 must broadcast-join the selective
+    part slice onto lineitem BELOW the (partkey, suppkey) aggregation,
+    so the fact shuffle moves ~1/60th of the groups. The old plan
+    aggregated the whole fact table first — same shuffle COUNT, 60x
+    the shuffled rows — so this asserts tree structure, not counts:
+    the unit_cost Aggregate's subtree must contain a Join."""
+    spark.catalog.clearCache()
+    df = QUERIES["q2_min_cost_supplier"](spark, SF)
+    lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "Aggregate" in l and "unit_cost" in l]
+    assert agg_idx, "unit_cost aggregate not found in optimized plan"
+    subtree = "\n".join(lines[max(agg_idx):])
+    assert "Join" in subtree, (
+        "no join below the unit_cost aggregate — the part filter is "
+        "running above the full-fact aggregation again"
+    )

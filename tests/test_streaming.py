@@ -420,7 +420,10 @@ def test_streaming_neardup_ingest_equals_batch(spark, tmp_path):
         schema=docs.schema,
     )
     got = {
-        (r.id_a, r.id_b) for r in spark.read.parquet(pairs_out).collect()
+        (r.id_a, r.id_b)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(pairs_out)
+        .collect()
     }
     want = {
         (r.id_a, r.id_b)
@@ -463,7 +466,7 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
         spark, src, str(tmp_path / "ckpt"), out, enrich, events.schema,
         output_mode="append",
     )
-    streamed = spark.read.parquet(out)
+    streamed = spark.read.option("recursiveFileLookup", "true").parquet(out)
     batch = enrich(events)
     assert streamed.count() == batch.count() == events.count()
     assert streamed.exceptAll(batch).count() == 0
