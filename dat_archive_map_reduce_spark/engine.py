@@ -261,6 +261,42 @@ class MapReduce:
         self.append_changes(rows)
         self.index(origin, watch=watch)
 
+    def index_with_retry(
+        self,
+        origin: str,
+        watch: bool = False,
+        retry_interval: float = 30.0,
+        max_retries: int | None = None,
+    ) -> bool:
+        """Index a source, retrying while it is missing — the
+        reference's onFailInitialIndex loop (lib/indexer.js:309-340):
+        a failed initial index emits `archive-missing`, re-probes
+        every 30 s until the source appears, emits `archive-found`,
+        then indexes (and watches, if asked). Here "missing" means the
+        origin has no changelog rows yet (index() emits both events);
+        each retry re-probes the changelog.
+
+        Blocks until the source is found or ``max_retries`` probes
+        are exhausted (None = retry forever, the reference's
+        behavior). Returns True if the source was found and indexed.
+        The default 30 s interval matches the reference's constant.
+        """
+        import time as _time
+
+        attempts = 0
+        while True:
+            # watch starts only after the source is found, like the
+            # reference (watchArchive after the successful re-index)
+            self.index(origin, watch=False)
+            if origin not in self._missing_origins:
+                if watch:
+                    self.watch_views()
+                return True
+            attempts += 1
+            if max_retries is not None and attempts > max_retries:
+                return False
+            _time.sleep(retry_interval)
+
     def _set_offset(self, view: str, origin: str, version: int) -> None:
         self._set_offsets([(view, origin, version)])
 

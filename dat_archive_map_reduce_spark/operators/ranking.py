@@ -66,8 +66,11 @@ def exact_global_rank(
     tagged = df.withColumn(_BUCKET, bucket)
 
     counts = tagged.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias(_CNT))
-    # tiny frame (one row per bucket): constant partition key keeps the
-    # prefix-sum window off the "no partition defined" path
+    # Catalyst folds the constant partition key away, so this window
+    # DOES plan an Exchange SinglePartition (and WindowExec logs its
+    # "no partition defined" warning) — deliberately acceptable: the
+    # frame it funnels is the per-bucket count table, <= num_buckets
+    # rows regardless of data size, never the fact rows
     w_meta = Window.partitionBy(F.lit(0)).orderBy(_BUCKET)
     offsets = counts.select(
         _BUCKET,

@@ -471,3 +471,40 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
     assert streamed.count() == batch.count() == events.count()
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_index_with_retry_loop_finds_late_source(spark, tmp_path):
+    """The reference's onFailInitialIndex loop (indexer.js:309-340):
+    index a source that does not exist yet, keep re-probing on an
+    interval, and complete the index when data appears — events fire
+    missing -> found, and the view is queryable afterward."""
+    import json
+    import threading
+
+    from dat_archive_map_reduce_spark.engine import MapReduce
+
+    log = []
+    db = MapReduce(spark, str(tmp_path / "wh-retry"), listeners={
+        "archive-missing": [lambda **kw: log.append("missing")],
+        "archive-found": [lambda **kw: log.append("found")],
+    })
+    db.define("v", path="/*.json", map=map_first, key_schema=["string"])
+
+    def _arrives_late():
+        import time
+
+        time.sleep(0.4)
+        db.append_changes([
+            {"origin": "dat://late", "pathname": "/a.json", "version": 1,
+             "content": json.dumps({"first": "late1"})},
+        ])
+
+    t = threading.Thread(target=_arrives_late)
+    t.start()
+    found = db.index_with_retry("dat://late", retry_interval=0.2, max_retries=50)
+    t.join()
+    assert found
+    assert log and log[0] == "missing" and "found" in log
+    assert db.get("v", "late1") == {"key": "late1", "value": ["dat://late/a.json"]}
+    # exhausted retries on a source that never shows up -> False
+    assert db.index_with_retry("dat://never", retry_interval=0.01, max_retries=2) is False
