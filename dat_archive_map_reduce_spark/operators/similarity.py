@@ -604,3 +604,223 @@ def cosine_near_pairs(
     # each row hits each unordered block pair exactly once: for j in
     # 0..B-1, (min(b,j), max(b,j)) enumerates (0,b)..(b,b)..(b,B-1)
     return pairs.groupBy("pa", "pb").applyInPandas(_tile, schema=out_schema)
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two array columns as an ORDERED left
+    fold (ascending element index) — the summation order every PQ
+    stage (Spark encode, driver-side ADC table, SQL oracle) shares,
+    so distances are bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    sample_n: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train PQ codebooks — per-subspace k-means over an ordered
+    driver-side sample (same bounded-fetch recipe as train_centroids,
+    same orderBy(id) determinism). Returns shape (m, k, d/m).
+
+    PQ is the 100 TB ANN storage story: d-dim float vectors compress
+    to m single-byte codes (here 64 floats = 256 bytes -> 4 bytes),
+    and the ADC scan reads ONLY the codes table — ~64x less I/O than
+    a brute-force scan — while distances stay within quantization
+    error. IVF prunes WHICH vectors to score; PQ shrinks WHAT a score
+    costs; they compose (IVF-PQ is exactly FAISS's default recipe).
+    """
+    sample = np.stack(
+        [
+            r[vec_col]
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_n)
+            .collect()
+        ]
+    ).astype(np.float64)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for mi in range(m):
+        sub = sample[:, mi * dsub : (mi + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(0)
+        books[mi] = cents
+    return books
+
+
+def _pq_code_exprs(codebooks, vec_col: str) -> list[Column]:
+    """One argmin-code Column per subspace: array_min over
+    struct(dist, code) — struct comparison minimizes dist first, code
+    second, so ties break to the smaller code deterministically.
+    Entirely native (codegen'd), no Python in the scan."""
+    m, k, dsub = codebooks.shape
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for mi in range(m):
+        sub = F.slice(v, mi * dsub + 1, dsub)
+        choices = F.array(
+            *[
+                F.struct(
+                    sqdist(
+                        sub, F.array(*[F.lit(float(x)) for x in codebooks[mi][ci]])
+                    ).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci in range(k)
+            ]
+        )
+        codes.append(F.array_min(choices)["c"].alias(f"c{mi}"))
+    return codes
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Map-only narrow encode: (id, c0..c{m-1}) — one small-int column
+    per subspace. No shuffle; at scale this materializes as the codes
+    table ANN serving scans instead of the raw vectors."""
+    return corpus.select(
+        F.col(id_col), *_pq_code_exprs(codebooks, vec_col)
+    )
+
+
+def _py_adc_table(codebooks: np.ndarray, query_vec) -> list[list[float]]:
+    """ADC lookup tables in plain left-to-right Python arithmetic (NOT
+    numpy: BLAS/pairwise summation orders differ from the ordered
+    fold the SQL oracle and Spark encode use)."""
+    m, k, dsub = codebooks.shape
+    qv = [float(x) for x in query_vec]
+    tables: list[list[float]] = []
+    for mi in range(m):
+        row = []
+        for ci in range(k):
+            acc = 0.0
+            for d in range(dsub):
+                diff = qv[mi * dsub + d] - float(codebooks[mi][ci][d])
+                acc += diff * diff
+            row.append(acc)
+        tables.append(row)
+    return tables
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    corpus: DataFrame | None = None,
+    rerank: int = 0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ codes table: build the
+    (m x k) query-to-centroid distance table driver-side, bake it as
+    literals, and score each row as the m-term ordered sum of
+    element_at lookups — a narrow scan of the codes table with zero
+    shuffle before TakeOrderedAndProject.
+
+    With ``rerank > 0`` (requires ``corpus``), the top ``rerank`` ADC
+    candidates are exact-cosine rescored and the best ``k`` returned —
+    the standard two-stage serving shape: cheap approximate scan over
+    everything, exact math over a constant-size shortlist.
+    """
+    tables = _py_adc_table(codebooks, query_vec)
+    adc = None
+    for mi, row in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in row]), F.col(f"c{mi}") + 1
+        )
+        adc = term if adc is None else adc + term
+    scored = codes.select(F.col(id_col), adc.alias("adc_dist"))
+    if not rerank:
+        return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+    if corpus is None:
+        raise ValueError("rerank requires the raw corpus")
+    short = scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(rerank)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        corpus.join(F.broadcast(short.select(id_col)), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col).cast("array<double>"), qlit).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def portable_pq_adc_topk(
+    corpus: DataFrame,
+    query_vec,
+    m: int = 4,
+    centroid_ids=tuple(range(1, 17)),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-ADC top-k with a DATA-POINT codebook: subspace ``mi``'s
+    centroids are the ``mi``-th subvectors of the corpus rows with the
+    given ids (k = len(centroid_ids)), so — like portable_ivf_topk —
+    training disappears and every stage (encode argmin, ADC table,
+    ordered m-term sum, tie-breaks) replays bit-for-bit in a SQL
+    oracle. Proof twin of pq_train/pq_encode/pq_adc_topk, whose
+    k-means codebooks no oracle can reproduce (BLAS summation order).
+
+    Scale shape is the production one: codebook = bounded driver
+    fetch baked as literals; encode = narrow map; ADC = codes-only
+    scan + TakeOrderedAndProject."""
+    rows = {
+        r[id_col]: [float(x) for x in r[vec_col]]
+        for r in corpus.filter(F.col(id_col).isin(list(centroid_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    ordered = [rows[cid] for cid in sorted(rows)]
+    d = len(ordered[0])
+    dsub = d // m
+    books = np.array(
+        [[cv[mi * dsub : (mi + 1) * dsub] for cv in ordered] for mi in range(m)]
+    )
+    codes = pq_encode(corpus, books, vec_col, id_col)
+    return pq_adc_topk(codes, books, query_vec, k=k, id_col=id_col)
+
+
+def l2_normalized(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Replace ``vec_col`` with its unit-L2 version (native transform,
+    map-only). PQ/ADC quantizes SQUARED-L2; on unit vectors
+    ||a-b||^2 = 2 - 2*cos(a,b), so L2-trained codebooks rank exactly
+    like cosine — normalize first whenever the serving metric is
+    cosine (the standard FAISS METRIC_INNER_PRODUCT recipe)."""
+    v = F.col(vec_col).cast("array<double>")
+    return corpus.withColumn(
+        vec_col, F.transform(v, lambda x: x / norm(v))
+    )
