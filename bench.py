@@ -63,12 +63,11 @@ def main() -> None:
         timings[name] = round(runs[0], 4)
         steady[name] = round(min(runs), 4)
         total += runs[0]
-        # Several operators persist() intermediates (shingle sets,
-        # signatures) that only their own plan consumes; across 99
-        # queries x 2 passes the leaked cache blocks pile up to
-        # GB-scale and the resulting GC pressure inflated LATE-running
-        # queries ~10x (measured: ann_lsh_portable_topk 9s in-bench vs
-        # 0.6s isolated). Clearing between queries restores isolation.
+        # Dedup operators release their fat intermediates at source
+        # now (operators/_util.eager_release), so this sweep only
+        # evicts each query's small result cache — kept purely for
+        # timing isolation: no query's number should depend on what
+        # ran before it.
         spark.catalog.clearCache()
         print(f"# {name}: cold={runs[0]:.3f}s steady={min(runs):.3f}s rows={n}", file=sys.stderr)
 

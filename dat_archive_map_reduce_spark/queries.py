@@ -4067,6 +4067,63 @@ def text_heavy_hitters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_heavy_hitters(toks, support_frac=0.1, counters=64)
 
 
+class _ShardSplitUDTF:
+    """Native Python UDTF (Spark 4 `@udtf` surface, Arrow-optimized):
+    split each kept document into 512-char shards, one output row per
+    shard — a data-dependent 1->N table function, the third leg of the
+    UDF/UDAF/UDTF surface next to the emit adapter (mapInPandas) and
+    the fold UDAF. Declared Python island: the same logic lowers to
+    native sequence()+explode when the shape is known (the oracle IS
+    that lowering in SQL)."""
+
+    def eval(self, doc_id: int, n_chars: int):
+        if n_chars is None or n_chars <= 300:
+            return
+        shards = (n_chars + 511) // 512
+        for i in range(shards):
+            yield doc_id, i, min(512, n_chars - i * 512)
+
+
+@query(
+    "view_map_python_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             unnest(range(0, (n_chars + 511) // 512)) AS shard
+      FROM documents WHERE n_chars > 300
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(least(512, n_chars - shard * 512) AS INT) AS shard_len
+    FROM s
+    """,
+)
+def view_map_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface via Spark's first-class Python UDTF API (LATERAL
+    table-function join in SQL), distinct from the reference-shaped
+    emit adapter (view_map_udf_adapter, mapInPandas): 0 rows for short
+    docs (filter), N rows for kept docs (flatMap), N data-dependent."""
+    from pyspark.sql.functions import udtf
+
+    d = _t(spark, sf_dir, "documents")
+    shard_split = udtf(
+        _ShardSplitUDTF,
+        returnType="doc_id bigint, shard int, shard_len int",
+        useArrow=True,
+    )
+    spark.udtf.register("shard_split", shard_split)
+    # pre-filter the INPUT relation: a table function is a black box
+    # to Catalyst (filters never push through it — not even ones
+    # duplicating its own guard), so predicates it implies must be
+    # applied below it to reach the parquet scan and prune I/O
+    d.select("doc_id", "n_chars").filter(
+        F.col("n_chars") > 300
+    ).createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT s.doc_id, s.shard, s.shard_len "
+        "FROM __udtf_docs d, LATERAL shard_split(d.doc_id, d.n_chars) s"
+    )
+
+
 @query(
     "ann_pq_adc_portable_topk",
     oracle="""
