@@ -824,3 +824,38 @@ def l2_normalized(
     return corpus.withColumn(
         vec_col, F.transform(v, lambda x: x / norm(v))
     )
+
+
+def pq_encode_pandas(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production PQ encode: one numpy distance matrix + argmin per
+    (Arrow batch, subspace) instead of the expression-tree encode.
+    The native `pq_encode` stays the portable/oracle path, but its
+    codegen cost is quadratic-ish in m*k (m=8 x k=32 compiled a
+    ~1.4 MiB stage and ran ~10x slower than this kernel at sf0.1) —
+    for real codebook sizes the vectorized Arrow island is the right
+    trade, exactly like `cosine_topk_pandas` vs the fused expression.
+    Ties break to the smaller code (numpy argmin is first-minimum),
+    matching the native encode's struct ordering."""
+    m, k, dsub = codebooks.shape
+    books = codebooks.astype(np.float64)
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType(), False)]
+        + [T.StructField(f"c{mi}", T.IntegerType(), False) for mi in range(m)]
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = {id_col: pdf[id_col].to_numpy()}
+            for mi in range(m):
+                sub = mat[:, mi * dsub : (mi + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
+                out[f"c{mi}"] = d2.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)

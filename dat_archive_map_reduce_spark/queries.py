@@ -4202,7 +4202,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the test corpus (tests/test_extensions.py)."""
     from dat_archive_map_reduce_spark.operators.similarity import (
         pq_adc_topk,
-        pq_encode,
+        pq_encode_pandas,
         pq_train,
     )
 
@@ -4217,7 +4217,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nq = sum(float(x) * float(x) for x in qvec) ** 0.5
     qunit = [float(x) / nq for x in qvec]
     books = pq_train(unit, m=8, k=32, iters=5, seed=42)
-    codes = pq_encode(unit.filter(F.col("vec_id") != 0), books)
+    codes = pq_encode_pandas(unit.filter(F.col("vec_id") != 0), books)
     top = pq_adc_topk(
         codes, books, qunit, k=10, corpus=corpus, rerank=100
     )

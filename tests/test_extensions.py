@@ -526,7 +526,7 @@ def test_pq_adc_rerank_recall(embeddings):
     nq = _math.sqrt(sum(x * x for x in qn))
     qunit = [x / nq for x in qn]
     books = similarity.pq_train(unit, m=8, k=32, iters=5, seed=42)
-    codes = similarity.pq_encode(ucorpus, books)
+    codes = similarity.pq_encode_pandas(ucorpus, books)
     got = [
         r["vec_id"]
         for r in similarity.pq_adc_topk(
@@ -580,3 +580,17 @@ def test_portable_pq_matches_driver_side_replay(embeddings):
         ).collect()
     ]
     assert got == expect
+
+
+def test_pq_encode_pandas_equals_native(embeddings):
+    """The vectorized Arrow encoder must produce exactly the codes the
+    native expression encoder does (ties included — numpy argmin and
+    the struct array_min both take the first minimum)."""
+    books = similarity.pq_train(embeddings, m=4, k=8, iters=2)
+    nat = {
+        tuple(r) for r in similarity.pq_encode(embeddings, books).collect()
+    }
+    pan = {
+        tuple(r) for r in similarity.pq_encode_pandas(embeddings, books).collect()
+    }
+    assert nat == pan
