@@ -676,22 +676,30 @@ def _pq_code_exprs(codebooks, vec_col: str) -> list[Column]:
     """One argmin-code Column per subspace: array_min over
     struct(dist, code) — struct comparison minimizes dist first, code
     second, so ties break to the smaller code deterministically.
-    Entirely native (codegen'd), no Python in the scan."""
+    Entirely native (codegen'd), no Python in the scan.
+
+    The k centroids enter as ONE array<array<double>> literal swept by
+    a single transform lambda, not k separate fold expressions — the
+    fold appears once per subspace in the plan, so codegen size is
+    O(m), not O(m*k) (the per-centroid-expression form compiled a
+    ~1.4 MiB stage at m=8 x k=32). Distance arithmetic is the same
+    ordered zip_with fold, so codes are bit-identical either way
+    (pinned by test_pq_encode_pandas_equals_native)."""
     m, k, dsub = codebooks.shape
     v = F.col(vec_col).cast("array<double>")
     codes = []
     for mi in range(m):
         sub = F.slice(v, mi * dsub + 1, dsub)
-        choices = F.array(
+        cents = F.array(
             *[
-                F.struct(
-                    sqdist(
-                        sub, F.array(*[F.lit(float(x)) for x in codebooks[mi][ci]])
-                    ).alias("d"),
-                    F.lit(ci).alias("c"),
-                )
+                F.array(*[F.lit(float(x)) for x in codebooks[mi][ci]])
                 for ci in range(k)
             ]
+        )
+        choices = F.zip_with(
+            F.transform(cents, lambda c: sqdist(sub, c)),
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda d, i: F.struct(d.alias("d"), i.alias("c")),
         )
         codes.append(F.array_min(choices)["c"].alias(f"c{mi}"))
     return codes

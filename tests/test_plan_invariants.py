@@ -57,6 +57,8 @@ CONTRACTS = [
     # test_q2_filters_fact_before_aggregate); 2 shuffles = candidate
     # agg + per-part argmin agg, both post-filter
     ("q2_min_cost_supplier", 2, 3, True, True),
+    # PQ/ADC: encode + ADC scan are map-only — zero shuffles, top-k
+    ("ann_pq_adc_portable_topk", 0, 0, True, True),
 ]
 
 
