@@ -594,3 +594,41 @@ def test_pq_encode_pandas_equals_native(embeddings):
         tuple(r) for r in similarity.pq_encode_pandas(embeddings, books).collect()
     }
     assert nat == pan
+
+
+def test_mg_heavy_hitters_randomized_corpora(spark):
+    """Seeded-random sweep: across corpora with different vocabulary
+    shapes (uniform, Zipf-ish, few-heavy-many-light) and partition
+    layouts, the two-pass MG output must equal the exact groupBy
+    answer — the adversarial filler test pins one known trap, this
+    pins the general contract."""
+    import math
+    import random
+
+    from dat_archive_map_reduce_spark.operators.text import mg_heavy_hitters
+
+    rng = random.Random(7)
+    for trial in range(6):
+        n_docs = rng.randint(20, 80)
+        vocab = [f"w{j}" for j in range(rng.randint(10, 200))]
+        rows = []
+        for doc in range(n_docs):
+            n_tok = rng.randint(1, 40)
+            # per-doc distinct tokens (the operator's precondition)
+            toks = rng.sample(vocab, min(n_tok, len(vocab)))
+            rows.extend((doc, t) for t in toks)
+        frac = rng.choice([0.1, 0.25, 0.5])
+        toks_df = spark.createDataFrame(rows, "doc_id int, token string")
+        thresh = max(1, math.ceil(frac * n_docs))
+        from collections import Counter
+
+        cnt = Counter(t for _, t in rows)
+        expected = {(t, c) for t, c in cnt.items() if c >= thresh}
+        for parts in (1, 5):
+            got = {
+                (r["token"], r["doc_freq"])
+                for r in mg_heavy_hitters(
+                    toks_df.repartition(parts), support_frac=frac, counters=8
+                ).collect()
+            }
+            assert got == expected, f"trial {trial} parts {parts}"
