@@ -4067,6 +4067,70 @@ def text_heavy_hitters_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_heavy_hitters(toks, support_frac=0.1, counters=64)
 
 
+@query(
+    "corpus_quality_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             string_split(lower(text), ' ') AS toks,
+             length(text) AS n
+      FROM documents
+    ), s2 AS (
+      SELECT doc_id, lang,
+        (CASE WHEN n >= 50 AND n <= 10000 THEN 1 ELSE 0 END)
+        + (CASE WHEN len(list_filter(toks, t -> list_contains(
+              ['the','a','an','and','or','of','to','is','in','on','for'], t)))
+              * 1.0 / greatest(len(toks), 1) >= 0.05 THEN 1 ELSE 0 END)
+        + (CASE WHEN length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+              * 1.0 / greatest(length(text), 1) <= 0.2 THEN 1 ELSE 0 END)
+        + (CASE WHEN list_sum(list_transform(toks, t -> length(t)))
+              * 1.0 / greatest(len(toks), 1) BETWEEN 3 AND 10
+              THEN 1 ELSE 0 END) AS qsum
+      FROM scored
+    )
+    SELECT doc_id, lang, round(qsum / 4.0, 2) AS quality
+    FROM s2
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE qsum WHEN 4 THEN 'zz' WHEN 3 THEN 'c0'
+                    WHEN 2 THEN '80' WHEN 1 THEN '40' ELSE '00' END
+    """,
+)
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-WEIGHTED downsampling — the standard
+    pretraining-mix op ("keep high-quality documents with higher
+    probability"): P(keep) = quality_score, implemented as a pure row
+    function — keep iff the doc's first md5 hex byte falls below the
+    quality-scaled cutoff (q=1 keeps all, q=0.75 keeps h<'c0' ~ 3/4,
+    ... q=0 keeps none). Like corpus_hash_split, the decision is
+    content+id-derived: stable across partitioning, cluster size,
+    re-runs, and engines (the oracle computes the identical byte
+    cutoff), needs no RNG state, and runs as a narrow map stage —
+    at 100 TB this is a single scan with the filter in codegen."""
+    from dat_archive_map_reduce_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score("text")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    cutoff = (
+        F.when(q >= 1.0, F.lit("zz"))
+        .when(q >= 0.75, F.lit("c0"))
+        .when(q >= 0.5, F.lit("80"))
+        .when(q >= 0.25, F.lit("40"))
+        .otherwise(F.lit("00"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.round(q, 2).alias("quality"),
+            h2.alias("_h"),
+            cutoff.alias("_cut"),
+        )
+        .filter(F.col("_h") < F.col("_cut"))
+        .drop("_h", "_cut")
+    )
+
+
 class _ShardSplitUDTF:
     """Native Python UDTF (Spark 4 `@udtf` surface, Arrow-optimized):
     split each kept document into 512-char shards, one output row per
