@@ -129,6 +129,41 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     )
 
 
+def inverted_index_pair_ids(
+    posting_rows: DataFrame, hot_cap: int | None = None
+) -> DataFrame:
+    """(doc, token) posting rows -> (id_a, id_b, common), id_a < id_b —
+    inverted_index_pair_counts without per-doc sizes riding through
+    the bucket shuffle. Callers that need sizes aggregate them
+    separately (groupBy(doc).count() — map-side partial combine, far
+    lighter than a per-doc window over the full posting stream) and
+    join onto the PAIR output, which is orders of magnitude smaller
+    than the postings. Same bucket/hot_cap semantics as the sized
+    variant."""
+    buckets = (
+        posting_rows.groupBy("token")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if hot_cap is not None:
+        buckets = buckets.filter(F.size("ds") <= hot_cap)
+    pairs = F.flatten(
+        F.transform(
+            F.slice(F.col("ds"), 1, F.size("ds") - 1),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy("p.id_a", "p.id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .select("id_a", "id_b", "common")
+    )
+
+
 def inverted_index_pair_counts(
     posting_rows: DataFrame, hot_cap: int | None = None
 ) -> DataFrame:

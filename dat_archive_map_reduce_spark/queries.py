@@ -2028,21 +2028,30 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting for containment: rolling word-5-gram md5
     sketch per doc; pairs whose shared-fingerprint count covers >= 20%
     of the smaller doc (catches doc-quoted-inside-doc, where global
-    Jaccard fails). Same inverted-index join shape as n-gram dedup."""
-    from dat_archive_map_reduce_spark.operators.dedup import inverted_index_pair_counts
+    Jaccard fails). Same inverted-index join shape as n-gram dedup.
+
+    Per-doc sizes come from a partial-combined groupBy(doc).count()
+    joined onto the tiny PAIR output — not a per-doc window over the
+    posting stream (that shuffled every posting row with payload just
+    to tag a count) and not size()+explode in one projection (the
+    generator re-evaluates the md5 array per OUTPUT row: measured 40x
+    worse). Postings cross the wire once, sizes cross as one row per
+    doc."""
+    from dat_archive_map_reduce_spark.operators.dedup import inverted_index_pair_ids
     from dat_archive_map_reduce_spark.operators.text import rolling_shingle_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    # explode FIRST, count per doc with a window AFTER: putting
-    # size(fps) and explode(fps) in one projection makes Catalyst
-    # evaluate the whole md5-array expression twice per row
     fp = d.select(
         F.col("doc_id").alias("doc"),
         F.explode(rolling_shingle_fingerprints("text", n=5)).alias("token"),
     )
-    fp = fp.withColumn("n_tok", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    pairs = inverted_index_pair_ids(fp)
+    a = sizes.select(F.col("doc").alias("id_a"), F.col("n_tok").alias("n_a"))
+    b = sizes.select(F.col("doc").alias("id_b"), F.col("n_tok").alias("n_b"))
     return (
-        inverted_index_pair_counts(fp)
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn("containment", F.round(F.col("common") / F.least("n_a", "n_b"), 4))
         .filter(F.col("containment") >= 0.2)
         .select("id_a", "id_b", F.col("common").alias("n_shared"), "containment")
