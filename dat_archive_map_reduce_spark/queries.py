@@ -2082,6 +2082,62 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles_sampled_portable",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, l_extendedprice,
+             md5(CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR)) AS hk
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY hk) AS rn
+      FROM h
+    )
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM s WHERE rn <= 1024 GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_sampled_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for agg_percentiles: quantiles over a
+    DETERMINISTIC bounded sample — keep each group's 1024 rows with
+    the smallest md5(row-key) (a KMV-style uniform sample, the same
+    recipe as approx_distinct_portable), then exact interpolated
+    percentiles over the sample. min-k-by-hash is mergeable (each
+    partition keeps its own k, merge keeps the global k), per-group
+    state is capped at k rows — unlike the holistic exact
+    `percentile`, which buffers every group value — and, unlike
+    approx_percentile's engine-internal sketch, the sample membership
+    is a pure row function any SQL engine replays exactly, so the
+    estimate is hash-gated bit-for-bit. Error is O(1/sqrt(k)) ~ 3% at
+    k=1024 — the trade every production quantile sketch makes, here
+    with cross-engine determinism on top."""
+    l = _t(spark, sf_dir, "lineitem")
+    hk = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("hk")
+    sampled = (
+        l.select("l_returnflag", "l_extendedprice", hk.alias("hk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1024)
+    )
+    return sampled.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
     "window_ntile",
     oracle="""
     SELECT quartile, count(*) AS n, round(sum(o_totalprice), 2) AS total

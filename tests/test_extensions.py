@@ -632,3 +632,23 @@ def test_mg_heavy_hitters_randomized_corpora(spark):
                 ).collect()
             }
             assert got == expected, f"trial {trial} parts {parts}"
+
+
+def test_sampled_percentiles_close_to_exact(spark):
+    """The KMV-sampled portable percentile must land within ~5% of the
+    exact per-group quantile at k=1024 (O(1/sqrt(k)) sampling error)."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["agg_percentiles"](spark, sf).collect()
+    }
+    sampled = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in QUERIES["agg_percentiles_sampled_portable"](spark, sf).collect()
+    }
+    assert set(exact) == set(sampled)
+    for g in exact:
+        for e, s in zip(exact[g], sampled[g]):
+            assert abs(s - e) / e < 0.05, (g, e, s)
