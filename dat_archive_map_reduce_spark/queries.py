@@ -2115,7 +2115,16 @@ def agg_percentiles_sampled_portable(spark: SparkSession, sf_dir: str) -> DataFr
     is a pure row function any SQL engine replays exactly, so the
     estimate is hash-gated bit-for-bit. Error is O(1/sqrt(k)) ~ 3% at
     k=1024 — the trade every production quantile sketch makes, here
-    with cross-engine determinism on top."""
+    with cross-engine determinism on top.
+
+    The merge is run explicitly two-phase (local min-k per (group,
+    input partition), then min-k of the local winners) — a per-group
+    row_number window would funnel each group's full row set through
+    ONE task, exactly the bottleneck this query exists to avoid; the
+    min-k-of-min-ks identity makes the result independent of the
+    partition layout, so the oracle's single-pass row_number replay
+    selects the identical sample."""
+    k = 1024
     l = _t(spark, sf_dir, "lineitem")
     hk = F.md5(
         F.concat(
@@ -2124,12 +2133,20 @@ def agg_percentiles_sampled_portable(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("l_linenumber").cast("string"),
         )
     )
-    w = Window.partitionBy("l_returnflag").orderBy("hk")
-    sampled = (
-        l.select("l_returnflag", "l_extendedprice", hk.alias("hk"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 1024)
+    rows = l.select("l_returnflag", "l_extendedprice", hk.alias("hk"))
+    topk = F.slice(
+        F.sort_array(F.collect_list(F.struct("hk", "l_extendedprice"))), 1, k
+    ).alias("top")
+    local = rows.groupBy("l_returnflag", F.spark_partition_id().alias("_p")).agg(topk)
+    merged = (
+        local.select("l_returnflag", F.explode("top").alias("t"))
+        .select("l_returnflag", "t.hk", "t.l_extendedprice")
+        .groupBy("l_returnflag")
+        .agg(topk)
     )
+    sampled = merged.select(
+        "l_returnflag", F.explode("top").alias("t")
+    ).select("l_returnflag", "t.l_extendedprice")
     return sampled.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
