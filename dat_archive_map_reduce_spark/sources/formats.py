@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_jsonl", "read_csv", "read_orc", "write_orc"]
+__all__ = ["read_jsonl", "read_csv", "read_orc", "write_orc", "read_fixed_width", "write_fixed_width"]
 
 
 def read_jsonl(
@@ -74,3 +74,54 @@ def read_orc(
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+    trim: bool = True,
+) -> DataFrame:
+    """Fixed-width records (COBOL extracts, mainframe feeds, printf
+    logs): one `spark.read.text` scan + native substring/cast
+    projections per column — no Python, splittable, and column
+    PRUNING still applies (unused substrings fold away at the
+    projection). ``colspecs`` = (name, start, length, type) with
+    1-based start, types as Spark DDL strings ("int", "double",
+    "string", ...). Numeric casts treat whitespace-only fields as
+    NULL (ANSI-safe trim-then-nullif).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path)
+    cols = []
+    for name, start, length, dtype in colspecs:
+        raw = F.substring(F.col("value"), start, length)
+        c = F.trim(raw) if trim else raw
+        if dtype != "string":
+            c = F.nullif(F.trim(raw), F.lit("")).cast(dtype)
+        cols.append(c.alias(name))
+    return df.select(*cols)
+
+
+def write_fixed_width(
+    df: DataFrame, path: str, widths: list[int], mode: str = "overwrite"
+) -> None:
+    """Render every column left-padded to its width and write as one
+    text column — the inverse of read_fixed_width, for round-trip
+    tests and legacy-feed producers. Values must fit their widths
+    (asserted per row with raise_error, so truncation can never
+    corrupt a feed silently)."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for (name, w) in zip(df.columns, widths):
+        s = F.col(name).cast("string")
+        guarded = F.when(
+            F.length(s) > w,
+            F.raise_error(
+                F.concat(F.lit(f"value too wide for {name}({w}): "), s)
+            ),
+        ).otherwise(F.rpad(s, w, " "))
+        parts.append(guarded)
+    df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)

@@ -89,3 +89,59 @@ def test_orc_roundtrip_matches_parquet_with_pushdown(spark, tmp_path):
     with redirect_stdout(buf):
         o.filter(F.col("o_orderkey") == 1).explain("formatted")
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in buf.getvalue()
+
+
+def test_fixed_width_roundtrip(spark, tmp_path):
+    """Fixed-width write -> read roundtrips the nation table exactly
+    (trim + typed casts), and the reader is pure native substring
+    projection — no Python stage in the plan."""
+    from dat_archive_map_reduce_spark.sources.formats import (
+        read_fixed_width,
+        write_fixed_width,
+    )
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    n = load_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = str(tmp_path / "fw")
+    write_fixed_width(n, out, widths=[4, 20, 4])
+    back = read_fixed_width(
+        spark,
+        out,
+        [
+            ("n_nationkey", 1, 4, "bigint"),
+            ("n_name", 5, 20, "string"),
+            ("n_regionkey", 25, 4, "bigint"),
+        ],
+    )
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in n.collect()}
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_fixed_width_write_rejects_overflow(spark, tmp_path):
+    from dat_archive_map_reduce_spark.sources.formats import write_fixed_width
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    n = load_table(spark, SF, "nation").select("n_name")
+    with pytest.raises(Exception, match="too wide"):
+        write_fixed_width(n, str(tmp_path / "fw2"), widths=[3])
+
+
+def test_jsonl_gzip_transparent(spark, tmp_path):
+    """Spark reads .gz-compressed JSONL transparently — the common
+    crawl-dump ingestion shape (note: gzip is NOT splittable; one
+    file = one task, so shard compressed corpora upstream)."""
+    import gzip
+    import json as _json
+
+    from dat_archive_map_reduce_spark.sources.formats import read_jsonl
+
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(50):
+            f.write(_json.dumps({"id": i, "text": f"doc {i}"}) + "\n")
+    got = read_jsonl(spark, str(p), schema="id bigint, text string")
+    assert got.count() == 50
+    assert got.agg({"id": "sum"}).first()[0] == sum(range(50))
