@@ -827,3 +827,112 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_distance)
     )
+
+
+# ---------------------------------------------------------------------
+# exact-substring span dedup (Lee et al. 2022, arXiv:2107.06499)
+# ---------------------------------------------------------------------
+
+def span_postings(
+    df: DataFrame, text_col: str, id_col: str, span_len: int
+) -> DataFrame:
+    """(doc, pos, h) — an md5 posting for EVERY length-``span_len``
+    token window of every document (maximal-overlap shingles, one per
+    start position, NOT deduplicated within the doc: positions matter
+    downstream for coverage math).
+
+    Same linear window-lead formulation as shingle_sets — the
+    array-transform form re-inlines the tokenization into every lambda
+    element (O(tokens^2) per doc). One hash-partition-by-doc shuffle;
+    the posting that leaves this operator is (doc, pos, 16-byte md5),
+    never text.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, span_len)]
+    # span text and its tail guard must come from the SAME projection —
+    # see shingle_sets: windows evaluate over the rows present at their
+    # own operator, so filtering first would re-window and truncate
+    return (
+        toks.select(
+            "doc",
+            "pos",
+            F.concat_ws(" ", *parts).alias("span"),
+            F.lead("tok", span_len - 1).over(w).alias("tail_guard"),
+        )
+        .filter(F.col("tail_guard").isNotNull())
+        .select("doc", "pos", F.md5("span").alias("h"))
+    )
+
+
+def exact_substring_span_stats(
+    df: DataFrame, text_col: str, id_col: str, span_len: int = 15
+) -> DataFrame:
+    """Per-document duplicated-span statistics — the Spark-native
+    equivalent of suffix-array exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    arXiv:2107.06499; their single-node suffix array does not
+    distribute, the length-L window hash join does).
+
+    A span is duplicated when the SAME ``span_len``-token window occurs
+    in >= 2 distinct documents (within-doc repeats are the separate
+    text_repetition_stats operator). Output, per document with at least
+    one duplicated span: total token count, number of duplicated
+    windows, number of tokens covered by at least one duplicated window
+    (exact interval union: windows per doc sorted by start share equal
+    length, so union length is sum(min(L, start - prev_start))), and
+    the covered fraction — the number a span-removal pass needs.
+
+    Scale shape: postings shuffle once on the md5 key for the
+    frequency count (partial-combined), once more joining the
+    duplicated-hash set back (AQE may broadcast it — true-dup density
+    is low); the coverage window runs over duplicated occurrences
+    only, orders of magnitude smaller than the corpus. Nothing is
+    all-pairs: a span shared by a million docs costs a count, never a
+    pair explosion.
+    """
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    spans = span_postings(df, text_col, id_col, span_len).persist()
+    dup_hashes = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_occ = spans.join(dup_hashes, "h", "left_semi")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    covered = F.when(
+        F.col("prev").isNull(), F.lit(span_len)
+    ).otherwise(F.least(F.lit(span_len), F.col("pos") - F.col("prev")))
+    per_doc = (
+        dup_occ.select("doc", "pos", F.lag("pos").over(w).alias("prev"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum(covered).alias("dup_tokens"),
+        )
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.lower(F.col(text_col)), " ")).alias("n_tokens"),
+    )
+    out = (
+        per_doc.join(sizes, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            "n_dup_windows",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 4).alias("dup_fraction"),
+        )
+    )
+    return eager_release(out, spans)

@@ -867,3 +867,59 @@ def pq_encode_pandas(
             yield pd.DataFrame(out)
 
     return corpus.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)
+
+
+def kmeans_lloyd_step(
+    embeddings_df: DataFrame,
+    seed_vectors: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One distributed Lloyd (k-means) iteration from literal seed
+    centroids: assign every vector to its nearest seed (squared L2 via
+    the shared ordered fold sqdist — bit-identical across engines;
+    ties break to the lowest centroid id via array_position's
+    first-match), then recompute per-cluster means and inertia.
+
+    Output grain is (cid, dim): the dim-th coordinate of cluster cid's
+    NEW centroid, with the cluster's member count and inertia (sum of
+    squared distance to the SEED it was assigned to) repeated per row —
+    k*dim rows total, every column scalar-typed.
+
+    Scale shape: seeds ride into the assignment scan as literals
+    (standard broadcast-codebook recipe, like IVF/PQ); assignment is
+    map-only and narrow. The mean recomputation is ONE partial-combined
+    shuffle whose payload is k*dim partial (sum, count) pairs per task
+    — never the vectors. Iterating Lloyd = calling this per round with
+    the previous round's means; the per-round cost is one scan + one
+    k*dim-sized shuffle, the textbook distributed k-means bound.
+    """
+    k = len(seed_vectors)
+    e = embeddings_df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seeds_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in seed_vectors]
+    )
+    with_d = e.select(
+        "vid", "v", F.transform(seeds_lit, lambda c: sqdist(F.col("v"), c)).alias("d")
+    )
+    assigned = with_d.select(
+        "vid",
+        "v",
+        (F.array_position(F.col("d"), F.array_min("d")) - 1).cast("int").alias("cid"),
+        F.array_min("d").alias("mindist"),
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.sum("mindist"), 4).alias("inertia"),
+    )
+    means = (
+        assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+    )
+    return means.join(stats, "cid").select(
+        "cid", "dim", "mean_val", "n_assigned", "inertia"
+    )

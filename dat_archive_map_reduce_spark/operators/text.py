@@ -294,3 +294,62 @@ def mg_heavy_hitters(
         .filter(F.col("doc_freq") >= F.lit(threshold))
         .select(token_col, "doc_freq")
     )
+
+
+def winnowing_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """True MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    from each document's k-gram hash stream, every window of ``w``
+    consecutive hashes selects its minimum (rightmost occurrence on
+    ties); the distinct selected hashes are the fingerprint sketch.
+    Guarantee: any shared token run of length >= w + k - 1 shares a
+    fingerprint, with sketch density ~2/(w+1) instead of the dense
+    every-gram sketch rolling_shingle_fingerprints keeps.
+
+    The rightmost-min rule runs as ONE native windowed min over an
+    encoded key — md5(gram) || lpad(100000 - pos) — string-min gives
+    (min hash, then max position), identically on Spark and the SQL
+    oracle; no Python, no self-join. Documents with fewer than ``w``
+    grams winnow to their single overall min (the frame clips at the
+    partition end on both engines). Per-doc output: gram count,
+    selected-fingerprint count, density, and the min/max selected
+    fingerprint (pins the actual selection, not just its size).
+
+    Scale shape: gram hashing is the linear window-lead pass from
+    span_postings (one hash-partition-by-doc shuffle); both window
+    passes and the final groupBy reuse that same doc partitioning, so
+    Catalyst elides further exchanges. Postings are (doc, pos, 16-byte
+    md5) — text never crosses the wire.
+    """
+    from pyspark.sql import Window
+
+    from dat_archive_map_reduce_spark.operators.dedup import span_postings
+
+    grams = span_postings(df, text_col, id_col, span_len=k)
+    w_doc = Window.partitionBy("doc")
+    w_frame = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    key = F.concat(
+        F.col("h"), F.lpad((F.lit(100000) - F.col("pos")).cast("string"), 6, "0")
+    )
+    keyed = grams.select(
+        "doc",
+        "pos",
+        F.count(F.lit(1)).over(w_doc).alias("n_grams"),
+        F.min(key).over(w_frame).alias("key"),
+    )
+    starts = keyed.filter(
+        F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0))
+    )
+    sel = starts.select("doc", "n_grams", "key").distinct()
+    return sel.groupBy("doc").agg(
+        F.any_value("n_grams").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.round(F.count(F.lit(1)) / F.any_value("n_grams"), 4).alias("density"),
+        F.min(F.substring("key", 1, 32)).alias("min_fp"),
+        F.max(F.substring("key", 1, 32)).alias("max_fp"),
+    ).withColumnRenamed("doc", id_col)

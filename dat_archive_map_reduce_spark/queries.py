@@ -4370,6 +4370,168 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+@query(
+    "dedup_exact_substring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 15 + 1)) AS pos, t
+      FROM toks WHERE len(t) >= 15
+    ), h AS (
+      SELECT doc_id, pos, md5(array_to_string(t[pos:pos+14], ' ')) AS hash
+      FROM w
+    ), d AS (
+      SELECT hash FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), occ AS (
+      SELECT doc_id, pos FROM h JOIN d USING (hash)
+    ), cov AS (
+      SELECT doc_id, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM occ
+    )
+    SELECT c.doc_id,
+           any_value(len(t.t)) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_windows,
+           CAST(sum(CASE WHEN prev IS NULL THEN 15
+                         ELSE least(15, pos - prev) END) AS BIGINT)
+             AS dup_tokens,
+           round(sum(CASE WHEN prev IS NULL THEN 15
+                          ELSE least(15, pos - prev) END) * 1.0
+                 / any_value(len(t.t)), 4) AS dup_fraction
+    FROM cov c JOIN toks t ON t.doc_id = c.doc_id
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (Lee et al. 2022, arXiv:2107.06499):
+    per-document stats for 15-token windows that occur verbatim in >= 2
+    distinct documents — duplicated-window count, exact covered-token
+    count (interval union via the equal-length sorted-window lag trick),
+    and the covered fraction a span-removal pass would cut. The paper's
+    suffix array is single-node; the window-hash join shape is the
+    distributed equivalent: postings are (doc, pos, 16-byte md5), the
+    frequency count partial-combines, and nothing is all-pairs — a span
+    shared by a million documents costs a count, never a pair
+    explosion."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        exact_substring_span_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_substring_span_stats(d, "text", "doc_id", span_len=15)
+
+
+@query(
+    "text_winnowing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 4 + 1)) AS pos, t
+      FROM toks WHERE len(t) >= 4
+    ), gh AS (
+      SELECT doc_id, pos, md5(array_to_string(t[pos:pos+3], ' ')) AS h
+      FROM g
+    ), m AS (
+      SELECT doc_id, count(*) AS n_grams FROM gh GROUP BY 1
+    ), keys AS (
+      SELECT doc_id, pos,
+             min(h || lpad(CAST(100000 - pos AS VARCHAR), 6, '0'))
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS key
+      FROM gh
+    ), sel AS (
+      SELECT DISTINCT k.doc_id, k.key
+      FROM keys k JOIN m USING (doc_id)
+      WHERE k.pos <= greatest(m.n_grams - 5 + 1, 1)
+    )
+    SELECT s.doc_id,
+           any_value(m.n_grams) AS n_grams,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           round(count(*) * 1.0 / any_value(m.n_grams), 4) AS density,
+           min(substr(key, 1, 32)) AS min_fp,
+           max(substr(key, 1, 32)) AS max_fp
+    FROM sel s JOIN m USING (doc_id)
+    GROUP BY s.doc_id
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprint selection (Schleimer et al., SIGMOD
+    2003) over word 4-grams with window w=5: every window of 5
+    consecutive gram hashes selects its rightmost minimum; distinct
+    selections form the sketch (guarantee: shared runs >= 8 tokens
+    share a fingerprint, density ~2/(w+1) vs the dense sketch). The
+    rightmost-min rule is one native windowed string-min over an
+    encoded (hash, reversed-position) key — replayed bit-for-bit by
+    the SQL oracle, including tie-breaks on repeated grams."""
+    from dat_archive_map_reduce_spark.operators.text import winnowing_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return winnowing_stats(d, "text", "doc_id", k=4, w=5)
+
+
+@query(
+    "emb_kmeans_lloyd_portable",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seeds AS (
+      SELECT CAST(vec_id AS INTEGER) - 1 AS scid, v AS c
+      FROM e WHERE vec_id BETWEEN 1 AND 8
+    ), dists AS (
+      SELECT e.vec_id, s.scid AS cid,
+             list_reduce(list_transform(generate_series(1, len(e.v)),
+                           i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])),
+                         (a, b) -> a + b) AS dist
+      FROM e, seeds s
+    ), assign AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), stats AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+             round(sum(dist), 4) AS inertia
+      FROM assign GROUP BY 1
+    ), means AS (
+      SELECT a.cid, d.dim, round(avg(e.v[d.dim + 1]), 6) AS mean_val
+      FROM assign a JOIN e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+      GROUP BY 1, 2
+    )
+    SELECT m.cid, CAST(m.dim AS INTEGER) AS dim, m.mean_val,
+           s.n_assigned, s.inertia
+    FROM means m JOIN stats s USING (cid)
+    """,
+)
+def emb_kmeans_lloyd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd (k-means) iteration, k=8, seeded with the
+    embeddings of vec_id 1..8 (deterministic data-point seeds — same
+    bounded-driver-fetch recipe as the IVF/PQ codebooks): nearest-seed
+    assignment with the shared ordered-fold sqdist (bit-identical
+    across engines, ties to the lowest centroid id), then the NEW
+    per-cluster per-dimension means, member counts, and inertia. The
+    assignment is a map-only literal-codebook scan; the update is one
+    partial-combined shuffle of k*dim (sum, count) pairs per task —
+    the textbook distributed k-means round, expressed declaratively."""
+    from dat_archive_map_reduce_spark.operators.similarity import kmeans_lloyd_step
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id").between(1, 8))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return kmeans_lloyd_step(e, seeds)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

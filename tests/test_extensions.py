@@ -652,3 +652,114 @@ def test_sampled_percentiles_close_to_exact(spark):
     for g in exact:
         for e, s in zip(exact[g], sampled[g]):
             assert abs(s - e) / e < 0.05, (g, e, s)
+
+
+def test_exact_substring_interval_union(spark):
+    """Two docs sharing one verbatim 17-token run: windows of 15 start
+    at offsets 0..2, so the interval union must count 17 covered
+    tokens, not 3 * 15."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        exact_substring_span_stats,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(17))
+    docs = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, shared + " other words here entirely"),
+        (3, "no overlap with anything at all whatsoever in this row"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_span_stats(df, "text", "doc_id", span_len=15).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_dup_windows"] == 3 and out[2]["n_dup_windows"] == 3
+    assert out[1]["dup_tokens"] == 17 and out[2]["dup_tokens"] == 17
+    assert out[1]["n_tokens"] == 21
+    assert abs(out[1]["dup_fraction"] - round(17 / 21, 4)) < 1e-9
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing contract (k=4, w=5): docs sharing a run of
+    >= w + k - 1 = 8 tokens share >= 1 selected fingerprint, and the
+    sketch is strictly sparser than the dense every-gram sketch."""
+    from dat_archive_map_reduce_spark.operators.text import winnowing_stats
+    from dat_archive_map_reduce_spark.operators.dedup import span_postings
+
+    shared = "q w e r t y u i"  # exactly 8 tokens
+    docs = [
+        (1, "aa bb cc " + shared + " dd ee ff gg hh ii jj kk ll mm nn oo"),
+        (2, "zz yy xx ww " + shared + " vv uu tt ss rr qq pp oo nn mm"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in winnowing_stats(df, "text", "doc_id").collect()}
+    for d in (1, 2):
+        assert 0 < stats[d]["n_selected"] < stats[d]["n_grams"]
+        assert abs(stats[d]["density"] - round(stats[d]["n_selected"] / stats[d]["n_grams"], 4)) < 1e-9
+
+    # the guarantee itself: recompute the selected FP sets and intersect
+    from pyspark.sql import Window, functions as F
+
+    grams = span_postings(df, "text", "doc_id", span_len=4)
+    w_frame = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, 4)
+    w_doc = Window.partitionBy("doc")
+    key = F.concat(F.col("h"), F.lpad((F.lit(100000) - F.col("pos")).cast("string"), 6, "0"))
+    sel = (
+        grams.select(
+            "doc", "pos",
+            F.count(F.lit(1)).over(w_doc).alias("m"),
+            F.min(key).over(w_frame).alias("key"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("m") - 5, F.lit(0)))
+        .select("doc", F.substring("key", 1, 32).alias("fp"))
+        .distinct()
+        .collect()
+    )
+    fps = {1: set(), 2: set()}
+    for r in sel:
+        fps[r["doc"]].add(r["fp"])
+    assert fps[1] & fps[2], "8-token shared run must share a fingerprint"
+
+
+def test_winnowing_short_doc_single_fingerprint(spark):
+    """A doc with fewer grams than the window still winnows to its
+    overall min (never zero fingerprints when any gram exists)."""
+    from dat_archive_map_reduce_spark.operators.text import winnowing_stats
+
+    df = spark.createDataFrame(
+        [(1, "only five words right here"),  # 5 tokens -> 2 grams < w
+         (2, "abc")],                        # < k tokens -> no grams
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in winnowing_stats(df, "text", "doc_id").collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_selected"] == 1
+
+
+def test_kmeans_lloyd_step_monotone_inertia(embeddings):
+    """Lloyd contract: re-running the step from the updated means must
+    not increase total inertia (both assignment and update are exact
+    descent steps); cluster sizes sum to the corpus size."""
+    from dat_archive_map_reduce_spark.operators.similarity import kmeans_lloyd_step
+
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter("vec_id between 1 and 8")
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    step1 = kmeans_lloyd_step(embeddings, seeds).collect()
+    n_total = embeddings.count()
+    sizes = {r["cid"]: r["n_assigned"] for r in step1}
+    assert sum(sizes.values()) == n_total
+    assert len(step1) == len(sizes) * 64  # (cid, dim) grain
+    inertia1 = sum({r["cid"]: r["inertia"] for r in step1}.values())
+
+    new_seeds = [[0.0] * 64 for _ in range(len({r["cid"] for r in step1}))]
+    cids = sorted({r["cid"] for r in step1})
+    remap = {c: i for i, c in enumerate(cids)}
+    for r in step1:
+        new_seeds[remap[r["cid"]]][r["dim"]] = r["mean_val"]
+    step2 = kmeans_lloyd_step(embeddings, new_seeds).collect()
+    inertia2 = sum({r["cid"]: r["inertia"] for r in step2}.values())
+    assert inertia2 <= inertia1 + 1e-6
