@@ -353,3 +353,53 @@ def winnowing_stats(
         F.min(F.substring("key", 1, 32)).alias("min_fp"),
         F.max(F.substring("key", 1, 32)).alias("max_fp"),
     ).withColumnRenamed("doc", id_col)
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1, adapted to the single-line test corpus):
+    word-count band, mean-word-length band, alphabetic-word fraction,
+    symbol-to-word ratio (# and ... marks), and minimum stopword hits.
+    Emits every signal, each rule's verdict, and the conjunctive keep
+    flag — pipelines filter on `keep` but log the per-rule bits to
+    tune thresholds.
+
+    Entirely native column expressions in one narrow projection: zero
+    shuffle, map-only at any scale, and every signal replays exactly
+    in the SQL oracle (counts and ratios are integer-derived, so the
+    only rounding is the fixed 4-decimal display rounding)."""
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_words, F.lit(1))
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / F.greatest(
+        n_words, F.lit(1)
+    )
+    hash_marks = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (hash_marks + ellipses) / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+
+    ok_words = (n_words >= 30) & (n_words <= 100000)
+    ok_mwl = (mean_wl >= 3) & (mean_wl <= 10)
+    ok_alpha = alpha_frac >= 0.8
+    ok_symbol = symbol_ratio <= 0.1
+    ok_stop = stop_hits >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_wl"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbol.alias("ok_symbol"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_mwl & ok_alpha & ok_symbol & ok_stop).alias("keep"),
+    )

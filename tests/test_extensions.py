@@ -763,3 +763,26 @@ def test_kmeans_lloyd_step_monotone_inertia(embeddings):
     step2 = kmeans_lloyd_step(embeddings, new_seeds).collect()
     inertia2 = sum({r["cid"]: r["inertia"] for r in step2}.values())
     assert inertia2 <= inertia1 + 1e-6
+
+
+def test_gopher_rules_edge_cases(spark):
+    """Rule behavior on engineered docs: a clean 30-word doc keeps; a
+    symbol-heavy doc trips ok_symbol; a stopword-free doc trips
+    ok_stop; a short doc trips ok_words."""
+    from dat_archive_map_reduce_spark.operators.text import gopher_rules
+
+    clean = "the quick brown fox jumps over the lazy dog and then runs " \
+            "far away into the woods to find some food for its hungry " \
+            "little pups tonight under a bright moon"  # 32 words, stopword-rich
+    symbols = " ".join(["###"] * 30)
+    nostop = " ".join(["quick"] * 30)
+    short = "the tiny doc"
+    df = spark.createDataFrame(
+        [(1, clean), (2, symbols), (3, nostop), (4, short)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_rules(df, "text", "doc_id").collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["ok_symbol"] is False and rows[2]["keep"] is False
+    assert rows[3]["ok_stop"] is False and rows[3]["keep"] is False
+    assert rows[4]["ok_words"] is False and rows[4]["keep"] is False
