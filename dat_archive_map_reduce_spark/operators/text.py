@@ -403,3 +403,77 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         ok_stop.alias("ok_stop"),
         (ok_words & ok_mwl & ok_alpha & ok_symbol & ok_stop).alias("keep"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking (Robertson/Sparck Jones probabilistic IDF) of the
+    corpus against a bag of query terms — the classic retrieval score a
+    training-data pipeline uses for quality-targeted selection and
+    decontamination triage.
+
+    Scale shape: tokens explode ONCE and are filtered to the query
+    vocabulary immediately, so the shuffled postings are |docs x query
+    terms| at most, never the full token stream. Corpus stats (N,
+    avgdl) ride as a broadcast 1-row scalar join; per-term document
+    frequencies broadcast too (|query| rows). Per-document scores sum
+    in FIXED term order via conditional aggregation, so the float sum
+    is bit-identical on Spark and the SQL oracle; top-k plans as
+    TakeOrderedAndProject.
+    """
+    d = df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("toks"))
+    lens = d.select("doc", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        d.select("doc", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("doc").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            "term",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    # fixed-order sum: one conditional-agg column per query term, added
+    # in list order — groupBy(sum) would sum in partition order and the
+    # oracle in its own, flipping last-ulp rank boundaries
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("s")).otherwise(0.0)).alias(f"_s{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    agg = scored.groupBy("doc").agg(*per_term)
+    total = None
+    for i in range(len(query_terms)):
+        c = F.col(f"_s{i}")
+        total = c if total is None else total + c
+    return (
+        agg.select(F.col("doc").alias(id_col), F.round(total, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

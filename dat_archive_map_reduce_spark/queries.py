@@ -4583,6 +4583,55 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(d, "text", "doc_id")
 
 
+@query(
+    "corpus_bm25_topk",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), lens AS (
+      SELECT doc_id, len(t) AS dl FROM d
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      WHERE term IN ('spark', 'filter', 'window')
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / s.avgdl))
+               AS sc
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id,
+             sum(CASE WHEN term = 'spark'  THEN sc ELSE 0.0 END) AS s0,
+             sum(CASE WHEN term = 'filter' THEN sc ELSE 0.0 END) AS s1,
+             sum(CASE WHEN term = 'window' THEN sc ELSE 0.0 END) AS s2
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, round(s0 + s1 + s2, 4) AS bm25
+    FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query bag {spark, filter, window} (k1=1.2,
+    b=0.75, Robertson probabilistic IDF) — the retrieval score used
+    for quality-targeted corpus selection and decontamination triage.
+    Postings are filtered to the query vocabulary BEFORE the shuffle
+    (|docs x 3| rows max), corpus stats and per-term document
+    frequencies broadcast, and per-document scores sum in fixed term
+    order so the float total replays bit-for-bit in the oracle."""
+    from dat_archive_map_reduce_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "text", "doc_id", ["spark", "filter", "window"], k=20)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

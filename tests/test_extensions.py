@@ -786,3 +786,23 @@ def test_gopher_rules_edge_cases(spark):
     assert rows[2]["ok_symbol"] is False and rows[2]["keep"] is False
     assert rows[3]["ok_stop"] is False and rows[3]["keep"] is False
     assert rows[4]["ok_words"] is False and rows[4]["keep"] is False
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 contract: more query-term mass ranks higher at equal
+    length; docs without any query term never appear; saturation --
+    tf=50 of one term cannot beat broad coverage of all terms."""
+    from dat_archive_map_reduce_spark.operators.text import bm25_topk
+
+    filler = "xx yy zz " * 4
+    docs = [
+        (1, (filler + "spark filter window " * 3).strip()),   # all terms, 3x
+        (2, (filler + "spark " * 9).strip()),                  # one term, 9x
+        (3, (filler + "spark").strip()),                       # one term, 1x
+        (4, filler.strip()),                                   # no terms
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bm25_topk(df, "text", "doc_id", ["spark", "filter", "window"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 4 not in ids
+    assert ids.index(1) < ids.index(2) < ids.index(3)
