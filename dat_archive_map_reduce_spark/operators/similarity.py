@@ -923,3 +923,56 @@ def kmeans_lloyd_step(
     return means.join(stats, "cid").select(
         "cid", "dim", "mean_val", "n_assigned", "inertia"
     )
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims with
+    the md5-derived Rademacher planes (Achlioptas database-friendly
+    projections — same portable plane family as portable_lsh_topk, so
+    an SQL oracle re-derives every sign): proj_p = dot(v, s_p) /
+    sqrt(out_dim), which preserves squared norms in expectation.
+
+    Returns per vector: the original and projected squared norms and
+    their ratio (the JL distortion a pipeline monitors when shrinking
+    embedding storage). Every float reduction is an ordered ascending-
+    index fold — projections, norms, and the plane-order sum are
+    bit-identical across engines. Map-only narrow projection: the
+    planes ride as literals, nothing shuffles at any scale.
+    """
+    in_dim_row = df.select(F.size(vec_col).alias("d")).first()
+    planes = _portable_planes(out_dim, in_dim_row["d"])
+    scale = float(out_dim) ** 0.5
+    planes_lit = F.array(
+        *[F.array(*[F.lit(s) for s in p]) for p in planes]
+    )
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    proj = F.transform(
+        planes_lit,
+        lambda p: F.aggregate(
+            F.zip_with(F.col("v"), p, lambda x, s: x * s),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(scale),
+    )
+    n2 = lambda arr: F.aggregate(  # noqa: E731 — ordered square-sum fold
+        arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+    )
+    # raw norms materialize once per row; rounding and the ratio come
+    # from the same unrounded values (the oracle mirrors this split)
+    raw = e.select(
+        id_col, n2(F.col("v")).alias("_no"), n2(proj).alias("_np")
+    )
+    return raw.select(
+        id_col,
+        F.round("_no", 6).alias("n2_orig"),
+        F.round("_np", 6).alias("n2_proj"),
+        F.round(F.col("_np") / F.col("_no"), 4).alias("ratio"),
+    )

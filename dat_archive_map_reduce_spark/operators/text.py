@@ -477,3 +477,51 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document bigram-LM cross-entropy — the CCNet-style
+    perplexity filter (Wenzek et al. 2020, arXiv:1911.00359) with the
+    LM trained on the corpus itself: score(doc) = -mean over bigram
+    positions of ln P(w_i | w_{i-1}), with add-k smoothing
+    P(b|a) = (C(a,b) + 0.5) / (C(a) + 0.5 * V). Low cross-entropy =
+    predictable in-distribution text; high = outlier/gibberish, the
+    tail a quality-filtering pass drops.
+
+    Scale shape: bigrams assemble with the linear window-lead pass
+    (one hash-partition-by-doc shuffle); C(a,b) and C(a) are
+    partial-combined groupBys whose keys are token pairs, not
+    documents; the vocabulary size rides as a broadcast 1-row scalar.
+    The probability join shuffles on the bigram key — at 100 TB both
+    sides are Zipf-skewed the same way, which AQE skew-split handles;
+    nothing collects to the driver.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "a"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    big = (
+        toks.select("doc", "pos", "a", F.lead("a", 1).over(w).alias("b"))
+        .filter(F.col("b").isNotNull())
+    )
+    cnt_ab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    cnt_a = big.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    vocab = toks.agg(F.count_distinct("a").alias("v"))
+    scored = (
+        big.join(cnt_ab, ["a", "b"])
+        .join(cnt_a, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc",
+            F.log(
+                (F.col("cab") + 0.5) / (F.col("ca") + 0.5 * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("lp"), 4).alias("xent"),
+    ).withColumnRenamed("doc", id_col)

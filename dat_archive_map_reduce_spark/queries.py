@@ -4632,6 +4632,96 @@ def corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, "text", "doc_id", ["spark", "filter", "window"], k=20)
 
 
+@query(
+    "corpus_lm_xent",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, pos, t[pos] AS a
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+           unnest(generate_series(1, len(t))) AS u(pos)
+    ), big AS (
+      SELECT doc_id, a,
+             lead(a) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM toks
+      QUALIFY b IS NOT NULL
+    ), cnt_ab AS (
+      SELECT a, b, count(*) AS cab FROM big GROUP BY 1, 2
+    ), cnt_a AS (
+      SELECT a, count(*) AS ca FROM big GROUP BY 1
+    ), vocab AS (
+      SELECT count(DISTINCT a) AS v FROM toks
+    ), scored AS (
+      SELECT big.doc_id,
+             ln((cnt_ab.cab + 0.5) / (cnt_a.ca + 0.5 * vocab.v)) AS lp
+      FROM big JOIN cnt_ab USING (a, b) JOIN cnt_a USING (a)
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp), 4) AS xent
+    FROM scored GROUP BY doc_id
+    """,
+)
+def corpus_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): per-doc
+    bigram cross-entropy under an add-k-smoothed LM trained on the
+    corpus itself — the perplexity filter every pretraining pipeline
+    runs, self-contained. Bigram assembly is the linear window-lead
+    pass; count tables partial-combine on token-pair keys; vocabulary
+    size broadcasts as a 1-row scalar."""
+    from dat_archive_map_reduce_spark.operators.text import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(d, "text", "doc_id")
+
+
+@query(
+    "emb_jl_projection",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), proj AS (
+      SELECT vec_id, v,
+             list_transform(range(0, 16), p ->
+               list_reduce(
+                 list_transform(range(0, 64), d ->
+                   v[CAST(d AS INT) + 1] *
+                   CASE WHEN strpos('89abcdef',
+                          substr(md5(CAST(p AS VARCHAR) || ':' ||
+                                     CAST(d AS VARCHAR)), 1, 1)) > 0
+                        THEN 1.0 ELSE -1.0 END),
+                 (a, b) -> a + b) / 4.0) AS pr
+      FROM e
+    ), norms AS (
+      SELECT vec_id,
+             list_reduce(list_transform(v, x -> x * x),
+                         (a, b) -> a + b) AS no,
+             list_reduce(list_transform(pr, y -> y * y),
+                         (a, b) -> a + b) AS np
+      FROM proj
+    )
+    SELECT vec_id, round(no, 6) AS n2_orig, round(np, 6) AS n2_proj,
+           round(np / no, 4) AS ratio
+    FROM norms
+    """,
+)
+def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with the
+    md5-derived Rademacher planes (Achlioptas database-friendly
+    projections, same portable family as the sign-LSH path): per
+    vector, original vs projected squared norm and their ratio — the
+    distortion metric a pipeline monitors when shrinking embedding
+    storage 4x. Map-only narrow projection; every reduction is an
+    ordered ascending-index fold, bit-identical across engines
+    (sqrt(16) = 4 divides exactly)."""
+    from dat_archive_map_reduce_spark.operators.similarity import jl_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    return jl_project(e, "vec_id", "embedding", out_dim=16)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

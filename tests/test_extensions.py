@@ -806,3 +806,33 @@ def test_bm25_ranking_properties(spark):
     ids = [r["doc_id"] for r in rows]
     assert 4 not in ids
     assert ids.index(1) < ids.index(2) < ids.index(3)
+
+
+def test_bigram_lm_xent_orders_gibberish_above_repetition(spark):
+    """LM-filter contract: a doc of one repeated bigram (maximally
+    predictable under the corpus-trained LM) must score lower
+    cross-entropy than a doc of unique never-repeated transitions."""
+    from dat_archive_map_reduce_spark.operators.text import bigram_lm_scores
+
+    predictable = " ".join(["ab cd"] * 20)
+    gibberish = " ".join(f"w{i}" for i in range(40))
+    corpus = [(1, predictable), (2, gibberish)] + [
+        (10 + i, " ".join(["ab cd"] * 10)) for i in range(5)
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r["doc_id"]: r["xent"] for r in bigram_lm_scores(df, "text", "doc_id").collect()}
+    assert rows[1] < rows[2]
+
+
+def test_jl_projection_norm_concentration(embeddings):
+    """JL contract: E[projected norm^2] = original norm^2; with 16
+    Rademacher planes the per-vector ratio is noisy but the corpus
+    MEAN must concentrate near 1 (within 15%), and no ratio may be
+    degenerate (<= 0)."""
+    from dat_archive_map_reduce_spark.operators.similarity import jl_project
+
+    rows = jl_project(embeddings, "vec_id", "embedding", out_dim=16).collect()
+    ratios = [r["ratio"] for r in rows]
+    assert all(r > 0 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
