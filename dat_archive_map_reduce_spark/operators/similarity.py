@@ -869,6 +869,35 @@ def pq_encode_pandas(
     return corpus.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)
 
 
+def nearest_seed_assignment(
+    embeddings_df: DataFrame,
+    seed_vectors: Sequence[Sequence[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, v, cid, mindist): nearest-centroid assignment against a
+    literal seed codebook — squared L2 via the shared ordered-fold
+    sqdist (bit-identical across engines), ties to the lowest centroid
+    id via array_position's first-match. Map-only narrow scan; the
+    shared building block of the Lloyd step and SemDeDup blocking."""
+    e = embeddings_df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    seeds_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in seed_vectors]
+    )
+    with_d = e.select(
+        "vid", "v", F.transform(seeds_lit, lambda c: sqdist(F.col("v"), c)).alias("d")
+    )
+    return with_d.select(
+        "vid",
+        "v",
+        (F.array_position(F.col("d"), F.array_min("d")) - 1).cast("int").alias("cid"),
+        F.array_min("d").alias("mindist"),
+    )
+
+
 def kmeans_lloyd_step(
     embeddings_df: DataFrame,
     seed_vectors: Sequence[Sequence[float]],
@@ -894,22 +923,8 @@ def kmeans_lloyd_step(
     the previous round's means; the per-round cost is one scan + one
     k*dim-sized shuffle, the textbook distributed k-means bound.
     """
-    k = len(seed_vectors)
-    e = embeddings_df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    seeds_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in seed_vectors]
-    )
-    with_d = e.select(
-        "vid", "v", F.transform(seeds_lit, lambda c: sqdist(F.col("v"), c)).alias("d")
-    )
-    assigned = with_d.select(
-        "vid",
-        "v",
-        (F.array_position(F.col("d"), F.array_min("d")) - 1).cast("int").alias("cid"),
-        F.array_min("d").alias("mindist"),
+    assigned = nearest_seed_assignment(
+        embeddings_df, seed_vectors, id_col=id_col, vec_col=vec_col
     )
     stats = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_assigned"),
@@ -975,4 +990,43 @@ def jl_project(
         F.round("_no", 6).alias("n2_orig"),
         F.round("_np", 6).alias("n2_proj"),
         F.round(F.col("_np") / F.col("_no"), 4).alias("ratio"),
+    )
+
+
+def semdedup_pairs(
+    embeddings_df: DataFrame,
+    seed_vectors: Sequence[Sequence[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embeddings, then search for near-duplicate pairs ONLY within
+    each cluster — the cluster equi-join turns the O(N^2) semantic
+    dedup into O(sum of cluster_size^2), and at scale k grows with the
+    corpus so cluster sizes stay bounded (the paper runs k=50k on
+    LAION). Cross-cluster near-dups are missed BY DESIGN (the paper's
+    accepted approximation; recall is pinned in tests against the
+    exact all-pairs kernel).
+
+    Assignment is the shared literal-codebook scan; the within-cluster
+    self-join shuffles on cid; pair cosine is exact. Returns
+    (cid, id_a, id_b, cos_sim >= threshold).
+    """
+    assigned = nearest_seed_assignment(
+        embeddings_df, seed_vectors, id_col=id_col, vec_col=vec_col
+    ).select("vid", "v", "cid")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.cid").alias("cid"),
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold).select(
+        "cid", "id_a", "id_b", F.round("cos", 4).alias("cos_sim")
     )

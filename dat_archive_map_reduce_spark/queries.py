@@ -4722,6 +4722,60 @@ def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_project(e, "vec_id", "embedding", out_dim=16)
 
 
+@query(
+    "dedup_semdedup_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seeds AS (
+      SELECT CAST(vec_id AS INTEGER) - 1 AS scid, v AS c
+      FROM e WHERE vec_id BETWEEN 1 AND 8
+    ), dists AS (
+      SELECT e.vec_id, s.scid AS cid,
+             list_reduce(list_transform(generate_series(1, len(e.v)),
+                           i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])),
+                         (a, b) -> a + b) AS dist
+      FROM e, seeds s
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+    FROM assign a JOIN assign b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45
+    """,
+)
+def dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embeddings (k=8, deterministic data-point seeds), then find
+    cosine near-duplicate pairs ONLY within each cluster — the cluster
+    equi-join turns O(N^2) semantic dedup into O(sum cluster_size^2),
+    and at scale k grows with the corpus so cluster sizes stay bounded
+    (the paper runs k=50k on LAION). Cross-cluster pairs are missed by
+    design; recall vs the exact all-pairs kernel is pinned in tests."""
+    from dat_archive_map_reduce_spark.operators.similarity import semdedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id").between(1, 8))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return semdedup_pairs(e, seeds, threshold=0.45)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -836,3 +836,54 @@ def test_jl_projection_norm_concentration(embeddings):
     assert all(r > 0 for r in ratios)
     mean = sum(ratios) / len(ratios)
     assert 0.85 < mean < 1.15
+
+
+def test_semdedup_subset_and_planted_recall(spark, embeddings):
+    """SemDeDup contracts. (1) On the real corpus, within-cluster pairs
+    are a SUBSET of the exact all-pairs result at the same threshold —
+    cluster blocking can only drop pairs, never invent them. (This
+    corpus's 0.45-cos pairs sit at the S-curve midpoint where
+    co-clustering is ~50/50, the paper's accepted approximation for
+    borderline similarity.) (2) On planted near-IDENTICAL vectors
+    (cos > 0.99 — the regime SemDeDup actually targets), recall must
+    be 100%: a tiny perturbation cannot flip the nearest centroid."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        cosine_near_pairs,
+        semdedup_pairs,
+    )
+
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter("vec_id between 1 and 8")
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_pairs(embeddings, threshold=0.45, n_blocks=4).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(embeddings, seeds, threshold=0.45).collect()
+    }
+    assert blocked <= exact
+
+    # planted: 10 base vectors far from any seed boundary, each with a
+    # +0.1%-perturbed twin
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(10):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        twin = [x * 1.001 + 0.0001 for x in base]
+        rows.append((1000 + 2 * i, base))
+        rows.append((1000 + 2 * i + 1, twin))
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(planted, seeds, threshold=0.99).collect()
+    }
+    want = {(1000 + 2 * i, 1000 + 2 * i + 1) for i in range(10)}
+    assert want <= got
