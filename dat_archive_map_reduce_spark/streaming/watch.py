@@ -435,3 +435,87 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_heavy_hitters(
+    tok_rows: DataFrame,
+    slots: int = 64,
+    shards: int = 8,
+    token_col: str = "token",
+) -> DataFrame:
+    """Bounded-state streaming heavy hitters: weighted Misra-Gries
+    summaries held in explicit group state (applyInPandasWithState) —
+    the streaming twin of operators/text.py::mg_heavy_hitters pass 1.
+
+    Tokens shard by a stable hash (xxhash64 % shards); every
+    occurrence of a token lands in the SAME shard, so each shard's MG
+    summary carries the standard per-shard survival guarantee: any
+    token whose count within the shard exceeds N_shard/(slots+1)
+    is present in that shard's summary at every point in the stream.
+    State per shard is <= ``slots`` (token, counter) entries — memory
+    is O(shards * slots) forever, on an infinite stream.
+
+    Each micro-batch emits the shard's full post-batch summary
+    (update-mode semantics): (shard, token, counter, batch_n). The
+    latest emission per shard IS its current summary; a periodic
+    exact recount over the candidates (pass 2 of the batch operator)
+    turns candidates into exact counts whenever needed.
+    """
+    import pandas as pd  # noqa: F811  (worker-side import)
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState  # noqa: F401
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.IntegerType(), False),
+            T.StructField("token", T.StringType(), False),
+            T.StructField("counter", T.LongType(), False),
+            T.StructField("batch_n", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("toks", T.ArrayType(T.StringType()), False),
+            T.StructField("counts", T.ArrayType(T.LongType()), False),
+            T.StructField("seen", T.LongType(), False),
+        ]
+    )
+
+    def _update(key, pdfs, state):
+        if state.exists:
+            toks, counts, seen = state.get
+            st = dict(zip(toks, counts))
+        else:
+            st, seen = {}, 0
+        for pdf in pdfs:
+            vc = pdf[token_col].value_counts()
+            seen += int(vc.sum())
+            for tok, c in vc.items():
+                st[tok] = st.get(tok, 0) + int(c)
+            # weighted MG compression: while over budget, subtract the
+            # minimum counter from everyone and drop the zeros — each
+            # pass evicts >= 1 entry, so this terminates in <= len(st)
+            while len(st) > slots:
+                d = min(st.values())
+                st = {t: v - d for t, v in st.items() if v > d}
+        state.update((list(st.keys()), [int(v) for v in st.values()], seen))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(st),
+                "token": list(st.keys()),
+                "counter": [int(v) for v in st.values()],
+                "batch_n": [seen] * len(st),
+            }
+        )
+
+    sharded = tok_rows.select(
+        F.pmod(F.xxhash64(F.col(token_col)), F.lit(shards)).cast("int").alias("shard"),
+        F.col(token_col).alias(token_col),
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -508,3 +508,73 @@ def test_index_with_retry_loop_finds_late_source(spark, tmp_path):
     assert db.get("v", "late1") == {"key": "late1", "value": ["dat://late/a.json"]}
     # exhausted retries on a source that never shows up -> False
     assert db.index_with_retry("dat://never", retry_interval=0.01, max_retries=2) is False
+
+
+def test_streaming_heavy_hitters_bounded_state_finds_heavies(spark, tmp_path):
+    """Streaming MG contract across micro-batches: planted heavy tokens
+    (far above the per-shard survival bound) are present in the LAST
+    emitted summary of their shard; no shard's summary ever exceeds the
+    slot budget; and the summary lower-bound counters never exceed the
+    true counts."""
+    import random
+
+    rng = random.Random(3)
+    slots, shards = 8, 4
+    heavy = {"alpha": 400, "beta": 300}
+    rows = [(t,) for t, n in heavy.items() for _ in range(n)]
+    rows += [(f"noise{rng.randrange(2000)}",) for _ in range(600)]
+    rng.shuffle(rows)
+    indexed = [(i, t) for i, (t,) in enumerate(rows)]
+    df = spark.createDataFrame(indexed, "idx long, token string")
+    src = str(tmp_path / "src")
+    # three deterministic index-range files -> maxFilesPerTrigger=1
+    # forces >= 3 micro-batches (duplicate tokens survive the split:
+    # a set-op split would silently dedup them)
+    third = len(rows) // 3
+    df.filter(F.col("idx") < third).select("token").write.parquet(f"{src}/a.parquet")
+    df.filter((F.col("idx") >= third) & (F.col("idx") < 2 * third)).select(
+        "token"
+    ).write.parquet(f"{src}/b.parquet")
+    df.filter(F.col("idx") >= 2 * third).select("token").write.parquet(
+        f"{src}/c.parquet"
+    )
+    df = df.select("token")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    emitted = []
+
+    def _sink(batch_df, batch_id):
+        emitted.extend((batch_id, r) for r in batch_df.collect())
+
+    q = (
+        W.streaming_heavy_hitters(stream, slots=slots, shards=shards)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len({b for b, _ in emitted}) >= 2, "stream must run multiple batches"
+    last_batch_per_shard = {}
+    for b, r in emitted:
+        s = r["shard"]
+        if s not in last_batch_per_shard or b > last_batch_per_shard[s]:
+            last_batch_per_shard[s] = b
+    final = [
+        r for b, r in emitted if b == last_batch_per_shard[r["shard"]]
+    ]
+    per_shard = {}
+    for r in final:
+        per_shard.setdefault(r["shard"], []).append(r)
+    for s, rs in per_shard.items():
+        assert len(rs) <= slots
+    candidates = {r["token"]: r["counter"] for r in final}
+    for t, n in heavy.items():
+        assert t in candidates, f"heavy token {t} evicted"
+        assert candidates[t] <= n  # MG counters are lower bounds
