@@ -936,3 +936,73 @@ def exact_substring_span_stats(
         )
     )
     return eager_release(out, spans)
+
+
+def remove_duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, span_len: int = 15
+) -> DataFrame:
+    """The ACTION half of exact-substring dedup (Lee et al. 2022):
+    rewrite affected documents with every cross-document duplicated
+    span scrubbed out. Policy: ALL occurrences of a duplicated span
+    are removed ("scrub" — the conservative variant; the paper's
+    keep-one policy retains the first occurrence corpus-wide, which
+    needs a global owner election on top of this plan).
+
+    Covered token positions explode from duplicated windows only
+    (span_len x amplification on the duplicated slice of the corpus,
+    not the corpus); survivors reassemble per doc with one
+    order-restoring struct sort. Output (affected docs only):
+    (doc, n_before, n_after, cleaned_hash) — the hash stands in for
+    the rewritten text so the oracle verifies exact reassembly.
+    """
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    spans = span_postings(df, text_col, id_col, span_len).persist()
+    dup_hashes = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_occ = spans.join(dup_hashes, "h", "left_semi")
+    covered = dup_occ.select(
+        "doc", F.explode(F.sequence("pos", F.col("pos") + span_len - 1)).alias("pos")
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    affected = covered.select("doc").distinct()
+    survivors = (
+        toks.join(affected, "doc", "left_semi")
+        .join(covered, ["doc", "pos"], "left_anti")
+    )
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.split(F.lower(F.col(text_col)), " ")).alias("n_before"),
+    )
+    rebuilt = survivors.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("cleaned_hash"),
+    )
+    # docs scrubbed to nothing still report: left join keeps them with
+    # n_after = 0 and the empty-string hash
+    out = (
+        affected.join(sizes, "doc")
+        .join(rebuilt, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("cleaned_hash", F.md5(F.lit(""))).alias("cleaned_hash"),
+        )
+    )
+    return eager_release(out, spans)

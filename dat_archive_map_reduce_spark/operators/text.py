@@ -525,3 +525,73 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(-F.avg("lp"), 4).alias("xent"),
     ).withColumnRenamed("doc", id_col)
+
+
+def chunk_overlap(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 32,
+    stride: int = 24,
+    min_tail: int = 8,
+) -> DataFrame:
+    """Within-document sliding-window chunking with overlap (window W,
+    stride S < W) — the retrieval-indexing prep step (RAG chunking),
+    distinct from cross-document sequence packing (corpus_pack_chunks).
+    Chunk k covers token positions [k*S, k*S + W); trailing chunks
+    shorter than ``min_tail`` are dropped unless they are the doc's
+    only chunk.
+
+    Scale shape: the naive per-doc ``transform(starts, s -> slice(...))``
+    re-inlines the tokenization into every chunk element (O(n^2/S) per
+    doc — the shingle_sets lesson). Instead each token emits its <=
+    ceil(W/S) owning chunk indices (constant fan-out), and chunks
+    reassemble in ONE groupBy with an order-restoring struct sort —
+    linear work, one shuffle, whatever the document length.
+
+    Output: (doc, chunk_idx, start_pos [1-based], chunk_len,
+    chunk_hash) — the hash stands in for the chunk text so downstream
+    (and the oracle) can verify exact reassembly without shipping it.
+    """
+    from pyspark.sql import Window as W_
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    )
+    w_doc = W_.partitionBy("doc")
+    # chunk ids owning token p: k in [max(0, ceil((p - W + 1)/S)), floor(p/S)]
+    lo = F.greatest(F.lit(0), F.ceil((F.col("pos") - window + 1) / stride).cast("int"))
+    hi = F.floor(F.col("pos") / stride).cast("int")
+    owned = toks.select(
+        "doc",
+        "pos",
+        "tok",
+        F.count(F.lit(1)).over(w_doc).alias("n_tokens"),
+        F.explode(F.sequence(lo, hi)).alias("k"),
+    )
+    chunks = (
+        owned.groupBy("doc", "k")
+        .agg(
+            F.any_value("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("chunk_len"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+    return chunks.filter(
+        (F.col("chunk_len") >= min_tail) | (F.col("k") == 0)
+    ).select(
+        F.col("doc").alias(id_col),
+        F.col("k").alias("chunk_idx"),
+        (F.col("k") * stride + 1).alias("start_pos"),
+        "chunk_len",
+        "chunk_hash",
+    )

@@ -4776,6 +4776,98 @@ def dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(e, seeds, threshold=0.45)
 
 
+@query(
+    "corpus_chunk_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), ks AS (
+      SELECT doc_id, t, len(t) AS n,
+             unnest(generate_series(0,
+               CAST(floor((len(t) - 1) / 24) AS INT))) AS k
+      FROM toks
+    ), c AS (
+      SELECT doc_id, k, k * 24 + 1 AS start_pos,
+             least(32, n - k * 24) AS chunk_len,
+             md5(array_to_string(t[k*24+1 : k*24+32], ' ')) AS chunk_hash
+      FROM ks
+    )
+    SELECT doc_id, k AS chunk_idx, start_pos,
+           CAST(chunk_len AS BIGINT) AS chunk_len, chunk_hash
+    FROM c WHERE chunk_len >= 8 OR k = 0
+    """,
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style within-document chunking: window 32 tokens, stride 24
+    (8-token overlap), sub-8-token tails dropped unless they are the
+    doc's only chunk. The Spark side uses the linear token-membership
+    formulation (each token emits its <= ceil(W/S) owning chunks, one
+    reassembly shuffle) while the oracle uses the naive slice form —
+    the hash gate proves them equivalent, which IS the scale-rewrite
+    correctness proof."""
+    from dat_archive_map_reduce_spark.operators.text import chunk_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_overlap(d, "text", "doc_id", window=32, stride=24, min_tail=8)
+
+
+@query(
+    "dedup_remove_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), w AS (
+      SELECT doc_id, unnest(generate_series(1, len(t) - 15 + 1)) AS pos, t
+      FROM toks WHERE len(t) >= 15
+    ), h AS (
+      SELECT doc_id, pos, md5(array_to_string(t[pos:pos+14], ' ')) AS hash
+      FROM w
+    ), d AS (
+      SELECT hash FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ), occ AS (
+      SELECT doc_id, pos FROM h JOIN d USING (hash)
+    ), covered AS (
+      SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 14)) AS p
+      FROM occ
+    ), affected AS (
+      SELECT DISTINCT doc_id FROM covered
+    ), tok_rows AS (
+      SELECT t.doc_id, u.p, t.t[u.p] AS tok
+      FROM toks t JOIN affected USING (doc_id),
+           unnest(generate_series(1, len(t.t))) AS u(p)
+    ), survivors AS (
+      SELECT tr.doc_id, tr.p, tr.tok
+      FROM tok_rows tr
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = tr.doc_id AND c.p = tr.p)
+    ), rebuilt AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_hash
+      FROM survivors GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           len(t.t) AS n_before,
+           coalesce(r.n_after, 0) AS n_after,
+           coalesce(r.cleaned_hash, md5('')) AS cleaned_hash
+    FROM affected a
+    JOIN toks t USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action half of exact-substring dedup (Lee et al. 2022):
+    rewrite affected docs with every cross-document duplicated 15-token
+    span scrubbed (conservative all-occurrences policy; the paper's
+    keep-one variant adds a global owner election). Covered positions
+    explode from duplicated windows only; survivors reassemble with one
+    order-restoring struct sort. The cleaned_hash column proves exact
+    reassembly under the oracle without shipping rewritten text."""
+    from dat_archive_map_reduce_spark.operators.dedup import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, "text", "doc_id", span_len=15)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -887,3 +887,50 @@ def test_semdedup_subset_and_planted_recall(spark, embeddings):
     }
     want = {(1000 + 2 * i, 1000 + 2 * i + 1) for i in range(10)}
     assert want <= got
+
+
+def test_chunk_overlap_reassembles_exact_windows(spark):
+    """Chunking contract: a 50-token doc with W=32/S=24 yields chunks
+    at starts 1 and 25 (0-based k=0,1), lengths 32 and 26; hashes match
+    direct slices; a 5-token doc keeps its single short chunk."""
+    import hashlib
+
+    from dat_archive_map_reduce_spark.operators.text import chunk_overlap
+
+    words = [f"w{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "just five tiny words here")],
+        "doc_id long, text string",
+    )
+    rows = chunk_overlap(df, "text", "doc_id", window=32, stride=24, min_tail=8).collect()
+    by_key = {(r["doc_id"], r["chunk_idx"]): r for r in rows}
+    assert set(by_key) == {(1, 0), (1, 1), (2, 0)}
+    assert by_key[(1, 0)]["chunk_len"] == 32 and by_key[(1, 1)]["chunk_len"] == 26
+    exp0 = hashlib.md5(" ".join(words[0:32]).encode()).hexdigest()
+    exp1 = hashlib.md5(" ".join(words[24:50]).encode()).hexdigest()
+    assert by_key[(1, 0)]["chunk_hash"] == exp0
+    assert by_key[(1, 1)]["chunk_hash"] == exp1
+
+
+def test_remove_spans_scrubs_only_duplicated_tokens(spark):
+    """Span scrub: two docs sharing a 17-token run lose exactly those
+    tokens; the cleaned hash equals the direct reconstruction; the
+    unaffected doc is absent from the output."""
+    import hashlib
+
+    from dat_archive_map_reduce_spark.operators.dedup import remove_duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(17))
+    pre1, post1 = "alpha beta", "gamma delta"
+    docs = [
+        (1, f"{pre1} {shared} {post1}"),
+        (2, shared + " tail words here now"),
+        (3, "completely unrelated filler text with no duplicate spans at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in remove_duplicated_spans(df, "text", "doc_id", 15).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_before"] == 21 and rows[1]["n_after"] == 4
+    expected1 = hashlib.md5("alpha beta gamma delta".encode()).hexdigest()
+    assert rows[1]["cleaned_hash"] == expected1
+    assert rows[2]["n_after"] == rows[2]["n_before"] - 17
