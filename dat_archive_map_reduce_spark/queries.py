@@ -4868,6 +4868,104 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_spans(d, "text", "doc_id", span_len=15)
 
 
+@query(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation through the hard gate: per-event-
+    type distinct-user count (holistic — no map-side combine exists)
+    computed as phase-1 partials over (key, salt) so a hot key splits
+    across 16 reducers, then a per-key merge of the partial sets. The
+    oracle is the PLAIN single-phase aggregation — the hash match is
+    the proof that salting preserves semantics, which pytest plan
+    checks alone can't give. At 100 TB this is the shape that survives
+    a power-law key (one celebrity user, one dominant event type)."""
+    from dat_archive_map_reduce_spark.operators.skew import two_phase_agg
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return two_phase_agg(
+        ev,
+        "event_type",
+        partial_aggs=[
+            F.collect_set("user_id").alias("us"),
+            F.count(F.lit(1)).alias("c"),
+        ],
+        merge_aggs=[
+            F.size(F.array_distinct(F.flatten(F.collect_list("us")))).alias(
+                "n_users"
+            ),
+            F.sum("c").alias("n_events"),
+        ],
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT user_id, hr, c,
+             sum(c) OVER w AS s,
+             sum(c * c) OVER w AS s2,
+             count(c) OVER w AS n
+      FROM hourly
+      WINDOW w AS (PARTITION BY user_id ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, hr, c,
+           round((c - s / n) / sqrt(s2 / n - (s / n) * (s / n)), 4) AS z,
+           ((c - s / n) / sqrt(s2 / n - (s / n) * (s / n)) >= 3.0)
+             AS is_spike
+    FROM stats
+    WHERE n >= 8 AND s2 / n - (s / n) * (s / n) > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly event-rate anomaly detection: z-score of each
+    hour's count against the user's trailing 24 OBSERVED hourly
+    buckets (rows-frame; the gap-filled spine variant is
+    events_gap_fill). Moments use the explicit sum/sum-of-squares
+    formula over exact integer counts — mean, variance, z, and the
+    spike flag are all bit-identical across engines (no stddev_samp
+    implementation drift). One window pass over the pre-aggregated
+    hourly table: the shuffle moves (user, hour) buckets, never raw
+    events."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("user_id").orderBy("hr").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "user_id",
+        "hr",
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+        F.count("c").over(w).alias("n"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("c") - mean) / F.sqrt(var)
+    return stats.filter((F.col("n") >= 8) & (var > 0)).select(
+        "user_id",
+        "hr",
+        "c",
+        F.round(z, 4).alias("z"),
+        (z >= 3.0).alias("is_spike"),
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both
