@@ -4966,6 +4966,79 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join through the hash gate: the events fact side
+    gets a deterministic payload-derived salt, the customer side
+    replicates across all 8 salts, and the join key becomes
+    (user_id, salt) — a hot user that formerly hashed to one reducer
+    now spreads over 8. The oracle is the PLAIN join — the hash match
+    proves salting changes the physical spread and nothing else. This
+    is the explicit-replication fix for the case AQE skew-split can't
+    level (every split of a hot partition still collides with the same
+    dim row)."""
+    from dat_archive_map_reduce_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on="user_id", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "dedup_ngram_prefix_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT id_a, id_b, round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    """,
+)
+def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-family prefix filtering through the hash gate: candidates
+    come only from docs sharing a shingle in each other's GLOBAL-
+    rarest-first prefix (set size - ceil(t * size) + 1 shingles) — the
+    sub-quadratic path when a common vocabulary makes every doc pair
+    share *something*. Prefix filtering is EXACT, so the oracle is the
+    plain inverted-index Jaccard SQL: the hash match proves candidate
+    pruning loses no qualifying pair. Same output as
+    dedup_ngram_jaccard by construction."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(d, "text", "doc_id", n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both
