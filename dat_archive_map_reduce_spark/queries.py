@@ -5039,6 +5039,66 @@ def dedup_ngram_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+@query(
+    "corpus_bpe_merge_step",
+    oracle="""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (
+        SELECT unnest(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> len(x) > 0)) AS w
+        FROM documents
+      ) GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM words, unnest(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step, distributed (Sennrich et al. 2016): the 20
+    most frequent adjacent character pairs across the corpus, weighted
+    by word frequency — the tokenizer-training inner loop. The key
+    scale move is counting over the WORD-TYPE vocabulary (one row per
+    distinct word, with its corpus frequency) instead of the raw token
+    stream: pair extraction touches millions of types, not billions of
+    tokens, and the counts are identical by distributivity. Integer
+    arithmetic end to end; TakeOrderedAndProject top-k."""
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both
