@@ -83,6 +83,15 @@ CONTRACTS = [
     ("q21_waiting_suppliers", 4, 4, True, True),
     # q22: dormant filter + avg-balance scalar + anti join
     ("q22_dormant_customers", 2, 2, False, True),
+    # -- round-3 additions: map-only ops must STAY map-only; the
+    #    doc-partitioned text ops must stay at one shuffle --
+    ("text_gopher_rules", 0, 0, False, False),
+    ("emb_jl_projection", 0, 0, False, False),
+    ("text_winnowing", 1, 0, False, False),
+    ("corpus_chunk_overlap", 1, 0, False, False),
+    ("corpus_bpe_merge_step", 2, 0, True, False),
+    ("emb_kmeans_lloyd_portable", 2, 1, False, False),
+    ("corpus_bm25_topk", 5, 1, True, False),
 ]
 
 
