@@ -880,9 +880,13 @@ def nearest_seed_assignment(
     sqdist (bit-identical across engines), ties to the lowest centroid
     id via array_position's first-match. Map-only narrow scan; the
     shared building block of the Lloyd step and SemDeDup blocking."""
-    e = embeddings_df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    e = fan_out(
+        embeddings_df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
     )
     seeds_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in seed_vectors]
@@ -1013,9 +1017,20 @@ def semdedup_pairs(
     self-join shuffles on cid; pair cosine is exact. Returns
     (cid, id_a, id_b, cos_sim >= threshold).
     """
-    assigned = nearest_seed_assignment(
-        embeddings_df, seed_vectors, id_col=id_col, vec_col=vec_col
-    ).select("vid", "v", "cid")
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    # persisted: the self-join reads BOTH sides from this one
+    # assignment scan — without it Spark recomputes the k*dim
+    # literal-codebook distance pass twice
+    assigned = (
+        nearest_seed_assignment(
+            embeddings_df, seed_vectors, id_col=id_col, vec_col=vec_col
+        )
+        # per-row norm computed ONCE here instead of twice per pair —
+        # the pair stage then runs one fold (the dot), not three
+        .select("vid", "v", "cid", norm(F.col("v")).alias("nv"))
+        .persist()
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     pairs = a.join(
@@ -1025,8 +1040,11 @@ def semdedup_pairs(
         F.col("a.cid").alias("cid"),
         F.col("a.vid").alias("id_a"),
         F.col("b.vid").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))).alias(
+            "cos"
+        ),
     )
-    return pairs.filter(F.col("cos") >= threshold).select(
+    out = pairs.filter(F.col("cos") >= threshold).select(
         "cid", "id_a", "id_b", F.round("cos", 4).alias("cos_sim")
     )
+    return eager_release(out, assigned)

@@ -4731,7 +4731,8 @@ def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), seeds AS (
       SELECT CAST(vec_id AS INTEGER) - 1 AS scid, v AS c
-      FROM e WHERE vec_id BETWEEN 1 AND 8
+      FROM e WHERE vec_id BETWEEN 1 AND
+        (SELECT greatest(8, count(*) // 64) FROM e)
     ), dists AS (
       SELECT e.vec_id, s.scid AS cid,
              list_reduce(list_transform(generate_series(1, len(e.v)),
@@ -4757,18 +4758,21 @@ def emb_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
-    the embeddings (k=8, deterministic data-point seeds), then find
-    cosine near-duplicate pairs ONLY within each cluster — the cluster
-    equi-join turns O(N^2) semantic dedup into O(sum cluster_size^2),
-    and at scale k grows with the corpus so cluster sizes stay bounded
-    (the paper runs k=50k on LAION). Cross-cluster pairs are missed by
-    design; recall vs the exact all-pairs kernel is pinned in tests."""
+    the embeddings, then find cosine near-duplicate pairs ONLY within
+    each cluster — the cluster equi-join turns O(N^2) semantic dedup
+    into O(sum cluster_size^2). k scales with the corpus
+    (max(8, N/64), the paper's bounded-cluster-size recipe — the paper
+    runs k=50k on LAION): without that, a fixed k degrades
+    quadratically as the corpus grows (measured 6.7 s at sf0.1 with
+    k=8 vs ~1 s adaptive). Cross-cluster pairs are missed by design;
+    recall vs the exact all-pairs kernel is pinned in tests."""
     from dat_archive_map_reduce_spark.operators.similarity import semdedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
+    k = max(8, e.count() // 64)
     seeds = [
         [float(x) for x in r["embedding"]]
-        for r in e.filter(F.col("vec_id").between(1, 8))
+        for r in e.filter(F.col("vec_id").between(1, k))
         .orderBy("vec_id")
         .select("embedding")
         .collect()
@@ -5097,6 +5101,58 @@ def corpus_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "corpus_curriculum_order",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, t,
+             (CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(list_filter(t, x -> list_contains(
+                  ['the','a','an','and','or','of','to','is','in','on','for'],
+                  x))) * 1.0 / greatest(len(t), 1) >= 0.05
+                THEN 1.0 ELSE 0.0 END
+              + CASE WHEN len(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       * 1.0 / greatest(len(text), 1) <= 0.2
+                THEN 1.0 ELSE 0.0 END
+              + CASE WHEN list_reduce(list_transform(t, x -> len(x)),
+                       (a, b) -> a + b) * 1.0 / greatest(len(t), 1)
+                       BETWEEN 3 AND 10
+                THEN 1.0 ELSE 0.0 END) / 4.0 AS q
+      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+            FROM documents)
+    )
+    SELECT doc_id, q,
+           CAST(row_number() OVER (ORDER BY q DESC, doc_id) AS BIGINT)
+             AS train_order
+    FROM s
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document's exact 1-based global
+    training position under ORDER BY quality DESC, doc_id — computed
+    WITHOUT a single-partition window (operators/ranking.py::
+    exact_global_rank: deterministic range buckets from a mergeable
+    quantile sketch, parallel per-bucket ranking, broadcast offset
+    join). The oracle is the naive global row_number() — the hash
+    match is the distributed-rank equivalence proof at full-table
+    grain. Quality is the integer-quarters composite score, so
+    ordering is exact on both engines."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_rank
+    from dat_archive_map_reduce_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("q")
+    )
+    ranked = exact_global_rank(
+        d,
+        "q",
+        descending=True,
+        tie_breakers=[F.asc("doc_id")],
+        pos_col="train_order",
+    )
+    return ranked.select("doc_id", "q", F.col("train_order").cast("long"))
 
 
 # =====================================================================
