@@ -5139,10 +5139,14 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     match is the distributed-rank equivalence proof at full-table
     grain. Quality is the integer-quarters composite score, so
     ordering is exact on both engines."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
     from dat_archive_map_reduce_spark.operators.ranking import exact_global_rank
     from dat_archive_map_reduce_spark.operators.text import quality_score
 
-    d = _t(spark, sf_dir, "documents").select(
+    # fan_out BEFORE scoring: the single-split test file would
+    # otherwise run the per-doc token lambdas (and approxQuantile's
+    # extra pass over them) on one core
+    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
         "doc_id", quality_score("text").alias("q")
     )
     ranked = exact_global_rank(

@@ -90,7 +90,10 @@ CONTRACTS = [
     ("text_winnowing", 1, 0, False, False),
     ("corpus_chunk_overlap", 1, 0, False, False),
     ("corpus_bpe_merge_step", 2, 0, True, False),
-    ("emb_kmeans_lloyd_portable", 2, 1, False, False),
+    # 3rd shuffle = fan_out's round-robin spread of the single-split
+    # scan before the k*dim assignment folds (absent on real
+    # multi-split tables)
+    ("emb_kmeans_lloyd_portable", 3, 1, False, False),
     ("corpus_bm25_topk", 5, 1, True, False),
 ]
 
