@@ -156,3 +156,77 @@ def test_exact_global_cumsum_matches_python_prefix(spark, ids):
         expected[k] = acc
         acc += v
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=9).map(lambda i: f"t{i}"),
+        min_size=1,
+        max_size=90,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_chunk_overlap_covers_every_token_exactly(spark, words):
+    """Chunking invariants on random docs: (1) chunk k spans exactly
+    positions [k*S, min(k*S+W, n)); (2) every token position is covered
+    by >= 1 kept chunk as long as tails >= min_tail are kept plus the
+    k=0 fallback — i.e. the union of kept chunk ranges equals [0, n)
+    whenever the doc's final stride tail meets min_tail or fits in an
+    earlier window."""
+    from dat_archive_map_reduce_spark.operators.text import chunk_overlap
+
+    W, S, MT = 16, 12, 4
+    n = len(words)
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = chunk_overlap(df, "text", "doc_id", window=W, stride=S, min_tail=MT).collect()
+    got = {r["chunk_idx"]: r for r in rows}
+    # recompute expectations in plain python
+    import math
+
+    max_k = (n - 1) // S
+    expect = {}
+    for k in range(0, max_k + 1):
+        length = min(W, n - k * S)
+        if length >= MT or k == 0:
+            expect[k] = length
+    assert {k: r["chunk_len"] for k, r in got.items()} == expect
+    covered = set()
+    for k, length in expect.items():
+        covered |= set(range(k * S, k * S + length))
+    # coverage can only miss positions in a dropped sub-min_tail tail
+    missing = set(range(n)) - covered
+    assert all(p >= max_k * S for p in missing)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=5).map(lambda i: f"w{i}"),
+        min_size=4,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_winnowing_density_and_determinism(spark, words):
+    """Winnowing invariants on random docs (k=4, w=5): the sketch is
+    non-empty whenever any 4-gram exists, never denser than the gram
+    count, and identical across partition layouts (selection depends
+    only on values and positions)."""
+    from dat_archive_map_reduce_spark.operators.text import winnowing_stats
+
+    docs = [
+        (i, " ".join(words[i:] + words[:i])) for i in range(5)
+    ]  # rotations: 5 docs sharing vocabulary
+    key = lambda rows: [  # noqa: E731
+        r.asDict() for r in sorted(rows, key=lambda r: r["doc_id"])
+    ]
+    rows1 = winnowing_stats(
+        spark.createDataFrame(docs, "doc_id long, text string").repartition(1),
+        "text", "doc_id",
+    ).collect()
+    rows7 = winnowing_stats(
+        spark.createDataFrame(docs, "doc_id long, text string").repartition(7),
+        "text", "doc_id",
+    ).collect()
+    assert key(rows1) == key(rows7)
+    for r in rows1:
+        assert 1 <= r["n_selected"] <= r["n_grams"]
