@@ -125,3 +125,41 @@ def write_fixed_width(
         ).otherwise(F.rpad(s, w, " "))
         parts.append(guarded)
     df.select(F.concat(*parts).alias("value")).write.mode(mode).text(path)
+
+
+def read_json_multiline(
+    spark: SparkSession, path: str, glob: str | None = None, schema=None
+):
+    """Whole-file JSON documents (a single object or a top-level ARRAY
+    per file), as opposed to read_jsonl's record-per-line framing.
+
+    Scale caveat, the mirror of the gzip-JSONL one: multiLine JSON is
+    NOT splittable — each file parses as one unit on one task, so
+    parallelism = file count. Fine for config/manifest ingestion
+    (many small files); for bulk data, convert to JSONL or parquet at
+    the edge. Pass an explicit schema in production — inference reads
+    every byte twice.
+    """
+    reader = spark.read.option("multiLine", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    compression: str | None = None,
+    sep: str = ",",
+) -> None:
+    """CSV sink with header + optional codec (gzip produces the
+    non-splittable-but-interchange-friendly export shape; leave None
+    for splittable plain text)."""
+    writer = df.write.mode(mode).option("header", str(header).lower()).option("sep", sep)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.csv(path)

@@ -145,3 +145,41 @@ def test_jsonl_gzip_transparent(spark, tmp_path):
     got = read_jsonl(spark, str(p), schema="id bigint, text string")
     assert got.count() == 50
     assert got.agg({"id": "sum"}).first()[0] == sum(range(50))
+
+
+def test_json_multiline_and_csv_gzip_roundtrip(spark, tmp_path):
+    """Whole-file JSON (single object AND top-level array framings)
+    parses to the same rows as the JSONL path; the CSV sink round-trips
+    through gzip with header + custom separator."""
+    import json
+
+    from dat_archive_map_reduce_spark.sources.formats import (
+        read_json_multiline,
+        write_csv,
+    )
+
+    rows = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}, {"id": 3, "name": "c"}]
+    src = tmp_path / "docs"
+    src.mkdir()
+    # one file holding a top-level array, one holding a single object
+    (src / "arr.json").write_text(json.dumps(rows[:2], indent=2))
+    (src / "one.json").write_text(json.dumps(rows[2], indent=2))
+    got = read_json_multiline(spark, str(src), glob="*.json")
+    assert sorted((r["id"], r["name"]) for r in got.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+    out = str(tmp_path / "csv_gz")
+    write_csv(got.select("id", "name"), out, compression="gzip", sep="|")
+    import glob as g
+
+    assert g.glob(out + "/*.csv.gz"), "gzip codec must produce .csv.gz parts"
+    back = (
+        spark.read.option("header", "true")
+        .option("sep", "|")
+        .option("inferSchema", "true")
+        .csv(out)
+    )
+    assert sorted((r["id"], r["name"]) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
