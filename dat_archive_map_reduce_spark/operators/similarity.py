@@ -927,9 +927,14 @@ def kmeans_lloyd_step(
     the previous round's means; the per-round cost is one scan + one
     k*dim-sized shuffle, the textbook distributed k-means bound.
     """
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    # persisted: the means and stats branches both read the assignment
+    # — without it the k*dim distance scan runs twice (and its fan_out
+    # exchange appears once per branch)
     assigned = nearest_seed_assignment(
         embeddings_df, seed_vectors, id_col=id_col, vec_col=vec_col
-    )
+    ).persist()
     stats = assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.round(F.sum("mindist"), 4).alias("inertia"),
@@ -939,9 +944,10 @@ def kmeans_lloyd_step(
         .groupBy("cid", "dim")
         .agg(F.round(F.avg("val"), 6).alias("mean_val"))
     )
-    return means.join(stats, "cid").select(
+    out = means.join(stats, "cid").select(
         "cid", "dim", "mean_val", "n_assigned", "inertia"
     )
+    return eager_release(out, assigned)
 
 
 def jl_project(

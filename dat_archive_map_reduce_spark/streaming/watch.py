@@ -340,19 +340,28 @@ def stream_stream_interval_join(
     right_ts: str = "r_ts",
     upper_seconds: int = 3600,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    pair rows with equal ``on`` where ``left_ts < right_ts <=
-    left_ts + upper_seconds``.
+    """Stream-stream join with an event-time interval condition: pair
+    rows with equal ``on`` where ``left_ts < right_ts <=
+    left_ts + upper_seconds``. ``how``: "inner" or "leftOuter".
 
     In streaming mode both sides carry watermarks and the time-bound
     condition lets Spark evict join state: a buffered left row can be
     dropped once the right watermark passes left_ts + upper — without
-    the interval bound, stream-stream state grows forever. The same
-    expression tree runs in batch (watermarks no-op) for the
+    the interval bound, stream-stream state grows forever. Under
+    leftOuter the SAME eviction moment is what licenses the null
+    emission: a left row pairs with nulls only once no future right
+    row could still match it, so outer results trail the right
+    watermark by ``upper_seconds`` (tail rows of a finite stream flush
+    only when a later batch advances the watermark past them — the
+    equivalence test appends a watermark-pusher row for exactly this).
+    The same expression tree runs in batch (watermarks no-op) for the
     equivalence test. Caller pre-renames columns so the sides don't
     collide: left columns ``l_*`` (key ``l_<on>``), right ``r_*``.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how must be 'inner' or 'leftOuter', got {how!r}")
     left = _as_event_time(left, left_ts)
     right = _as_event_time(right, right_ts)
     l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
@@ -362,7 +371,8 @@ def stream_stream_interval_join(
         & (F.col(right_ts) > F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
     )
-    return l.join(r, cond, "inner")
+    batch_how = "left" if how == "leftOuter" else how
+    return l.join(r, cond, how if l.isStreaming else batch_how)
 
 
 # ---------------------------------------------------------------------
