@@ -578,3 +578,79 @@ def test_streaming_heavy_hitters_bounded_state_finds_heavies(spark, tmp_path):
     for t, n in heavy.items():
         assert t in candidates, f"heavy token {t} evicted"
         assert candidates[t] <= n  # MG counters are lower bounds
+
+
+def test_stream_stream_interval_join_left_outer_equals_batch(spark, tmp_path):
+    """leftOuter stream-stream interval join: unmatched purchases emit
+    null click columns once the right watermark passes their match
+    window. A finite stream withholds tail outer rows (the watermark
+    never passes them), so the right side carries a far-future
+    watermark-pusher row; with it, streaming output equals the batch
+    left join exactly (pusher filtered from both sides)."""
+    events = load_table(spark, SF, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_event_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    batch = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in W.stream_stream_interval_join(
+            purchases, clicks, on="user_id", upper_seconds=3600, how="leftOuter"
+        ).collect()
+    }
+    outer_only = {p for p in batch if p[1] is None}
+    assert outer_only, "fixture must contain unmatched purchases"
+
+    # watermark pushers on BOTH sides: the outer-eviction watermark is
+    # the MIN across streams, so a right-only pusher leaves left state
+    # within 2h of the left max timestamp buffered forever
+    r_pusher = spark.createDataFrame(
+        [(int(-1), int(-1))], "r_event_id long, r_user_id long"
+    ).withColumn("r_ts", F.expr("timestamp'2030-01-01 00:00:00'"))
+    l_pusher = spark.createDataFrame(
+        [(int(-2), int(-2))], "l_event_id long, l_user_id long"
+    ).withColumn("l_ts", F.expr("timestamp'2030-01-01 00:00:00'"))
+    psrc, csrc = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.select("l_event_id", "l_user_id", "l_ts").unionByName(l_pusher).write.parquet(psrc)
+    clicks.select("r_event_id", "r_user_id", "r_ts").unionByName(r_pusher).write.parquet(csrc)
+
+    joined = W.stream_stream_interval_join(
+        spark.readStream.schema(purchases.schema).parquet(psrc),
+        spark.readStream.schema(clicks.schema).parquet(csrc),
+        on="user_id",
+        upper_seconds=3600,
+        how="leftOuter",
+    )
+    got = []
+
+    def _sink(batch_df, batch_id):
+        got.extend(
+            (r["l_event_id"], r["r_event_id"])
+            for r in batch_df.collect()
+            if r["l_event_id"] != -2
+            and (r["r_event_id"] is None or r["r_event_id"] != -1)
+        )
+
+    def _drain():
+        q = (
+            joined.writeStream.foreachBatch(_sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # two drains sharing one checkpoint: outer rows flush when a batch
+    # STARTS with the watermark already advanced — the pusher raises it
+    # at the end of drain 1, drain 2's (no-data) batch emits the tail
+    _drain()
+    _drain()
+    assert set(got) == batch
+    assert len(got) == len(batch)
