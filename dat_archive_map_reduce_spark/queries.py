@@ -5159,6 +5159,100 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "q", F.col("train_order").cast("long"))
 
 
+@query(
+    "emb_matryoshka_prefix_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), scored AS (
+      SELECT e.vec_id,
+             list_reduce(list_transform(range(1, 17),
+                           i -> e.v[CAST(i AS INT)] * q.qv[CAST(i AS INT)]),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, 17),
+                       i -> e.v[CAST(i AS INT)] * e.v[CAST(i AS INT)]),
+                     (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, 17),
+                         i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)]),
+                       (a, b) -> a + b))) AS pcos,
+             list_cosine_similarity(e.v, q.qv) AS fcos
+      FROM e, q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(pcos, 4) AS prefix_cos, round(fcos, 4) AS full_cos
+    FROM scored ORDER BY pcos DESC, vec_id LIMIT 10
+    """,
+)
+def emb_matryoshka_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension serving (Kusupati et al.
+    2022, arXiv:2205.13147): rank by cosine over only the FIRST 16 of
+    64 dimensions (4x less scan I/O and compute — the adaptive-
+    retrieval first pass), reporting the full-dimension cosine
+    alongside for rerank-quality inspection. Prefix dot/norms are
+    ordered ascending-index folds, bit-identical across engines; the
+    candidate ranking keys on the prefix score so both engines agree
+    exactly."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("v").first()["v"]
+    ]
+    qpre = F.array(*[F.lit(x) for x in qv[:16]])
+    qfull = F.array(*[F.lit(x) for x in qv])
+    from dat_archive_map_reduce_spark.operators.similarity import cosine, dot, norm
+
+    pre = F.slice(F.col("v"), 1, 16)
+    qnorm_pre = sum(x * x for x in qv[:16]) ** 0.5  # plain float, exact input
+    scored = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        (dot(pre, qpre) / (norm(pre) * F.lit(qnorm_pre))).alias("pcos"),
+        cosine(F.col("v"), qfull).alias("fcos"),
+    )
+    return (
+        scored.orderBy(F.desc("pcos"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round("pcos", 4).alias("prefix_cos"),
+            F.round("fcos", 4).alias("full_cos"),
+        )
+    )
+
+
+@query(
+    "corpus_dedup_rate_report",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct,
+           round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 4)
+             AS dup_rate,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+             AS n_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dedup dashboard every data team tracks: document
+    count, distinct-content count (16-byte digests shuffle, never
+    bodies), exact-duplicate rate, and token volume. One
+    partial-combined aggregation pass."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.md5("text")).alias("n_distinct"),
+        F.round(
+            1.0 - F.count_distinct(F.md5("text")) / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+        F.sum(F.size(F.split(F.lower("text"), " "))).alias("n_tokens"),
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both
