@@ -121,6 +121,44 @@ class VersionedTable:
             writer = df.sortWithinPartitions(*sort_cols)
         writer.write.mode("append").parquet(self._snapshot_dir(v))
 
+    def merge_upsert(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """MERGE-style upsert as a copy-on-write snapshot: rows of the
+        current snapshot whose key appears in ``updates`` are replaced,
+        the rest carry over, new keys insert — WHEN MATCHED THEN UPDATE
+        / WHEN NOT MATCHED THEN INSERT, the lakehouse CDC-apply shape.
+
+        Plan: one left-anti join of the (typically huge) target against
+        the (typically small) update set — Catalyst broadcasts the
+        update side under the threshold, so the target is ONE scan +
+        filter, no target shuffle — then a union with the updates.
+        Snapshot isolation for free: readers of the previous version
+        are untouched (time travel still serves it)."""
+        if not self.exists():
+            self.overwrite(updates, sort_cols)
+            return
+        target = self.read()
+        survivors = target.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        self.overwrite(
+            survivors.unionByName(updates.select(*target.columns)), sort_cols
+        )
+
+    def delete_where(self, condition) -> int:
+        """Lakehouse DELETE: write a new snapshot without the matching
+        rows; returns the number deleted. Prior versions remain
+        readable (time travel)."""
+        target = self.read()
+        n_before = target.count()
+        kept = target.filter(~condition)
+        self.overwrite(kept)
+        return n_before - kept.count()
+
     def compact(
         self,
         sort_cols: list[str] | None = None,

@@ -411,3 +411,38 @@ def test_versioned_table_schema_evolution_add_column(spark, tmp_path):
     assert old == {1: ("x", None), 2: ("y", None)}
     # a pre-evolution handle still reads its own schema from history
     assert sorted(r["a"] for r in t1.read(version=1).collect()) == ["x", "y"]
+
+
+def test_versioned_table_merge_upsert_and_delete(spark, tmp_path):
+    """MERGE upsert: matched keys update, unmatched insert, others
+    carry over — as a new copy-on-write snapshot with the previous
+    version still time-travel readable. DELETE writes a snapshot
+    without the matching rows and reports the count."""
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.plans.catalog import VersionedTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("val", T.StringType(), True),
+        ]
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"), schema)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema))
+    v1 = t.versions()[-1]
+
+    t.merge_upsert(
+        spark.createDataFrame([(2, "B"), (4, "d")], schema), key_cols=["k"]
+    )
+    now = {r["k"]: r["val"] for r in t.read().collect()}
+    assert now == {1: "a", 2: "B", 3: "c", 4: "d"}
+    # snapshot isolation: version 1 still serves the pre-merge rows
+    old = {r["k"]: r["val"] for r in t.read(version=v1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+    from pyspark.sql import functions as F
+
+    n = t.delete_where(F.col("k") % 2 == 0)
+    assert n == 2
+    assert {r["k"] for r in t.read().collect()} == {1, 3}
