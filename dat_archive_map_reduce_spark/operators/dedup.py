@@ -1006,3 +1006,37 @@ def remove_duplicated_spans(
         )
     )
     return eager_release(out, spans)
+
+
+def incremental_span_counts(
+    new_docs: DataFrame,
+    base_counts: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    span_len: int = 15,
+) -> DataFrame:
+    """Incremental ingestion for exact-substring dedup: fold a new
+    document batch into the accumulated per-span-hash document counts.
+    Returns the updated counts table ``(h, n_docs)`` — the persistent
+    state; ``n_docs >= 2`` is the duplicated-span set at any point.
+
+    Additivity contract (the batch-split invariance test): documents
+    are disjoint across batches, so per-hash distinct-doc counts sum —
+    ingesting B1 then B2 yields byte-identical state to ingesting
+    B1 ∪ B2 at once. Only the NEW batch is ever re-shingled; the
+    accumulated state is one narrow (16-byte hash, long) table that
+    merges with a partial-combined sum, the same shape a foreachBatch
+    stream maintains in an AppendOnlyLog (cf. streaming_neardup_ingest).
+    """
+    batch_counts = (
+        span_postings(new_docs, text_col, id_col, span_len)
+        .groupBy("h")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+    )
+    if base_counts is None:
+        return batch_counts
+    return (
+        base_counts.unionByName(batch_counts)
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )

@@ -934,3 +934,19 @@ def test_remove_spans_scrubs_only_duplicated_tokens(spark):
     expected1 = hashlib.md5("alpha beta gamma delta".encode()).hexdigest()
     assert rows[1]["cleaned_hash"] == expected1
     assert rows[2]["n_after"] == rows[2]["n_before"] - 17
+
+
+def test_incremental_span_counts_batch_split_invariant(spark, documents):
+    """Ingesting the corpus in two disjoint halves yields the same
+    span-count state — and therefore the same duplicated-span set —
+    as one full-batch pass."""
+    full = dedup.incremental_span_counts(documents, None, "text", "doc_id", 15)
+    b1 = documents.filter(F.col("doc_id") % 2 == 0)
+    b2 = documents.filter(F.col("doc_id") % 2 == 1)
+    s1 = dedup.incremental_span_counts(b1, None, "text", "doc_id", 15)
+    merged = dedup.incremental_span_counts(b2, s1, "text", "doc_id", 15)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    dup_full = {r["h"] for r in full.filter("n_docs >= 2").collect()}
+    dup_incr = {r["h"] for r in merged.filter("n_docs >= 2").collect()}
+    assert dup_full == dup_incr and dup_full
