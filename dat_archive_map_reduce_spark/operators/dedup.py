@@ -23,8 +23,6 @@ seed coefficients) so re-runs and retries are deterministic.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
