@@ -5253,6 +5253,64 @@ def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_contamination_capped",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                  THEN 'train' ELSE 'eval' END AS part
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, part, string_split(lower(text), ' ') AS t FROM split
+    ), fp AS (
+      SELECT doc_id, part, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> md5(array_to_string(t[i:i+4], ' '))))) AS f
+      FROM toks
+    ), kept AS (
+      SELECT f FROM fp WHERE part = 'train'
+      GROUP BY f HAVING count(*) <= 4
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM fp WHERE part = 'eval' GROUP BY 1
+    )
+    SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+           count(*) AS n_shared,
+           round(count(*) * 1.0 / s.n, 4) AS containment
+    FROM fp p
+    JOIN fp c ON p.f = c.f AND p.part = 'eval' AND c.part = 'train'
+    JOIN kept k ON k.f = p.f
+    JOIN sizes s ON s.doc_id = p.doc_id
+    GROUP BY p.doc_id, c.doc_id, s.n
+    HAVING count(*) * 1.0 / s.n >= 0.3
+    """,
+)
+def corpus_contamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped contamination scan: train-side fingerprints
+    present in more than hot_cap=4 training docs drop BEFORE the
+    posting join (a boilerplate phrase shared by 1e5 docs explodes the
+    join and carries no leakage signal). The oracle reproduces the cap
+    exactly, so the hash match proves the pruned plan computes the
+    same pairs-with-capped-counts the SQL does — the same proof shape
+    as dedup_ngram_jaccard_capped, now on the two-sided index."""
+    from dat_archive_map_reduce_spark.operators.text import cross_containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    part = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "cd", "train"
+    ).otherwise("eval")
+    tagged = d.withColumn("part", part)
+    return cross_containment_pairs(
+        tagged.filter(F.col("part") == "eval"),
+        tagged.filter(F.col("part") == "train"),
+        "text",
+        "doc_id",
+        n=5,
+        min_containment=0.3,
+        hot_cap=4,
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both
