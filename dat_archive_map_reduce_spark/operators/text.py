@@ -527,6 +527,79 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).withColumnRenamed("doc", id_col)
 
 
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR data-selection scores (Xie et al. 2023, arXiv:2302.03169):
+    rank raw-corpus documents by how target-like their hashed n-gram
+    feature distribution is. Per hashed feature bucket b,
+    ``lr_b = ln p_target(b) - ln p_raw(b)`` with add-1 smoothing; a
+    document's score is the mean ``lr`` over its token occurrences
+    (length-normalized so long documents are not favored). Positive
+    score = looks like the target distribution; importance resampling
+    keeps the top mass.
+
+    Engine-portable hashing: bucket = first md5 hex byte of the token
+    (``n_buckets`` must be 256 for that; the oracle replays it), the
+    same content-addressed idiom as corpus_hash_split.
+
+    Scale shape: both bucket-frequency tables partial-aggregate to
+    <= n_buckets rows and broadcast; per-document work pre-aggregates
+    to (doc, bucket) grain before the join, so the one real shuffle
+    moves at most n_buckets rows per document, independent of document
+    length. Nothing collects to the driver.
+    """
+    if n_buckets != 256:
+        raise ValueError("portable bucketing uses the first md5 hex byte (256)")
+
+    def _buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(text_col)).alias("tok"),
+        ).select("doc", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
+
+    ct = _buckets(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    doc_b = _buckets(raw).groupBy("doc", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cs = doc_b.groupBy("bucket").agg(F.sum("n").alias("cs"))
+    tot = ct.agg(F.sum("ct").alias("t_tot")).crossJoin(
+        cs.agg(F.sum("cs").alias("s_tot"))
+    )
+    lr = (
+        ct.join(cs, "bucket", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("t_tot") + float(n_buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cs"), F.lit(0)) + 1.0)
+                    / (F.col("s_tot") + float(n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * F.col("lr")) / F.sum("n"), 4).alias(
+                "dsir_score"
+            ),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+
+
 def chunk_overlap(
     df: DataFrame,
     text_col: str,

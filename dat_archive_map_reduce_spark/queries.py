@@ -5311,6 +5311,168 @@ def corpus_contamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_shard_manifest",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             list_reduce(list_transform(range(1, 13), i ->
+               CAST(strpos('0123456789abcdef',
+                    substr(md5(doc_id || ':shuffle'), CAST(i AS INT), 1)) - 1
+                    AS BIGINT)),
+               (a, b) -> a * 16 + b) AS hkey
+      FROM documents
+    ), r AS (
+      SELECT doc_id, row_number() OVER (ORDER BY hkey, doc_id) AS pos FROM h
+    )
+    SELECT doc_id,
+           CAST((pos - 1) % 8 AS INT) AS shard_id,
+           CAST(floor((pos - 1) / 8) AS BIGINT) AS shard_pos
+    FROM r
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle -> loader-shard
+    manifest: every document gets a content-free pseudo-random position
+    (order by md5(doc_id || salt) — stable across partitioning,
+    cluster size, and engines, unlike orderBy(rand())), then
+    round-robins into 8 shards with its within-shard position. This is
+    the shuffle-then-shard step a dataloader pipeline runs before
+    writing per-worker files; the salt re-keys the permutation per
+    epoch.
+
+    Scale shape: the global order comes from operators/ranking.py's
+    exact_global_rank (range-bucket + parallel per-bucket rank +
+    broadcast offsets) — no single-partition window touches fact rows;
+    the oracle's naive global row_number() replays it exactly, so the
+    hash gate doubles as the distributed-rank equivalence proof."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_rank
+
+    d = _t(spark, sf_dir, "documents")
+    hkey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    ranked = exact_global_rank(
+        d.select("doc_id", hkey.alias("hkey")),
+        "hkey",
+        tie_breakers=[F.col("doc_id")],
+        pos_col="pos",
+    )
+    return ranked.select(
+        "doc_id",
+        ((F.col("pos") - 1) % 8).cast("int").alias("shard_id"),
+        F.floor((F.col("pos") - 1) / 8).cast("bigint").alias("shard_pos"),
+    )
+
+
+@query(
+    "corpus_packing_efficiency",
+    oracle="""
+    WITH n AS (
+      SELECT len(string_split(lower(text), ' ')) AS n_tokens FROM documents
+    )
+    SELECT length(bin(n_tokens)) AS len_bucket,
+           CAST((1 << (length(bin(n_tokens)) - 1)) AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(greatest(n_tokens - 512, 0)) AS BIGINT) AS trunc_waste,
+           CAST(sum(CASE WHEN n_tokens < 512 THEN 512 - n_tokens ELSE 0 END)
+                AS BIGINT) AS pad_waste,
+           round(avg(n_tokens), 4) AS avg_tokens
+    FROM n GROUP BY 1, 2
+    """,
+)
+def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram + batching-waste report at a 512-token
+    context: per power-of-two length bucket, the document count, token
+    volume, tokens LOST to truncation (doc longer than the context)
+    and tokens WASTED on padding (doc shorter, padded to 512) — the
+    diagnostic that says whether concat-and-chunk packing
+    (corpus_pack_chunks) is worth running. Bucket = bit-length of the
+    token count (integer-exact on both engines, no float log2 edge
+    cases at powers of two).
+
+    Scale shape: one narrow map + one partial-combined aggregate on
+    <= 64 bucket keys; at 100 TB this is a pure scan-rate query."""
+    from dat_archive_map_reduce_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    n = TX.token_count("text")
+    blen = F.length(F.bin(n))
+    return (
+        d.select(n.alias("n_tokens"), blen.alias("len_bucket"))
+        .groupBy("len_bucket")
+        .agg(
+            F.expr("CAST(shiftleft(1, CAST(len_bucket AS INT) - 1) AS BIGINT)")
+            .alias("bucket_lo"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.greatest(F.col("n_tokens") - 512, F.lit(0)))
+            .cast("bigint")
+            .alias("trunc_waste"),
+            F.sum(
+                F.when(F.col("n_tokens") < 512, 512 - F.col("n_tokens")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pad_waste"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source, substr(md5(tok), 1, 2) AS bucket
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+    ), ct AS (
+      SELECT bucket, count(*) AS c FROM b WHERE source = 'src0' GROUP BY 1
+    ), doc_b AS (
+      SELECT doc_id, bucket, count(*) AS n FROM b WHERE source <> 'src0'
+      GROUP BY 1, 2
+    ), cs AS (
+      SELECT bucket, sum(n) AS c FROM doc_b GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT sum(c) FROM ct) AS t_tot, (SELECT sum(c) FROM cs) AS s_tot
+    ), lr AS (
+      SELECT coalesce(ct.bucket, cs.bucket) AS bucket,
+             ln((coalesce(ct.c, 0) + 1.0) / (t_tot + 256.0))
+               - ln((coalesce(cs.c, 0) + 1.0) / (s_tot + 256.0)) AS lr
+      FROM ct FULL JOIN cs ON ct.bucket = cs.bucket CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           round(sum(n * lr) / sum(n), 4) AS dsir_score
+    FROM doc_b JOIN lr USING (bucket)
+    GROUP BY 1
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every raw-pool
+    document (source <> 'src0') by how target-like (source = 'src0')
+    its hashed-unigram feature distribution is — the
+    data-selection-for-pretraining step between quality filtering and
+    sampling. operators/text.py::dsir_weights; the oracle replays the
+    md5 bucket hash, the add-1 smoothed log-ratio table, and the
+    length-normalized score bit-for-bit."""
+    from dat_archive_map_reduce_spark.operators.text import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -950,3 +950,67 @@ def test_incremental_span_counts_batch_split_invariant(spark, documents):
     dup_full = {r["h"] for r in full.filter("n_docs >= 2").collect()}
     dup_incr = {r["h"] for r in merged.filter("n_docs >= 2").collect()}
     assert dup_full == dup_incr and dup_full
+
+
+def test_shard_manifest_balanced_and_partition_invariant(spark):
+    """The shard manifest is a true permutation: shard sizes differ by
+    at most 1, within-shard positions are contiguous from 0, and the
+    assignment is identical across input partition layouts."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    out = QUERIES["corpus_shard_manifest"](spark, SF)
+    rows = out.collect()
+    n = len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    sizes = {len(v) for v in by_shard.values()}
+    assert max(sizes) - min(sizes) <= 1 and set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    assert sum(len(v) for v in by_shard.values()) == n
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    """Planted signal: raw docs written in the target's vocabulary must
+    outscore raw docs of out-of-distribution gibberish."""
+    from dat_archive_map_reduce_spark.operators.text import dsir_weights
+
+    tvoc = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    gvoc = ["zzq", "xxv", "qqj", "wwk", "vvz"]
+    target = spark.createDataFrame(
+        [(100 + i, " ".join(tvoc * 4)) for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, " ".join(tvoc * 3)), (2, " ".join(gvoc * 3))],
+        "doc_id long, text string",
+    )
+    scores = {r["doc_id"]: r["dsir_score"] for r in
+              dsir_weights(raw, target, "text", "doc_id").collect()}
+    assert scores[1] > scores[2]
+    assert scores[1] > 0 > scores[2]
+
+
+def test_packing_efficiency_accounts_every_token(spark):
+    """Bucket totals must partition the corpus: doc and token counts
+    sum to the whole table, and waste columns match a direct compute."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    out = QUERIES["corpus_packing_efficiency"](spark, SF).collect()
+    d = load_table(spark, SF, "documents")
+    direct = d.select(
+        F.size(F.split(F.lower("text"), " ")).alias("n")
+    ).agg(
+        F.count("*").alias("docs"),
+        F.sum("n").alias("toks"),
+        F.sum(F.greatest(F.col("n") - 512, F.lit(0))).alias("trunc"),
+        F.sum(F.when(F.col("n") < 512, 512 - F.col("n")).otherwise(0)).alias("pad"),
+    ).first()
+    assert sum(r["n_docs"] for r in out) == direct["docs"]
+    assert sum(r["total_tokens"] for r in out) == direct["toks"]
+    assert sum(r["trunc_waste"] for r in out) == direct["trunc"]
+    assert sum(r["pad_waste"] for r in out) == direct["pad"]
+    for r in out:
+        assert r["bucket_lo"] == 2 ** (r["len_bucket"] - 1)
