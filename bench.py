@@ -91,6 +91,16 @@ def main() -> None:
         # ran before it.
         spark.catalog.clearCache()
         print(f"# {name}: cold={runs[0]:.3f}s steady={min(runs):.3f}s rows={n}", file=sys.stderr)
+        # localCheckpoint blocks (graph/rank/dedup queries) free only
+        # when a JVM GC lets ContextCleaner collect them; without this,
+        # storage fills over the ~260 executions and later window-sort
+        # queries spill (observed 5-8x degradation on text_winnowing /
+        # dedup_exact_substring late in the run)
+        if (i := len(timings)) % 16 == 0:
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     payload = {
         "metric": "total_query_wall_sec",

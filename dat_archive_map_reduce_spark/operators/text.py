@@ -192,10 +192,17 @@ def cross_containment_pairs(
         F.explode(rolling_shingle_fingerprints(text_col, n)).alias("fp"),
     )
     if hot_cap is not None:
-        keep = c.groupBy("fp").agg(F.count(F.lit(1)).alias("cdf")).filter(
-            F.col("cdf") <= hot_cap
-        )
-        c = c.join(keep.select("fp"), "fp", "left_semi")
+        # count-over-fp window instead of groupBy-count + semi-join:
+        # one corpus shingling pass and ONE fp shuffle (which the
+        # posting join below reuses — its key and partitioning match)
+        # versus two passes and two shuffles. WindowExec buffers each
+        # fp group while counting; groups are exactly the posting
+        # lists the cap exists to bound, and the sorter spills to disk
+        # for the rare boilerplate fp that exceeds memory before the
+        # filter drops it.
+        c = c.withColumn(
+            "cdf", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        ).filter(F.col("cdf") <= hot_cap).drop("cdf")
     return (
         p.join(c, "fp")
         .groupBy("probe_id", "corpus_id")

@@ -51,6 +51,17 @@ def get_spark(app_name: str = "dat_archive_map_reduce_spark") -> SparkSession:
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # long-lived sessions accumulate unreferenced localCheckpoint /
+        # broadcast blocks until a JVM GC lets ContextCleaner drop them;
+        # periodic GC keeps storage memory from crowding execution (the
+        # window-sort spill path) on a driver that runs hundreds of jobs
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        # with parallelismFirst, AQE still merges a shuffle below
+        # defaultParallelism partitions once it is under 32 x 1 MiB —
+        # which serializes compute-dense small relations (fingerprint /
+        # window-hash stages) onto 1-2 cores. 64 KiB keeps those at full
+        # parallelism; at 100 TB shuffle sizes this floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "true")
     )

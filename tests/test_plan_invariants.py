@@ -95,6 +95,16 @@ CONTRACTS = [
     # multi-split tables)
     ("emb_kmeans_lloyd_portable", 3, 1, False, False),
     ("corpus_bm25_topk", 5, 1, True, False),
+    # shard manifest: bucket-tagged scan + count agg + per-bucket rank
+    # window, offsets broadcast back — never a global-order window
+    ("corpus_shard_manifest", 3, 1, False, False),
+    ("corpus_packing_efficiency", 1, 0, False, False),
+    # dsir: two bucket-count tables + (doc,bucket) pre-agg + final doc
+    # agg; the <=256-row log-ratio table and totals ride as broadcasts
+    ("corpus_dsir_weights", 6, 2, False, True),
+    # capped contamination: window-count hot-cap reuses the posting
+    # join's fp partitioning — the cap must NOT add its own exchange
+    ("corpus_contamination_capped", 2, 0, False, False),
 ]
 
 
