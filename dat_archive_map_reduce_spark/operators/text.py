@@ -184,9 +184,18 @@ def cross_containment_pairs(
         F.col(id_col).alias("probe_id"),
         F.explode(rolling_shingle_fingerprints(text_col, n)).alias("fp"),
     )
-    # window AFTER explode: size()+explode() in one projection would
-    # evaluate the md5-array expression twice per row
-    p = p.withColumn("n_probe", F.count(F.lit(1)).over(Window.partitionBy("probe_id")))
+    # sketch sizes come from a SECOND narrow scan of the probe side
+    # joined back at pair grain below — not a count-window over the
+    # exploded posting list, which would shuffle every posting row by
+    # probe_id before the fp join shuffles them again. Re-shingling one
+    # extra time is narrow compute; the avoided exchange is the whole
+    # posting list. (size()+explode() in one projection is not an
+    # option either: CollapseProject re-inlines the md5-array
+    # expression into both uses, doubling the shingling.)
+    sizes = probe.select(
+        F.col(id_col).alias("probe_id"),
+        F.size(rolling_shingle_fingerprints(text_col, n)).alias("n_probe"),
+    )
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.explode(rolling_shingle_fingerprints(text_col, n)).alias("fp"),
@@ -206,7 +215,8 @@ def cross_containment_pairs(
     return (
         p.join(c, "fp")
         .groupBy("probe_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"), F.first("n_probe").alias("n_probe"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(sizes, "probe_id")
         .withColumn("containment", F.round(F.col("n_shared") / F.col("n_probe"), 4))
         .filter(F.col("containment") >= min_containment)
         .select("probe_id", "corpus_id", "n_shared", "containment")
