@@ -617,6 +617,123 @@ def dsir_weights(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 12,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Full BPE tokenizer training loop (Sennrich et al. 2016,
+    arXiv:1508.07909), distributed: iteratively find the most frequent
+    adjacent symbol pair across the corpus and merge it, ``n_merges``
+    times. corpus_bpe_merge_step is this loop's oracle-gated single
+    iteration; the loop itself is iterative driver-coordinated
+    compute, the category SQL cannot express.
+
+    Scale shape per iteration: pair counts partial-aggregate over the
+    WORD-TYPE vocabulary (one row per distinct word, counts identical
+    to the token stream by distributivity), the winner arrives as ONE
+    driver row via TakeOrdered(1), and the merge applies as a narrow
+    left-to-right array fold — no shuffle grows with corpus size, and
+    driver traffic is one row per merge. The rewritten vocabulary is
+    materialized each round (localCheckpoint) so every iteration costs
+    one pass over the word-TYPE table, not a replay of all prior
+    merges over the corpus scan.
+
+    Determinism: ties break on (count desc, left asc, right asc).
+    Symbols are plain strings and a merge concatenates them (the GPT-2
+    convention), so two merge paths producing the same string conflate
+    — the standard simple-BPE behavior the tests' reference
+    implementation shares. Greedy left-to-right application: in
+    ``aaab`` the merge (a,a) produces ``aa,a,b``.
+
+    Returns (step, left, right, merged, pair_count) — the merge table
+    a tokenizer-apply pass consumes.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(text_col), "[^a-z0-9]+"),
+                    lambda w: F.length(w) > 0,
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # the word-type table is orders of magnitude smaller than the
+    # corpus; a handful of partitions keeps each round's two jobs at
+    # ~10 scheduled tasks instead of ~64 (the round latency driver on
+    # a warm cluster). For a vocabulary that genuinely needs more
+    # parallelism the fold below still distributes — raise this in
+    # step with type count, not corpus size.
+    vocab = words.coalesce(4).select(
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)  # ONE corpus pass; rounds read types only
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", (i + 1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None or int(best["cnt"]) < min_pair_count:
+            break
+        a, b = best["l"], best["r"]
+        merges.append((step, a, b, a + b, int(best["cnt"])))
+        # the merge pair rides as a broadcast 1-row join, NOT as
+        # literals: literal-embedding would generate fresh codegen
+        # source every round (janino recompile per merge, ~2s each);
+        # as columns the fold compiles once and every round reuses it
+        pair_df = spark.createDataFrame(
+            [(a, b, a + b)], "m_l string, m_r string, m_lr string"
+        )
+        new_syms = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("m_l"))
+                & (s == F.col("m_r")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("m_lr"))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        # materialize the rewritten vocabulary each round: the next
+        # round's pair count then reads the (small) word-type table
+        # instead of replaying every earlier merge fold over the corpus
+        # scan — the standard iterate-and-checkpoint shape
+        vocab = (
+            vocab.crossJoin(F.broadcast(pair_df))
+            .withColumn("syms", new_syms)
+            .select("freq", "syms")
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count bigint"
+    )
+
+
 def chunk_overlap(
     df: DataFrame,
     text_col: str,

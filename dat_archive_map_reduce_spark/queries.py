@@ -5311,6 +5311,23 @@ def corpus_contamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("corpus_bpe_train")
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (operators/text.py::bpe_train): 6
+    greedy merges over the corpus word-type vocabulary. Iterative
+    driver-coordinated compute — each round a partial-combined pair
+    count, a TakeOrdered(1) winner, and a narrow merge fold — which no
+    single SQL statement expresses, so this carries no oracle (weak
+    rows-only driver check by design); corpus_bpe_merge_step IS the
+    oracle-gated single iteration, and the pytest suite pins the full
+    loop against a pure-Python reference BPE and across partition
+    layouts."""
+    from dat_archive_map_reduce_spark.operators.text import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_train(d, "text", n_merges=6)
+
+
 @query(
     "corpus_shard_manifest",
     oracle="""

@@ -1014,3 +1014,71 @@ def test_packing_efficiency_accounts_every_token(spark):
     assert sum(r["pad_waste"] for r in out) == direct["pad"]
     for r in out:
         assert r["bucket_lo"] == 2 ** (r["len_bucket"] - 1)
+
+
+def _py_bpe(word_freqs, n_merges, min_pair_count=2):
+    """Pure-Python reference BPE trainer (string symbols, greedy
+    left-to-right merges, ties on (count desc, left, right))."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    out = []
+    for step in range(n_merges):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        out.append((step, a, b, a + b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + f
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The distributed trainer must reproduce the reference merge
+    sequence exactly, including greedy overlap handling (aaab)."""
+    docs = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "widest widest newest low aaab aaab aaab aaab aaab aaab"),
+        (3, "the the the the quick quick brown fox fox fox"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from dat_archive_map_reduce_spark.operators.text import bpe_train
+
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=8).collect()
+    ]
+    freqs = {}
+    import re
+    for _, t in docs:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    want = _py_bpe(freqs, 8)
+    assert got == want and len(got) == 8
+
+
+def test_bpe_train_partition_invariant(spark):
+    """Same merge table regardless of input partition layout."""
+    from dat_archive_map_reduce_spark.operators.text import bpe_train
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    m1 = bpe_train(d.repartition(1), "text", n_merges=5).collect()
+    m8 = bpe_train(d.repartition(8), "text", n_merges=5).collect()
+    assert [tuple(r) for r in m1] == [tuple(r) for r in m8]
+    assert len(m1) == 5
