@@ -734,6 +734,73 @@ def bpe_train(
     )
 
 
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Tokenize with a TRAINED merge table (the serving half of
+    bpe_train): per document, the BPE token count and the
+    space-joined segmentation hash. Merges apply in training order
+    with the same greedy left-to-right fold as the trainer.
+
+    Scale shape: merges apply to the word-TYPE table (one narrow fold
+    pass per merge over distinct words — never over the token stream),
+    then the segmented types join back to per-document word counts on
+    the word key. The merge table is a driver-side list (tokenizers
+    are KBs); at 100 TB the type table is the only relation that
+    re-tokenizes when the tokenizer changes.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(text_col), "[^a-z0-9]+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("w"),
+    )
+    doc_words = words.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("n"))
+    types = doc_words.select("w").distinct().withColumn(
+        "syms",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    )
+    for a, b in merges:
+        types = types.withColumn(
+            "syms",
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        )
+    seg = types.select(
+        "w",
+        F.size("syms").alias("w_tokens"),
+        F.array_join("syms", " ").alias("w_seg"),
+    )
+    return (
+        doc_words.join(seg, "w")
+        .groupBy("doc")
+        .agg(
+            F.sum(F.col("n") * F.col("w_tokens")).alias("n_bpe_tokens"),
+            F.sum("n").alias("n_words"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )
+
+
 def chunk_overlap(
     df: DataFrame,
     text_col: str,

@@ -5328,6 +5328,27 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, "text", n_merges=6)
 
 
+@query("corpus_bpe_tokenize")
+def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-serve tokenizer composition: learn 6 BPE merges on
+    the corpus (bpe_train), then segment every document with them
+    (operators/text.py::bpe_apply — merges fold over the word-TYPE
+    table, one narrow pass per merge, and join back to per-document
+    word counts; the token stream itself is never re-folded). Output:
+    per-doc BPE token and word counts. Iterative + trained state = no
+    SQL oracle (weak rows-only driver check by design); the single
+    merge step is oracle-gated (corpus_bpe_merge_step) and the apply
+    fold is pinned against a pure-Python reference tokenizer in
+    pytest."""
+    from dat_archive_map_reduce_spark.operators.text import bpe_apply, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["left"], r["right"]) for r in bpe_train(d, "text", n_merges=6).collect()
+    ]
+    return bpe_apply(d, merges, "text", "doc_id")
+
+
 @query(
     "corpus_shard_manifest",
     oracle="""

@@ -1082,3 +1082,39 @@ def test_bpe_train_partition_invariant(spark):
     m8 = bpe_train(d.repartition(8), "text", n_merges=5).collect()
     assert [tuple(r) for r in m1] == [tuple(r) for r in m8]
     assert len(m1) == 5
+
+
+def test_bpe_apply_matches_python_tokenizer(spark):
+    """bpe_apply must reproduce the reference tokenization: per doc,
+    sum over words of the reference greedy segmentation length."""
+    import re
+    docs = [
+        (1, "low lower lowest newest newest aaab"),
+        (2, "aaab aaab the quick brown low low"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from dat_archive_map_reduce_spark.operators.text import bpe_apply
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("a", "a"), ("es", "t")]
+
+    def seg(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return syms
+
+    want = {}
+    for doc_id, t in docs:
+        words = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        want[doc_id] = (sum(len(seg(w)) for w in words), len(words))
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+           for r in bpe_apply(df, merges, "text", "doc_id").collect()}
+    assert got == want
+    # sanity: merges actually compressed something
+    assert got[1][0] < sum(len(w) for w in "low lower lowest newest newest aaab".split())
