@@ -19,6 +19,7 @@ surface, then the LLM-pipeline extensions (dedup / similarity / text).
 
 from __future__ import annotations
 
+import math
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -5347,6 +5348,126 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["left"], r["right"]) for r in bpe_train(d, "text", n_merges=6).collect()
     ]
     return bpe_apply(d, merges, "text", "doc_id")
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, length(text)),
+                                           i -> substr(text, CAST(i AS INT), 1))) AS ch
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1
+    )
+    SELECT cnt.doc_id,
+           CAST(tot.n AS BIGINT) AS n_chars,
+           round(-sum((c * 1.0 / n) * ln(c * 1.0 / n)) / ln(2.0), 4)
+             AS char_entropy_bits
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id, tot.n
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (bits/char) — the
+    compression-style quality signal: near-zero = degenerate repetition
+    (aaaa...), anomalously high = random noise; natural text sits in a
+    band, and both tails are what a quality pass drops.
+
+    Scale shape: chars explode to (doc, char) grain and
+    partial-combine immediately — the shuffle carries at most
+    |alphabet| rows per document, not document length; the per-doc
+    total then folds in the same aggregation tree. All native
+    expressions, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            "doc_id",
+            # substr enumeration, not split("(?!^)"): Java's zero-width
+            # split emits a trailing empty token that would off-by-one
+            # every n_chars
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text")),
+                    lambda i: F.col("text").substr(i, F.lit(1)),
+                )
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.round(-F.sum(p * F.log(p)) / float(math.log(2.0)), 4).alias(
+                "char_entropy_bits"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars"),
+            "char_entropy_bits",
+        )
+    )
+
+
+@query(
+    "corpus_weighted_sample_topk",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 2.0 ELSE 1.0 END
+               AS w,
+             list_reduce(list_transform(range(1, 14), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(doc_id || ':es'), CAST(i AS INT), 1)) - 1)
+               * power(16.0, -i)), (a, b) -> a + b) AS u
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           round(ln(u) / w, 8) AS es_key
+    FROM scored
+    ORDER BY es_key DESC, doc_id LIMIT 200
+    """,
+)
+def corpus_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    A-ES keys (IPL 2006): each row draws a deterministic md5 uniform
+    u in (0,1) and ranks by u^(1/w) — equivalently ln(u)/w — and the
+    global top-k IS a weighted sample without replacement. Unlike the
+    Bernoulli quality sample (corpus_quality_weighted_sample), this
+    yields an EXACT sample size. Deterministic across engines,
+    partitioning, and re-runs; TakeOrderedAndProject keeps it one
+    partial top-k pass with no global sort. The fixed-order nibble
+    fold is the KMV sketch's uniform-from-md5 idiom."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.when(F.length("text").between(50, 10000), 2.0).otherwise(1.0)
+    u = F.expr(
+        """
+        aggregate(
+          transform(sequence(1, 13), i ->
+            CAST(instr('0123456789abcdef',
+                       substr(md5(concat(CAST(doc_id AS STRING), ':es')),
+                              CAST(i AS INT), 1)) - 1 AS DOUBLE)
+            * power(16.0, -i)),
+          CAST(0.0 AS DOUBLE), (a, b) -> a + b)
+        """
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(F.log(u) / w, 8).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(200)
+    )
 
 
 @query(
