@@ -180,25 +180,34 @@ def cross_containment_pairs(
     """
     from pyspark.sql import Window
 
-    p = probe.select(
-        F.col(id_col).alias("probe_id"),
-        F.explode(rolling_shingle_fingerprints(text_col, n)).alias("fp"),
+    # explode_outer + post-explode null filter, NOT plain explode: the
+    # inner Generate injects a `size(arr)>0 AND isnotnull(arr)` filter
+    # below the projection, re-inlining the md5-shingle expression and
+    # computing it a second time per row. With outer=true the array
+    # materializes exactly once in the child projection; empty/null
+    # sketches surface as one null-fp row and drop on the cheap
+    # attribute filter. n_probe = size(fps) rides the same projection
+    # (the Generate retains the attribute, so size() reuses it) — no
+    # second scan, no count-window over the posting list.
+    p = (
+        probe.select(
+            F.col(id_col).alias("probe_id"),
+            rolling_shingle_fingerprints(text_col, n).alias("fps"),
+        )
+        .select(
+            "probe_id",
+            F.size("fps").alias("n_probe"),
+            F.explode_outer("fps").alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
     )
-    # sketch sizes come from a SECOND narrow scan of the probe side
-    # joined back at pair grain below — not a count-window over the
-    # exploded posting list, which would shuffle every posting row by
-    # probe_id before the fp join shuffles them again. Re-shingling one
-    # extra time is narrow compute; the avoided exchange is the whole
-    # posting list. (size()+explode() in one projection is not an
-    # option either: CollapseProject re-inlines the md5-array
-    # expression into both uses, doubling the shingling.)
-    sizes = probe.select(
-        F.col(id_col).alias("probe_id"),
-        F.size(rolling_shingle_fingerprints(text_col, n)).alias("n_probe"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.explode(rolling_shingle_fingerprints(text_col, n)).alias("fp"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            rolling_shingle_fingerprints(text_col, n).alias("fps"),
+        )
+        .select("corpus_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
     )
     if hot_cap is not None:
         # count-over-fp window instead of groupBy-count + semi-join:
@@ -215,8 +224,7 @@ def cross_containment_pairs(
     return (
         p.join(c, "fp")
         .groupBy("probe_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .join(sizes, "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"), F.first("n_probe").alias("n_probe"))
         .withColumn("containment", F.round(F.col("n_shared") / F.col("n_probe"), 4))
         .filter(F.col("containment") >= min_containment)
         .select("probe_id", "corpus_id", "n_shared", "containment")
