@@ -155,7 +155,13 @@ def inverted_index_pair_ids(
         )
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(pairs.alias("ps"))
+        # alias-then-explode_outer: inlining the O(k^2) pair expression
+        # into the generator makes InferFiltersFromGenerate re-inline it
+        # into a size>0 filter below the projection — every bucket would
+        # build its pair array twice. The attribute form evaluates once;
+        # outer needs no filter (size(ds)>=2 guarantees pairs non-empty).
+        .select(F.explode_outer("ps").alias("p"))
         .groupBy("p.id_a", "p.id_b")
         .agg(F.count(F.lit(1)).alias("common"))
         .select("id_a", "id_b", "common")
@@ -202,7 +208,13 @@ def inverted_index_pair_counts(
         )
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(pairs.alias("ps"))
+        # alias-then-explode_outer: inlining the O(k^2) pair expression
+        # into the generator makes InferFiltersFromGenerate re-inline it
+        # into a size>0 filter below the projection — every bucket would
+        # build its pair array twice. The attribute form evaluates once;
+        # outer needs no filter (size(ds)>=2 guarantees pairs non-empty).
+        .select(F.explode_outer("ps").alias("p"))
         .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         .groupBy("id_a", "id_b")
         .agg(
@@ -475,7 +487,13 @@ def prefix_filter_candidates(sets: DataFrame, threshold: float) -> DataFrame:
         )
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(pairs.alias("ps"))
+        # alias-then-explode_outer: inlining the O(k^2) pair expression
+        # into the generator makes InferFiltersFromGenerate re-inline it
+        # into a size>0 filter below the projection — every bucket would
+        # build its pair array twice. The attribute form evaluates once;
+        # outer needs no filter (size(ds)>=2 guarantees pairs non-empty).
+        .select(F.explode_outer("ps").alias("p"))
         .select("p.id_a", "p.id_b", "p.n_a", "p.n_b")
         # length filter: J >= t forces min(|a|,|b|)/max(|a|,|b|) >= t
         .filter(
@@ -597,7 +615,9 @@ def portable_minhash_pairs(
         )
     )
     cands = (
-        buckets.select(F.explode(pair_col).alias("p"))
+        buckets.select(pair_col.alias("ps"))
+        .select(F.explode_outer("ps").alias("p"))  # alias-then-explode: one eval
+
         .select("p.id_a", "p.id_b")
         .distinct()
     )

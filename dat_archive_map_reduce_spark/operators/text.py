@@ -582,10 +582,13 @@ def dsir_weights(
         raise ValueError("portable bucketing uses the first md5 hex byte (256)")
 
     def _buckets(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(tokens(text_col)).alias("tok"),
-        ).select("doc", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
+        # alias-then-explode_outer: one tokenizer-split evaluation
+        return (
+            df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("ts"))
+            .select("doc", F.explode_outer("ts").alias("tok"))
+            .filter(F.col("tok").isNotNull())
+            .select("doc", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
+        )
 
     ct = _buckets(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     doc_b = _buckets(raw).groupBy("doc", "bucket").agg(
@@ -660,13 +663,13 @@ def bpe_train(
     """
     words = (
         df.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(text_col), "[^a-z0-9]+"),
-                    lambda w: F.length(w) > 0,
-                )
-            ).alias("w")
+            F.filter(
+                F.split(F.lower(text_col), "[^a-z0-9]+"),
+                lambda w: F.length(w) > 0,
+            ).alias("ws")
         )
+        .select(F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -760,14 +763,16 @@ def bpe_apply(
     are KBs); at 100 TB the type table is the only relation that
     re-tokenizes when the tokenizer changes.
     """
-    words = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
+    words = (
+        df.select(
+            F.col(id_col).alias("doc"),
             F.filter(
                 F.split(F.lower(text_col), "[^a-z0-9]+"),
                 lambda w: F.length(w) > 0,
-            )
-        ).alias("w"),
+            ).alias("ws"),
+        )
+        .select("doc", F.explode_outer("ws").alias("w"))
+        .filter(F.col("w").isNotNull())
     )
     doc_words = words.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("n"))
     types = doc_words.select("w").distinct().withColumn(

@@ -2042,9 +2042,16 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dat_archive_map_reduce_spark.operators.text import rolling_shingle_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    fp = d.select(
-        F.col("doc_id").alias("doc"),
-        F.explode(rolling_shingle_fingerprints("text", n=5)).alias("token"),
+    # alias-then-explode_outer: the inline generator's inferred filter
+    # re-evaluates the md5-shingle array per row (see
+    # cross_containment_pairs)
+    fp = (
+        d.select(
+            F.col("doc_id").alias("doc"),
+            rolling_shingle_fingerprints("text", n=5).alias("fps"),
+        )
+        .select("doc", F.explode_outer("fps").alias("token"))
+        .filter(F.col("token").isNotNull())
     )
     sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
     pairs = inverted_index_pair_ids(fp)

@@ -100,8 +100,11 @@ CONTRACTS = [
     ("corpus_shard_manifest", 3, 1, False, False),
     ("corpus_packing_efficiency", 1, 0, False, False),
     # dsir: two bucket-count tables + (doc,bucket) pre-agg + final doc
-    # agg; the <=256-row log-ratio table and totals ride as broadcasts
-    ("corpus_dsir_weights", 6, 2, False, True),
+    # agg; the <=256-row log-ratio table and totals ride as broadcasts.
+    # The static plan shows the (doc,bucket) pre-agg twice (cs and the
+    # scoring join both consume it); ReuseExchange unifies them at
+    # execution, so 7 static exchanges run as 4 fact-bearing shuffles
+    ("corpus_dsir_weights", 7, 2, False, True),
     # capped contamination: window-count hot-cap reuses the posting
     # join's fp partitioning — the cap must NOT add its own exchange
     ("corpus_contamination_capped", 2, 0, False, False),
