@@ -24,6 +24,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -148,6 +149,59 @@ class VersionedTable:
         self.overwrite(
             survivors.unionByName(updates.select(*target.columns)), sort_cols
         )
+
+    def diff(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Change data feed between two snapshots: every row with a
+        ``_change`` column in {'insert', 'delete', 'update_pre',
+        'update_post'} — what a downstream incremental consumer
+        replays instead of re-reading the table (Delta CDF shape).
+
+        Without ``key_cols`` the diff is row-valued: rows only in the
+        newer snapshot are inserts, rows only in the older one are
+        deletes (a changed row shows as delete + insert). With
+        ``key_cols`` changed keys classify as update_pre/update_post
+        instead. Plan: both snapshots are immutable parquet, so the
+        diff is two exceptAll (hash aggregate) passes — or, keyed, one
+        full-outer join on the keys — with no state kept anywhere."""
+        new = self.read(to_version)
+        old = self.read(from_version)
+        if key_cols is None:
+            ins = new.exceptAll(old).withColumn("_change", F.lit("insert"))
+            dels = old.exceptAll(new).withColumn("_change", F.lit("delete"))
+            return ins.unionByName(dels)
+        cols = new.columns
+        n = new.select(*cols).withColumn("_n", F.lit(1))
+        o = old.select(*cols).withColumn("_o", F.lit(1))
+        j = n.alias("n").join(o.alias("o"), key_cols, "full_outer")
+        non_key = [c for c in cols if c not in key_cols]
+        same = F.lit(True)
+        for c in non_key:
+            same = same & F.col(f"n.{c}").eqNullSafe(F.col(f"o.{c}"))
+        inserts = j.filter(F.col("o._o").isNull()).select(
+            *[F.col(f"n.{c}") if c in non_key else F.col(c) for c in cols],
+            F.lit("insert").alias("_change"),
+        )
+        deletes = j.filter(F.col("n._n").isNull()).select(
+            *[F.col(f"o.{c}") if c in non_key else F.col(c) for c in cols],
+            F.lit("delete").alias("_change"),
+        )
+        changed = j.filter(
+            F.col("n._n").isNotNull() & F.col("o._o").isNotNull() & ~same
+        )
+        pre = changed.select(
+            *[F.col(f"o.{c}") if c in non_key else F.col(c) for c in cols],
+            F.lit("update_pre").alias("_change"),
+        )
+        post = changed.select(
+            *[F.col(f"n.{c}") if c in non_key else F.col(c) for c in cols],
+            F.lit("update_post").alias("_change"),
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
     def delete_where(self, condition) -> int:
         """Lakehouse DELETE: write a new snapshot without the matching

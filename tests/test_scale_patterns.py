@@ -446,3 +446,42 @@ def test_versioned_table_merge_upsert_and_delete(spark, tmp_path):
     n = t.delete_where(F.col("k") % 2 == 0)
     assert n == 2
     assert {r["k"] for r in t.read().collect()} == {1, 3}
+
+
+def test_versioned_table_diff_change_data_feed(spark, tmp_path):
+    """diff(v1, v2) must classify inserts/deletes (row-valued) and,
+    keyed, split changed keys into update_pre/update_post — the CDF a
+    downstream incremental consumer replays."""
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    from dat_archive_map_reduce_spark.plans.catalog import VersionedTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("val", T.StringType(), True),
+        ]
+    )
+    t = VersionedTable(spark, str(tmp_path / "t"), schema)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], schema))
+    v1 = t.versions()[-1]
+    t.merge_upsert(spark.createDataFrame([(2, "B"), (4, "d")], schema), key_cols=["k"])
+    t.delete_where(F.col("k") == 3)
+    v3 = t.versions()[-1]
+
+    rowdiff = {(r["k"], r["val"], r["_change"]) for r in t.diff(v1, v3).collect()}
+    assert rowdiff == {
+        (2, "B", "insert"), (4, "d", "insert"),
+        (2, "b", "delete"), (3, "c", "delete"),
+    }
+
+    keyed = {(r["k"], r["val"], r["_change"]) for r in
+             t.diff(v1, v3, key_cols=["k"]).collect()}
+    assert keyed == {
+        (4, "d", "insert"),
+        (3, "c", "delete"),
+        (2, "b", "update_pre"), (2, "B", "update_post"),
+    }
+    # no-op diff is empty
+    assert t.diff(v3, v3).count() == 0
