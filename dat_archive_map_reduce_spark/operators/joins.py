@@ -35,29 +35,63 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: dict[str, str] | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward inclusive as-of join: for every left row, the single
-    right row with the greatest ``right_ts <= left_ts`` within the
-    same ``on`` key group.
+    """As-of join with full pandas ``merge_asof`` semantics: for every
+    left row, the single matching right row within the same ``on`` key
+    group —
+
+    * ``direction='backward'`` (default): greatest ``right_ts <=
+      left_ts`` (inclusive);
+    * ``direction='forward'``: smallest ``right_ts >= left_ts``
+      (inclusive);
+    * ``direction='nearest'``: whichever of the two is closer in time
+      (tie -> backward, pandas behavior).
+
+    ``tolerance`` (seconds for timestamp axes, same units as the
+    column for numeric axes) drops matches farther than that from the
+    left row's time.
 
     Formulation: tag and union both sides, sort each key partition by
-    (ts, right-before-left-on-ties), and carry the right payload
-    forward with ``last(..., ignorenulls=True)`` over an unbounded-
-    preceding running frame. One shuffle (on the key), one sort, no
-    pair materialization — the plan scales linearly where an
-    inequality join would square.
+    (ts, side), and carry the right payload across with
+    ``last(ignorenulls)`` over an unbounded-preceding frame (backward)
+    and/or ``first(ignorenulls)`` over a following frame (forward) —
+    for 'nearest' both frames share the ONE sort and exchange, so
+    every direction costs one shuffle, one sort, and no pair
+    materialization; an inequality join would square where this stays
+    linear.
 
     ``right_cols`` maps right column -> output alias; defaults to
     ``{right_ts: "asof_" + right_ts}``. ``how`` is 'inner' (drop left
-    rows with no earlier right row) or 'left'.
+    rows with no match) or 'left'.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     if right_cols is None:
         right_cols = {right_ts: f"asof_{right_ts}"}
     out_aliases = list(right_cols.values())
 
-    # Common event-time axis; _side=0 sorts right rows before left rows
-    # at equal timestamps, which is exactly inclusive `right_ts <= left_ts`.
+    from pyspark.sql import types as T
+
+    def _axis(col: Column, dt) -> Column:
+        # common numeric event-time axis for distance/tolerance math;
+        # NTZ casts through TIMESTAMP (session tz is pinned UTC)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(col.cast("timestamp")) / 1e6
+        if isinstance(dt, T.DateType):
+            return F.unix_micros(col.cast("timestamp")) / 1e6
+        return col.cast("double")
+
+    # Side ordering at equal timestamps decides inclusivity: for the
+    # backward (and nearest) carry, right rows sort FIRST so the
+    # unbounded-preceding last() sees an equal-ts right row (inclusive
+    # right_ts <= left_ts); for pure forward, right rows sort AFTER the
+    # left row so the following-frame first() sees them (inclusive
+    # right_ts >= left_ts). In 'nearest', equal-ts rights are therefore
+    # strictly-future to the forward frame — harmless, the backward
+    # carry already holds them at distance 0 and wins the tie.
     #
     # The whole right payload rides in ONE struct with a constant _m
     # marker, for two reasons: (a) a matched-but-NULL payload value must
@@ -65,44 +99,82 @@ def asof_join(
     # payload field is null), and (b) last(ignorenulls) over separate
     # columns could stitch the output from DIFFERENT right rows when
     # payload values are null; over the struct it is all-or-nothing.
+    # The struct's _t field is the numeric event-time axis used for
+    # tolerance / nearest-distance math.
+    l_side, r_side = (0, 1) if direction == "forward" else (1, 0)
+    r_dt = right.schema[right_ts].dataType
+    l_dt = left.schema[left_ts].dataType
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         F.struct(
             F.lit(True).alias("_m"),
+            _axis(F.col(right_ts), r_dt).alias("_t"),
             *[F.col(src).alias(dst) for src, dst in right_cols.items()],
         ).alias("_rpay"),
     )
     l_tag = left.select(
         *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(l_side).alias("_side"),
         F.struct(*left.columns).alias("_lrow"),
     )
     l_tag = l_tag.withColumn("_rpay", F.lit(None).cast(r_tag.schema["_rpay"].dataType))
     r_tag = r_tag.withColumn("_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType))
     # _rpay as the final sort key makes ties among right rows with equal
-    # (key, ts) deterministic: the struct-greatest payload wins,
-    # independent of partitioning or task retries.
-    w = (
+    # (key, ts) deterministic (backward takes the struct-greatest
+    # payload, forward the struct-least), independent of partitioning
+    # or task retries.
+    base = (
         Window.partitionBy(*keys)
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_rpay").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = l_tag.unionByName(r_tag).select(
-        "_side",
-        "_lrow",
-        F.last("_rpay", ignorenulls=True).over(w).alias("_rpay"),
+    unioned = l_tag.unionByName(r_tag)
+    carries = ["_side", "_lrow"]
+    if direction in ("backward", "nearest"):
+        carries.append(
+            F.last("_rpay", ignorenulls=True)
+            .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("_bpay")
+        )
+    if direction in ("forward", "nearest"):
+        carries.append(
+            F.first("_rpay", ignorenulls=True)
+            .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+            .alias("_fpay")
+        )
+    lt = _axis(F.col("_ts"), l_dt)
+    matched = unioned.select(*carries, lt.alias("_lt")).filter(
+        F.col("_side") == l_side
     )
-    out = matched.filter(F.col("_side") == 1)
+    bpay = F.col("_bpay") if direction in ("backward", "nearest") else None
+    fpay = F.col("_fpay") if direction in ("forward", "nearest") else None
+    if tolerance is not None:
+        tol = float(tolerance)
+        if bpay is not None:
+            bpay = F.when(F.col("_lt") - bpay["_t"] <= tol, bpay)
+        if fpay is not None:
+            fpay = F.when(fpay["_t"] - F.col("_lt") <= tol, fpay)
+    if direction == "backward":
+        pay = bpay
+    elif direction == "forward":
+        pay = fpay
+    else:  # nearest: closer side wins, tie -> backward (pandas)
+        pay = (
+            F.when(bpay.isNull(), fpay)
+            .when(fpay.isNull(), bpay)
+            .when(fpay["_t"] - F.col("_lt") < F.col("_lt") - bpay["_t"], fpay)
+            .otherwise(bpay)
+        )
+    out = matched.withColumn("_pay", pay)
     if how == "inner":
-        out = out.filter(F.col("_rpay").isNotNull())
+        out = out.filter(F.col("_pay").isNotNull())
     elif how != "left":
         raise ValueError(f"asof_join how must be 'inner' or 'left', got {how!r}")
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_rpay.{dst}").alias(dst) for dst in out_aliases],
+        *[F.col(f"_pay.{dst}").alias(dst) for dst in out_aliases],
     )
 
 

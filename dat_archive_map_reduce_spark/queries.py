@@ -5358,6 +5358,55 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH ref AS (
+      SELECT event_type, ts, max(event_id) AS ref_id
+      FROM events WHERE event_id % 97 = 0 GROUP BY 1, 2
+    )
+    SELECT e.event_id, r.ref_id, r.ts AS ref_ts
+    FROM events e LEFT JOIN LATERAL (
+      SELECT ref_id, ts FROM ref
+      WHERE ref.event_type = e.event_type
+        AND abs(epoch(ref.ts) - epoch(e.ts)) <= 1800
+      ORDER BY abs(epoch(ref.ts) - epoch(e.ts)), ts
+      LIMIT 1
+    ) r ON TRUE
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, 'nearest' direction with a 30-minute tolerance —
+    full pandas merge_asof semantics (backward tie-break) as ONE
+    shuffle + ONE sort: the union-and-window formulation computes the
+    backward carry (last over preceding) and the forward carry (first
+    over following) over the SAME sorted key partition and picks the
+    closer (operators/joins.py::asof_join). The oracle replays it as a
+    correlated LATERAL argmin — quadratic per key, which is exactly
+    why the linear window form is the one that survives 100 TB. Also
+    pytest-pinned against pandas merge_asof on randomized data for
+    every (direction, tolerance, how) combination."""
+    from dat_archive_map_reduce_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    ref = (
+        e.filter(F.col("event_id") % 97 == 0)
+        .groupBy("event_type", "ts")
+        .agg(F.max("event_id").alias("ref_id"))
+    )
+    return asof_join(
+        e.select("event_id", "event_type", "ts"),
+        ref,
+        on="event_type",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"ref_id": "ref_id", "ts": "ref_ts"},
+        how="left",
+        direction="nearest",
+        tolerance=1800,
+    ).select("event_id", "ref_id", "ref_ts")
+
+
+@query(
     "text_char_entropy",
     oracle="""
     WITH chars AS (

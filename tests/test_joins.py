@@ -175,3 +175,50 @@ def test_asof_rejects_unknown_how(spark):
     left = spark.createDataFrame([(1, _ts("2024-01-01T10:00:00"))], "user_id int, ts timestamp")
     with pytest.raises(ValueError, match="inner.*left"):
         asof_join(left, left, on="user_id", how="full")
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Every (direction, tolerance, how) combination must reproduce
+    pandas merge_asof exactly on randomized keyed event data —
+    including inclusive equal-ts matches and nearest's backward tie."""
+    import random
+
+    import pandas as pd
+
+    from dat_archive_map_reduce_spark.operators.joins import asof_join
+
+    rng = random.Random(7)
+    left_rows = [
+        (k, float(rng.randint(0, 120)), i)
+        for i, k in enumerate(rng.choices(["a", "b", "c"], k=120))
+    ]
+    right_rows = [
+        (k, float(rng.randint(0, 120)), 1000 + i)
+        for i, k in enumerate(rng.choices(["a", "b", "c"], k=80))
+    ]
+    # unique (key, ts) on the right so the match is uniquely defined
+    seen = set()
+    right_rows = [
+        r for r in right_rows if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    ldf = spark.createDataFrame(left_rows, "k string, t double, lid long")
+    rdf = spark.createDataFrame(right_rows, "k string, t double, rid long")
+    lpd = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values("t", kind="stable")
+    rpd = pd.DataFrame(right_rows, columns=["k", "t", "rid"]).sort_values("t", kind="stable")
+
+    for direction in ["backward", "forward", "nearest"]:
+        for tol in [None, 10.0]:
+            got_df = asof_join(
+                ldf, rdf, on="k", left_ts="t", right_ts="t",
+                right_cols={"rid": "rid"}, how="left",
+                direction=direction, tolerance=tol,
+            )
+            got = {r["lid"]: r["rid"] for r in got_df.collect()}
+            want_pd = pd.merge_asof(
+                lpd, rpd, on="t", by="k", direction=direction, tolerance=tol,
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+                for r in want_pd.itertuples()
+            }
+            assert got == want, f"direction={direction} tol={tol}"
