@@ -5358,6 +5358,89 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentiles_exact_distributed",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS pos,
+             count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT
+      round(sum(CASE
+        WHEN pos = floor(1 + 0.5 * (n - 1)) AND pos = ceil(1 + 0.5 * (n - 1))
+          THEN v
+        WHEN pos = floor(1 + 0.5 * (n - 1))
+          THEN v * (1 - (1 + 0.5 * (n - 1) - floor(1 + 0.5 * (n - 1))))
+        WHEN pos = ceil(1 + 0.5 * (n - 1))
+          THEN v * (1 + 0.5 * (n - 1) - floor(1 + 0.5 * (n - 1)))
+        ELSE 0 END), 4) AS p50,
+      round(sum(CASE
+        WHEN pos = floor(1 + 0.9 * (n - 1)) AND pos = ceil(1 + 0.9 * (n - 1))
+          THEN v
+        WHEN pos = floor(1 + 0.9 * (n - 1))
+          THEN v * (1 - (1 + 0.9 * (n - 1) - floor(1 + 0.9 * (n - 1))))
+        WHEN pos = ceil(1 + 0.9 * (n - 1))
+          THEN v * (1 + 0.9 * (n - 1) - floor(1 + 0.9 * (n - 1)))
+        ELSE 0 END), 4) AS p90,
+      round(sum(CASE
+        WHEN pos = floor(1 + 0.99 * (n - 1)) AND pos = ceil(1 + 0.99 * (n - 1))
+          THEN v
+        WHEN pos = floor(1 + 0.99 * (n - 1))
+          THEN v * (1 - (1 + 0.99 * (n - 1) - floor(1 + 0.99 * (n - 1))))
+        WHEN pos = ceil(1 + 0.99 * (n - 1))
+          THEN v * (1 + 0.99 * (n - 1) - floor(1 + 0.99 * (n - 1)))
+        ELSE 0 END), 4) AS p99
+    FROM r
+    """,
+)
+def agg_percentiles_exact_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT linear-interpolated percentiles (p50/p90/p99 of
+    l_extendedprice) with a fully distributed plan — the third leg of
+    the percentile story: `agg_percentiles` is the exact HOLISTIC form
+    (per-group sort buffer), `agg_percentiles_sampled_portable` the
+    bounded-memory sketch, and this one is exact AND scalable: ranks
+    come from operators/ranking.py::exact_global_rank (range buckets +
+    parallel per-bucket windows + broadcast offsets — the fact rows
+    never see a single-partition exchange), then each percentile is a
+    two-row interpolation folded in one tiny aggregate. The oracle
+    replays the identical rank-and-interpolate arithmetic over a naive
+    global row_number."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_rank
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = exact_global_rank(
+        li,
+        "v",
+        tie_breakers=[F.col("l_orderkey"), F.col("l_linenumber")],
+        pos_col="pos",
+    )
+    n = F.col("__gr_total")
+    pos = F.col("pos")
+
+    def interp(p: float) -> F.Column:
+        posf = 1 + p * (n - 1)
+        lo, hi = F.floor(posf), F.ceil(posf)
+        frac = posf - lo
+        term = (
+            F.when((pos == lo) & (pos == hi), F.col("v"))
+            .when(pos == lo, F.col("v") * (1 - frac))
+            .when(pos == hi, F.col("v") * frac)
+            .otherwise(F.lit(0.0))
+        )
+        return F.round(F.sum(term), 4)
+
+    return ranked.agg(
+        interp(0.5).alias("p50"),
+        interp(0.9).alias("p90"),
+        interp(0.99).alias("p99"),
+    )
+
+
+@query(
     "join_asof_nearest",
     oracle="""
     WITH ref AS (
