@@ -8,6 +8,7 @@ Run: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -96,9 +97,7 @@ def main() -> None:
         # storage fills over the ~260 executions and later window-sort
         # queries spill (observed 5-8x degradation on text_winnowing /
         # dedup_exact_substring late in the run)
-        if (i := len(timings)) % 16 == 0:
-            import gc
-
+        if len(timings) % 16 == 0:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
 

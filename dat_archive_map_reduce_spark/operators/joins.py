@@ -77,12 +77,19 @@ def asof_join(
 
     def _axis(col: Column, dt) -> Column:
         # common numeric event-time axis for distance/tolerance math;
-        # NTZ casts through TIMESTAMP (session tz is pinned UTC)
-        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ casts through TIMESTAMP (session tz is pinned UTC).
+        # Unsupported axis types (e.g. string timestamps — fine for the
+        # ordering-only backward path) must fail loudly: a silent
+        # cast('double') would null the axis and drop every
+        # tolerance/nearest match.
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             return F.unix_micros(col.cast("timestamp")) / 1e6
-        if isinstance(dt, T.DateType):
-            return F.unix_micros(col.cast("timestamp")) / 1e6
-        return col.cast("double")
+        if isinstance(dt, T.NumericType):
+            return col.cast("double")
+        raise TypeError(
+            f"asof_join tolerance/direction math needs a timestamp/date/"
+            f"numeric event-time column, got {dt.simpleString()}"
+        )
 
     # Side ordering at equal timestamps decides inclusivity: for the
     # backward (and nearest) carry, right rows sort FIRST so the
@@ -104,13 +111,18 @@ def asof_join(
     l_side, r_side = (0, 1) if direction == "forward" else (1, 0)
     r_dt = right.schema[right_ts].dataType
     l_dt = left.schema[left_ts].dataType
+    # the numeric axis is only needed for distance math; without it the
+    # join is ordering-only, so any orderable ts type (incl. strings)
+    # keeps working and _t/_lt are constant placeholders
+    need_axis = tolerance is not None or direction == "nearest"
+    r_axis = _axis(F.col(right_ts), r_dt) if need_axis else F.lit(0.0)
     r_tag = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(r_side).alias("_side"),
         F.struct(
             F.lit(True).alias("_m"),
-            _axis(F.col(right_ts), r_dt).alias("_t"),
+            r_axis.alias("_t"),
             *[F.col(src).alias(dst) for src, dst in right_cols.items()],
         ).alias("_rpay"),
     )
@@ -144,7 +156,7 @@ def asof_join(
             .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
             .alias("_fpay")
         )
-    lt = _axis(F.col("_ts"), l_dt)
+    lt = _axis(F.col("_ts"), l_dt) if need_axis else F.lit(0.0)
     matched = unioned.select(*carries, lt.alias("_lt")).filter(
         F.col("_side") == l_side
     )

@@ -163,11 +163,16 @@ class VersionedTable:
 
         Without ``key_cols`` the diff is row-valued: rows only in the
         newer snapshot are inserts, rows only in the older one are
-        deletes (a changed row shows as delete + insert). With
+        deletes (a changed row shows as delete + insert); this form
+        handles duplicate rows correctly (exceptAll is multiset). With
         ``key_cols`` changed keys classify as update_pre/update_post
-        instead. Plan: both snapshots are immutable parquet, so the
-        diff is two exceptAll (hash aggregate) passes — or, keyed, one
-        full-outer join on the keys — with no state kept anywhere."""
+        instead — PRECONDITION: ``key_cols`` must uniquely identify
+        rows in both snapshots (the merge_upsert/delete_where write
+        path maintains this); duplicate keys would fan out the
+        full-outer join and multiply feed rows. Plan: both snapshots
+        are immutable parquet, so the diff is two exceptAll (hash
+        aggregate) passes — or, keyed, one full-outer join on the
+        keys — with no state kept anywhere."""
         new = self.read(to_version)
         old = self.read(from_version)
         if key_cols is None:

@@ -5521,19 +5521,24 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     total then folds in the same aggregation tree. All native
     expressions, no Python."""
     d = _t(spark, sf_dir, "documents")
+    # substr enumeration, not split("(?!^)"): Java's zero-width split
+    # emits a trailing empty token that would off-by-one every n_chars.
+    # The length guard matters: Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0], which would fabricate two empty 'characters'
+    # for an empty document, while the oracle's generate_series(1, 0)
+    # is empty. explode_outer + null filter drops empty docs entirely
+    # (matching the oracle) with one evaluation of the char array.
+    chars = F.when(
+        F.length("text") > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text")),
+            lambda i: F.col("text").substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     cnt = (
-        d.select(
-            "doc_id",
-            # substr enumeration, not split("(?!^)"): Java's zero-width
-            # split emits a trailing empty token that would off-by-one
-            # every n_chars
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text")),
-                    lambda i: F.col("text").substr(i, F.lit(1)),
-                )
-            ).alias("ch"),
-        )
+        d.select("doc_id", chars.alias("chs"))
+        .select("doc_id", F.explode_outer("chs").alias("ch"))
+        .filter(F.col("ch").isNotNull())
         .groupBy("doc_id", "ch")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -5792,10 +5797,20 @@ def _driver_checked_names() -> set[str]:
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+
+    def _round_no(path: str) -> int:
+        m = re.search(r"_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    # LATEST verdict per query wins (files processed in round order):
+    # a query that regressed after once passing gets status False and
+    # re-enters the window, instead of being parked forever by its
+    # stale green row.
+    status: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=_round_no):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -5806,13 +5821,14 @@ def _driver_checked_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True:
-                checked.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            green = row.get("hash_match") is True or (
                 # declared no-oracle sketch twin: the driver ran it and
                 # recorded rows — the strongest check it will ever get
-                checked.add(name)
-    return checked
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            status[name] = green
+    return {n for n, ok in status.items() if ok}
 
 
 def _reorder_registry() -> None:

@@ -1164,3 +1164,44 @@ def test_weighted_sample_topk_exact_size_and_determinism(spark):
     # recompute via the es_key inverse instead for a pure check
     assert any(abs(round(math.log(u) / wgt, 8) - r0["es_key"]) < 1e-12
                for wgt in (1.0, 2.0))
+
+
+def test_driver_checked_names_latest_round_wins(tmp_path):
+    """A query that regressed after once passing must re-enter the
+    driver window: the LATEST round's verdict decides, not any stale
+    green row."""
+    import json
+    import dat_archive_map_reduce_spark.queries as Q
+
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_ok": {"hash_match": True, "err": None},
+        "q_regressed": {"hash_match": True, "err": None},
+        "q_weak": {"hash_match": None, "err": "no_oracle", "spark_rows": 5},
+    }))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({
+        "q_regressed": {"hash_match": False, "err": None},
+    }))
+    # point the scan at the temp repo root
+    import unittest.mock as mock
+    with mock.patch("glob.glob", lambda pat: sorted(
+        str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))):
+        checked = Q._driver_checked_names()
+    assert "q_ok" in checked and "q_weak" in checked
+    assert "q_regressed" not in checked
+
+
+def test_char_entropy_empty_doc_matches_oracle_absence(spark):
+    """Empty text must produce NO output row (Spark's sequence(1,0) is
+    descending [1,0] — the guard keeps it from fabricating chars)."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, ""), (2, "ab")], "doc_id long, text string")
+    chars = F.when(
+        F.length("text") > 0,
+        F.transform(F.sequence(F.lit(1), F.length("text")),
+                    lambda i: F.col("text").substr(i, F.lit(1))),
+    ).otherwise(F.array().cast("array<string>"))
+    out = (df.select("doc_id", chars.alias("chs"))
+             .select("doc_id", F.explode_outer("chs").alias("ch"))
+             .filter(F.col("ch").isNotNull()))
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {2}

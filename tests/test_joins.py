@@ -222,3 +222,23 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 for r in want_pd.itertuples()
             }
             assert got == want, f"direction={direction} tol={tol}"
+
+
+def test_asof_join_string_ts_backward_still_works_and_axis_raises(spark):
+    """Ordering-only backward joins keep working on orderable string
+    timestamps; asking for tolerance/nearest on them raises loudly
+    instead of silently nulling the axis."""
+    import pytest
+
+    from dat_archive_map_reduce_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", 1)], "k string, t string, lid long")
+    rdf = spark.createDataFrame(
+        [("a", "2024-01-01 09:00:00", 10)], "k string, t string, rid long")
+    out = asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t",
+                    right_cols={"rid": "rid"}, how="left").collect()
+    assert out[0]["rid"] == 10
+    with pytest.raises(TypeError, match="timestamp/date/numeric"):
+        asof_join(ldf, rdf, on="k", left_ts="t", right_ts="t",
+                  right_cols={"rid": "rid"}, direction="nearest")
