@@ -210,17 +210,24 @@ def cross_containment_pairs(
         .filter(F.col("fp").isNotNull())
     )
     if hot_cap is not None:
-        # count-over-fp window instead of groupBy-count + semi-join:
-        # one corpus shingling pass and ONE fp shuffle (which the
-        # posting join below reuses — its key and partitioning match)
-        # versus two passes and two shuffles. WindowExec buffers each
-        # fp group while counting; groups are exactly the posting
-        # lists the cap exists to bound, and the sorter spills to disk
-        # for the rare boilerplate fp that exceeds memory before the
-        # filter drops it.
-        c = c.withColumn(
-            "cdf", F.count(F.lit(1)).over(Window.partitionBy("fp"))
-        ).filter(F.col("cdf") <= hot_cap).drop("cdf")
+        # Hot-fp cap via partial-agg groupBy-count + broadcast ANTI
+        # join, not count-over-fp window: HashAggregate's map-side
+        # partial pass means the count shuffle carries at most one row
+        # per (partition, distinct fp) and never buffers a posting
+        # list, whereas WindowExec sort-buffers each fp group — and the
+        # groups that buffer largest are exactly the boilerplate fps
+        # the cap exists to drop (disk-spilling sort on the hottest
+        # keys at scale; also a measured 2.13->2.83 s regression at
+        # sf0.1). The surviving hot set is tiny by construction
+        # (fps in > hot_cap corpus docs), so the anti join broadcasts
+        # and the corpus posting list is never shuffled for the cap.
+        hot = (
+            c.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("cdf"))
+            .filter(F.col("cdf") > hot_cap)
+            .select("fp")
+        )
+        c = c.join(F.broadcast(hot), "fp", "left_anti")
     return (
         p.join(c, "fp")
         .groupBy("probe_id", "corpus_id")

@@ -3098,8 +3098,8 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(length(clean)) AS total_clean_chars,
-           sum(CASE WHEN clean <> lower(text) THEN 1 ELSE 0 END) AS n_redacted
+           CAST(sum(length(clean)) AS BIGINT) AS total_clean_chars,
+           CAST(sum(CASE WHEN clean <> lower(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
     FROM (
       SELECT source, text,
              trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
@@ -3137,9 +3137,9 @@ def text_normalize_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(CASE WHEN (lang = 'en' AND h < '40')
+           CAST(sum(CASE WHEN (lang = 'en' AND h < '40')
                       OR (lang <> 'en' AND h < 'c0')
-                    THEN 1 ELSE 0 END) AS n_sampled
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM (
       SELECT lang,
              substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
@@ -3415,10 +3415,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90 THEN 'SLOW'
                 WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30 THEN 'MEDIUM'
                 ELSE 'FAST' END AS latency_class,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-01-01'
@@ -3757,13 +3757,21 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     le = l.join(o, l["l_orderkey"] == o["o_orderkey"]).withColumn(
         "late", F.datediff("l_shipdate", "o_orderdate") > 60
     )
+    # Pre-aggregate per (orderkey, suppkey) with a max(late) flag, then
+    # count suppliers / late suppliers per order. Two countDistincts in
+    # one agg force an Expand that doubles every row through the
+    # shuffle (measured 1.41 -> 2.50 s at sf0.1); the two-level agg is
+    # Expand-free AND exchange-free — HashPartitioning(orderkey) from
+    # the lineitem⨝orders join satisfies the (orderkey, suppkey)
+    # clustering, so both levels are map-side-only re-aggregations of
+    # the partitioning the fact shuffle already produced.
     gate = (
-        le.groupBy("l_orderkey")
+        le.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("late"), 1).otherwise(0)).alias("supp_late"))
+        .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-                "n_late"
-            ),
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("supp_late").alias("n_late"),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .select(F.col("l_orderkey").alias("g_orderkey"))
@@ -5790,10 +5798,19 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registrations. Pure reordering — every query stays registered and
 # runnable, and with no CORRECTNESS files present (fresh clone) the
 # order is plain registration order.
+#
+# Green queries do NOT park: the back of the list orders by the round
+# of each query's MOST RECENT green row, oldest first, so once the
+# whole suite is green the 50-slot window becomes a round-robin
+# regression recheck over the stalest greens instead of pinning to
+# the first 50 registrations forever.
 # =====================================================================
 
 
-def _driver_checked_names() -> set[str]:
+def _driver_green_rounds() -> dict[str, int]:
+    """name -> round of the latest green driver row; absent = never
+    green (a later failed/errored row evicts an older green, so a
+    regressed query re-enters the front of the window)."""
     import glob
     import json
     import os
@@ -5805,12 +5822,10 @@ def _driver_checked_names() -> set[str]:
         m = re.search(r"_r(\d+)\.json$", path)
         return int(m.group(1)) if m else -1
 
-    # LATEST verdict per query wins (files processed in round order):
-    # a query that regressed after once passing gets status False and
-    # re-enters the window, instead of being parked forever by its
-    # stale green row.
-    status: dict[str, bool] = {}
+    # LATEST verdict per query wins (files processed in round order)
+    green_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=_round_no):
+        rnd = _round_no(path)
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -5827,15 +5842,22 @@ def _driver_checked_names() -> set[str]:
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             )
-            status[name] = green
-    return {n for n, ok in status.items() if ok}
+            if green:
+                green_round[name] = rnd
+            else:
+                green_round.pop(name, None)
+    return green_round
 
 
 def _reorder_registry() -> None:
     global QUERIES, ORACLE
-    checked = _driver_checked_names()
-    front = [n for n in QUERIES if n not in checked]
-    back = [n for n in QUERIES if n in checked]
+    green = _driver_green_rounds()
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+    front = [n for n in QUERIES if n not in green]
+    back = sorted(
+        (n for n in QUERIES if n in green),
+        key=lambda n: (green[n], reg_pos[n]),
+    )
     order = [*front, *back]
     QUERIES = {n: QUERIES[n] for n in order}
     ORACLE = {n: ORACLE[n] for n in order if n in ORACLE}

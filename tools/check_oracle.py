@@ -14,8 +14,11 @@ import math
 import os
 import sys
 from datetime import datetime
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,23 +32,40 @@ TABLES = [
 
 
 def _norm_cell(v) -> str:
-    # STRICTER than the driver's hash normalization on purpose: full
-    # microsecond timestamps and shortest-roundtrip float repr, so any
-    # representation drift between Spark and DuckDB fails HERE first.
-    # (Round-1 lesson: %.6g floats and second-truncated datetimes hid 7
-    # driver hash failures.)
+    # DRIVER-FAITHFUL dtype canonicalization (round-3 lesson): the
+    # driver compares Spark-native cells against a pandas-ified DuckDB
+    # result, and it does NOT collapse integral floats to ints — so a
+    # DuckDB HUGEINT sum (pandas float64 `123.0`) hash-mismatches a
+    # Spark bigint `123`.  We reproduce that exactly: ints render bare,
+    # floats/Decimals render via repr(float(v)) keeping the `.0`, and
+    # the oracle side is fetched through .df() (see main) so HUGEINT
+    # float64-ification fails HERE first.  Full-microsecond timestamps
+    # (round-1 lesson: second-truncated datetimes hid 7 driver fails).
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating, Decimal)):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return repr(f)
     if isinstance(v, datetime):
+        if isinstance(v, pd.Timestamp):
+            v = v.to_pydatetime()
+        # date == midnight timestamp (driver-green join proof:
+        # events_retention_cohorts compares a Spark DATE against a
+        # DuckDB DATE pandas-ified to a midnight datetime64 and
+        # passes); sub-midnight times keep full microseconds
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
         return v.isoformat(sep=" ", timespec="microseconds")
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if v is pd.NaT:
+        return "NULL"
     return str(v)
 
 
@@ -69,8 +89,15 @@ def main() -> None:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
+            # toPandas (NOT collect): the driver canonicalizes the
+            # Spark side through pandas too, so a nullable bigint
+            # column with NULLs float64-ifies on BOTH sides and stays
+            # green (driver-proven: join_null_safe, window_distribution
+            # nth_value NULLs), while a no-NULL Spark bigint against a
+            # DuckDB HUGEINT sum correctly fails.
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False)]
+            scols = list(spdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -80,9 +107,13 @@ def main() -> None:
             n_weak += 1
             continue
         try:
-            res = con.execute(ORACLE[name])
-            orows = res.fetchall()
-            ocols = [d[0] for d in res.description]
+            # .df() (NOT fetchall) so DuckDB results take the same
+            # pandas dtype path the driver uses: HUGEINT -> float64,
+            # nullable ints -> float64 + NaN.  fetchall() returns
+            # native Python ints and is blind to that failure class.
+            odf = con.execute(ORACLE[name]).df()
+            orows = [tuple(r) for r in odf.itertuples(index=False)]
+            ocols = list(odf.columns)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
