@@ -110,7 +110,6 @@ def asof_join(
     # tolerance / nearest-distance math.
     l_side, r_side = (0, 1) if direction == "forward" else (1, 0)
     r_dt = right.schema[right_ts].dataType
-    l_dt = left.schema[left_ts].dataType
     # the numeric axis is only needed for distance math; without it the
     # join is ordering-only, so any orderable ts type (incl. strings)
     # keeps working and _t/_lt are constant placeholders
@@ -156,7 +155,17 @@ def asof_join(
             .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
             .alias("_fpay")
         )
-    lt = _axis(F.col("_ts"), l_dt) if need_axis else F.lit(0.0)
+    # the axis expression evaluates over the UNION-coerced _ts column,
+    # so classify by the unioned schema's dtype, not the pre-union
+    # left type: with mixed ts families (date+timestamp, int+double)
+    # the coercion widens _ts and the pre-union classification could
+    # silently pick the wrong conversion, skewing tolerance/nearest
+    # distances
+    lt = (
+        _axis(F.col("_ts"), unioned.schema["_ts"].dataType)
+        if need_axis
+        else F.lit(0.0)
+    )
     matched = unioned.select(*carries, lt.alias("_lt")).filter(
         F.col("_side") == l_side
     )

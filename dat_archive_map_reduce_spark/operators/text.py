@@ -589,11 +589,15 @@ def dsir_weights(
         raise ValueError("portable bucketing uses the first md5 hex byte (256)")
 
     def _buckets(df: DataFrame) -> DataFrame:
-        # alias-then-explode_outer: one tokenizer-split evaluation
+        # alias-then-explode_outer: one tokenizer-split evaluation.
+        # length > 0 drops the empty-string tokens consecutive spaces
+        # (or empty text) produce — they would hash to the md5('')
+        # bucket and count as real feature mass in n_tokens and the
+        # score (the bpe paths apply the same filter).
         return (
             df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("ts"))
             .select("doc", F.explode_outer("ts").alias("tok"))
-            .filter(F.col("tok").isNotNull())
+            .filter(F.col("tok").isNotNull() & (F.length("tok") > 0))
             .select("doc", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
         )
 
@@ -635,38 +639,96 @@ def dsir_weights(
     )
 
 
+def _bpe_disjoint_prefix(
+    rules: "list[tuple[str, str]]",
+) -> "list[tuple[str, str]]":
+    """Longest PREFIX of ``rules`` whose symbol sets {l, r, l+r} are
+    pairwise disjoint. Such a batch applied by one left-to-right fold
+    pass produces exactly the same segmentation as applying its rules
+    one at a time in order: no rule's output can feed (or block)
+    another rule in the batch, so application order is immaterial.
+    Stopping at the FIRST overlap (rather than skipping past it)
+    keeps the batch a rank-contiguous prefix — every batched rule
+    outranks every deferred one."""
+    used: set[str] = set()
+    batch: list[tuple[str, str]] = []
+    for left, right in rules:
+        syms = {left, right, left + right}
+        if used & syms:
+            break
+        used |= syms
+        batch.append((left, right))
+    return batch
+
+
+def _bpe_fold_batch(vocab: DataFrame, batch: "list[tuple[str, str]]") -> DataFrame:
+    """Apply a symbol-disjoint merge batch to a ``syms`` array column
+    with ONE greedy left-to-right fold. The batch rides as a broadcast
+    1-row MAP column (key = left || \\x00 || right), never as literals:
+    the fold's expression tree is then identical across every pass, so
+    janino compiles it once per query instead of once per merge — the
+    round-latency driver at real merge counts (memory: per-literal
+    codegen costs ~2 s/recompile)."""
+    spark = vocab.sparkSession
+    m = {left + "\x00" + right: left + right for left, right in batch}
+    map_df = spark.createDataFrame([(m,)], "m map<string,string>")
+
+    def _step(acc, s):
+        key = F.concat(F.element_at(acc, -1), F.lit("\x00"), s)
+        merged = F.element_at(F.col("m"), key)
+        return F.when(
+            (F.size(acc) > 0) & merged.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    new_syms = F.aggregate(F.col("syms"), F.array().cast("array<string>"), _step)
+    return (
+        vocab.crossJoin(F.broadcast(map_df))
+        .withColumn("syms", new_syms)
+        .drop("m")
+    )
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int = 12,
     min_pair_count: int = 2,
+    batch_size: int = 8,
 ) -> DataFrame:
     """Full BPE tokenizer training loop (Sennrich et al. 2016,
-    arXiv:1508.07909), distributed: iteratively find the most frequent
-    adjacent symbol pair across the corpus and merge it, ``n_merges``
-    times. corpus_bpe_merge_step is this loop's oracle-gated single
-    iteration; the loop itself is iterative driver-coordinated
-    compute, the category SQL cannot express.
+    arXiv:1508.07909), distributed and BATCHED: each pass counts
+    adjacent symbol pairs once, then accepts the longest
+    symbol-disjoint prefix of the ranking (up to ``batch_size``
+    rules) and applies them all in one fold. corpus_bpe_merge_step is
+    this loop's oracle-gated single iteration; the loop itself is
+    iterative driver-coordinated compute, the category SQL cannot
+    express.
 
-    Scale shape per iteration: pair counts partial-aggregate over the
+    Scale shape per pass: pair counts partial-aggregate over the
     WORD-TYPE vocabulary (one row per distinct word, counts identical
-    to the token stream by distributivity), the winner arrives as ONE
-    driver row via TakeOrdered(1), and the merge applies as a narrow
-    left-to-right array fold — no shuffle grows with corpus size, and
-    driver traffic is one row per merge. The rewritten vocabulary is
-    materialized each round (localCheckpoint) so every iteration costs
-    one pass over the word-TYPE table, not a replay of all prior
-    merges over the corpus scan.
+    to the token stream by distributivity), the ranked head arrives as
+    ONE small driver list via TakeOrdered, and the whole batch applies
+    as a single narrow left-to-right fold parameterized by a broadcast
+    merge MAP (compiled once — no per-merge janino recompile). The
+    rewritten vocabulary is materialized each pass (localCheckpoint)
+    so a 30k-merge tokenizer costs ~30k/batch_size bounded-lineage
+    passes, not 30k chained plan segments.
 
-    Determinism: ties break on (count desc, left asc, right asc).
-    Symbols are plain strings and a merge concatenates them (the GPT-2
-    convention), so two merge paths producing the same string conflate
-    — the standard simple-BPE behavior the tests' reference
-    implementation shares. Greedy left-to-right application: in
-    ``aaab`` the merge (a,a) produces ``aa,a,b``.
+    Semantics: ``batch_size=1`` is exactly classic greedy BPE. For
+    larger batches the accepted rules are a rank-contiguous
+    symbol-disjoint prefix, all counted at pass start — the standard
+    batched-BPE trade (a deferred overlapping pair is re-ranked next
+    pass with fresh counts; a created pair can only enter the ranking
+    one pass later). Ties break on (count desc, left asc, right asc);
+    symbols are plain strings and a merge concatenates them (the GPT-2
+    convention). Greedy left-to-right application: in ``aaab`` the
+    merge (a,a) produces ``aa,a,b``. The pytest reference
+    implementation mirrors the batched selection bit-exactly.
 
     Returns (step, left, right, merged, pair_count) — the merge table
-    a tokenizer-apply pass consumes.
+    a tokenizer-apply pass consumes, in acceptance (= rank) order with
+    pass-start counts.
     """
     words = (
         df.select(
@@ -695,7 +757,7 @@ def bpe_train(
     ).localCheckpoint(eager=True)  # ONE corpus pass; rounds read types only
     spark = df.sparkSession
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(n_merges):
+    while len(merges) < n_merges:
         pairs = vocab.filter(F.size("syms") >= 2).select(
             "freq",
             F.explode(
@@ -708,42 +770,30 @@ def bpe_train(
                 )
             ).alias("p"),
         )
-        best = (
+        # ranked candidate head: enough rows that the disjoint prefix
+        # rarely exhausts it; still one TakeOrdered driver round-trip
+        # per PASS (not per merge)
+        want = min(batch_size, n_merges - len(merges))
+        head = (
             pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("freq").alias("cnt"))
+            .filter(F.col("cnt") >= min_pair_count)
             .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-            .first()
+            .limit(max(8 * want, 32))
+            .collect()
         )
-        if best is None or int(best["cnt"]) < min_pair_count:
+        if not head:
             break
-        a, b = best["l"], best["r"]
-        merges.append((step, a, b, a + b, int(best["cnt"])))
-        # the merge pair rides as a broadcast 1-row join, NOT as
-        # literals: literal-embedding would generate fresh codegen
-        # source every round (janino recompile per merge, ~2s each);
-        # as columns the fold compiles once and every round reuses it
-        pair_df = spark.createDataFrame(
-            [(a, b, a + b)], "m_l string, m_r string, m_lr string"
-        )
-        new_syms = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("m_l"))
-                & (s == F.col("m_r")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.col("m_lr"))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-        # materialize the rewritten vocabulary each round: the next
-        # round's pair count then reads the (small) word-type table
+        batch = _bpe_disjoint_prefix([(r["l"], r["r"]) for r in head])[:want]
+        cnt_of = {(r["l"], r["r"]): int(r["cnt"]) for r in head}
+        for a, b in batch:
+            merges.append((len(merges), a, b, a + b, cnt_of[(a, b)]))
+        # materialize the rewritten vocabulary each pass: the next
+        # pass's pair count then reads the (small) word-type table
         # instead of replaying every earlier merge fold over the corpus
         # scan — the standard iterate-and-checkpoint shape
         vocab = (
-            vocab.crossJoin(F.broadcast(pair_df))
-            .withColumn("syms", new_syms)
+            _bpe_fold_batch(vocab, batch)
             .select("freq", "syms")
             .localCheckpoint(eager=True)
         )
@@ -757,18 +807,23 @@ def bpe_apply(
     merges: list[tuple[str, str]],
     text_col: str,
     id_col: str,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Tokenize with a TRAINED merge table (the serving half of
-    bpe_train): per document, the BPE token count and the
-    space-joined segmentation hash. Merges apply in training order
-    with the same greedy left-to-right fold as the trainer.
+    bpe_train): per document, the BPE token count and word count.
+    Merges apply in training order; consecutive symbol-disjoint
+    prefixes of the rule list collapse into one fold pass each
+    (provably identical to one-at-a-time application — see
+    _bpe_disjoint_prefix), and the type table localCheckpoints every
+    ``checkpoint_every`` passes so a 30k-rule tokenizer is ~constant
+    plan depth instead of 30k chained fold segments.
 
-    Scale shape: merges apply to the word-TYPE table (one narrow fold
-    pass per merge over distinct words — never over the token stream),
-    then the segmented types join back to per-document word counts on
-    the word key. The merge table is a driver-side list (tokenizers
-    are KBs); at 100 TB the type table is the only relation that
-    re-tokenizes when the tokenizer changes.
+    Scale shape: merges apply to the word-TYPE table (fold passes over
+    distinct words — never over the token stream), then the segmented
+    types join back to per-document word counts on the word key. The
+    merge table is a driver-side list (tokenizers are KBs); at 100 TB
+    the type table is the only relation that re-tokenizes when the
+    tokenizer changes.
     """
     words = (
         df.select(
@@ -789,27 +844,16 @@ def bpe_apply(
             lambda i: F.col("w").substr(i, F.lit(1)),
         ),
     )
-    for a, b in merges:
-        types = types.withColumn(
-            "syms",
-            F.aggregate(
-                F.col("syms"),
-                F.array().cast("array<string>"),
-                lambda acc, s: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a))
-                    & (s == F.lit(b)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
-                    ),
-                ).otherwise(F.concat(acc, F.array(s))),
-            ),
-        )
-    seg = types.select(
-        "w",
-        F.size("syms").alias("w_tokens"),
-        F.array_join("syms", " ").alias("w_seg"),
-    )
+    rest = list(merges)
+    n_pass = 0
+    while rest:
+        batch = _bpe_disjoint_prefix(rest)
+        rest = rest[len(batch):]
+        types = _bpe_fold_batch(types, batch)
+        n_pass += 1
+        if n_pass % checkpoint_every == 0 and rest:
+            types = types.localCheckpoint(eager=True)
+    seg = types.select("w", F.size("syms").alias("w_tokens"))
     return (
         doc_words.join(seg, "w")
         .groupBy("doc")

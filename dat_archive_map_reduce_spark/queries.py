@@ -3757,31 +3757,50 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     le = l.join(o, l["l_orderkey"] == o["o_orderkey"]).withColumn(
         "late", F.datediff("l_shipdate", "o_orderdate") > 60
     )
-    # Pre-aggregate per (orderkey, suppkey) with a max(late) flag, then
-    # count suppliers / late suppliers per order. Two countDistincts in
-    # one agg force an Expand that doubles every row through the
-    # shuffle (measured 1.41 -> 2.50 s at sf0.1); the two-level agg is
-    # Expand-free AND exchange-free — HashPartitioning(orderkey) from
-    # the lineitem⨝orders join satisfies the (orderkey, suppkey)
-    # clustering, so both levels are map-side-only re-aggregations of
-    # the partitioning the fact shuffle already produced.
+    # Pre-aggregate per (orderkey, suppkey) with a max(late) flag AND
+    # the supplier's late-line count, then let the per-order gate also
+    # name its unique late supplier and carry that supplier's late
+    # lines out. Two countDistincts in one agg force an Expand that
+    # doubles every row through the shuffle (measured 1.41 -> 2.50 s
+    # at sf0.1); the two-level agg is Expand-free and exchange-free —
+    # HashPartitioning(orderkey) from the lineitem⨝orders join
+    # satisfies the (orderkey, suppkey) clustering, so both levels are
+    # map-side re-aggregations of the one fact shuffle. Because the
+    # gate emits (winner supplier, winner's late lines) directly,
+    # there is NO join back to the fact: numwait is a sum over the
+    # already-tiny gated-order table.
+    late_i = F.when(F.col("late"), 1).otherwise(0)
+    # one explicit orderkey shuffle feeds BOTH agg levels:
+    # HashPartitioning(l_orderkey) satisfies the (l_orderkey,
+    # l_suppkey) clustering of level 1 and the l_orderkey clustering
+    # of level 2, where the default plan (orders broadcasts, so no
+    # join partitioning exists to reuse) would shuffle once per level.
+    # (orderkey, suppkey) pairs are nearly unique in lineitem, so the
+    # forfeited map-side combine saves almost nothing anyway.
     gate = (
-        le.groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(F.when(F.col("late"), 1).otherwise(0)).alias("supp_late"))
+        le.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(late_i).alias("supp_late"),
+            F.sum(late_i).alias("late_lines"),
+        )
         .groupBy("l_orderkey")
         .agg(
             F.count(F.lit(1)).alias("n_supp"),
             F.sum("supp_late").alias("n_late"),
+            F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias(
+                "w_supp"
+            ),
+            F.max(F.when(F.col("supp_late") == 1, F.col("late_lines"))).alias(
+                "w_lines"
+            ),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .select(F.col("l_orderkey").alias("g_orderkey"))
     )
     return (
-        le.filter(F.col("late"))
-        .join(F.broadcast(asia), le["l_suppkey"] == asia["s_suppkey"])
-        .join(gate, le["l_orderkey"] == gate["g_orderkey"])
+        gate.join(F.broadcast(asia), gate["w_supp"] == asia["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("w_lines").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
@@ -5743,6 +5762,7 @@ def corpus_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, source,
                    unnest(string_split(lower(text), ' ')) AS tok
             FROM documents)
+      WHERE len(tok) > 0
     ), ct AS (
       SELECT bucket, count(*) AS c FROM b WHERE source = 'src0' GROUP BY 1
     ), doc_b AS (

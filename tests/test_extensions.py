@@ -1016,34 +1016,49 @@ def test_packing_efficiency_accounts_every_token(spark):
         assert r["bucket_lo"] == 2 ** (r["len_bucket"] - 1)
 
 
-def _py_bpe(word_freqs, n_merges, min_pair_count=2):
-    """Pure-Python reference BPE trainer (string symbols, greedy
-    left-to-right merges, ties on (count desc, left, right))."""
+def _py_bpe(word_freqs, n_merges, min_pair_count=2, batch_size=8):
+    """Pure-Python reference for the BATCHED BPE trainer (string
+    symbols, greedy left-to-right merges, ties on (count desc, left,
+    right)): each pass ranks pairs by pass-start counts and accepts
+    the longest symbol-disjoint prefix up to ``batch_size``.
+    batch_size=1 is classic sequential greedy BPE."""
     vocab = {tuple(w): f for w, f in word_freqs.items()}
     out = []
-    for step in range(n_merges):
+    while len(out) < n_merges:
         counts = {}
         for syms, f in vocab.items():
             for i in range(len(syms) - 1):
                 counts[(syms[i], syms[i + 1])] = counts.get((syms[i], syms[i + 1]), 0) + f
-        if not counts:
+        ranked = sorted(
+            (kv for kv in counts.items() if kv[1] >= min_pair_count),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if not ranked:
             break
-        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        if cnt < min_pair_count:
-            break
-        out.append((step, a, b, a + b, cnt))
-        new_vocab = {}
-        for syms, f in vocab.items():
-            merged, i = [], 0
-            while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
-                    merged.append(a + b)
-                    i += 2
-                else:
-                    merged.append(syms[i])
-                    i += 1
-            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + f
-        vocab = new_vocab
+        want = min(batch_size, n_merges - len(out))
+        used, batch = set(), []
+        for (a, b), cnt in ranked:
+            syms = {a, b, a + b}
+            if used & syms:
+                break
+            used |= syms
+            batch.append((a, b, cnt))
+            if len(batch) == want:
+                break
+        for a, b, cnt in batch:
+            out.append((len(out), a, b, a + b, cnt))
+            new_vocab = {}
+            for syms, f in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + f
+            vocab = new_vocab
     return out
 
 
@@ -1082,6 +1097,87 @@ def test_bpe_train_partition_invariant(spark):
     m8 = bpe_train(d.repartition(8), "text", n_merges=5).collect()
     assert [tuple(r) for r in m1] == [tuple(r) for r in m8]
     assert len(m1) == 5
+
+
+def test_bpe_train_batch1_is_classic_greedy(spark):
+    """batch_size=1 must reproduce classic sequential greedy BPE
+    (the batched trainer's degenerate case)."""
+    docs = [
+        (1, "low low low lower lower newest newest newest newest widest"),
+        (2, "widest widest newest low aaab aaab aaab aaab aaab aaab"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from dat_archive_map_reduce_spark.operators.text import bpe_train
+
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=6, batch_size=1).collect()
+    ]
+    freqs = {}
+    import re
+    for _, t in docs:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    assert got == _py_bpe(freqs, 6, batch_size=1)
+
+
+def test_bpe_train_scales_linearly_in_merges(spark):
+    """50 merges must NOT cost 5x the per-merge price of 10 merges:
+    batched passes + bounded lineage keep per-merge wall-time flat,
+    where per-merge plan chaining would grow it with merge count."""
+    import time
+
+    from dat_archive_map_reduce_spark.operators.text import bpe_train
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    bpe_train(d, "text", n_merges=5).collect()  # warm codegen/caches
+    t0 = time.monotonic()
+    m10 = bpe_train(d, "text", n_merges=10).collect()
+    t10 = time.monotonic() - t0
+    t0 = time.monotonic()
+    m50 = bpe_train(d, "text", n_merges=50).collect()
+    t50 = time.monotonic() - t0
+    assert len(m10) == 10 and len(m50) == 50
+    # generous 3x headroom over proportional (10->50 is 2->7 passes);
+    # the old per-merge chaining blew far past this
+    assert t50 / 50 < 3.0 * max(t10 / 10, 0.05), (t10, t50)
+
+
+def test_bpe_apply_long_merge_list_bounded_plan(spark):
+    """A trained 50-rule tokenizer must apply without 50 chained fold
+    segments: disjoint batches + checkpoint cadence keep the apply
+    plan bounded, and the result must still match the pure-Python
+    sequential tokenizer on every doc."""
+    import re
+
+    from dat_archive_map_reduce_spark.operators.text import bpe_apply, bpe_train
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents").limit(40)
+    rules = [(r["left"], r["right"]) for r in bpe_train(d, "text", n_merges=50).collect()]
+    assert len(rules) == 50
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+           for r in bpe_apply(d, rules, "text", "doc_id").collect()}
+
+    def seg_len(word):
+        syms = list(word)
+        for a, b in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            syms = out
+        return len(syms)
+
+    for row in d.select("doc_id", "text").collect():
+        words = [w for w in re.split(r"[^a-z0-9]+", row["text"].lower()) if w]
+        if not words:
+            continue
+        assert got[row["doc_id"]] == (sum(seg_len(w) for w in words), len(words))
 
 
 def test_bpe_apply_matches_python_tokenizer(spark):
@@ -1185,9 +1281,37 @@ def test_driver_checked_names_latest_round_wins(tmp_path):
     import unittest.mock as mock
     with mock.patch("glob.glob", lambda pat: sorted(
         str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))):
-        checked = Q._driver_checked_names()
-    assert "q_ok" in checked and "q_weak" in checked
-    assert "q_regressed" not in checked
+        green = Q._driver_green_rounds()
+    assert "q_ok" in green and "q_weak" in green
+    assert "q_regressed" not in green
+    # and the back-of-window ordering key is the green ROUND, so the
+    # stalest green rotates into the 50-slot window first
+    assert green["q_ok"] == 2 and green["q_weak"] == 2
+
+
+def test_driver_green_rounds_orders_stalest_first(tmp_path):
+    """Once green, a query's recheck priority is its last green round:
+    oldest-green queries must sort ahead of fresher greens so the
+    window round-robins instead of pinning to registration order."""
+    import json
+
+    import dat_archive_map_reduce_spark.queries as Q
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_old_green": {"hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "q_new_green": {"hash_match": True, "err": None},
+        "q_old_green": {"hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        "q_new_green": {"hash_match": True, "err": None},
+    }))
+    import unittest.mock as mock
+    with mock.patch("glob.glob", lambda pat: sorted(
+        str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))):
+        green = Q._driver_green_rounds()
+    assert green == {"q_old_green": 3, "q_new_green": 5}
 
 
 def test_char_entropy_empty_doc_matches_oracle_absence(spark):

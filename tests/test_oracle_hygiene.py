@@ -1,0 +1,66 @@
+"""Oracle-SQL hygiene guards — the failure class that produced 10 of
+10 driver hash-fails across rounds 1-3 was REPRESENTATION drift, never
+semantics: r1 float/timestamp rendering, r3 DuckDB HUGEINT sums
+pandas-ified to float64 against Spark bigints. These tests bind every
+registered oracle in DuckDB (DESCRIBE — no execution) and fail on the
+dtypes that canonicalize differently from their Spark twins, so the
+drift dies in CI instead of in a driver CORRECTNESS row.
+
+No SparkSession needed; runs in milliseconds.
+"""
+
+import duckdb
+import pytest
+
+from dat_archive_map_reduce_spark.queries import ORACLE
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def test_every_oracle_binds(con):
+    """Each oracle must at least plan against the test tables."""
+    bad = []
+    for name, sql in ORACLE.items():
+        try:
+            con.execute("DESCRIBE " + sql)
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: {e}")
+    assert not bad, "\n".join(bad)
+
+
+def test_no_hugeint_oracle_outputs(con):
+    """DuckDB sum(<integer>) returns HUGEINT, which pandas converts to
+    float64 — the driver canonicalizer then hashes `123.0` against
+    Spark's bigint `123` and fails. Every integer aggregate in a final
+    SELECT needs CAST(... AS BIGINT) (r3 reds: text_normalize_redact,
+    corpus_stratified_sample, q12_ship_latency)."""
+    bad = []
+    for name, sql in ORACLE.items():
+        for col, typ, *_ in con.execute("DESCRIBE " + sql).fetchall():
+            if "HUGEINT" in typ.upper():
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, "uncast integer aggregates (HUGEINT -> float64):\n" + "\n".join(bad)
+
+
+def test_no_bare_list_oracle_outputs(con):
+    """The driver canonicalizer crashes on array-typed output columns
+    (round-2 lesson) — stringify with array_to_string/to_json in the
+    oracle and the matching Spark alias."""
+    bad = []
+    for name, sql in ORACLE.items():
+        for col, typ, *_ in con.execute("DESCRIBE " + sql).fetchall():
+            if typ.upper().endswith("[]") or typ.upper().startswith(("STRUCT", "MAP")):
+                bad.append(f"{name}.{col}: {typ}")
+    assert not bad, "non-scalar oracle output columns:\n" + "\n".join(bad)

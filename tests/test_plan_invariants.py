@@ -79,8 +79,11 @@ CONTRACTS = [
     ("q17_small_quantity_revenue", 2, 1, False, True),
     ("q19_discounted_revenue", 1, 1, False, True),
     ("q20_promo_shippers", 1, 3, False, True),
-    # q21: multi-exists/not-exists over lineitem (semi + anti + agg)
-    ("q21_waiting_suppliers", 4, 4, True, True),
+    # q21: exists/not-exists restated as a two-level Expand-free agg
+    # on ONE explicit orderkey shuffle; the gate names its unique late
+    # supplier so there is no join back to the fact (2nd exchange is
+    # the tiny s_name rollup)
+    ("q21_waiting_suppliers", 2, 3, True, True),
     # q22: dormant filter + avg-balance scalar + anti join
     ("q22_dormant_customers", 2, 2, False, True),
     # -- round-3 additions: map-only ops must STAY map-only; the
@@ -105,9 +108,12 @@ CONTRACTS = [
     # scoring join both consume it); ReuseExchange unifies them at
     # execution, so 7 static exchanges run as 4 fact-bearing shuffles
     ("corpus_dsir_weights", 7, 2, False, True),
-    # capped contamination: window-count hot-cap reuses the posting
-    # join's fp partitioning — the cap must NOT add its own exchange
-    ("corpus_contamination_capped", 2, 0, False, False),
+    # capped contamination: partial-agg hot-fp count + broadcast anti
+    # join — never a WindowExec that sort-buffers the hottest fp
+    # groups (r3 regression), and the cap itself adds no shuffle of
+    # the corpus posting list (the groupBy-count shuffles only
+    # map-side-deduped (partition, fp) rows)
+    ("corpus_contamination_capped", 2, 1, False, False),
 ]
 
 
