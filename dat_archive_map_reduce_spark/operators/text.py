@@ -178,8 +178,6 @@ def cross_containment_pairs(
     boilerplate phrase shared by 1e5 training docs explodes the join
     and carries no leakage signal; always set it at scale.
     """
-    from pyspark.sql import Window
-
     # explode_outer + post-explode null filter, NOT plain explode: the
     # inner Generate injects a `size(arr)>0 AND isnotnull(arr)` filter
     # below the projection, re-inlining the md5-shingle expression and
@@ -209,18 +207,26 @@ def cross_containment_pairs(
         .select("corpus_id", F.explode_outer("fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
+    released: list[DataFrame] = []
     if hot_cap is not None:
         # Hot-fp cap via partial-agg groupBy-count + broadcast ANTI
-        # join, not count-over-fp window: HashAggregate's map-side
-        # partial pass means the count shuffle carries at most one row
-        # per (partition, distinct fp) and never buffers a posting
-        # list, whereas WindowExec sort-buffers each fp group — and the
-        # groups that buffer largest are exactly the boilerplate fps
-        # the cap exists to drop (disk-spilling sort on the hottest
-        # keys at scale; also a measured 2.13->2.83 s regression at
-        # sf0.1). The surviving hot set is tiny by construction
-        # (fps in > hot_cap corpus docs), so the anti join broadcasts
-        # and the corpus posting list is never shuffled for the cap.
+        # join over a PERSISTED posting list, not count-over-fp
+        # window: HashAggregate's map-side partial pass means the
+        # count shuffle carries at most one row per (partition,
+        # distinct fp) and never buffers a posting list, whereas
+        # WindowExec sort-buffers each fp group — and the groups that
+        # buffer largest are exactly the boilerplate fps the cap
+        # exists to drop (disk-spilling sort on the hottest keys at
+        # scale). The persist keeps the corpus shingling at ONE pass
+        # (count + join both read the cache; at 100 TB this is the
+        # materialized postings table every inverted-index pipeline
+        # keeps on storage anyway); eager_release drops it as soon as
+        # the pair list materializes. The surviving hot set is tiny by
+        # construction (fps in > hot_cap corpus docs), so the anti
+        # join broadcasts and the corpus posting list is never
+        # shuffled for the cap.
+        c = c.persist()
+        released.append(c)
         hot = (
             c.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("cdf"))
@@ -228,7 +234,7 @@ def cross_containment_pairs(
             .select("fp")
         )
         c = c.join(F.broadcast(hot), "fp", "left_anti")
-    return (
+    out = (
         p.join(c, "fp")
         .groupBy("probe_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_shared"), F.first("n_probe").alias("n_probe"))
@@ -236,6 +242,11 @@ def cross_containment_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("probe_id", "corpus_id", "n_shared", "containment")
     )
+    if released:
+        from dat_archive_map_reduce_spark.operators._util import eager_release
+
+        out = eager_release(out, *released)
+    return out
 
 
 def mg_heavy_hitters(
@@ -695,6 +706,7 @@ def bpe_train(
     n_merges: int = 12,
     min_pair_count: int = 2,
     batch_size: int = 8,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Full BPE tokenizer training loop (Sennrich et al. 2016,
     arXiv:1508.07909), distributed and BATCHED: each pass counts
@@ -729,8 +741,13 @@ def bpe_train(
     Returns (step, left, right, merged, pair_count) — the merge table
     a tokenizer-apply pass consumes, in acceptance (= rank) order with
     pass-start counts.
+
+    ``word_freqs`` (columns w, freq) lets a train-then-serve caller
+    reuse one corpus tokenization pass for both halves (see
+    corpus_bpe_tokenize: doc-word counts roll up to type freqs without
+    re-shuffling the token stream).
     """
-    words = (
+    words = word_freqs if word_freqs is not None else (
         df.select(
             F.filter(
                 F.split(F.lower(text_col), "[^a-z0-9]+"),
@@ -808,6 +825,7 @@ def bpe_apply(
     text_col: str,
     id_col: str,
     checkpoint_every: int = 4,
+    doc_words: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize with a TRAINED merge table (the serving half of
     bpe_train): per document, the BPE token count and word count.
@@ -824,19 +842,24 @@ def bpe_apply(
     merge table is a driver-side list (tokenizers are KBs); at 100 TB
     the type table is the only relation that re-tokenizes when the
     tokenizer changes.
+
+    ``doc_words`` (columns doc, w, n) lets a train-then-serve caller
+    hand in a precomputed per-document word-count table and skip the
+    token-stream shuffle here.
     """
-    words = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.filter(
-                F.split(F.lower(text_col), "[^a-z0-9]+"),
-                lambda w: F.length(w) > 0,
-            ).alias("ws"),
+    if doc_words is None:
+        words = (
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.filter(
+                    F.split(F.lower(text_col), "[^a-z0-9]+"),
+                    lambda w: F.length(w) > 0,
+                ).alias("ws"),
+            )
+            .select("doc", F.explode_outer("ws").alias("w"))
+            .filter(F.col("w").isNotNull())
         )
-        .select("doc", F.explode_outer("ws").alias("w"))
-        .filter(F.col("w").isNotNull())
-    )
-    doc_words = words.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("n"))
+        doc_words = words.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("n"))
     types = doc_words.select("w").distinct().withColumn(
         "syms",
         F.transform(

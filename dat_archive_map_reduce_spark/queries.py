@@ -2031,14 +2031,18 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the smaller doc (catches doc-quoted-inside-doc, where global
     Jaccard fails). Same inverted-index join shape as n-gram dedup.
 
-    Per-doc sizes come from a partial-combined groupBy(doc).count()
-    joined onto the tiny PAIR output — not a per-doc window over the
-    posting stream (that shuffled every posting row with payload just
-    to tag a count) and not size()+explode in one projection (the
-    generator re-evaluates the md5 array per OUTPUT row: measured 40x
-    worse). Postings cross the wire once, sizes cross as one row per
-    doc."""
-    from dat_archive_map_reduce_spark.operators.dedup import inverted_index_pair_ids
+    Per-doc sizes ride the posting rows as size(fps) computed in the
+    SAME projection that explodes the sketch (the Generate retains the
+    array attribute, so size() reuses it — no second evaluation), then
+    travel the one bucket shuffle as an int per posting. The earlier
+    separate groupBy(doc).count() + two joins onto the pair output
+    re-evaluated the whole md5-shingle subtree a second time for the
+    sizes branch — the sketch hashing is the dominant cost, so that
+    doubled the CPU of the entire query (measured 3.4 -> ~2.7 s at
+    sf0.1)."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        inverted_index_pair_counts,
+    )
     from dat_archive_map_reduce_spark.operators.text import rolling_shingle_fingerprints
 
     d = _t(spark, sf_dir, "documents")
@@ -2050,16 +2054,11 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("doc"),
             rolling_shingle_fingerprints("text", n=5).alias("fps"),
         )
-        .select("doc", F.explode_outer("fps").alias("token"))
+        .select("doc", F.size("fps").alias("n_tok"), F.explode_outer("fps").alias("token"))
         .filter(F.col("token").isNotNull())
     )
-    sizes = fp.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
-    pairs = inverted_index_pair_ids(fp)
-    a = sizes.select(F.col("doc").alias("id_a"), F.col("n_tok").alias("n_a"))
-    b = sizes.select(F.col("doc").alias("id_b"), F.col("n_tok").alias("n_b"))
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        inverted_index_pair_counts(fp)
         .withColumn("containment", F.round(F.col("common") / F.least("n_a", "n_b"), 4))
         .filter(F.col("containment") >= 0.2)
         .select("id_a", "id_b", F.col("common").alias("n_shared"), "containment")
@@ -5374,7 +5373,12 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle (weak rows-only driver check by design); the single
     merge step is oracle-gated (corpus_bpe_merge_step) and the apply
     fold is pinned against a pure-Python reference tokenizer in
-    pytest."""
+    pytest. (Sharing one localCheckpointed (doc, word) table between
+    the halves was measured SLOWER at sf0.1 — the checkpoint write of
+    the full count table costs more than the second streaming pass it
+    saves — so train and serve each keep their own pipelined scan;
+    bpe_train/bpe_apply still accept precomputed tables for callers
+    whose corpora tip the other way.)"""
     from dat_archive_map_reduce_spark.operators.text import bpe_apply, bpe_train
 
     d = _t(spark, sf_dir, "documents")
@@ -5801,6 +5805,328 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("source") == "src0"),
         "text",
         "doc_id",
+    )
+
+
+# =====================================================================
+# K. Round-4 additions: canonical selection, mixture design, sketch
+#    accuracy, range search — the corpus-curation steps between dedup
+#    and training that the suite did not yet name explicitly.
+# =====================================================================
+
+
+@query(
+    "dedup_keep_best_canonical",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string((string_split(lower(text), ' '))[1:8], ' ')) AS grp
+      FROM documents
+    ), r AS (
+      SELECT grp, doc_id, n_chars,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY grp) AS n_copies
+      FROM g
+    )
+    SELECT grp, doc_id AS kept_doc, CAST(n_copies AS BIGINT) AS n_copies
+    FROM r WHERE rk = 1 AND n_copies >= 2
+    """,
+)
+def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after grouping near-duplicates (a
+    leading-8-token prefix fingerprint — the cheap blocking key a real
+    pipeline uses before expensive verification), KEEP the best copy
+    per group (longest, ties to smallest doc id) and report group
+    sizes. This is the decision step dedup pipelines actually need —
+    finding duplicates is half the job; choosing which copy survives
+    is the other half.
+
+    Scale shape: one groupBy on the fingerprint with a max_by(struct)
+    argmax — fully associative, map-side partial, no window, no sort.
+    The oracle states the same selection as a row_number window, so
+    the hash match proves the agg formulation IS the windowed
+    semantics."""
+    d = _t(spark, sf_dir, "documents")
+    grp = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.lower("text"), " "), 1, 8))
+    )
+    return (
+        d.select(grp.alias("grp"), "doc_id", "n_chars")
+        .groupBy("grp")
+        .agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("kept_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+    WITH c AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), w AS (
+      SELECT lang, n_docs, n_tokens,
+             pow(CAST(n_tokens AS DOUBLE), 0.3) AS u
+      FROM c
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(u / sum(u) OVER (), 6) AS mix_weight,
+           CAST(round(1000000 * round(u / sum(u) OVER (), 6)) AS BIGINT)
+             AS planned_tokens
+    FROM w
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (the mC4/mT5 recipe,
+    arXiv:1910.10683 §3.4: sample language l with probability
+    proportional to |corpus_l|^alpha, alpha=0.3): flattens a head-heavy
+    corpus toward the tail without discarding head data. Output: per
+    language, the observed token mass, the temperature-scaled sampling
+    weight, and the planned token budget at 1M.
+
+    Scale shape: per-language token counts partial-aggregate map-side
+    (<= n_langs rows cross the wire); the normalization 'window' runs
+    over that n_langs-row table — a deliberate single-partition op on
+    bounded metadata, the same contract as ntile offsets."""
+    from pyspark.sql import Window as W_
+
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
+    )
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok).alias("n_tokens"),
+    )
+    u = F.pow(F.col("n_tokens").cast("double"), 0.3)
+    w = F.round(u / F.sum(u).over(W_.partitionBy()), 6)
+    return c.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        w.alias("mix_weight"),
+        F.round(F.lit(1000000) * w).cast("bigint").alias("planned_tokens"),
+    )
+
+
+@query(
+    "corpus_unimax_budget",
+    oracle="""
+    WITH c AS (
+      SELECT lang,
+             CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ), k AS (
+      SELECT lang, n_tokens, 2.0 * n_tokens AS cap,
+             row_number() OVER (ORDER BY n_tokens, lang) AS i,
+             count(*) OVER () AS n,
+             coalesce(sum(2.0 * n_tokens) OVER (
+               ORDER BY n_tokens, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+               AS prefix
+      FROM c
+    ), theta AS (
+      SELECT min((40000 - prefix) / (n - i + 1)) AS t
+      FROM k WHERE (40000 - prefix) / (n - i + 1) <= cap
+    )
+    SELECT lang, n_tokens,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(round(least(cap, coalesce(t, cap))) AS BIGINT) AS alloc_tokens
+    FROM k CROSS JOIN theta
+    """,
+)
+def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language budgeting (Chung et al. 2023, arXiv:2304.09151):
+    allocate a total training budget (40k tokens here) across
+    languages with a per-language cap of E=2 epochs, giving every
+    language as equal a share as its corpus allows — the principled
+    alternative to temperature sampling for multilingual pretraining.
+
+    Formulated as closed-form waterfilling instead of UniMax's
+    sequential loop: allocation_l = min(cap_l, theta) where theta is
+    the water level solving sum(min(cap_l, theta)) = budget; theta =
+    min over valid positions of (budget - prefix_cap_sum)/(langs
+    remaining) on the cap-ascending order. Both engines compute the
+    same windows over the <= n_langs-row aggregate (bounded metadata,
+    same single-partition contract as ntile offsets), so the scan
+    stays one partial-agg pass; no iteration, no driver loop."""
+    from pyspark.sql import Window as W_
+
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
+    )
+    c = d.groupBy("lang").agg(F.sum(ntok).alias("n_tokens"))
+    order = W_.orderBy("n_tokens", "lang")
+    k = c.select(
+        "lang",
+        "n_tokens",
+        (F.lit(2.0) * F.col("n_tokens")).alias("cap"),
+        F.row_number().over(order).alias("i"),
+        F.count(F.lit(1)).over(W_.partitionBy()).alias("n"),
+        F.coalesce(
+            F.sum(F.lit(2.0) * F.col("n_tokens")).over(
+                order.rowsBetween(W_.unboundedPreceding, -1)
+            ),
+            F.lit(0.0),
+        ).alias("prefix"),
+    )
+    theta_i = (F.lit(40000) - F.col("prefix")) / (F.col("n") - F.col("i") + 1)
+    theta = k.filter(theta_i <= F.col("cap")).agg(F.min(theta_i).alias("t"))
+    return k.crossJoin(F.broadcast(theta)).select(
+        "lang",
+        "n_tokens",
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.round(F.least(F.col("cap"), F.coalesce(F.col("t"), F.col("cap"))))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+
+
+@query(
+    "text_cms_heavy_hitters",
+    oracle="""
+    WITH t AS (
+      SELECT tok FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+      ) WHERE len(tok) >= 3
+    ), exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt FROM t GROUP BY 1
+    ), top AS (
+      SELECT tok, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, tok LIMIT 20
+    ), hashed AS (
+      SELECT tok, r,
+             substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok), 1, 2)
+               AS bucket
+      FROM t, unnest([0, 1, 2, 3]) AS u(r)
+    ), sketch AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed GROUP BY 1, 2
+    ), cand AS (
+      SELECT top.tok, top.exact_cnt, u.r,
+             substr(md5('cms' || CAST(u.r AS VARCHAR) || ':' || top.tok), 1, 2)
+               AS bucket
+      FROM top, unnest([0, 1, 2, 3]) AS u(r)
+    )
+    SELECT cand.tok AS token, cand.exact_cnt, min(s.c) AS cms_cnt
+    FROM cand JOIN sketch s ON s.r = cand.r AND s.bucket = cand.bucket
+    GROUP BY 1, 2
+    """,
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) accuracy report:
+    a depth-4 x width-256 CMS over the token stream (bucket = first
+    md5 hex byte per seeded row — engine-portable, the oracle replays
+    it), evaluated on the true top-20 tokens: estimated vs exact
+    counts. CMS guarantees cms_cnt >= exact_cnt, which the hash match
+    proves both engines reproduce bucket-for-bucket.
+
+    Scale shape: the sketch is a 4x256-row table built by ONE
+    partial-agg pass over the stream (each token row fans out to its
+    4 (row, bucket) cells JVM-side); estimation is a broadcast join of
+    candidates against the tiny sketch. The exact side here exists
+    for the report; the no-full-vocab-shuffle production path is the
+    Misra-Gries pair (text_heavy_hitters_scalable)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= 3)
+
+    def rb(col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda i: F.struct(
+                i.alias("r"),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"), i.cast("string"), F.lit(":"), col
+                        )
+                    ),
+                    1,
+                    2,
+                ).alias("bucket"),
+            ),
+        )
+
+    sketch = (
+        toks.select(rb(F.col("tok")).alias("rbs"))
+        .select(F.explode_outer("rbs").alias("x"))
+        .groupBy(F.col("x.r").alias("r"), F.col("x.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(20)
+    )
+    cand = (
+        top.select("tok", "exact_cnt", rb(F.col("tok")).alias("rbs"))
+        .select("tok", "exact_cnt", F.explode_outer("rbs").alias("x"))
+        .select(
+            "tok",
+            "exact_cnt",
+            F.col("x.r").alias("r"),
+            F.col("x.bucket").alias("bucket"),
+        )
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy(F.col("tok").alias("token"), "exact_cnt")
+        .agg(F.min("c").alias("cms_cnt"))
+    )
+
+
+@query(
+    "emb_radius_search",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 4)
+             AS cos_sim
+    FROM embeddings e,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+      AND list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[])) >= 0.25
+    """,
+)
+def emb_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: ALL vectors within cosine >=
+    0.25 of the query — the other half of the ANN API surface (top-k
+    answers 'the nearest k'; range search answers 'everything this
+    similar', the primitive behind near-dup thresholds and
+    dedup-by-radius). Exact brute-force scan: fused zip_with dot
+    product JVM-side, predicate in the scan stage, no shuffle at all
+    (result rows stream straight out). At 100 TB the same predicate
+    runs after an LSH/IVF bucket prefilter (ann_lsh_portable_topk's
+    bucket scheme) — the verify step is THIS operator."""
+    from dat_archive_map_reduce_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    cos = cosine(F.col("embedding").cast("array<double>"), q)
+    # threshold on the RAW cosine (the oracle does too); round only
+    # the reported value — filtering on the rounded column would admit
+    # 0.24996-style boundary rows the SQL rejects
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("_c"))
+        .filter(F.col("_c") >= 0.25)
+        .select("vec_id", F.round("_c", 4).alias("cos_sim"))
     )
 
 

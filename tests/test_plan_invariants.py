@@ -114,6 +114,21 @@ CONTRACTS = [
     # the corpus posting list (the groupBy-count shuffles only
     # map-side-deduped (partition, fp) rows)
     ("corpus_contamination_capped", 2, 1, False, False),
+    # -- round-4 additions --
+    # canonical keep-best: ONE fingerprint groupBy with an associative
+    # max_by argmax — never a per-group row_number window
+    ("dedup_keep_best_canonical", 1, 0, False, False),
+    # mixing/budget design: token rollup + an n_langs-row metadata agg
+    ("corpus_temperature_mix", 2, 0, False, False),
+    ("corpus_unimax_budget", 2, 1, False, False),
+    # CMS: one sketch pass + exact top-k + broadcast estimate join
+    ("text_cms_heavy_hitters", 2, 1, True, False),
+    # range search is a pure scan: no shuffle, predicate pushed
+    ("emb_radius_search", 0, 0, False, True),
+    # containment sizes ride the posting rows (size(fps) in the
+    # explode projection) — one md5-sketch evaluation, no second
+    # subtree for a sizes branch, no window
+    ("text_containment_pairs", 2, 0, False, False),
 ]
 
 
