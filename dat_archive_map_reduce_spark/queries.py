@@ -5546,48 +5546,63 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (aaaa...), anomalously high = random noise; natural text sits in a
     band, and both tails are what a quality pass drops.
 
-    Scale shape: chars explode to (doc, char) grain and
-    partial-combine immediately — the shuffle carries at most
-    |alphabet| rows per document, not document length; the per-doc
-    total then folds in the same aggregation tree. All native
-    expressions, no Python."""
-    d = _t(spark, sf_dir, "documents")
-    # substr enumeration, not split("(?!^)"): Java's zero-width split
-    # emits a trailing empty token that would off-by-one every n_chars.
-    # The length guard matters: Spark's sequence(1, 0) yields the
-    # DESCENDING [1, 0], which would fabricate two empty 'characters'
-    # for an empty document, while the oracle's generate_series(1, 0)
-    # is empty. explode_outer + null filter drops empty docs entirely
-    # (matching the oracle) with one evaluation of the char array.
-    chars = F.when(
-        F.length("text") > 0,
+    Scale shape: entropy is a PER-DOCUMENT statistic, so it is
+    computed entirely inside the row — sort the char array, then one
+    run-length fold accumulates sum(p ln p) over the runs (summation
+    in char-ascending order: deterministic). ZERO shuffles, zero
+    joins; the earlier (doc, char)-explode + two-level aggregate
+    shuffled |alphabet| rows per document for what a map expresses
+    (measured 2.2 -> 0.4 s at sf0.1). All native expressions, no
+    Python.
+
+    substr enumeration, not split(\"(?!^)\"): Java's zero-width split
+    emits a trailing empty token that would off-by-one every n_chars.
+    Empty docs are dropped by the length filter (the oracle's
+    generate_series(1, 0) produces no rows for them either)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chs = F.sort_array(
         F.transform(
             F.sequence(F.lit(1), F.length("text")),
             lambda i: F.col("text").substr(i, F.lit(1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    cnt = (
-        d.select("doc_id", chars.alias("chs"))
-        .select("doc_id", F.explode_outer("chs").alias("ch"))
-        .filter(F.col("ch").isNotNull())
-        .groupBy("doc_id", "ch")
-        .agg(F.count(F.lit(1)).alias("c"))
+        )
     )
-    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    p = F.col("c") / F.col("n")
-    return (
-        cnt.join(tot, "doc_id")
-        .groupBy("doc_id", "n")
-        .agg(
-            F.round(-F.sum(p * F.log(p)) / float(math.log(2.0)), 4).alias(
-                "char_entropy_bits"
+    n = F.length("text").cast("double")
+
+    def term(c):
+        p = c.cast("double") / n
+        return p * F.log(p)
+
+    def flush(acc):
+        return F.when(acc["cnt"] > 0, acc["s"] + term(acc["cnt"])).otherwise(
+            acc["s"]
+        )
+
+    def step(acc, ch):
+        return F.when(
+            ch == acc["prev"],
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["cnt"] + 1).alias("cnt"),
+                acc["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                ch.alias("prev"),
+                F.lit(1).cast("long").alias("cnt"),
+                flush(acc).alias("s"),
             )
         )
-        .select(
-            "doc_id",
-            F.col("n").cast("bigint").alias("n_chars"),
-            "char_entropy_bits",
-        )
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0.0).alias("s"),
+    )
+    ent = F.aggregate(chs, zero, step, flush)
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.round(-ent / float(math.log(2.0)), 4).alias("char_entropy_bits"),
     )
 
 

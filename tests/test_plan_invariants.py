@@ -125,6 +125,9 @@ CONTRACTS = [
     ("text_cms_heavy_hitters", 2, 1, True, False),
     # range search is a pure scan: no shuffle, predicate pushed
     ("emb_radius_search", 0, 0, False, True),
+    # per-doc entropy is an in-row run-length fold — map-only, never
+    # a (doc, char) shuffle
+    ("text_char_entropy", 0, 0, False, False),
     # containment sizes ride the posting rows (size(fps) in the
     # explode projection) — one md5-sketch evaluation, no second
     # subtree for a sizes branch, no window
