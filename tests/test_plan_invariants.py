@@ -128,6 +128,12 @@ CONTRACTS = [
     # per-doc entropy is an in-row run-length fold — map-only, never
     # a (doc, char) shuffle
     ("text_char_entropy", 0, 0, False, False),
+    # confusion matrix: one (gold, pred) rollup + a share window over
+    # the <= |langs|^2 matrix
+    ("text_lang_confusion", 2, 0, False, False),
+    # novelty: min-agg over postings + attribution join on the SAME
+    # fp partitioning (one side ReusedExchange) + per-doc rollup
+    ("text_ngram_novelty", 2, 1, False, False),
     # containment sizes ride the posting rows (size(fps) in the
     # explode projection) — one md5-sketch evaluation, no second
     # subtree for a sizes branch, no window
