@@ -5951,7 +5951,12 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS prefix
       FROM c
     ), theta AS (
-      SELECT min((40000 - prefix) / (n - i + 1)) AS t
+      -- the water level is the FIRST valid position in cap-ascending
+      -- order = the MAX valid theta: positions before it over-assign
+      -- (their theta exceeds their own cap, invalid), positions after
+      -- it over-subtract caps that should only be partially filled,
+      -- so their theta is strictly smaller
+      SELECT max((40000 - prefix) / (n - i + 1)) AS t
       FROM k WHERE (40000 - prefix) / (n - i + 1) <= cap
     )
     SELECT lang, n_tokens,
@@ -5996,8 +6001,13 @@ def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("prefix"),
     )
+    # MAX over valid positions = the first valid in cap-ascending
+    # order: earlier positions violate their own cap, later ones
+    # over-subtract caps that the water level only partially fills
+    # (caught by test_unimax_allocation_feasible_and_exhaustive —
+    # min() under-allocated whenever more than one position was valid)
     theta_i = (F.lit(40000) - F.col("prefix")) / (F.col("n") - F.col("i") + 1)
-    theta = k.filter(theta_i <= F.col("cap")).agg(F.min(theta_i).alias("t"))
+    theta = k.filter(theta_i <= F.col("cap")).agg(F.max(theta_i).alias("t"))
     return k.crossJoin(F.broadcast(theta)).select(
         "lang",
         "n_tokens",
