@@ -6278,6 +6278,191 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eager_release(out, fp)
 
 
+@query(
+    "retrieval_rrf_hybrid",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), lens AS (
+      SELECT doc_id, len(t) AS dl FROM d
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      WHERE term IN ('spark', 'filter', 'window')
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / s.avgdl))
+               AS sc
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats s
+    ), bagg AS (
+      SELECT doc_id,
+             sum(CASE WHEN term = 'spark'  THEN sc ELSE 0.0 END)
+             + sum(CASE WHEN term = 'filter' THEN sc ELSE 0.0 END)
+             + sum(CASE WHEN term = 'window' THEN sc ELSE 0.0 END) AS bm25
+      FROM scored GROUP BY doc_id
+    ), brank AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm
+      FROM bagg QUALIFY r_bm <= 100
+    ), crank AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])
+               ) DESC, vec_id) AS r_cos
+      FROM embeddings e,
+           (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      QUALIFY r_cos <= 100
+    )
+    SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+           CAST(coalesce(b.r_bm, 0) AS BIGINT) AS r_bm,
+           CAST(coalesce(c.r_cos, 0) AS BIGINT) AS r_cos,
+           round(coalesce(1.0 / (60 + b.r_bm), 0.0)
+                 + coalesce(1.0 / (60 + c.r_cos), 0.0), 6) AS rrf
+    FROM brank b FULL JOIN crank c ON b.doc_id = c.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): fuse the lexical BM25 top-100 (query bag {spark, filter,
+    window}) with the dense cosine top-100 (query = vector 0) by
+    rrf = sum over lists of 1/(60 + rank) — the standard
+    sparse+dense ensembling step of a RAG / retrieval pipeline, here
+    over the aligned doc_id == vec_id test corpus.
+
+    Scale shape: each ranker produces its TOP-K list first
+    (TakeOrderedAndProject — no global sort of the corpus); ranks
+    are row_numbers over the <= 100-row lists (bounded metadata, the
+    ntile-offsets contract), fused with one full outer join of two
+    100-row tables. The corpus-sized work is exactly the two
+    rankers' own scans."""
+    from pyspark.sql import Window as W_
+
+    from dat_archive_map_reduce_spark.operators.similarity import brute_force_topk
+    from dat_archive_map_reduce_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    bm = bm25_topk(d, "text", "doc_id", ["spark", "filter", "window"], k=100)
+    brank = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(W_.orderBy(F.desc(bm.columns[1]), F.asc("doc_id")))
+        .alias("r_bm"),
+    )
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    cos = brute_force_topk(e.filter(F.col("vec_id") != 0), qvec, k=100)
+    crank = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W_.orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .alias("r_cos"),
+    )
+    fused = brank.join(crank, "doc_id", "full")
+    rrf = F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0)) + F.coalesce(
+        1.0 / (60 + F.col("r_cos")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("r_bm", F.lit(0)).cast("bigint").alias("r_bm"),
+            F.coalesce("r_cos", F.lit(0)).cast("bigint").alias("r_cos"),
+            F.round(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_near_clusters_keep_best",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ), cop AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    jpairs AS (
+      SELECT id_a, id_b FROM cop
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM jpairs
+      UNION SELECT id_b, id_a FROM jpairs
+    ), reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+    ), comp AS (
+      SELECT node, least(node, min(r)) AS c FROM reach GROUP BY node
+    ), members AS (
+      SELECT c.c AS cluster_id, d.doc_id, d.n_chars
+      FROM documents d JOIN comp c ON c.node = d.doc_id
+    ), ranked AS (
+      SELECT cluster_id, doc_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY cluster_id) AS nm
+      FROM members
+    )
+    SELECT cluster_id, doc_id AS kept_doc,
+           CAST(nm AS BIGINT) AS n_members,
+           CAST(nm - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1
+    """,
+)
+def dedup_near_clusters_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dedup decision flow in one plan: exact
+    n-gram-Jaccard pairs (>= 0.5) -> transitive closure (alternating
+    star connected components) -> canonical selection per cluster
+    (longest doc, ties to smallest id) with kept/dropped counts —
+    pairs say 'these match', components say 'these are one group',
+    and this emits the action a pipeline executes. The oracle replays
+    the full composition: recursive-CTE closure + windowed argmax
+    against the distributed star contraction + associative max_by.
+
+    Scale shape inherits its parts: inverted-index pair discovery
+    (cost ∝ shared shingles), O(log n) component rounds, one
+    fingerprint-free cluster rollup (map-side argmax, no window)."""
+    from dat_archive_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+    from dat_archive_map_reduce_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    members = d.select("doc_id", "n_chars").join(
+        cc, d["doc_id"] == cc["node"]
+    ).select(F.col("component").alias("cluster_id"), "doc_id", "n_chars")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("kept_doc"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .withColumn("n_dropped", F.col("n_members") - 1)
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -134,6 +134,12 @@ CONTRACTS = [
     # novelty: min-agg over postings + attribution join on the SAME
     # fp partitioning (one side ReusedExchange) + per-doc rollup
     ("text_ngram_novelty", 2, 1, False, False),
+    # RRF fusion: both rankers end in TakeOrderedAndProject; the
+    # fusion itself joins two <= 100-row rank lists
+    ("retrieval_rrf_hybrid", 5, 3, True, True),
+    # cluster keep-best rollup adds NO shuffle beyond the pair/CC
+    # machinery it composes (argmax is map-side associative)
+    ("dedup_near_clusters_keep_best", 1, 1, False, False),
     # containment sizes ride the posting rows (size(fps) in the
     # explode projection) — one md5-sketch evaluation, no second
     # subtree for a sizes branch, no window
