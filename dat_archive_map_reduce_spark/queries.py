@@ -6463,6 +6463,106 @@ def dedup_near_clusters_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ), daily AS (
+      SELECT a.day,
+             CAST(count(*) AS BIGINT) AS active_users,
+             CAST(sum(CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_users
+      FROM act a JOIN f USING (user_id) GROUP BY 1
+    )
+    SELECT day, active_users, new_users,
+           CAST(active_users - new_users AS BIGINT) AS returning_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split with the cumulative
+    distinct-user curve — growth accounting, the other standard
+    product-analytics read next to retention. Cumulative distinct is
+    computed WITHOUT a running distinct-count: each user's first
+    active day attributes them once, so the cumulative curve is a
+    prefix sum of new_users over the <= n_days daily table (bounded
+    metadata — the ntile-offsets single-partition contract). The
+    heavy work is two partial-combined aggregates of the fact."""
+    from pyspark.sql import Window as W_
+
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    f = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    act = e.select(day.alias("day"), "user_id").distinct()
+    daily = (
+        act.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(
+                F.when(F.col("first_day") == F.col("day"), 1).otherwise(0)
+            ).alias("new_users"),
+        )
+    )
+    cum = F.sum("new_users").over(
+        W_.orderBy("day").rowsBetween(W_.unboundedPreceding, W_.currentRow)
+    )
+    return daily.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias("returning_users"),
+        cum.alias("cumulative_users"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    )
+    SELECT a AS from_type, b AS to_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY a), 4)
+             AS p
+    FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count and row-normalized probability of each
+    (event_type -> next event_type) step — the behavior-model /
+    anomalous-flow primitive of sequence analytics (funnel asks 'did
+    A then B happen'; this asks 'how does the whole graph flow').
+    One user-partitioned sequence window (the sessionize shape), a
+    (from, to) rollup, and a share window over the <= |types|^2
+    matrix."""
+    from pyspark.sql import Window as W_
+
+    e = _t(spark, sf_dir, "events")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(W_.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    m = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n") / F.sum("n").over(W_.partitionBy("from_type"))
+    return m.select("from_type", "to_type", "n", F.round(p, 4).alias("p"))
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

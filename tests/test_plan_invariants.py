@@ -140,6 +140,12 @@ CONTRACTS = [
     # cluster keep-best rollup adds NO shuffle beyond the pair/CC
     # machinery it composes (argmax is map-side associative)
     ("dedup_near_clusters_keep_best", 1, 1, False, False),
+    # growth accounting: two fact aggregates + a prefix sum over the
+    # <= n_days daily table; never a running distinct-count
+    ("events_new_vs_returning", 4, 1, False, False),
+    # transition matrix: one user-sequence window + (from, to) rollup
+    # + share window over the <= |types|^2 matrix
+    ("events_markov_transitions", 3, 0, False, False),
     # containment sizes ride the posting rows (size(fps) in the
     # explode projection) — one md5-sketch evaluation, no second
     # subtree for a sizes branch, no window
