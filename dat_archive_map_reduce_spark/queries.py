@@ -6563,6 +6563,228 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("from_type", "to_type", "n", F.round(p, 4).alias("p"))
 
 
+@query(
+    "emb_cluster_quality",
+    oracle="""
+    WITH e AS (
+      SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), dims AS (
+      SELECT label, u.i AS dim, round(avg(v[u.i]), 6) AS c
+      FROM e, unnest(generate_series(1, 64)) AS u(i)
+      GROUP BY 1, 2
+    ), cent AS (
+      SELECT label, list(c ORDER BY dim) AS cv FROM dims GROUP BY 1
+    ), scored AS (
+      SELECT e.label, list_cosine_similarity(e.v, c.cv) AS cs
+      FROM e JOIN cent c USING (label)
+    ), intra AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             round(avg(cs), 4) AS mean_cos_to_centroid
+      FROM scored GROUP BY 1
+    ), pairs AS (
+      SELECT a.label, b.label AS other,
+             list_cosine_similarity(a.cv, b.cv) AS cc
+      FROM cent a JOIN cent b ON a.label <> b.label
+    ), nearest AS (
+      SELECT label, other, cc,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cc DESC, other) AS rk
+      FROM pairs
+    )
+    SELECT i.label, i.n_vecs, i.mean_cos_to_centroid,
+           n.other AS nearest_label, round(n.cc, 4) AS nearest_centroid_cos
+    FROM intra i JOIN nearest n ON n.label = i.label AND n.rk = 1
+    """,
+)
+def emb_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-cluster quality report over the embedding space: per
+    label, cohesion (mean cosine of members to their centroid) and
+    separation (the most-similar OTHER centroid and its cosine) — the
+    silhouette-style diagnostic run before trusting labels/centroids
+    for SemDeDup blocking or IVF routing. Uses the embeddings table's
+    ``label`` column.
+
+    Determinism across engines: centroid components round to 6
+    decimals BEFORE any cosine (per-(label, dim) averages differ in
+    summation order between engines by ~1e-13; rounding pins them),
+    then every cosine is a fixed-order 64-term dot product of
+    identical arrays — bit-identical, with only the final per-label
+    avg rounded at 4.
+
+    Scale shape: centroids are a (label, dim)-grain partial-combined
+    aggregate (k x dim rows cross the wire — never vectors to the
+    driver); members score against a BROADCAST k-row centroid table
+    in the scan; the k x k separation matrix is metadata."""
+    from pyspark.sql import Window as W_
+
+    from dat_archive_map_reduce_spark.operators.similarity import cosine
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dims = e.select("label", F.posexplode("v").alias("dim", "val"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("cv")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", cosine(F.col("v"), F.col("cv")).alias("cs")
+    )
+    intra = scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("cs"), 4).alias("mean_cos_to_centroid"),
+    )
+    a = cent.select(F.col("label"), F.col("cv"))
+    b = cent.select(F.col("label").alias("other"), F.col("cv").alias("cv2"))
+    pairs = a.join(F.broadcast(b), F.col("label") != F.col("other")).select(
+        "label", "other", cosine(F.col("cv"), F.col("cv2")).alias("cc")
+    )
+    nearest = pairs.withColumn(
+        "rk",
+        F.row_number().over(
+            W_.partitionBy("label").orderBy(F.desc("cc"), F.asc("other"))
+        ),
+    ).filter(F.col("rk") == 1)
+    return intra.join(nearest, "label").select(
+        "label",
+        "n_vecs",
+        "mean_cos_to_centroid",
+        F.col("other").alias("nearest_label"),
+        F.round("cc", 4).alias("nearest_centroid_cos"),
+    )
+
+
+@query(
+    "corpus_length_winsorize",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> len(x) > 0)) AS n
+      FROM documents
+    ), th AS (
+      SELECT round(quantile_cont(n, 0.05), 4) AS p5,
+             round(quantile_cont(n, 0.95), 4) AS p95
+      FROM lens
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n < p5 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(sum(CASE WHEN n > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           round(sum(least(greatest(n * 1.0, p5), p95)), 4)
+             AS winsorized_tokens
+    FROM lens CROSS JOIN th GROUP BY 1
+    """,
+)
+def corpus_length_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-outlier winsorization report: clamp per-doc token counts
+    to the global [P5, P95] band and report, per source, how many
+    docs each tail clips and the winsorized token mass — the
+    outlier-robust sizing pass before length-based mixing/packing
+    decisions. Thresholds round to 4 decimals BEFORE the comparisons
+    so both engines clamp identical boundaries.
+
+    The thresholds here use the holistic percentile (exact, one
+    aggregation buffer — fine for a two-number global); at 100 TB
+    swap in agg_percentiles_exact_distributed's rank-and-interpolate
+    path, which computes the same numbers without a holistic
+    buffer."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0))
+    lens = d.select("doc_id", "source", n.alias("n"))
+    th = lens.agg(
+        F.round(F.percentile("n", F.lit(0.05)), 4).alias("p5"),
+        F.round(F.percentile("n", F.lit(0.95)), 4).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("n") * 1.0, F.col("p5")), F.col("p95"))
+    return (
+        lens.crossJoin(F.broadcast(th))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n") < F.col("p5"), 1).otherwise(0)).alias(
+                "n_below"
+            ),
+            F.sum(F.when(F.col("n") > F.col("p95"), 1).otherwise(0)).alias(
+                "n_above"
+            ),
+            F.round(F.sum(clamped), 4).alias("winsorized_tokens"),
+        )
+    )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, tok
+      FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents)
+      WHERE len(tok) >= 3
+    ), sz AS (
+      SELECT source, count(*) AS n FROM st GROUP BY 1
+    ), cop AS (
+      SELECT a.source AS id_a, b.source AS id_b, count(*) AS common
+      FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+           round(common * 1.0 / (na.n + nb.n - common), 4) AS jaccard
+    FROM cop
+    JOIN sz na ON na.source = id_a
+    JOIN sz nb ON nb.source = id_b
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 40
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard — the corpus-composition
+    diagnostic ('which feeds are near-mirrors of each other?') that
+    decides whether two sources deserve separate mixing weights or a
+    shared one. DIRECT REUSE of the dedup inverted index at source
+    grain: posting rows are (source, token), so
+    inverted_index_pair_counts emits co-occurrence and both set
+    sizes in one bucket shuffle; |sources|^2 never materializes
+    beyond pairs that actually share vocabulary."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        inverted_index_pair_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            F.col("source").alias("doc"),
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+        .distinct()
+    )
+    sized = st.join(
+        st.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok")), "doc"
+    )
+    pairs = inverted_index_pair_counts(sized)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(40)
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -146,6 +146,14 @@ CONTRACTS = [
     # transition matrix: one user-sequence window + (from, to) rollup
     # + share window over the <= |types|^2 matrix
     ("events_markov_transitions", 3, 0, False, False),
+    # cluster quality: (label, dim) partial agg + broadcast centroid
+    # joins — vectors never cross the wire whole
+    ("emb_cluster_quality", 3, 3, False, False),
+    # winsorize: one holistic two-number threshold agg broadcast back
+    # over the per-source rollup
+    ("corpus_length_winsorize", 2, 1, False, False),
+    # source overlap: the dedup inverted index at source grain
+    ("corpus_source_overlap", 4, 1, True, False),
     # containment sizes ride the posting rows (size(fps) in the
     # explode projection) — one md5-sketch evaluation, no second
     # subtree for a sizes branch, no window
