@@ -529,3 +529,95 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_cms(
+    tok_rows: DataFrame,
+    depth: int = 4,
+    width_hex: int = 2,
+    token_col: str = "token",
+) -> DataFrame:
+    """Bounded-state streaming count-min sketch: one state group per
+    sketch ROW holds that row's full bucket-counter array — the
+    streaming twin of text_cms_heavy_hitters' sketch build. Unlike
+    Misra-Gries, CMS is EXACTLY mergeable (counters just add), so the
+    streamed sketch equals the batch sketch bit-for-bit at every
+    point, not merely within bounds — the equivalence test asserts
+    equality, the strongest stream/batch contract in the suite.
+
+    Bucketing is the same engine-portable first-``width_hex``-md5-hex
+    scheme as the batch operator (seeded per row), computed NATIVELY
+    before the shuffle, so only (row, bucket) pairs reach Python.
+    State is exactly ``depth`` groups x 16^width_hex counters forever
+    on an infinite stream; each micro-batch emits the row's full
+    updated counter table (update mode) — the latest emission per row
+    IS the sketch.
+    """
+    import pandas as pd  # noqa: F811  (worker-side import)
+    from pyspark.sql import types as T
+
+    width = 16 ** width_hex
+    out_schema = T.StructType(
+        [
+            T.StructField("r", T.IntegerType(), False),
+            T.StructField("bucket", T.StringType(), False),
+            T.StructField("c", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("buckets", T.ArrayType(T.StringType()), False),
+            T.StructField("counts", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def _update(key, pdfs, state):
+        if state.exists:
+            buckets, counts = state.get
+            st = dict(zip(buckets, counts))
+        else:
+            st = {}
+        for pdf in pdfs:
+            vc = pdf["bucket"].value_counts()
+            for b, c in vc.items():
+                st[b] = st.get(b, 0) + int(c)
+        if len(st) > width:  # impossible by construction; fail loudly
+            raise ValueError(f"CMS row {key[0]} exceeded width {width}")
+        state.update((list(st.keys()), [int(v) for v in st.values()]))
+        yield pd.DataFrame(
+            {
+                "r": [key[0]] * len(st),
+                "bucket": list(st.keys()),
+                "c": [int(v) for v in st.values()],
+            }
+        )
+
+    hashed = tok_rows.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("r"),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("cms"),
+                                i.cast("string"),
+                                F.lit(":"),
+                                F.col(token_col),
+                            )
+                        ),
+                        1,
+                        width_hex,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("x")
+    ).select(F.col("x.r").alias("r"), F.col("x.bucket").alias("bucket"))
+    return hashed.groupBy("r").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -230,3 +230,102 @@ def test_winnowing_density_and_determinism(spark, words):
     assert key(rows1) == key(rows7)
     for r in rows1:
         assert 1 <= r["n_selected"] <= r["n_grams"]
+
+
+# ---------------------------------------------------------------------
+# round-4 pure-logic invariants: batched-BPE fold equivalence and
+# UniMax waterfilling closed form
+# ---------------------------------------------------------------------
+
+_sym = st.text(alphabet="ab", min_size=1, max_size=2)
+
+
+def _apply_rule_sequential(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _fold_with_map(syms, rule_map):
+    """Pure-Python model of operators/text.py::_bpe_fold_batch's
+    left-to-right fold: merge the last accumulated symbol with the
+    incoming one whenever the pair is a batched rule."""
+    acc = []
+    for s in syms:
+        if acc and (acc[-1], s) in rule_map:
+            acc[-1] = rule_map[(acc[-1], s)]
+        else:
+            acc.append(s)
+    return acc
+
+
+@given(
+    st.lists(_sym, min_size=0, max_size=12),
+    st.lists(st.tuples(_sym, _sym), min_size=0, max_size=8),
+)
+@settings(max_examples=500)
+def test_bpe_disjoint_batch_fold_equals_sequential(word, rules):
+    """THE batching theorem the r4 BPE rework rests on: partition any
+    rule list into consecutive symbol-disjoint prefixes
+    (_bpe_disjoint_prefix) and apply each batch as ONE left-to-right
+    fold — the result must equal applying every rule one at a time in
+    order, for every word and every rule list."""
+    from dat_archive_map_reduce_spark.operators.text import _bpe_disjoint_prefix
+
+    want = list(word)
+    for a, b in rules:
+        want = _apply_rule_sequential(want, a, b)
+
+    got = list(word)
+    rest = list(rules)
+    while rest:
+        batch = _bpe_disjoint_prefix(rest)
+        rest = rest[len(batch):]
+        got = _fold_with_map(got, {(a, b): a + b for a, b in batch})
+    assert got == want
+
+
+def _unimax_sequential(caps, budget):
+    """The UniMax paper's greedy loop: visit languages smallest-cap
+    first; each takes min(cap, remaining / languages_left)."""
+    order = sorted(range(len(caps)), key=lambda i: caps[i])
+    alloc = [0.0] * len(caps)
+    remaining = float(budget)
+    for pos, i in enumerate(order):
+        share = remaining / (len(caps) - pos)
+        alloc[i] = min(caps[i], share)
+        remaining -= alloc[i]
+    return alloc
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=5 * 10**6),
+)
+@settings(max_examples=500)
+def test_unimax_waterfilling_closed_form_equals_greedy_loop(caps, budget):
+    """The closed form corpus_unimax_budget uses — alloc = min(cap,
+    theta) with theta = MAX over valid positions of
+    (budget - prefix)/(langs remaining) in cap-ascending order — must
+    equal the paper's sequential loop (this is the invariant whose
+    min/max confusion the r4 property test caught)."""
+    caps_f = [float(c) for c in caps]
+    want = _unimax_sequential(caps_f, budget)
+
+    order = sorted(range(len(caps_f)), key=lambda i: caps_f[i])
+    n = len(caps_f)
+    theta = None
+    prefix = 0.0
+    for pos, i in enumerate(order):
+        t = (budget - prefix) / (n - pos)
+        if t <= caps_f[i]:
+            theta = t if theta is None else max(theta, t)
+        prefix += caps_f[i]
+    got = [min(c, theta) if theta is not None else c for c in caps_f]
+    assert all(abs(g - w) < 1e-6 for g, w in zip(got, want)), (got, want)

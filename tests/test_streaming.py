@@ -654,3 +654,84 @@ def test_stream_stream_interval_join_left_outer_equals_batch(spark, tmp_path):
     _drain()
     assert set(got) == batch
     assert len(got) == len(batch)
+
+
+def test_streaming_cms_equals_batch_sketch_exactly(spark, tmp_path):
+    """CMS counters just add, so the streamed sketch must equal the
+    batch-built sketch EXACTLY after the last micro-batch — per (row,
+    bucket) — not merely within bounds (the strongest stream/batch
+    equivalence in the suite). Also: no row may exceed its width."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"tok{rng.randrange(300)}",) for _ in range(900)]
+    rows += [("heavy",)] * 100
+    rng.shuffle(rows)
+    indexed = [(i, t) for i, (t,) in enumerate(rows)]
+    df = spark.createDataFrame(indexed, "idx long, token string")
+    src = str(tmp_path / "src")
+    third = len(rows) // 3
+    df.filter(F.col("idx") < third).select("token").write.parquet(f"{src}/a.parquet")
+    df.filter((F.col("idx") >= third) & (F.col("idx") < 2 * third)).select(
+        "token"
+    ).write.parquet(f"{src}/b.parquet")
+    df.filter(F.col("idx") >= 2 * third).select("token").write.parquet(
+        f"{src}/c.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    emitted = []
+
+    def _sink(batch_df, batch_id):
+        emitted.extend((batch_id, r) for r in batch_df.collect())
+
+    q = (
+        W.streaming_cms(stream, depth=4, width_hex=2)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len({b for b, _ in emitted}) >= 2, "stream must run multiple batches"
+
+    # latest emission per row = the final streamed sketch
+    last_batch_per_row = {}
+    for b, r in emitted:
+        last_batch_per_row[r["r"]] = max(last_batch_per_row.get(r["r"], -1), b)
+    streamed = {
+        (r["r"], r["bucket"]): r["c"]
+        for b, r in emitted
+        if b == last_batch_per_row[r["r"]]
+    }
+
+    # batch sketch over the same rows, same native bucketing
+    batch = spark.read.parquet(src + "/*")
+    hashed = batch.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda i: F.struct(
+                    i.cast("int").alias("r"),
+                    F.substring(
+                        F.md5(F.concat(F.lit("cms"), i.cast("string"),
+                                       F.lit(":"), F.col("token"))),
+                        1, 2,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("x")
+    ).groupBy(F.col("x.r").alias("r"), F.col("x.bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    want = {(r["r"], r["bucket"]): r["c"] for r in hashed.collect()}
+    assert streamed == want
+    per_row = {}
+    for (r, _b), _c in streamed.items():
+        per_row[r] = per_row.get(r, 0) + 1
+    assert all(v <= 256 for v in per_row.values())
