@@ -1897,7 +1897,8 @@ def dedup_embedding_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nrm s
       JOIN assign a ON a.vec_id = s.vec_id
       JOIN probe p ON p.cid = a.cid, q
-    ) ORDER BY cos_sim DESC, vec_id LIMIT 10
+      ORDER BY cos_sim DESC, s.vec_id LIMIT 10
+    ) ranked
     """,
 )
 def ann_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4342,7 +4343,9 @@ def view_map_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY codes.vec_id
     )
     SELECT vec_id, round(adc_dist, 4) AS adc_dist
-    FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    FROM (SELECT vec_id, adc_dist FROM adc
+          ORDER BY adc_dist, vec_id LIMIT 10) ranked
+    ORDER BY adc_dist, vec_id
     """,
 )
 def ann_pq_adc_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
