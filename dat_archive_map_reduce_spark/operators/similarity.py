@@ -902,6 +902,62 @@ def nearest_seed_assignment(
     )
 
 
+def nearest_centroid_join(
+    embeddings_df: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "cid",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """(vid, v, cid, mindist): nearest-centroid assignment where the
+    codebook arrives as a DataFrame — the adaptive-k scale path next
+    to nearest_seed_assignment's literal path.
+
+    The centroid table is folded into ONE row holding the codebook as
+    an array<struct<cid,c>> SORTED by cid, broadcast onto the
+    embedding scan via a broadcast nested-loop cross join. The
+    codebook is therefore DATA, not expression nodes: plan size,
+    analysis, and janino codegen are O(1) in k (the same
+    broadcast-payload-not-literals recipe as text._bpe_fold_batch),
+    and nothing is ever collected to the driver. At SemDeDup's paper
+    scale (k=50k, dim 768) the broadcast is ~300 MB of doubles — a
+    normal broadcast-table size — where the literal form is 38M
+    expression nodes that kill analysis long before the data hurts.
+
+    Semantics are bit-identical to nearest_seed_assignment: squared
+    L2 via the shared ordered-fold sqdist, ties to the LOWEST cid via
+    array_position's first match over the cid-sorted codebook.
+    Assignment itself is map-only and narrow — the only exchange is
+    the one-row codebook broadcast."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    e = fan_out(
+        embeddings_df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+    )
+    book = centroids_df.select(
+        F.col(cid_col).cast("int").alias("_cid"),
+        F.col(centroid_col).cast("array<double>").alias("_c"),
+    ).agg(F.array_sort(F.collect_list(F.struct("_cid", "_c"))).alias("book"))
+    with_d = e.crossJoin(F.broadcast(book)).select(
+        "vid",
+        "v",
+        "book",
+        F.transform(F.col("book"), lambda s: sqdist(F.col("v"), s["_c"])).alias("d"),
+    )
+    return with_d.select(
+        "vid",
+        "v",
+        F.element_at(
+            F.col("book"), F.array_position(F.col("d"), F.array_min("d")).cast("int")
+        )["_cid"].alias("cid"),
+        F.array_min("d").alias("mindist"),
+    )
+
+
 def kmeans_lloyd_step(
     embeddings_df: DataFrame,
     seed_vectors: Sequence[Sequence[float]],
@@ -1005,7 +1061,7 @@ def jl_project(
 
 def semdedup_pairs(
     embeddings_df: DataFrame,
-    seed_vectors: Sequence[Sequence[float]],
+    seed_vectors: "Sequence[Sequence[float]] | DataFrame",
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1019,19 +1075,30 @@ def semdedup_pairs(
     accepted approximation; recall is pinned in tests against the
     exact all-pairs kernel).
 
-    Assignment is the shared literal-codebook scan; the within-cluster
-    self-join shuffles on cid; pair cosine is exact. Returns
-    (cid, id_a, id_b, cos_sim >= threshold).
+    ``seed_vectors`` may be a driver-side list (small fixed k — test
+    and Lloyd-step callers) or a DataFrame of (cid, centroid) — the
+    scale path: SemDeDup's k grows with the corpus (max(8, N/64);
+    the paper runs k=50k on LAION), and at that k the codebook must
+    stay a broadcast TABLE (nearest_centroid_join), never driver
+    literals. Assignment is one broadcast-codebook scan either way;
+    the within-cluster self-join shuffles on cid; pair cosine is
+    exact. Returns (cid, id_a, id_b, cos_sim >= threshold).
     """
     from dat_archive_map_reduce_spark.operators._util import eager_release
 
-    # persisted: the self-join reads BOTH sides from this one
-    # assignment scan — without it Spark recomputes the k*dim
-    # literal-codebook distance pass twice
-    assigned = (
-        nearest_seed_assignment(
+    if isinstance(seed_vectors, DataFrame):
+        base = nearest_centroid_join(
             embeddings_df, seed_vectors, id_col=id_col, vec_col=vec_col
         )
+    else:
+        base = nearest_seed_assignment(
+            embeddings_df, seed_vectors, id_col=id_col, vec_col=vec_col
+        )
+    # persisted: the self-join reads BOTH sides from this one
+    # assignment scan — without it Spark recomputes the k*dim
+    # codebook distance pass twice
+    assigned = (
+        base
         # per-row norm computed ONCE here instead of twice per pair —
         # the pair stage then runs one fold (the dot), not three
         .select("vid", "v", "cid", norm(F.col("v")).alias("nv"))

@@ -4801,20 +4801,22 @@ def dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max(8, N/64), the paper's bounded-cluster-size recipe — the paper
     runs k=50k on LAION): without that, a fixed k degrades
     quadratically as the corpus grows (measured 6.7 s at sf0.1 with
-    k=8 vs ~1 s adaptive). Cross-cluster pairs are missed by design;
+    k=8 vs ~1 s adaptive). Because k is adaptive, the codebook stays
+    a DataFrame end-to-end — nearest_centroid_join folds it into one
+    broadcast cid-sorted array row (data, not literals: plan size
+    O(1) in k, no driver collect of vectors — at the paper's k=50k
+    the old literal form was a multi-GB driver fetch and 3.2M
+    expression nodes). Cross-cluster pairs are missed by design;
     recall vs the exact all-pairs kernel is pinned in tests."""
     from dat_archive_map_reduce_spark.operators.similarity import semdedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
     k = max(8, e.count() // 64)
-    seeds = [
-        [float(x) for x in r["embedding"]]
-        for r in e.filter(F.col("vec_id").between(1, k))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    ]
-    return semdedup_pairs(e, seeds, threshold=0.45)
+    centroids = e.filter(F.col("vec_id").between(1, k)).select(
+        (F.col("vec_id") - 1).cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    return semdedup_pairs(e, centroids, threshold=0.45)
 
 
 @query(

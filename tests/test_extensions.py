@@ -889,6 +889,89 @@ def test_semdedup_subset_and_planted_recall(spark, embeddings):
     assert want <= got
 
 
+def test_nearest_centroid_join_matches_literal_path(spark, embeddings):
+    """The broadcast-TABLE codebook (nearest_centroid_join) must be
+    bit-identical to the literal-codebook path (nearest_seed_assignment)
+    — same sqdist fold, same tie-to-lowest-cid. Seeds 3 and 7 are
+    duplicated to force an exact distance tie: both paths must pick
+    cid 3. The semdedup wrapper must agree through either entry."""
+    seeds = [
+        [float(x) for x in r["embedding"]]
+        for r in embeddings.filter("vec_id between 1 and 16")
+        .orderBy("vec_id").select("embedding").collect()
+    ]
+    seeds[7] = list(seeds[3])
+    cent = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(seeds)],
+        "cid int, centroid array<double>",
+    )
+    lit = {
+        r["vid"]: (r["cid"], r["mindist"])
+        for r in similarity.nearest_seed_assignment(embeddings, seeds).collect()
+    }
+    tab = {
+        r["vid"]: (r["cid"], r["mindist"])
+        for r in similarity.nearest_centroid_join(embeddings, cent).collect()
+    }
+    assert tab == lit
+    assert all(cid != 7 for cid, _ in tab.values())  # ties fell to 3
+
+    p_lit = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semdedup_pairs(embeddings, seeds, threshold=0.45).collect()
+    }
+    p_tab = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.semdedup_pairs(embeddings, cent, threshold=0.45).collect()
+    }
+    assert p_tab == p_lit
+
+
+def test_nearest_centroid_join_scales_k_without_driver_vectors(spark):
+    """Adaptive-k scale contract (round-4 verdict #1): a k=1024
+    codebook runs entirely as a broadcast table — no vector ever
+    touches the driver (both sides are Spark-generated), the join is
+    a broadcast (never CartesianProduct), and the physical plan is
+    O(1) in k: the k=1024 plan tree is no larger than the k=8 one,
+    where the literal form grows by ~k*dim expression nodes."""
+    dim = 8
+
+    def synth(n, id_name):
+        return spark.range(n).select(
+            F.col("id").alias(id_name),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.pmod(F.col("id") * 31 + i * 7, F.lit(97)).cast("double"),
+            ).alias("v"),
+        )
+
+    emb = synth(4096, "vec_id").withColumnRenamed("v", "embedding")
+
+    def run(k):
+        cent = synth(k, "cid_raw").select(
+            F.col("cid_raw").cast("int").alias("cid"),
+            F.col("v").alias("centroid"),
+        )
+        return similarity.nearest_centroid_join(emb, cent)
+
+    big = run(1024)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    plan_small = run(8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_big
+    assert "CartesianProduct" not in plan_big
+    assert len(plan_big) <= len(plan_small) + 64  # O(1) in k
+    rows = big.groupBy().agg(
+        F.count("*").alias("n"),
+        F.min("cid").alias("lo"),
+        F.max("cid").alias("hi"),
+        F.count(F.when(F.col("cid").isNull() | F.col("mindist").isNull(), 1)).alias(
+            "bad"
+        ),
+    ).first()
+    assert rows["n"] == 4096 and rows["bad"] == 0
+    assert 0 <= rows["lo"] and rows["hi"] <= 1023
+
+
 def test_chunk_overlap_reassembles_exact_windows(spark):
     """Chunking contract: a 50-token doc with W=32/S=24 yields chunks
     at starts 1 and 25 (0-based k=0,1), lengths 32 and 26; hashes match
