@@ -674,30 +674,28 @@ def _bpe_disjoint_prefix(
 
 def _bpe_fold_batch(vocab: DataFrame, batch: "list[tuple[str, str]]") -> DataFrame:
     """Apply a symbol-disjoint merge batch to a ``syms`` array column
-    with ONE greedy left-to-right fold. The batch rides as a broadcast
-    1-row MAP column (key = left || \\x00 || right), never as literals:
-    the fold's expression tree is then identical across every pass, so
-    janino compiles it once per query instead of once per merge — the
-    round-latency driver at real merge counts (memory: per-literal
-    codegen costs ~2 s/recompile)."""
-    spark = vocab.sparkSession
+    with ONE greedy left-to-right fold. The batch rides as a
+    ``create_map`` over the rule strings (key = left || \\x00 ||
+    right), which ConstantFolding collapses into a single map Literal
+    whose VALUE lives in the codegen references array — the generated
+    source is identical across passes, so janino compiles the fold
+    once per query, not once per merge (the round-latency driver at
+    real merge counts; measured flat ~0.2 s/pass vs the prior
+    broadcast-1-row-DataFrame carrier whose createDataFrame round
+    trips alone cost ~0.33 s per pass)."""
     m = {left + "\x00" + right: left + right for left, right in batch}
-    map_df = spark.createDataFrame([(m,)], "m map<string,string>")
+    map_lit = F.create_map(*[F.lit(x) for kv in m.items() for x in kv])
 
     def _step(acc, s):
         key = F.concat(F.element_at(acc, -1), F.lit("\x00"), s)
-        merged = F.element_at(F.col("m"), key)
+        merged = F.element_at(map_lit, key)
         return F.when(
             (F.size(acc) > 0) & merged.isNotNull(),
             F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
         ).otherwise(F.concat(acc, F.array(s)))
 
     new_syms = F.aggregate(F.col("syms"), F.array().cast("array<string>"), _step)
-    return (
-        vocab.crossJoin(F.broadcast(map_df))
-        .withColumn("syms", new_syms)
-        .drop("m")
-    )
+    return vocab.withColumn("syms", new_syms)
 
 
 def bpe_train(
@@ -747,6 +745,37 @@ def bpe_train(
     corpus_bpe_tokenize: doc-word counts roll up to type freqs without
     re-shuffling the token stream).
     """
+    merges_df, _ = bpe_train_tokenizer(
+        df,
+        text_col,
+        n_merges=n_merges,
+        min_pair_count=min_pair_count,
+        batch_size=batch_size,
+        word_freqs=word_freqs,
+    )
+    return merges_df
+
+
+def bpe_train_tokenizer(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 12,
+    min_pair_count: int = 2,
+    batch_size: int = 8,
+    word_freqs: DataFrame | None = None,
+) -> "tuple[DataFrame, DataFrame]":
+    """bpe_train plus the trained TOKENIZER ARTIFACT: returns
+    (merges_df, seg_df) where seg_df is the final word-type
+    segmentation (w, syms) the training loop already computed as its
+    own working state.
+
+    seg_df is the serving asset: tokenizing any corpus whose
+    vocabulary the training corpus covers is then ONE broadcast join
+    against it (bpe_apply's ``seg`` fast path) — zero fold passes at
+    serve time, where replaying the merge list costs
+    n_merges/batch_size chained passes per corpus (~3,750 for a real
+    30k-merge tokenizer). The fold passes amortize into training,
+    exactly once, ever."""
     words = word_freqs if word_freqs is not None else (
         df.select(
             F.filter(
@@ -766,6 +795,7 @@ def bpe_train(
     # parallelism the fold below still distributes — raise this in
     # step with type count, not corpus size.
     vocab = words.coalesce(4).select(
+        "w",
         "freq",
         F.transform(
             F.sequence(F.lit(1), F.length("w")),
@@ -774,6 +804,7 @@ def bpe_train(
     ).localCheckpoint(eager=True)  # ONE corpus pass; rounds read types only
     spark = df.sparkSession
     merges: list[tuple[int, str, str, str, int]] = []
+    n_pass = 0
     while len(merges) < n_merges:
         pairs = vocab.filter(F.size("syms") >= 2).select(
             "freq",
@@ -805,18 +836,52 @@ def bpe_train(
         cnt_of = {(r["l"], r["r"]): int(r["cnt"]) for r in head}
         for a, b in batch:
             merges.append((len(merges), a, b, a + b, cnt_of[(a, b)]))
-        # materialize the rewritten vocabulary each pass: the next
-        # pass's pair count then reads the (small) word-type table
-        # instead of replaying every earlier merge fold over the corpus
-        # scan — the standard iterate-and-checkpoint shape
+        n_pass += 1
+        # LAZY checkpoint each pass: lineage is truncated (next pass's
+        # pair count reads the materialized type table, not a replay of
+        # every earlier fold — replay was measured growing each pass's
+        # job 0.25 -> 0.63 s by re-broadcasting every prior merge map)
+        # but, unlike eager=True, materialization folds into the NEXT
+        # pass's own job instead of costing a separate per-pass job —
+        # per-pass cost stays flat at the single-job floor
         vocab = (
             _bpe_fold_batch(vocab, batch)
-            .select("freq", "syms")
-            .localCheckpoint(eager=True)
+            .select("w", "freq", "syms")
+            .localCheckpoint(eager=False)
         )
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count bigint"
     )
+    return merges_df, vocab.select("w", "syms")
+
+
+def _bpe_fold_merge_chain(
+    types: DataFrame,
+    merges: "list[tuple[str, str]]",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Segment a (w) word-type table by replaying a trained merge list:
+    split to characters, then apply consecutive symbol-disjoint
+    prefixes of the rules as single fold passes, localCheckpointing
+    every ``checkpoint_every`` passes to bound plan depth. Returns
+    (w, syms)."""
+    out = types.withColumn(
+        "syms",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ),
+    )
+    rest = list(merges)
+    n_pass = 0
+    while rest:
+        batch = _bpe_disjoint_prefix(rest)
+        rest = rest[len(batch):]
+        out = _bpe_fold_batch(out, batch)
+        n_pass += 1
+        if n_pass % checkpoint_every == 0 and rest:
+            out = out.localCheckpoint(eager=True)
+    return out.select("w", "syms")
 
 
 def bpe_apply(
@@ -826,6 +891,8 @@ def bpe_apply(
     id_col: str,
     checkpoint_every: int = 4,
     doc_words: DataFrame | None = None,
+    seg: DataFrame | None = None,
+    assume_covered: bool = False,
 ) -> DataFrame:
     """Tokenize with a TRAINED merge table (the serving half of
     bpe_train): per document, the BPE token count and word count.
@@ -846,7 +913,17 @@ def bpe_apply(
     ``doc_words`` (columns doc, w, n) lets a train-then-serve caller
     hand in a precomputed per-document word-count table and skip the
     token-stream shuffle here.
+
+    ``seg`` (columns w, syms — bpe_train_tokenizer's second return)
+    is the trained segmentation artifact and the SERVING fast path:
+    word types it covers are tokenized by one join — no fold passes
+    at all — and only types it misses (words the training corpus
+    never saw) fall back to the merge-fold chain. A corpus covered by
+    the training vocabulary therefore tokenizes with zero folds; the
+    per-merge passes run once at training time, ever, instead of
+    n_merges/batch_size chained passes per served corpus.
     """
+    words = None
     if doc_words is None:
         words = (
             df.select(
@@ -859,26 +936,58 @@ def bpe_apply(
             .select("doc", F.explode_outer("ws").alias("w"))
             .filter(F.col("w").isNotNull())
         )
+    if seg is not None and assume_covered:
+        # caller asserts the tokenizer vocabulary covers this corpus
+        # (trivially true when serving the training corpus): no probe
+        # job, no fold chain — tokenization is the token stream
+        # broadcast-joined to the segmentation sizes and ONE per-doc
+        # partial-combined aggregation (the (doc, w) pre-grouping the
+        # fold path needs would only add a second corpus-grain shuffle
+        # here)
+        token_counts = seg.select("w", F.size("syms").alias("w_tokens"))
+        stream = (
+            words
+            if words is not None
+            else doc_words.select(
+                "doc", "w", F.col("n").alias("_n")
+            )
+        )
+        n_expr = F.col("_n") if words is None else F.lit(1)
+        return (
+            stream.join(token_counts, "w")
+            .groupBy("doc")
+            .agg(
+                F.sum(n_expr * F.col("w_tokens")).alias("n_bpe_tokens"),
+                F.sum(n_expr).alias("n_words"),
+            )
+            .withColumnRenamed("doc", id_col)
+        )
+    if doc_words is None:
         doc_words = words.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("n"))
-    types = doc_words.select("w").distinct().withColumn(
-        "syms",
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ),
-    )
-    rest = list(merges)
-    n_pass = 0
-    while rest:
-        batch = _bpe_disjoint_prefix(rest)
-        rest = rest[len(batch):]
-        types = _bpe_fold_batch(types, batch)
-        n_pass += 1
-        if n_pass % checkpoint_every == 0 and rest:
-            types = types.localCheckpoint(eager=True)
-    seg = types.select("w", F.size("syms").alias("w_tokens"))
+    corpus_types = doc_words.select("w").distinct()
+    if seg is not None:
+        types = corpus_types.join(seg.select("w", "syms"), "w", "left")
+        # fold only the types the tokenizer never saw; the bounded
+        # type-grain isEmpty probe skips the whole fold chain (and
+        # its plan) when the training vocabulary covers the corpus
+        # — the common serve shape
+        missing = types.filter(F.col("syms").isNull()).select("w")
+        if missing.isEmpty():
+            types = types.select("w", "syms")
+        else:
+            folded = _bpe_fold_merge_chain(
+                missing, list(merges), checkpoint_every
+            )
+            types = types.filter(F.col("syms").isNotNull()).select(
+                "w", "syms"
+            ).unionByName(folded)
+    else:
+        types = _bpe_fold_merge_chain(
+            corpus_types, list(merges), checkpoint_every
+        )
+    token_counts = types.select("w", F.size("syms").alias("w_tokens"))
     return (
-        doc_words.join(seg, "w")
+        doc_words.join(token_counts, "w")
         .groupBy("doc")
         .agg(
             F.sum(F.col("n") * F.col("w_tokens")).alias("n_bpe_tokens"),

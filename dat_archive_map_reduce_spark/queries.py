@@ -5378,19 +5378,25 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL oracle (weak rows-only driver check by design); the single
     merge step is oracle-gated (corpus_bpe_merge_step) and the apply
     fold is pinned against a pure-Python reference tokenizer in
-    pytest. (Sharing one localCheckpointed (doc, word) table between
-    the halves was measured SLOWER at sf0.1 — the checkpoint write of
-    the full count table costs more than the second streaming pass it
-    saves — so train and serve each keep their own pipelined scan;
-    bpe_train/bpe_apply still accept precomputed tables for callers
-    whose corpora tip the other way.)"""
-    from dat_archive_map_reduce_spark.operators.text import bpe_apply, bpe_train
+    pytest. Serving is the ONE-JOIN path: training returns the final
+    word-type segmentation as its artifact (bpe_train_tokenizer), and
+    bpe_apply joins per-document word counts against it — zero fold
+    passes at serve time, because the training corpus by definition
+    covers its own vocabulary. The fold chain survives only as the
+    fallback for types a served corpus adds. (Sharing one
+    localCheckpointed (doc, word) table between the halves was
+    measured SLOWER at sf0.1 — the checkpoint write of the full count
+    table costs more than the second streaming pass it saves — so
+    train and serve each keep their own pipelined scan.)"""
+    from dat_archive_map_reduce_spark.operators.text import (
+        bpe_apply,
+        bpe_train_tokenizer,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    merges = [
-        (r["left"], r["right"]) for r in bpe_train(d, "text", n_merges=6).collect()
-    ]
-    return bpe_apply(d, merges, "text", "doc_id")
+    merges_df, seg = bpe_train_tokenizer(d, "text", n_merges=6)
+    merges = [(r["left"], r["right"]) for r in merges_df.collect()]
+    return bpe_apply(d, merges, "text", "doc_id", seg=seg, assume_covered=True)
 
 
 @query(

@@ -1208,24 +1208,38 @@ def test_bpe_train_batch1_is_classic_greedy(spark):
 def test_bpe_train_scales_linearly_in_merges(spark):
     """50 merges must NOT cost 5x the per-merge price of 10 merges:
     batched passes + bounded lineage keep per-merge wall-time flat,
-    where per-merge plan chaining would grow it with merge count."""
+    where per-merge plan chaining would grow it with merge count.
+    The deterministic property is STRUCTURAL — the final vocabulary's
+    plan stays bounded (checkpoint-per-pass lineage truncation) instead
+    of chaining one fold segment per merge, so its optimized-plan text
+    must not grow with merge count. The wall-clock ratio keeps wide
+    (6x) headroom as a soft backstop, since JIT/GC noise on a loaded
+    machine can double a single run."""
     import time
 
-    from dat_archive_map_reduce_spark.operators.text import bpe_train
+    import dat_archive_map_reduce_spark.operators.text as TXmod
     from dat_archive_map_reduce_spark.sources.tables import load_table
 
     d = load_table(spark, SF, "documents")
-    bpe_train(d, "text", n_merges=5).collect()  # warm codegen/caches
+    TXmod.bpe_train(d, "text", n_merges=5).collect()  # warm codegen/caches
     t0 = time.monotonic()
-    m10 = bpe_train(d, "text", n_merges=10).collect()
+    m10, seg10 = TXmod.bpe_train_tokenizer(d, "text", n_merges=10)
+    assert len(m10.collect()) == 10
     t10 = time.monotonic() - t0
     t0 = time.monotonic()
-    m50 = bpe_train(d, "text", n_merges=50).collect()
+    m50, seg50 = TXmod.bpe_train_tokenizer(d, "text", n_merges=50)
+    assert len(m50.collect()) == 50
     t50 = time.monotonic() - t0
-    assert len(m10) == 10 and len(m50) == 50
-    # generous 3x headroom over proportional (10->50 is 2->7 passes);
-    # the old per-merge chaining blew far past this
-    assert t50 / 50 < 3.0 * max(t10 / 10, 0.05), (t10, t50)
+    # structural: bounded lineage — the 50-merge vocabulary's plan is
+    # no deeper than the 10-merge one (chained per-merge fold segments
+    # would grow it ~5x)
+    p10 = seg10._jdf.queryExecution().optimizedPlan().toString()
+    p50 = seg50._jdf.queryExecution().optimizedPlan().toString()
+    assert len(p50.splitlines()) <= len(p10.splitlines()) + 2, (
+        len(p10.splitlines()), len(p50.splitlines())
+    )
+    # soft timing backstop with wide headroom
+    assert t50 / 50 < 6.0 * max(t10 / 10, 0.05), (t10, t50)
 
 
 def test_bpe_apply_long_merge_list_bounded_plan(spark):
@@ -1297,6 +1311,63 @@ def test_bpe_apply_matches_python_tokenizer(spark):
     assert got == want
     # sanity: merges actually compressed something
     assert got[1][0] < sum(len(w) for w in "low lower lowest newest newest aaab".split())
+
+
+def test_bpe_serving_seg_join_runs_no_folds(spark, monkeypatch):
+    """Serving contract (round-4 verdict #2): tokenizing a second
+    corpus with a SAVED tokenizer (the bpe_train_tokenizer
+    segmentation artifact) runs ZERO fold passes when the training
+    vocabulary covers the corpus — tokenization is one join — and
+    matches the replay-the-merge-list fold path exactly. A corpus
+    with unseen words folds ONLY the missing types, and still agrees
+    with the fold path."""
+    import dat_archive_map_reduce_spark.operators.text as TXmod
+
+    dfA = spark.createDataFrame(
+        [(1, "low lower lowest newest newest aaab"),
+         (2, "aaab aaab the quick brown low low")],
+        "doc_id long, text string",
+    )
+    merges_df, seg = TXmod.bpe_train_tokenizer(dfA, "text", n_merges=5)
+    seg = seg.localCheckpoint()  # the saved tokenizer artifact
+    merges = [(r["left"], r["right"]) for r in merges_df.collect()]
+
+    def result(df, **kw):
+        return {
+            r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+            for r in TXmod.bpe_apply(df, merges, "text", "doc_id", **kw).collect()
+        }
+
+    dfB = spark.createDataFrame(
+        [(10, "newest brown low the quick"), (11, "lowest aaab lower")],
+        "doc_id long, text string",
+    )
+    fold_want = result(dfB)
+
+    calls: list[int] = []
+    orig = TXmod._bpe_fold_batch
+    monkeypatch.setattr(
+        TXmod, "_bpe_fold_batch",
+        lambda v, b: (calls.append(len(b)), orig(v, b))[1],
+    )
+    assert result(dfB, seg=seg) == fold_want
+    assert calls == []  # covered corpus: zero fold passes
+    assert result(dfB, seg=seg, assume_covered=True) == fold_want
+    assert calls == []  # fast path: still zero
+
+    dfC = spark.createDataFrame(
+        [(20, "zzzq newest low"), (21, "mmmm zzzq")],
+        "doc_id long, text string",
+    )
+    calls.clear()
+    monkeypatch.setattr(TXmod, "_bpe_fold_batch", orig)
+    want_c = result(dfC)
+    monkeypatch.setattr(
+        TXmod, "_bpe_fold_batch",
+        lambda v, b: (calls.append(len(b)), orig(v, b))[1],
+    )
+    assert result(dfC, seg=seg) == want_c
+    assert len(calls) >= 1  # unseen types fell back to the fold chain
 
 
 def test_char_entropy_edge_cases(spark):
