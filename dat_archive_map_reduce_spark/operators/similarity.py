@@ -358,6 +358,123 @@ def portable_ivf_topk(
     return brute_force_topk(cands, query_vec, k, vec_col, id_col)
 
 
+def portable_ivf_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_ids: Sequence[int] = tuple(range(4, 12)),
+    n_probe: int = 2,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BATCHED IVF serving: approximate top-k for a whole DataFrame of
+    query vectors at once — the production retrieval shape (N queries
+    x probe-pruned corpus), next to the single-vector paths whose one
+    query arrives via .first(). The reference's ``list()`` is its only
+    multi-row query surface (/root/reference/lib/view.js:67-83);
+    batched retrieval is the ANN-era equivalent.
+
+    Everything is a DataFrame — no per-query driver loop anywhere:
+
+    1. codebook: data-point centroids folded into ONE cid-sorted
+       broadcast row (cid, c, cn) — the nearest_centroid_join recipe,
+       O(1) plan size in codebook size;
+    2. corpus assignment: map-only scan, argmax cosine over the
+       codebook via ordered folds, ties to the lowest cid;
+    3. per-query probes: one narrow pass over the query table ranking
+       the same codebook (sort by (-cos, cid), keep n_probe), then
+       explode — |Q| * n_probe tiny rows carrying the query vector;
+    4. candidates: probe rows BROADCAST-joined onto the assigned
+       corpus on cluster id — the one corpus-grain join, pruned to
+       probed clusters;
+    5. rerank: exact cosine, per-query top-k via a window partitioned
+       by query id over the candidate set only (rank on the RAW
+       cosine, vec_id tiebreak; rounding is display-only).
+
+    Deterministic and oracle-replayable bit-for-bit (ordered folds,
+    md5-free). Scale: the only shuffles are the candidate-set window
+    partition by qid and the codebook/probe broadcasts; corpus
+    assignment never shuffles. Returns (qid, vec_id, cos_sim)."""
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    cents = corpus.filter(F.col(id_col).isin(list(centroid_ids))).select(
+        F.col(id_col).cast("long").alias("_cid"),
+        v.alias("_c"),
+        norm(v).alias("_cn"),
+    )
+    book = cents.agg(
+        F.array_sort(F.collect_list(F.struct("_cid", "_c", "_cn"))).alias("book")
+    )
+
+    cor = corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), norm(v).alias("nv")
+    )
+    assigned = (
+        cor.crossJoin(F.broadcast(book))
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            F.transform(
+                F.col("book"),
+                lambda s: dot(F.col("v"), s["_c"]) / (F.col("nv") * s["_cn"]),
+            ).alias("d"),
+            "book",
+        )
+        .select(
+            "vec_id",
+            "v",
+            "nv",
+            F.element_at(
+                F.col("book"),
+                F.array_position(F.col("d"), F.array_max("d")).cast("int"),
+            )["_cid"].alias("cid"),
+        )
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), v.alias("qv"), norm(v).alias("qn")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(book))
+        .select(
+            "qid",
+            "qv",
+            "qn",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.col("book"),
+                        lambda s: F.struct(
+                            (
+                                -dot(F.col("qv"), s["_c"]) / (F.col("qn") * s["_cn"])
+                            ).alias("nc"),
+                            s["_cid"].alias("cid"),
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            ).alias("top"),
+        )
+        .select("qid", "qv", "qn", F.explode(F.col("top")["cid"]).alias("pcid"))
+    )
+
+    cand = assigned.join(F.broadcast(probes), assigned["cid"] == probes["pcid"])
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))).alias("_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: np.ndarray,

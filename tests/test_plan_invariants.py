@@ -158,6 +158,14 @@ CONTRACTS = [
     # explode projection) — one md5-sketch evaluation, no second
     # subtree for a sizes branch, no window
     ("text_containment_pairs", 2, 0, False, False),
+    # batched IVF serving: the ONE fact shuffle is the per-query
+    # top-k window over the probe-pruned candidate set; the second
+    # Exchange is the codebook fold (single partition, <= |codebook|
+    # rows of metadata). Codebook and probe tables ride as
+    # broadcasts; corpus assignment is map-only
+    # (the codebook broadcast is REUSED across assignment and probe
+    # sides, so the static plan carries 2 BroadcastExchange nodes)
+    ("ann_ivf_batch_topk", 2, 2, False, False),
 ]
 
 
