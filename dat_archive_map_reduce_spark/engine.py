@@ -104,7 +104,15 @@ class MapReduce:
         self._closed = False
         try:
             # append-only: watch mode streams from this stable directory
-            self.changelog = AppendOnlyLog(spark, f"{self.warehouse}/changelog", FILES_SCHEMA)
+            self.changelog = AppendOnlyLog(
+                spark,
+                f"{self.warehouse}/changelog",
+                FILES_SCHEMA,
+                # origin-partitioned: index()/current_version() filter by
+                # origin, which then prunes to one source's directory
+                # (PartitionFilters) instead of scanning the whole log
+                partition_by=("origin",),
+            )
             self.offsets = VersionedTable(spark, f"{self.warehouse}/offsets", OFFSETS_SCHEMA)
         except Exception as e:  # reference open-failed, index.js:57
             self._emit("open-failed", error=str(e))

@@ -278,19 +278,40 @@ class AppendOnlyLog:
     from a VersionedTable snapshot dir would silently strand a running
     readStream the moment any overwrite flipped the manifest to a new
     vNNNNNNNN directory.
-    """
 
-    def __init__(self, spark: SparkSession, root: str, schema: T.StructType):
+    ``partition_by`` writes hive-style ``col=value/`` subdirectories:
+    a reader filtering on a partition column prunes to that column's
+    directories (PartitionFilters on the scan) instead of listing and
+    footer-reading every file in the log. The engine partitions its
+    changelog by origin, so per-source ``index()`` / watch catch-up
+    scans touch one source's files — at 100 TB with thousands of
+    sources, the difference between one directory and the whole log.
+    Partition values are directory names, so Spark URL-escapes
+    specials (``dat://a`` -> ``dat%3A%2F%2Fa``) and unescapes on read;
+    both batch and file-stream readers discover the layout from the
+    user-provided schema."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        partition_by: "tuple[str, ...]" = (),
+    ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.schema = schema
+        self.partition_by = tuple(partition_by)
         os.makedirs(self.root, exist_ok=True)
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(self.schema).parquet(self.root)
 
     def append(self, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.root)
+        w = df.write.mode("append")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.root)
 
 
 OFFSETS_SCHEMA = T.StructType(
