@@ -6892,6 +6892,44 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+# Every no-oracle query (iterative / seeded / sketch semantics SQL
+# cannot replay) MUST declare a hash-gated PORTABLE TWIN that exercises
+# the same operator deterministically under the full oracle gate. This
+# closes the rotation loophole (round-4 verdict #3/"what's wrong"): a
+# no-oracle row counts as green after one driver run no matter what, so
+# without a gated twin the operator would never face a value-level
+# check. The import-time assert below fails the suite the moment a
+# no-oracle query ships twinless.
+NO_ORACLE_TWINS: "dict[str, str]" = {
+    "ann_ivf_topk": "ann_ivf_portable_topk",
+    "approx_distinct": "approx_distinct_portable",
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    "dedup_simhash": "dedup_simhash_portable",
+    "ann_lsh_topk": "ann_lsh_portable_topk",
+    "ann_pq_topk": "ann_pq_adc_portable_topk",
+    # the BPE loop's oracle-gated single iteration is the twin for both
+    # the full training loop and the train-then-serve composition
+    "corpus_bpe_train": "corpus_bpe_merge_step",
+    "corpus_bpe_tokenize": "corpus_bpe_merge_step",
+}
+
+
+def _assert_no_oracle_twins() -> None:
+    missing = [
+        n
+        for n in QUERIES
+        if n not in ORACLE
+        and (n not in NO_ORACLE_TWINS or NO_ORACLE_TWINS[n] not in ORACLE)
+    ]
+    assert not missing, (
+        "no-oracle queries without a registered hash-gated portable "
+        f"twin: {missing} — add an oracle, or register a twin and "
+        "declare it in NO_ORACLE_TWINS"
+    )
+    stale = [n for n in NO_ORACLE_TWINS if n not in QUERIES]
+    assert not stale, f"NO_ORACLE_TWINS names unknown queries: {stale}"
+
+
 def _driver_green_rounds() -> dict[str, int]:
     """name -> round of the latest green driver row; absent = never
     green (a later failed/errored row evicts an older green, so a
@@ -6948,4 +6986,5 @@ def _reorder_registry() -> None:
     ORACLE = {n: ORACLE[n] for n in order if n in ORACLE}
 
 
+_assert_no_oracle_twins()
 _reorder_registry()

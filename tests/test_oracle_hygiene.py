@@ -64,3 +64,23 @@ def test_no_bare_list_oracle_outputs(con):
             if typ.upper().endswith("[]") or typ.upper().startswith(("STRUCT", "MAP")):
                 bad.append(f"{name}.{col}: {typ}")
     assert not bad, "non-scalar oracle output columns:\n" + "\n".join(bad)
+
+
+def test_every_no_oracle_query_has_gated_portable_twin():
+    """Rotation-loophole guard (round-4 verdict #5): a no-oracle row
+    goes green after one driver run regardless of values, so every
+    no-oracle query must declare a hash-gated portable twin in
+    NO_ORACLE_TWINS (enforced at import too — this test makes the
+    failure a named CI row rather than a collection error)."""
+    from dat_archive_map_reduce_spark.queries import (
+        NO_ORACLE_TWINS,
+        ORACLE,
+        QUERIES,
+    )
+
+    no_oracle = {n for n in QUERIES if n not in ORACLE}
+    assert no_oracle == set(NO_ORACLE_TWINS), (
+        no_oracle ^ set(NO_ORACLE_TWINS)
+    )
+    for name, twin in NO_ORACLE_TWINS.items():
+        assert twin in ORACLE, f"{name}'s twin {twin} is not oracle-gated"
