@@ -6337,9 +6337,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         d.select(
             "doc_id",
-            F.transform(
-                rolling_shingle_fingerprints("text", n=5),
-                lambda x: F.substring(x, 1, 16),
+            # distinct applied AFTER truncation (mirroring the
+            # oracle's list_distinct over the substr'd list): the
+            # inner sketch dedups on the full md5, so a within-doc
+            # 64-bit-prefix collision would otherwise survive here
+            # and double-count on the Spark side only
+            F.array_distinct(
+                F.transform(
+                    rolling_shingle_fingerprints("text", n=5),
+                    lambda x: F.substring(x, 1, 16),
+                )
             ).alias("fps"),
         )
         .select("doc_id", F.explode_outer("fps").alias("f"))

@@ -50,6 +50,14 @@ def _norm_cell(v) -> str:
     if isinstance(v, (float, np.floating, Decimal)):
         f = float(v)
         if math.isnan(f):
+            # NaN == NULL is DRIVER-FAITHFUL, not a shortcut: the
+            # driver hashes the pandas-ified frames (Spark toPandas /
+            # DuckDB .df(), both plain float64 — proven by the
+            # nullable-int-with-NULLs float64-ification that stays
+            # green in CORRECTNESS_r04), and float64 has no NULL
+            # distinct from NaN — a Spark SQL NULL double arrives as
+            # NaN on the driver's side too. The driver therefore
+            # CANNOT flag NaN-vs-NULL drift, and neither do we.
             return "NULL"
         return repr(f)
     if isinstance(v, datetime):
