@@ -6,12 +6,16 @@ pattern for 100 TB multimodal corpora (binaryFile source, partition by
 content kind, never parse binary JVM-side). Decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
-The actual codec step is STUBBED in this container (no PIL/ffmpeg):
-``decode_media`` tries to import the real library and otherwise uses a
-clearly-marked deterministic fake that parses this module's own synth
-header format. The Spark-side plumbing — schema, batch shape, UDF
-signatures, partitioning — is real and tested; swapping in a real
-decoder changes only the marked inner function.
+Codecs: uncompressed public formats decode FOR REAL — binary PPM
+(netpbm P6) and RIFF/WAVE PCM16 have genuine pure-numpy
+encoders/decoders here (header grammar, chunk walking, payload
+parse), proven end-to-end by the ``multimodal_real_decode`` oracle
+query whose stats are recomputed from the parsed arrays. Compressed
+formats (JPEG/PNG/MP4) still need codec libraries this container
+does not ship, so only they raise NotImplementedError; the
+deterministic synth-header format remains for the original roundtrip
+oracle tests. The Spark-side plumbing — schema, batch shape, UDF
+signatures, partitioning — is shared by all paths.
 """
 
 from __future__ import annotations
@@ -98,17 +102,211 @@ def synth_media_corpus(spark: SparkSession, n: int = 64, seed: int = 42) -> Data
     )
 
 
+# ---------------------------------------------------------------------
+# REAL codecs for uncompressed public formats (pure numpy/stdlib — no
+# PIL/ffmpeg needed): binary PPM (P6, the netpbm image format) and
+# RIFF/WAVE PCM. These are genuine end-to-end decoders — header
+# grammar, chunk walking, payload parsing — not stand-ins; the
+# NotImplementedError below remains only for formats this container
+# truly cannot decode (JPEG/PNG/MP4 need external codec libraries).
+# ---------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6): ``P6\\n<w> <h>\\n255\\n`` + raw RGB bytes."""
+    px = np.asarray(pixels, dtype=np.uint8).reshape(-1)
+    if px.size != 3 * width * height:
+        raise ValueError(f"need {3 * width * height} RGB bytes, got {px.size}")
+    return f"P6\n{width} {height}\n255\n".encode() + px.tobytes()
+
+
+def decode_ppm(content: bytes) -> "tuple[int, int, int, np.ndarray]":
+    """Parse a binary PPM: returns (width, height, maxval, pixels).
+    Full header grammar — tokens separated by any whitespace, ``#``
+    comments running to end-of-line anywhere between tokens — then
+    exactly 3*w*h bytes of raw RGB after the single whitespace byte
+    that terminates maxval."""
+    buf = bytes(content)
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) stream")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    n = 3 * w * h
+    px = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    if px.size != n:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, maxval, px
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray, n_channels: int = 1) -> bytes:
+    """RIFF/WAVE, PCM16 little-endian."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = 2 * n_channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * block_align,
+        block_align, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> "tuple[int, int, np.ndarray]":
+    """Parse RIFF/WAVE PCM16: returns (sample_rate, n_channels,
+    samples int16). Walks the chunk list properly (skipping unknown
+    chunks, honoring the odd-size pad byte), so files with LIST/cue
+    chunks decode too."""
+    buf = bytes(content)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    sample_rate = n_channels = bits = None
+    samples = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            codec, n_channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if codec != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (codec={codec}, bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks pad to even length
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, n_channels, samples
+
+
 def _decode_header(content: bytes) -> tuple[int, int, int]:
-    """STUB DECODER. A real build replaces this with PIL.Image.open /
-    soundfile / pyav. Raises on non-synth bytes, like a real codec
-    raises on corrupt input."""
-    if bytes(content[:4]) != _MAGIC:
-        raise NotImplementedError(
-            "real codecs are unavailable in this container; only synth-media "
-            "headers are decodable (see module docstring)"
-        )
-    w, h, frames = struct.unpack("<HHI", bytes(content[4:12]))
-    return w, h, frames
+    """Format dispatch for the metadata decode: synth headers, real
+    binary PPM, and real RIFF/WAVE parse end-to-end; the raise remains
+    only for formats that genuinely need external codec libraries
+    (JPEG/PNG/MP4). For audio, ``frames`` is the PCM frame count
+    (samples per channel — the audio meaning of the word)."""
+    head = bytes(content[:4])
+    if head == _MAGIC:
+        w, h, frames = struct.unpack("<HHI", bytes(content[4:12]))
+        return w, h, frames
+    if head[:2] == b"P6":
+        w, h, _, _ = decode_ppm(content)
+        return w, h, 1
+    if head == b"RIFF":
+        _, n_ch, samples = decode_wav(content)
+        return 0, 0, len(samples) // max(n_ch, 1)
+    raise NotImplementedError(
+        "compressed formats (JPEG/PNG/MP4) need codec libraries this "
+        "container does not ship; PPM, WAV, and synth headers decode here"
+    )
+
+
+def real_media_corpus(spark: SparkSession, n: int = 32) -> DataFrame:
+    """Corpus of REAL format bytes (binary PPM images and PCM16 WAV
+    audio), with every parameter and payload value md5-derived so a
+    SQL oracle re-derives the decoded stats arithmetically — the same
+    roundtrip-proof recipe as synth_media_corpus, now through genuine
+    format encoders and decoders instead of a made-up header. Even
+    ids are images, odd ids are audio:
+
+      b(k)   = byte k of md5(str(i))
+      image: w = 8 + b(0) % 24, h = 8 + b(1) % 24,
+             pixel[j] = (i + 3*j) % 256          (j in 0..3wh-1)
+      audio: sr = 8000 + 100 * (b(0) % 80), nsamp = 64 + b(1) % 192,
+             sample[t] = ((i*31 + t*7) % 256) - 128
+    """
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        hb = hashlib.md5(str(i).encode()).digest()
+        if i % 2 == 0:
+            w = 8 + hb[0] % 24
+            h = 8 + hb[1] % 24
+            px = (np.int64(i) + 3 * np.arange(3 * w * h, dtype=np.int64)) % 256
+            content = encode_ppm(w, h, px.astype(np.uint8))
+            rows.append((i, "image", bytearray(content), (w, h, None, None)))
+        else:
+            sr = 8000 + 100 * (hb[0] % 80)
+            nsamp = 64 + hb[1] % 192
+            t = np.arange(nsamp, dtype=np.int64)
+            samples = ((np.int64(i) * 31 + t * 7) % 256) - 128
+            content = encode_wav(sr, samples.astype(np.int16))
+            rows.append((i, "audio", bytearray(content), (None, None, sr, None)))
+    n_slices = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
+def decode_media_stats(media: DataFrame) -> DataFrame:
+    """Full-payload decode stage over real formats: every stat below
+    comes from the PARSED arrays (pixels / PCM samples), never from
+    the generator's formulas — matching the md5-arithmetic oracle is
+    therefore a proof the header grammar, chunk walk, and payload
+    parse are all correct. Arrow-batched like decode_media."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_vals", T.LongType(), False),
+            T.StructField("val_sum", T.LongType(), False),
+            T.StructField("val_first", T.IntegerType(), False),
+            T.StructField("val_last", T.IntegerType(), False),
+        ]
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "kind", "width", "height", "sample_rate",
+                "n_vals", "val_sum", "val_first", "val_last",
+            )}
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                head = bytes(content[:2])
+                if head == b"P6":
+                    w, h, _, vals = decode_ppm(content)
+                    width, height, sr = w, h, None
+                elif bytes(content[:4]) == b"RIFF":
+                    sr, _, vals = decode_wav(content)
+                    width = height = None
+                else:
+                    raise NotImplementedError("real formats only")
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["sample_rate"].append(sr)
+                out["n_vals"].append(int(vals.size))
+                out["val_sum"].append(int(vals.astype(np.int64).sum()))
+                out["val_first"].append(int(vals[0]))
+                out["val_last"].append(int(vals[-1]))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        _decode, schema=out_schema
+    )
 
 
 def decode_media(media: DataFrame) -> DataFrame:
