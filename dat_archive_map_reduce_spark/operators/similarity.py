@@ -1123,6 +1123,92 @@ def kmeans_lloyd_step(
     return eager_release(out, assigned)
 
 
+def kmeans_lloyd_step_table(
+    embeddings_df: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kmeans_lloyd_step with the codebook as a TABLE: same output
+    grain (cid, dim, mean_val, n_assigned, inertia), but assignment
+    goes through nearest_centroid_join's broadcast codebook row, so k
+    can be adaptive (SemDeDup/IVF-training scale) with O(1) plan size
+    and no driver vectors. The update is still ONE partial-combined
+    shuffle of k*dim (sum, count) pairs per task."""
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    assigned = nearest_centroid_join(
+        embeddings_df, centroids_df, id_col=id_col, vec_col=vec_col
+    ).persist()
+    stats = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.sum("mindist"), 4).alias("inertia"),
+    )
+    means = (
+        assigned.select("cid", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+    )
+    out = means.join(stats, "cid").select(
+        "cid", "dim", "mean_val", "n_assigned", "inertia"
+    )
+    return eager_release(out, assigned)
+
+
+def kmeans_train_distributed(
+    embeddings_df: DataFrame,
+    centroids_df: DataFrame,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "tuple[DataFrame, list[float]]":
+    """Multi-round distributed Lloyd whose per-round state is the
+    centroid TABLE — never literals, never driver-side vectors (the
+    round-4 stretch goal: the same scale story for adaptive-k k-means
+    training as for SemDeDup assignment). Per round: one map-only
+    broadcast-codebook assignment scan + one k*dim partial-combined
+    means shuffle; the new centroid table (k rows, rebuilt from the
+    dim-sorted means, empty clusters keeping their previous centroid)
+    is localCheckpointed so plan depth stays O(1) in rounds. Means
+    round to 6 decimals each round — the same stabilization the
+    oracle-gated Lloyd step uses, which is what lets a SQL oracle
+    replay a CHAIN of rounds. The only values the driver ever sees
+    are the per-round total inertias (returned as the history)."""
+    cents = centroids_df.select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("centroid").cast("array<double>").alias("centroid"),
+    )
+    history: list[float] = []
+    for _ in range(n_iter):
+        step = kmeans_lloyd_step_table(
+            embeddings_df, cents, id_col=id_col, vec_col=vec_col
+        )
+        history.append(
+            float(
+                step.select("cid", "inertia")
+                .distinct()
+                .agg(F.sum("inertia"))
+                .first()[0]
+            )
+        )
+        new = step.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("_new")
+        )
+        cents = (
+            cents.join(new, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("_new"), F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)  # k rows — tiny, truncates lineage
+        )
+        step.unpersist()
+    return cents, history
+
+
 def jl_project(
     df: DataFrame,
     id_col: str = "vec_id",

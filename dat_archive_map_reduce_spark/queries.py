@@ -4706,6 +4706,93 @@ def emb_kmeans_lloyd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_kmeans_train_distributed",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), seeds AS (
+      SELECT CAST(vec_id AS INTEGER) - 1 AS cid, v AS c
+      FROM e WHERE vec_id BETWEEN 1 AND 8
+    ), d1 AS (
+      SELECT e.vec_id, s.cid,
+             list_reduce(list_transform(generate_series(1, len(e.v)),
+                           i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])),
+                         (a, b) -> a + b) AS dist
+      FROM e, seeds s
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ), m1 AS (
+      SELECT a.cid, d.dim, round(avg(e.v[d.dim + 1]), 6) AS mv
+      FROM a1 a JOIN e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+      GROUP BY 1, 2
+    ), c1 AS (
+      SELECT s.cid, coalesce(g.c, s.c) AS c
+      FROM seeds s LEFT JOIN (
+        SELECT cid, list(mv ORDER BY dim) AS c FROM m1 GROUP BY cid
+      ) g USING (cid)
+    ), d2 AS (
+      SELECT e.vec_id, c1.cid,
+             list_reduce(list_transform(generate_series(1, len(e.v)),
+                           i -> (e.v[i] - c1.c[i]) * (e.v[i] - c1.c[i])),
+                         (a, b) -> a + b) AS dist
+      FROM e, c1
+    ), a2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ), stats2 AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+             round(sum(dist), 4) AS inertia
+      FROM a2 GROUP BY 1
+    ), m2 AS (
+      SELECT a.cid, d.dim, round(avg(e.v[d.dim + 1]), 6) AS mean_val
+      FROM a2 a JOIN e USING (vec_id)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+      GROUP BY 1, 2
+    )
+    SELECT m.cid, CAST(m.dim AS INTEGER) AS dim, m.mean_val,
+           s.n_assigned, s.inertia
+    FROM m2 m JOIN stats2 s USING (cid)
+    """,
+)
+def emb_kmeans_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained distributed Lloyd rounds with the centroid TABLE as
+    state (round-4 stretch #8): round 1 assigns against the
+    data-point seed table (vec_id 1..8), recomputes 6-decimal-rounded
+    means into a NEW centroid table (empty clusters keep their seed),
+    and round 2 re-assigns against that table — centroids never exist
+    as plan literals or driver vectors at any point
+    (operators/similarity.py::kmeans_train_distributed +
+    kmeans_lloyd_step_table over nearest_centroid_join's broadcast
+    codebook row). The oracle replays BOTH rounds; the per-round mean
+    rounding is exactly what makes the chain engine-portable. Output
+    is round 2's (cid, dim, mean_val, n_assigned, inertia)."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        kmeans_lloyd_step_table,
+        kmeans_train_distributed,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents0 = e.filter(F.col("vec_id").between(1, 8)).select(
+        (F.col("vec_id") - 1).cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    cents1, _ = kmeans_train_distributed(e, cents0, n_iter=1)
+    return kmeans_lloyd_step_table(e, cents1)
+
+
+@query(
     "text_gopher_rules",
     oracle="""
     WITH base AS (

@@ -1032,6 +1032,46 @@ def test_nearest_centroid_join_scales_k_without_driver_vectors(spark):
     assert 0 <= rows["lo"] and rows["hi"] <= 1023
 
 
+def test_kmeans_train_distributed_monotone_inertia_large_k(spark):
+    """Multi-round distributed k-means at k=256 (round-4 stretch #8):
+    state is the centroid TABLE end-to-end — both corpus and seeds are
+    Spark-generated, no vector ever reaches the driver — and Lloyd's
+    guarantee holds: per-round total inertia is non-increasing (tiny
+    tolerance for the 6-decimal mean rounding). Empty clusters (k=256
+    over 4096 points leaves some seeds unhit after re-seeding) must
+    keep their previous centroid rather than vanish."""
+    dim = 8
+
+    def synth(n, id_name, salt):
+        # murmur3 hash: deterministic, and unlike a linear congruence
+        # it yields n DISTINCT vectors (a modular formula collapses to
+        # its cycle length and hands every point a zero-distance
+        # centroid, making inertia 0 from round one)
+        return spark.range(n).select(
+            F.col("id").alias(id_name),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.pmod(
+                    F.hash(F.concat_ws(":", F.lit(salt), F.col("id"), i)),
+                    F.lit(997),
+                ).cast("double"),
+            ).alias("v"),
+        )
+
+    emb = synth(4096, "vec_id", "pt").withColumnRenamed("v", "embedding")
+    cents0 = synth(256, "cid_raw", "seed").select(
+        F.col("cid_raw").cast("int").alias("cid"),
+        F.col("v").alias("centroid"),
+    )
+    cents, hist = similarity.kmeans_train_distributed(emb, cents0, n_iter=3)
+    assert len(hist) == 3
+    for a, b in zip(hist, hist[1:]):
+        assert b <= a * (1 + 1e-9) + 1e-3, hist
+    assert hist[-1] < hist[0]  # it actually improved
+    assert cents.count() == 256  # empty clusters preserved, none lost
+    assert cents.filter(F.col("centroid").isNull()).count() == 0
+
+
 def test_chunk_overlap_reassembles_exact_windows(spark):
     """Chunking contract: a 50-token doc with W=32/S=24 yields chunks
     at starts 1 and 25 (0-based k=0,1), lengths 32 and 26; hashes match
