@@ -223,15 +223,16 @@ def cross_containment_pairs(
         # keeps on storage anyway); eager_release drops it as soon as
         # the pair list materializes. The surviving hot set is USUALLY
         # tiny (fps in > hot_cap corpus docs — bounded by
-        # postings/hot_cap), so the anti join broadcasts and the
-        # corpus posting list is never shuffled for the cap — but a
-        # small cap on a large corpus can make it big, and an
-        # unconditional broadcast hint would then OOM the driver where
-        # a shuffled anti join merely degrades. The hint is therefore
-        # SIZE-GATED on an exact count of the hot set (it reads the
-        # postings cache we just persisted, and the hot set must
-        # materialize for the join anyway); over the gate, AQE still
-        # picks broadcast at runtime if the estimate allows.
+        # postings/hot_cap), but a small cap on a large corpus can
+        # make it big, and a FORCED broadcast hint would then OOM the
+        # driver where a shuffled anti join merely degrades. So no
+        # hint: the optimizer's size estimate (and AQE's runtime
+        # re-plan) picks broadcast when the hot set is small — the
+        # static plan contract pins that it does here — and falls
+        # back to a shuffled anti join when it is not. (An exact
+        # pre-count gate was tried and reverted: it forces an eager
+        # materialization pass at CONSTRUCTION time, costing a full
+        # extra postings scan per invocation.)
         c = c.persist()
         released.append(c)
         hot = (
@@ -239,13 +240,8 @@ def cross_containment_pairs(
             .agg(F.count(F.lit(1)).alias("cdf"))
             .filter(F.col("cdf") > hot_cap)
             .select("fp")
-            .persist()
         )
-        released.append(hot)
-        # ~50 B per fp row: 1M rows stays well under the session's
-        # 64 MiB autoBroadcastJoinThreshold
-        anti = F.broadcast(hot) if hot.count() <= 1_000_000 else hot
-        c = c.join(anti, "fp", "left_anti")
+        c = c.join(hot, "fp", "left_anti")
     out = (
         p.join(c, "fp")
         .groupBy("probe_id", "corpus_id")
