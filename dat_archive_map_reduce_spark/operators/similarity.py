@@ -227,6 +227,85 @@ def _portable_planes(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _portable_sig_expr(num_planes: int, dim: int, vec_col: str) -> Column:
+    """The sign-LSH signature of ``vec_col`` against the md5-derived
+    Rademacher planes as ONE native expression (ordered
+    dimension-by-dimension fold — bit-identical to the oracle's
+    list_reduce and the driver-side loop in portable_lsh_topk)."""
+    planes = _portable_planes(num_planes, dim)
+    planes_lit = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(("1.0D" if v > 0 else "-1.0D") for v in pl) + ")"
+            for pl in planes
+        )
+        + ")"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with(sequence(0, {num_planes - 1}), {planes_lit}, (p, pl) ->
+            IF(aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), pl,
+                                  (x, r) -> x * r),
+                         CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0,
+               CAST(power(2, {num_planes - 1} - p) AS INT), 0)),
+          0, (a, x) -> a + x)
+        """
+    )
+
+
+def portable_lsh_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_hamming: int = 2,
+    dim: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BATCHED sign-LSH serving: approximate top-k for a DataFrame of
+    query vectors in one plan — the LSH member of the batched
+    retrieval family next to portable_ivf_batch_topk. Corpus AND
+    query signatures come from the same native plane fold (no
+    driver-side signature loop); the candidate filter is the query
+    table broadcast onto the corpus signature scan with the
+    bit_count(xor) <= h multi-probe predicate (|C| x |Q| integer sig
+    comparisons — cheap — never |C| x |Q| vector math); only
+    candidates pay the exact-cosine rerank, per-query top-k via a
+    window. Deterministic and oracle-replayable. Returns
+    (qid, vec_id, cos_sim)."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    sig = _portable_sig_expr(num_planes, dim, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), v.alias("v"), norm(v).alias("nv"),
+        sig.alias("sig"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), v.alias("qv"), norm(v).alias("qn"),
+        sig.alias("qsig"),
+    )
+    cand = c.join(
+        F.broadcast(q),
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= probe_hamming,
+    )
+    scored = cand.select(
+        "qid",
+        "vec_id",
+        (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))).alias("_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
 def portable_lsh_topk(
     corpus: DataFrame,
     query_vec: Sequence[float],
@@ -253,25 +332,7 @@ def portable_lsh_topk(
     """
     dim = len(query_vec)
     planes = _portable_planes(num_planes, dim)
-    planes_lit = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(("1.0D" if v > 0 else "-1.0D") for v in pl) + ")"
-            for pl in planes
-        )
-        + ")"
-    )
-    sig_expr = F.expr(
-        f"""
-        aggregate(
-          zip_with(sequence(0, {num_planes - 1}), {planes_lit}, (p, pl) ->
-            IF(aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), pl,
-                                  (x, r) -> x * r),
-                         CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0,
-               CAST(power(2, {num_planes - 1} - p) AS INT), 0)),
-          0, (a, x) -> a + x)
-        """
-    )
+    sig_expr = _portable_sig_expr(num_planes, dim, vec_col)
     qv = [float(x) for x in query_vec]
     qsig = 0
     for p, pl in enumerate(planes):

@@ -1344,6 +1344,64 @@ def ann_lsh_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+@query(
+    "ann_lsh_batch_topk",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), sig AS (
+      SELECT vec_id, emb,
+        CAST(list_sum(list_transform(range(0, 8), p ->
+          CASE WHEN list_reduce(
+                 list_transform(range(0, 64), d ->
+                   emb[CAST(d AS INT) + 1] *
+                   CASE WHEN strpos('89abcdef',
+                          substr(md5(CAST(p AS VARCHAR) || ':' ||
+                                     CAST(d AS VARCHAR)), 1, 1)) > 0
+                        THEN 1.0 ELSE -1.0 END),
+                 (a, b) -> a + b) > 0
+               THEN CAST(power(2, 7 - p) AS INT) ELSE 0 END)) AS INT) AS sig
+      FROM emb
+    ), qs AS (
+      SELECT vec_id AS qid, sig AS qsig, emb AS qemb
+      FROM sig WHERE vec_id <= 3
+    )
+    SELECT qid, vec_id, round(cos_sim, 4) AS cos_sim FROM (
+      SELECT q.qid, s.vec_id,
+             list_cosine_similarity(s.emb, q.qemb) AS cos_sim,
+             row_number() OVER (PARTITION BY q.qid ORDER BY
+               list_cosine_similarity(s.emb, q.qemb) DESC,
+               s.vec_id) AS rnk
+      FROM sig s, qs q
+      WHERE s.vec_id > 3 AND bit_count(xor(s.sig, q.qsig)) <= 2
+    ) ranked WHERE rnk <= 10
+    """,
+)
+def ann_lsh_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched sign-LSH retrieval: four query vectors (vec_id 0-3)
+    served in one plan against the corpus (vec_id > 3) — corpus AND
+    query signatures from the same native md5-plane fold (no
+    driver-side signature loop), the query table broadcast onto the
+    corpus signature scan with the Hamming<=2 multi-probe predicate,
+    exact-cosine rerank on candidates only, per-query window top-10.
+    The LSH member of the batched serving family
+    (operators/similarity.py::portable_lsh_batch_topk); every stage
+    replays bit-for-bit under the SQL oracle."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        portable_lsh_batch_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return portable_lsh_batch_topk(
+        e.filter(F.col("vec_id") > 3),
+        e.filter(F.col("vec_id") <= 3),
+        k=10,
+        num_planes=8,
+        probe_hamming=2,
+        dim=64,
+    )
+
+
 @query("ann_lsh_topk")  # no oracle: seeded hyperplanes, approximate by design
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via random-hyperplane LSH with multi-probe;

@@ -166,6 +166,11 @@ CONTRACTS = [
     # (the codebook broadcast is REUSED across assignment and probe
     # sides, so the static plan carries 2 BroadcastExchange nodes)
     ("ann_ivf_batch_topk", 2, 2, False, False),
+    # batched LSH serving: one candidate-set window shuffle; the
+    # query table (with its signatures) is the single broadcast; the
+    # non-equi Hamming probe is a broadcast nested loop over integer
+    # sigs, never vector math
+    ("ann_lsh_batch_topk", 1, 1, False, True),
 ]
 
 
