@@ -998,6 +998,93 @@ def portable_pq_adc_topk(
     return pq_adc_topk(codes, books, query_vec, k=k, id_col=id_col)
 
 
+def portable_pq_adc_batch_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    centroid_ids: Sequence[int] = tuple(range(4, 20)),
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BATCHED PQ-ADC serving — the PQ member of the batched retrieval
+    family (IVF: portable_ivf_batch_topk, LSH: portable_lsh_batch_topk).
+    A whole DataFrame of query vectors is served in one plan with NO
+    driver fetch anywhere: the data-point codebook folds into one
+    cid-sorted broadcast row; the corpus encode is a map-only argmin
+    scan over subspace sqdists (ties to the lowest code, matching the
+    oracle's row_number); each QUERY row carries its own ADC distance
+    tables as array columns built by the same subspace folds; the
+    query table broadcasts onto the codes-only scan and the ADC
+    distance is the ordered m-term sum of per-code lookups. Per-query
+    top-k via a window over (adc_dist asc, vec_id). Returns
+    (qid, vec_id, adc_dist).
+
+    Scale shape: the fact-side scan still reads m small-int codes per
+    vector (the ~64x PQ I/O story); the |C| x |Q| ADC expansion is
+    arithmetic on those codes against broadcast tables, collapsed by
+    the window's partial TakeOrdered before the one candidate
+    shuffle."""
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    dsub = int(dim_row["d"]) // m
+
+    cents = corpus.filter(F.col(id_col).isin(list(centroid_ids))).select(
+        F.col(id_col).cast("long").alias("_cid"), v.alias("_ce")
+    )
+    book = cents.agg(
+        F.array_sort(F.collect_list(F.struct("_cid", "_ce"))).alias("book")
+    )
+
+    def sub(col: Column, mi: int) -> Column:
+        return F.slice(col, mi * dsub + 1, dsub)
+
+    # corpus encode: per subspace, argmin over the codebook (first
+    # match over the cid-sorted book = lowest-cid tie-break); codes
+    # are POSITIONS (1-based) into the book, which is all ADC needs
+    def book_dists(vcol: str, mi: int) -> Column:
+        # NB: mi must be captured by a closure FACTORY — a defaulted
+        # second lambda parameter (lambda s, mi=mi: ...) would make
+        # PySpark pass the array INDEX into it as the (element, index)
+        # form of transform()
+        return F.transform(
+            F.col("book"),
+            lambda s: sqdist(sub(F.col(vcol), mi), sub(s["_ce"], mi)),
+        )
+
+    enc = corpus.select(F.col(id_col).alias("vec_id"), v.alias("v")).crossJoin(
+        F.broadcast(book)
+    )
+    code_cols = []
+    for mi in range(m):
+        d_mi = book_dists("v", mi)
+        code_cols.append(
+            F.array_position(d_mi, F.array_min(d_mi)).cast("int").alias(f"c{mi}")
+        )
+    codes = enc.select("vec_id", *code_cols)
+
+    q = queries.select(F.col(id_col).alias("qid"), v.alias("qv")).crossJoin(
+        F.broadcast(book)
+    )
+    qtabs = q.select(
+        "qid", *[book_dists("qv", mi).alias(f"qd{mi}") for mi in range(m)]
+    )
+
+    cand = codes.crossJoin(F.broadcast(qtabs))
+    adc = F.element_at(F.col("qd0"), F.col("c0"))
+    for mi in range(1, m):
+        adc = adc + F.element_at(F.col(f"qd{mi}"), F.col(f"c{mi}"))
+    scored = cand.select("qid", "vec_id", adc.alias("_adc"))
+    w = Window.partitionBy("qid").orderBy(F.asc("_adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id", F.round("_adc", 4).alias("adc_dist"))
+    )
+
+
 def l2_normalized(
     corpus: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

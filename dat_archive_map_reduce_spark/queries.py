@@ -4542,6 +4542,77 @@ def view_map_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY adc_dist, vec_id
     """,
 )
+@query(
+    "ann_pq_adc_batch_topk",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id BETWEEN 4 AND 19
+    ), subs AS (SELECT unnest(range(0, 4)) AS m),
+    qs AS (SELECT vec_id AS qid, e AS qe FROM emb WHERE vec_id <= 3),
+    dists AS (
+      SELECT v.vec_id, s.m, c.cid,
+             list_reduce(list_transform(range(0, 16), d ->
+               (v.e[s.m * 16 + d + 1] - c.ce[s.m * 16 + d + 1])
+               * (v.e[s.m * 16 + d + 1] - c.ce[s.m * 16 + d + 1])),
+               (a, b) -> a + b) AS dist
+      FROM emb v, subs s, cents c WHERE v.vec_id > 3
+    ), codes AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT vec_id, m, cid,
+               row_number() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT q.qid, s.m, c.cid,
+             list_reduce(list_transform(range(0, 16), d ->
+               (q.qe[s.m * 16 + d + 1] - c.ce[s.m * 16 + d + 1])
+               * (q.qe[s.m * 16 + d + 1] - c.ce[s.m * 16 + d + 1])),
+               (a, b) -> a + b) AS qdist
+      FROM subs s, cents c, qs q
+    ), adc AS (
+      SELECT qtab.qid, codes.vec_id,
+             list_reduce(list(qtab.qdist ORDER BY codes.m),
+                         (a, b) -> a + b) AS adc_dist
+      FROM codes JOIN qtab ON qtab.m = codes.m AND qtab.cid = codes.cid
+      GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, round(adc_dist, 4) AS adc_dist FROM (
+      SELECT qid, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY adc_dist, vec_id) AS rnk
+      FROM adc
+    ) ranked WHERE rnk <= 10
+    """,
+)
+def ann_pq_adc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched PQ-ADC retrieval: four query vectors (vec_id 0-3)
+    served in one plan against the corpus (vec_id > 3) with a
+    data-point codebook (rows 4-19, m=4 subspaces) — completes the
+    batched serving family across all three index types (IVF, LSH,
+    PQ). The codebook folds into one broadcast row (no driver fetch,
+    unlike the single-query twin), the encode is a map-only argmin
+    scan, each query row CARRIES its ADC tables as array columns, and
+    the ADC distance is the ordered m-term per-code lookup sum over
+    the codes-only scan; per-query window top-10. Every stage —
+    encode ties, table build, sum order, rank ties — replays
+    bit-for-bit under the SQL oracle."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        portable_pq_adc_batch_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return portable_pq_adc_batch_topk(
+        e.filter(F.col("vec_id") > 3),
+        e.filter(F.col("vec_id") <= 3),
+        m=4,
+        centroid_ids=tuple(range(4, 20)),
+        k=10,
+    )
+
+
 def ann_pq_adc_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10 with a DATA-POINT codebook
     (subspace mi's centroids = the mi-th 16-dim subvectors of corpus

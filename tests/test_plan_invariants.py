@@ -171,6 +171,10 @@ CONTRACTS = [
     # non-equi Hamming probe is a broadcast nested loop over integer
     # sigs, never vector math
     ("ann_lsh_batch_topk", 1, 1, False, True),
+    # batched PQ-ADC: codes-only fact scan, codebook fold (bounded
+    # single-partition exchange) + broadcast query-ADC tables, one
+    # candidate-set window shuffle
+    ("ann_pq_adc_batch_topk", 2, 2, False, True),
 ]
 
 
