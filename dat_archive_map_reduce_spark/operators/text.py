@@ -863,6 +863,33 @@ def bpe_train_tokenizer(
     return merges_df, vocab.select("w", "syms")
 
 
+def bpe_save_tokenizer(merges_df: DataFrame, seg: DataFrame, path: str) -> None:
+    """Persist a trained tokenizer as a warehouse artifact: the merge
+    table (rank-ordered rules, KBs) and the word-type segmentation
+    table (the one-join serving asset) as two parquet directories. A
+    serving cluster loads this once and tokenizes every corpus with a
+    single join — the fold passes never run again for covered
+    vocabulary."""
+    merges_df.write.mode("overwrite").parquet(f"{path.rstrip('/')}/merges")
+    seg.write.mode("overwrite").parquet(f"{path.rstrip('/')}/seg")
+
+
+def bpe_load_tokenizer(
+    spark, path: str
+) -> "tuple[list[tuple[str, str]], DataFrame]":
+    """Load a bpe_save_tokenizer artifact: (merge rules in rank order,
+    segmentation DataFrame). The rules list is the fallback for word
+    types outside the saved vocabulary; the seg table is the one-join
+    fast path."""
+    merges_df = spark.read.parquet(f"{path.rstrip('/')}/merges")
+    rules = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    seg = spark.read.parquet(f"{path.rstrip('/')}/seg")
+    return rules, seg
+
+
 def _bpe_fold_merge_chain(
     types: DataFrame,
     merges: "list[tuple[str, str]]",

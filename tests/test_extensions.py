@@ -1470,6 +1470,47 @@ def test_bpe_serving_seg_join_runs_no_folds(spark, monkeypatch):
     assert len(calls) >= 1  # unseen types fell back to the fold chain
 
 
+def test_bpe_tokenizer_artifact_roundtrip_serves_without_folds(
+    spark, tmp_path, monkeypatch
+):
+    """The trained tokenizer persists as a warehouse artifact
+    (merges + segmentation parquet) and a fresh load serves a covered
+    corpus with ZERO fold passes — the cross-session version of the
+    one-join serving contract."""
+    import dat_archive_map_reduce_spark.operators.text as TXmod
+
+    dfA = spark.createDataFrame(
+        [(1, "low lower lowest newest newest aaab"),
+         (2, "aaab aaab the quick brown low low")],
+        "doc_id long, text string",
+    )
+    merges_df, seg = TXmod.bpe_train_tokenizer(dfA, "text", n_merges=5)
+    art = str(tmp_path / "tokenizer-v1")
+    TXmod.bpe_save_tokenizer(merges_df, seg, art)
+
+    rules, seg2 = TXmod.bpe_load_tokenizer(spark, art)
+    assert rules == [(r["left"], r["right"]) for r in merges_df.collect()]
+
+    want = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in TXmod.bpe_apply(dfA, rules, "text", "doc_id").collect()
+    }
+    calls: list[int] = []
+    orig = TXmod._bpe_fold_batch
+    monkeypatch.setattr(
+        TXmod, "_bpe_fold_batch",
+        lambda v, b: (calls.append(len(b)), orig(v, b))[1],
+    )
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_words"])
+        for r in TXmod.bpe_apply(
+            dfA, rules, "text", "doc_id", seg=seg2
+        ).collect()
+    }
+    assert got == want
+    assert calls == []  # loaded artifact: zero folds
+
+
 def test_char_entropy_edge_cases(spark):
     """Constant text -> 0 bits; k equiprobable chars -> log2(k)."""
     from dat_archive_map_reduce_spark.queries import QUERIES
