@@ -1309,6 +1309,7 @@ def kmeans_train_distributed(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    track_history: bool = True,
 ) -> "tuple[DataFrame, list[float]]":
     """Multi-round distributed Lloyd whose per-round state is the
     centroid TABLE — never literals, never driver-side vectors (the
@@ -1331,14 +1332,15 @@ def kmeans_train_distributed(
         step = kmeans_lloyd_step_table(
             embeddings_df, cents, id_col=id_col, vec_col=vec_col
         )
-        history.append(
-            float(
-                step.select("cid", "inertia")
-                .distinct()
-                .agg(F.sum("inertia"))
-                .first()[0]
+        if track_history:
+            history.append(
+                float(
+                    step.select("cid", "inertia")
+                    .distinct()
+                    .agg(F.sum("inertia"))
+                    .first()[0]
+                )
             )
-        )
         new = step.groupBy("cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),

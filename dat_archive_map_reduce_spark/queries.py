@@ -4917,7 +4917,12 @@ def emb_kmeans_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 1).cast("int").alias("cid"),
         F.col("embedding").cast("array<double>").alias("centroid"),
     )
-    cents1, _ = kmeans_train_distributed(e, cents0, n_iter=1)
+    # history off: the query's output is round 2's stats — collecting
+    # round 1's inertia would add a driver action for a number nothing
+    # reads
+    cents1, _ = kmeans_train_distributed(
+        e, cents0, n_iter=1, track_history=False
+    )
     return kmeans_lloyd_step_table(e, cents1)
 
 
