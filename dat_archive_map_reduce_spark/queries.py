@@ -33,6 +33,17 @@ ORACLE: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
+        # the registered name must BE the function's name: a stacked or
+        # misplaced decorator (two @query blocks over one def) silently
+        # registers the wrong body under a name — caught once in round 5
+        # where a batch query's insertion left the single-query
+        # decorator pointing at the batch function (40 rows vs its
+        # 10-row oracle at the dual-SF gate)
+        assert fn.__name__ == name, (
+            f"@query({name!r}) decorates {fn.__name__!r} — decorator "
+            "and def are misaligned"
+        )
+        assert name not in QUERIES, f"duplicate @query registration: {name}"
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -4542,6 +4553,31 @@ def view_map_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY adc_dist, vec_id
     """,
 )
+def ann_pq_adc_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 with a DATA-POINT codebook
+    (subspace mi's centroids = the mi-th 16-dim subvectors of corpus
+    rows 1-16; m=4 subspaces over the 64-dim embeddings): encode
+    argmin, the (m x k) query distance table, the ordered m-term ADC
+    sum, and both tie-breaks replay bit-for-bit under the SQL oracle —
+    the hash-gated proof twin of ann_pq_topk (k-means codebooks,
+    recall-tested only). PQ is the 100 TB ANN storage story: the scan
+    reads 4 small-int codes per vector instead of 64 floats (~64x
+    less I/O), then TakeOrderedAndProject."""
+    from dat_archive_map_reduce_spark.operators.similarity import portable_pq_adc_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = portable_pq_adc_topk(
+        e.filter(F.col("vec_id") != 0),
+        qvec,
+        m=4,
+        centroid_ids=tuple(range(1, 17)),
+        k=10,
+    )
+    return top.select("vec_id", F.round("adc_dist", 4).alias("adc_dist"))
+
+
+
 @query(
     "ann_pq_adc_batch_topk",
     oracle="""
@@ -4611,30 +4647,6 @@ def ann_pq_adc_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroid_ids=tuple(range(4, 20)),
         k=10,
     )
-
-
-def ann_pq_adc_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-10 with a DATA-POINT codebook
-    (subspace mi's centroids = the mi-th 16-dim subvectors of corpus
-    rows 1-16; m=4 subspaces over the 64-dim embeddings): encode
-    argmin, the (m x k) query distance table, the ordered m-term ADC
-    sum, and both tie-breaks replay bit-for-bit under the SQL oracle —
-    the hash-gated proof twin of ann_pq_topk (k-means codebooks,
-    recall-tested only). PQ is the 100 TB ANN storage story: the scan
-    reads 4 small-int codes per vector instead of 64 floats (~64x
-    less I/O), then TakeOrderedAndProject."""
-    from dat_archive_map_reduce_spark.operators.similarity import portable_pq_adc_topk
-
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    top = portable_pq_adc_topk(
-        e.filter(F.col("vec_id") != 0),
-        qvec,
-        m=4,
-        centroid_ids=tuple(range(1, 17)),
-        k=10,
-    )
-    return top.select("vec_id", F.round("adc_dist", 4).alias("adc_dist"))
 
 
 @query("ann_pq_topk")  # no oracle: k-means codebooks (BLAS summation order)
