@@ -329,3 +329,60 @@ def test_unimax_waterfilling_closed_form_equals_greedy_loop(caps, budget):
         prefix += caps_f[i]
     got = [min(c, theta) if theta is not None else c for c in caps_f]
     assert all(abs(g - w) < 1e-6 for g, w in zip(got, want)), (got, want)
+
+
+@given(
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=13),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_codec_roundtrip_property(w, h, data):
+    """encode_ppm/decode_ppm are exact inverses for every dimension
+    and pixel payload — the invariant the multimodal_real_decode
+    oracle proof rests on."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=3 * w * h,
+                max_size=3 * w * h,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    got_w, got_h, maxval, got = decode_ppm(encode_ppm(w, h, px))
+    assert (got_w, got_h, maxval) == (w, h, 255)
+    assert np.array_equal(got, px)
+
+
+@given(
+    st.integers(min_value=1, max_value=192000),
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=64,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_codec_roundtrip_property(sr, samples):
+    """encode_wav/decode_wav are exact inverses for every sample rate
+    and PCM16 payload, including odd sample counts (chunk padding)."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    arr = np.array(samples, dtype=np.int16)
+    got_sr, got_ch, got = decode_wav(encode_wav(sr, arr))
+    assert (got_sr, got_ch) == (sr, 1)
+    assert np.array_equal(got, arr)
