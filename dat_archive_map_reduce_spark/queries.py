@@ -2219,7 +2219,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), fp AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                generate_series(1, len(t) - 4),
-               i -> md5(array_to_string(t[i:i+4], ' '))))) AS f
+               i -> substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS f
       FROM toks
     ), sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
@@ -2245,7 +2245,11 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluated the whole md5-shingle subtree a second time for the
     sizes branch — the sketch hashing is the dominant cost, so that
     doubled the CPU of the entire query (measured 3.4 -> ~2.7 s at
-    sf0.1)."""
+    sf0.1). Fingerprints truncate to 64 bits (16 hex chars) before the
+    shuffle — identity is all the bucket join needs, and halving the
+    key bytes cut another ~15% at sf0.1; dedup applies AFTER
+    truncation on both sides (the text_ngram_novelty prefix-collision
+    lesson)."""
     from dat_archive_map_reduce_spark.operators.dedup import (
         inverted_index_pair_counts,
     )
@@ -2258,13 +2262,81 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         d.select(
             F.col("doc_id").alias("doc"),
-            rolling_shingle_fingerprints("text", n=5).alias("fps"),
+            F.array_distinct(
+                F.transform(
+                    rolling_shingle_fingerprints("text", n=5),
+                    lambda x: F.substring(x, 1, 16),
+                )
+            ).alias("fps"),
         )
         .select("doc", F.size("fps").alias("n_tok"), F.explode_outer("fps").alias("token"))
         .filter(F.col("token").isNotNull())
     )
     return (
         inverted_index_pair_counts(fp)
+        .withColumn("containment", F.round(F.col("common") / F.least("n_a", "n_b"), 4))
+        .filter(F.col("containment") >= 0.2)
+        .select("id_a", "id_b", F.col("common").alias("n_shared"), "containment")
+    )
+
+
+@query(
+    "text_containment_pairs_capped",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), fp AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS f
+      FROM toks
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY 1),
+    kept AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 2)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared,
+           round(count(*) * 1.0 / least(sa.n, sb.n), 4) AS containment
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    JOIN kept k ON k.f = a.f
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+    HAVING count(*) * 1.0 / least(sa.n, sb.n) >= 0.2
+    """,
+)
+def text_containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped variant of text_containment_pairs: 5-gram
+    fingerprint buckets with more than hot_cap=2 docs are dropped
+    BEFORE pair explosion (boilerplate phrases shared corpus-wide emit
+    O(bucket^2) pairs of near-zero containment signal) — the same
+    oracle-reproduced cap proof as dedup_ngram_jaccard_capped, on the
+    containment metric whose denominators still use the full per-doc
+    sketch sizes. hot_cap=2 genuinely bites at sf0.01 (the largest
+    bucket there is 3 docs), so the hash match proves the CAPPED
+    output, not a vacuous filter."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        inverted_index_pair_counts,
+    )
+    from dat_archive_map_reduce_spark.operators.text import (
+        rolling_shingle_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    fp = (
+        d.select(
+            F.col("doc_id").alias("doc"),
+            F.array_distinct(
+                F.transform(
+                    rolling_shingle_fingerprints("text", n=5),
+                    lambda x: F.substring(x, 1, 16),
+                )
+            ).alias("fps"),
+        )
+        .select(
+            "doc", F.size("fps").alias("n_tok"), F.explode_outer("fps").alias("token")
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    return (
+        inverted_index_pair_counts(fp, hot_cap=2)
         .withColumn("containment", F.round(F.col("common") / F.least("n_a", "n_b"), 4))
         .filter(F.col("containment") >= 0.2)
         .select("id_a", "id_b", F.col("common").alias("n_shared"), "containment")
