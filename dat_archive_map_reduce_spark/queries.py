@@ -3303,7 +3303,7 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), fp AS (
       SELECT doc_id, part, unnest(list_distinct(list_transform(
                generate_series(1, len(t) - 4),
-               i -> md5(array_to_string(t[i:i+4], ' '))))) AS f
+               i -> substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS f
       FROM toks
     ), sizes AS (
       SELECT doc_id, count(*) AS n FROM fp WHERE part = 'eval' GROUP BY 1
@@ -3331,7 +3331,8 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(h < "cd")
     probe = d.filter(~(h < "cd"))
     return cross_containment_pairs(
-        probe, train, "text", "doc_id", n=5, min_containment=0.3
+        probe, train, "text", "doc_id", n=5, min_containment=0.3,
+        fp_hex_chars=16,
     )
 
 
@@ -5746,7 +5747,7 @@ def corpus_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), fp AS (
       SELECT doc_id, part, unnest(list_distinct(list_transform(
                generate_series(1, len(t) - 4),
-               i -> md5(array_to_string(t[i:i+4], ' '))))) AS f
+               i -> substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)))) AS f
       FROM toks
     ), kept AS (
       SELECT f FROM fp WHERE part = 'train'
@@ -5788,6 +5789,7 @@ def corpus_contamination_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         min_containment=0.3,
         hot_cap=4,
+        fp_hex_chars=16,
     )
 
 
