@@ -146,10 +146,16 @@ def decode_ppm(content: bytes) -> "tuple[int, int, int, np.ndarray]":
         tokens.append(int(buf[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = tokens
+    if not 0 < maxval <= 255:
+        # netpbm allows maxval up to 65535, which switches samples to
+        # 2 bytes big-endian — silently reading such a file as 8-bit
+        # would return wrong pixels with no error; reject like any
+        # unsupported-variant codec does
+        raise ValueError(f"unsupported PPM maxval {maxval} (16-bit samples)")
     n = 3 * w * h
-    px = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
-    if px.size != n:
+    if len(buf) - pos < n:
         raise ValueError("truncated PPM pixel data")
+    px = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
     return w, h, maxval, px
 
 
@@ -181,6 +187,14 @@ def decode_wav(content: bytes) -> "tuple[int, int, np.ndarray]":
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            # a declared chunk size past the end of the buffer is a
+            # truncated transfer — slicing would silently shorten the
+            # sample array; fail like decode_ppm does for cut pixels
+            raise ValueError(
+                f"truncated WAV chunk {cid!r}: declared {size} bytes, "
+                f"{len(body)} available"
+            )
         if cid == b"fmt ":
             codec, n_channels, sample_rate, _, _, bits = struct.unpack(
                 "<HHIIHH", body[:16]

@@ -227,6 +227,34 @@ def _portable_planes(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _per_query_topk(
+    scored: DataFrame, score_col: str, k: int, out_col: str, ascending: bool = False
+) -> DataFrame:
+    """Shared per-query top-k tail of the batched retrieval family:
+    rank on the RAW score (vec_id tiebreak), keep k, round for display
+    only. One definition so the three index families (LSH, IVF,
+    PQ-ADC) can never drift apart on tie-break or rounding — each
+    batch query's oracle parity depends on these exact semantics."""
+    from pyspark.sql import Window
+
+    order = F.asc(score_col) if ascending else F.desc(score_col)
+    w = Window.partitionBy("qid").orderBy(order, F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("qid", "vec_id", F.round(score_col, 4).alias(out_col))
+    )
+
+
+def _empty_batch_result(df: DataFrame, out_col: str) -> DataFrame:
+    """Typed empty (qid, vec_id, <score>) result for a batch serving
+    call over an empty corpus — .first()-based dim inference has no
+    row to read, and an empty answer is the right answer."""
+    return df.sparkSession.createDataFrame(
+        [], f"qid long, vec_id long, {out_col} double"
+    )
+
+
 def _portable_sig_expr(num_planes: int, dim: int, vec_col: str) -> Column:
     """The sign-LSH signature of ``vec_col`` against the md5-derived
     Rademacher planes as ONE native expression (ordered
@@ -275,10 +303,11 @@ def portable_lsh_batch_topk(
     candidates pay the exact-cosine rerank, per-query top-k via a
     window. Deterministic and oracle-replayable. Returns
     (qid, vec_id, cos_sim)."""
-    from pyspark.sql import Window
-
     if dim is None:
-        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+        row = corpus.select(F.size(vec_col).alias("d")).first()
+        if row is None:  # empty corpus: empty answer, not a crash
+            return _empty_batch_result(corpus, "cos_sim")
+        dim = row["d"]
     sig = _portable_sig_expr(num_planes, dim, vec_col)
     v = F.col(vec_col).cast("array<double>")
     c = corpus.select(
@@ -298,12 +327,7 @@ def portable_lsh_batch_topk(
         "vec_id",
         (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))).alias("_cos"),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("qid", "vec_id", F.round("_cos", 4).alias("cos_sim"))
-    )
+    return _per_query_topk(scored, "_cos", k, "cos_sim")
 
 
 def portable_lsh_topk(
@@ -456,8 +480,6 @@ def portable_ivf_batch_topk(
     md5-free). Scale: the only shuffles are the candidate-set window
     partition by qid and the codebook/probe broadcasts; corpus
     assignment never shuffles. Returns (qid, vec_id, cos_sim)."""
-    from pyspark.sql import Window
-
     v = F.col(vec_col).cast("array<double>")
     cents = corpus.filter(F.col(id_col).isin(list(centroid_ids))).select(
         F.col(id_col).cast("long").alias("_cid"),
@@ -528,12 +550,7 @@ def portable_ivf_batch_topk(
         "vec_id",
         (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("qn"))).alias("_cos"),
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("_cos"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("qid", "vec_id", F.round("_cos", 4).alias("cos_sim"))
-    )
+    return _per_query_topk(scored, "_cos", k, "cos_sim")
 
 
 def ivf_assign(
@@ -1025,10 +1042,10 @@ def portable_pq_adc_batch_topk(
     arithmetic on those codes against broadcast tables, collapsed by
     the window's partial TakeOrdered before the one candidate
     shuffle."""
-    from pyspark.sql import Window
-
     v = F.col(vec_col).cast("array<double>")
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty corpus: empty answer, not a crash
+        return _empty_batch_result(corpus, "adc_dist")
     dsub = int(dim_row["d"]) // m
 
     cents = corpus.filter(F.col(id_col).isin(list(centroid_ids))).select(
@@ -1077,12 +1094,7 @@ def portable_pq_adc_batch_topk(
     for mi in range(1, m):
         adc = adc + F.element_at(F.col(f"qd{mi}"), F.col(f"c{mi}"))
     scored = cand.select("qid", "vec_id", adc.alias("_adc"))
-    w = Window.partitionBy("qid").orderBy(F.asc("_adc"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("qid", "vec_id", F.round("_adc", 4).alias("adc_dist"))
-    )
+    return _per_query_topk(scored, "_adc", k, "adc_dist", ascending=True)
 
 
 def l2_normalized(

@@ -135,6 +135,24 @@ def rolling_shingle_fingerprints(text_col: str | Column, n: int = 5) -> Column:
     )
 
 
+def truncated_shingle_fps(
+    text_col: "str | Column", n: int = 5, hex_chars: int = 16
+) -> Column:
+    """The 64-bit fingerprint sketch: rolling_shingle_fingerprints
+    truncated to ``hex_chars`` hex chars with dedup re-applied AFTER
+    truncation. One definition for every posting pipeline (containment,
+    novelty, contamination) because the ordering subtlety is a proven
+    bug class: dedup BEFORE truncation leaves a within-doc 64-bit
+    prefix collision double-counted on the Spark side only, silently
+    diverging from an oracle that dedups the truncated values."""
+    return F.array_distinct(
+        F.transform(
+            rolling_shingle_fingerprints(text_col, n),
+            lambda x: F.substring(x, 1, hex_chars),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-pass per-document stat sheet (the 'document profile' table a
     training-data pipeline materializes once and filters on many
@@ -198,12 +216,9 @@ def cross_containment_pairs(
     # (the Generate retains the attribute, so size() reuses it) — no
     # second scan, no count-window over the posting list.
     def fps_expr() -> Column:
-        fps = rolling_shingle_fingerprints(text_col, n)
         if fp_hex_chars is not None:
-            fps = F.array_distinct(
-                F.transform(fps, lambda x: F.substring(x, 1, fp_hex_chars))
-            )
-        return fps
+            return truncated_shingle_fps(text_col, n, fp_hex_chars)
+        return rolling_shingle_fingerprints(text_col, n)
 
     p = (
         probe.select(
@@ -830,7 +845,6 @@ def bpe_train_tokenizer(
     ).localCheckpoint(eager=True)  # ONE corpus pass; rounds read types only
     spark = df.sparkSession
     merges: list[tuple[int, str, str, str, int]] = []
-    n_pass = 0
     while len(merges) < n_merges:
         pairs = vocab.filter(F.size("syms") >= 2).select(
             "freq",
@@ -862,7 +876,6 @@ def bpe_train_tokenizer(
         cnt_of = {(r["l"], r["r"]): int(r["cnt"]) for r in head}
         for a, b in batch:
             merges.append((len(merges), a, b, a + b, cnt_of[(a, b)]))
-        n_pass += 1
         # LAZY checkpoint each pass: lineage is truncated (next pass's
         # pair count reads the materialized type table, not a replay of
         # every earlier fold — replay was measured growing each pass's
@@ -996,7 +1009,11 @@ def bpe_apply(
         # broadcast-joined to the segmentation sizes and ONE per-doc
         # partial-combined aggregation (the (doc, w) pre-grouping the
         # fold path needs would only add a second corpus-grain shuffle
-        # here)
+        # here). The join is LEFT + raise_error, not inner: an inner
+        # join would silently DROP an uncovered word from both counts
+        # (including n_words, which does not even depend on the
+        # tokenizer) — a violated coverage assertion must fail the job
+        # loudly instead of corrupting totals.
         token_counts = seg.select("w", F.size("syms").alias("w_tokens"))
         stream = (
             words
@@ -1006,11 +1023,23 @@ def bpe_apply(
             )
         )
         n_expr = F.col("_n") if words is None else F.lit(1)
+        checked = F.when(
+            F.col("w_tokens").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bpe_apply(assume_covered=True): word not in "
+                        "the tokenizer vocabulary: "
+                    ),
+                    F.col("w"),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("w_tokens"))
         return (
-            stream.join(token_counts, "w")
+            stream.join(token_counts, "w", "left")
             .groupBy("doc")
             .agg(
-                F.sum(n_expr * F.col("w_tokens")).alias("n_bpe_tokens"),
+                F.sum(n_expr * checked).alias("n_bpe_tokens"),
                 F.sum(n_expr).alias("n_words"),
             )
             .withColumnRenamed("doc", id_col)

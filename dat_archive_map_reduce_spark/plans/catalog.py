@@ -289,7 +289,16 @@ class AppendOnlyLog:
     Partition values are directory names, so Spark URL-escapes
     specials (``dat://a`` -> ``dat%3A%2F%2Fa``) and unescapes on read;
     both batch and file-stream readers discover the layout from the
-    user-provided schema."""
+    user-provided schema.
+
+    LAYOUT MIGRATION GUARD: a warehouse written before partitioning
+    existed has flat ``part-*.parquet`` files directly in the log
+    directory. Appending ``col=value/`` subdirectories next to them
+    would make every subsequent read throw Spark's "Conflicting
+    directory structures" — bricking the warehouse. So on open, if
+    flat data files are present, this log drops to unpartitioned
+    (legacy) mode for its lifetime; only warehouses born partitioned
+    get partition pruning."""
 
     def __init__(
         self,
@@ -303,6 +312,13 @@ class AppendOnlyLog:
         self.schema = schema
         self.partition_by = tuple(partition_by)
         os.makedirs(self.root, exist_ok=True)
+        if self.partition_by and any(
+            not name.startswith(("_", "."))
+            and not os.path.isdir(os.path.join(self.root, name))
+            for name in os.listdir(self.root)
+        ):
+            # pre-partitioning layout on disk: stay flat forever
+            self.partition_by = ()
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(self.schema).parquet(self.root)

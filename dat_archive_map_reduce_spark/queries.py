@@ -2253,7 +2253,7 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dat_archive_map_reduce_spark.operators.dedup import (
         inverted_index_pair_counts,
     )
-    from dat_archive_map_reduce_spark.operators.text import rolling_shingle_fingerprints
+    from dat_archive_map_reduce_spark.operators.text import truncated_shingle_fps
 
     d = _t(spark, sf_dir, "documents")
     # alias-then-explode_outer: the inline generator's inferred filter
@@ -2262,12 +2262,7 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = (
         d.select(
             F.col("doc_id").alias("doc"),
-            F.array_distinct(
-                F.transform(
-                    rolling_shingle_fingerprints("text", n=5),
-                    lambda x: F.substring(x, 1, 16),
-                )
-            ).alias("fps"),
+            truncated_shingle_fps("text", n=5).alias("fps"),
         )
         .select("doc", F.size("fps").alias("n_tok"), F.explode_outer("fps").alias("token"))
         .filter(F.col("token").isNotNull())
@@ -2316,19 +2311,14 @@ def text_containment_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame
         inverted_index_pair_counts,
     )
     from dat_archive_map_reduce_spark.operators.text import (
-        rolling_shingle_fingerprints,
+        truncated_shingle_fps,
     )
 
     d = _t(spark, sf_dir, "documents")
     fp = (
         d.select(
             F.col("doc_id").alias("doc"),
-            F.array_distinct(
-                F.transform(
-                    rolling_shingle_fingerprints("text", n=5),
-                    lambda x: F.substring(x, 1, 16),
-                )
-            ).alias("fps"),
+            truncated_shingle_fps("text", n=5).alias("fps"),
         )
         .select(
             "doc", F.size("fps").alias("n_tok"), F.explode_outer("fps").alias("token")
@@ -5837,9 +5827,13 @@ def corpus_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    merges_df, seg = bpe_train_tokenizer(d, "text", n_merges=6)
-    merges = [(r["left"], r["right"]) for r in merges_df.collect()]
-    return bpe_apply(d, merges, "text", "doc_id", seg=seg, assume_covered=True)
+    _, seg = bpe_train_tokenizer(d, "text", n_merges=6)
+    # merges=[] is correct here: the assume_covered serve path never
+    # replays the merge list (the training corpus covers its own
+    # vocabulary by definition, enforced by the path's raise_error
+    # guard), so collecting the merge table would be a wasted driver
+    # action
+    return bpe_apply(d, [], "text", "doc_id", seg=seg, assume_covered=True)
 
 
 @query(
@@ -6700,7 +6694,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost linear in corpus fingerprint volume."""
     from dat_archive_map_reduce_spark.operators._util import eager_release
     from dat_archive_map_reduce_spark.operators.text import (
-        rolling_shingle_fingerprints,
+        truncated_shingle_fps,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -6712,12 +6706,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             # inner sketch dedups on the full md5, so a within-doc
             # 64-bit-prefix collision would otherwise survive here
             # and double-count on the Spark side only
-            F.array_distinct(
-                F.transform(
-                    rolling_shingle_fingerprints("text", n=5),
-                    lambda x: F.substring(x, 1, 16),
-                )
-            ).alias("fps"),
+            truncated_shingle_fps("text", n=5).alias("fps"),
         )
         .select("doc_id", F.explode_outer("fps").alias("f"))
         .filter(F.col("f").isNotNull())

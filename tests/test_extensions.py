@@ -1624,3 +1624,60 @@ def test_char_entropy_empty_doc_matches_oracle_absence(spark):
              .filter(F.col("ch").isNotNull()))
     rows = out.collect()
     assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_bpe_assume_covered_raises_on_uncovered_word(spark):
+    """assume_covered is an ASSERTION, not a license to drop data: a
+    word outside the tokenizer vocabulary must fail the job loudly
+    (raise_error in the left join) — an inner join would silently
+    shrink both token and word counts."""
+    import dat_archive_map_reduce_spark.operators.text as TXmod
+    from py4j.protocol import Py4JJavaError
+
+    dfA = spark.createDataFrame(
+        [(1, "low lower lowest")], "doc_id long, text string"
+    )
+    _, seg = TXmod.bpe_train_tokenizer(dfA, "text", n_merges=2)
+    dfB = spark.createDataFrame(
+        [(2, "low zzznovel")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception) as exc:
+        TXmod.bpe_apply(dfB, [], "text", "doc_id", seg=seg,
+                        assume_covered=True).collect()
+    assert "not in the tokenizer vocabulary" in str(exc.value)
+
+
+def test_batch_serving_empty_corpus_returns_empty(spark):
+    """Batched retrieval over an empty corpus returns a typed empty
+    result instead of crashing on .first()-based dim inference."""
+    emb_schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], emb_schema)
+    queries = spark.createDataFrame(
+        [(0, [1.0] * 8)], emb_schema
+    )
+    out = similarity.portable_lsh_batch_topk(empty, queries, k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"qid", "vec_id", "cos_sim"}
+    out2 = similarity.portable_pq_adc_batch_topk(empty, queries, m=4, k=5)
+    assert out2.count() == 0
+    assert set(out2.columns) == {"qid", "vec_id", "adc_dist"}
+
+
+def test_codec_rejects_16bit_ppm_and_truncated_wav_chunk():
+    """Strictness: a 16-bit PPM (maxval > 255) and a WAV whose data
+    chunk declares more bytes than the buffer holds must RAISE, not
+    silently misparse."""
+    import struct as st
+
+    px16 = (np.arange(3 * 2 * 2, dtype=np.uint16) * 300).astype(">u2")
+    buf = b"P6\n2 2\n65535\n" + px16.tobytes()
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_ppm(buf)
+
+    samples = np.arange(50, dtype=np.int16)
+    wav = bytearray(multimodal.encode_wav(8000, samples))
+    # inflate the declared data-chunk size past the buffer end
+    data_pos = bytes(wav).index(b"data")
+    wav[data_pos + 4 : data_pos + 8] = st.pack("<I", 4096)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        multimodal.decode_wav(bytes(wav))
