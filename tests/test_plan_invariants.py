@@ -48,7 +48,7 @@ CONTRACTS = [
     ("setop_union_intersect_except", 2, 0, False, False),
     ("q1_pricing_summary", 1, 0, False, True),
     # two-sided inverted index: posting lists meet in ONE fp join
-    ("corpus_contamination", 4, 0, False, False),
+    ("corpus_contamination_uncapped", 4, 0, False, False),
     # distributed prefix sum: bucket agg + broadcast offsets, never a
     # single-partition window (asserted in test_scale_patterns too)
     ("corpus_pack_chunks", 3, 1, False, False),
@@ -108,12 +108,13 @@ CONTRACTS = [
     # scoring join both consume it); ReuseExchange unifies them at
     # execution, so 7 static exchanges run as 4 fact-bearing shuffles
     ("corpus_dsir_weights", 7, 2, False, True),
-    # capped contamination: partial-agg hot-fp count + broadcast anti
-    # join — never a WindowExec that sort-buffers the hottest fp
-    # groups (r3 regression), and the cap itself adds no shuffle of
-    # the corpus posting list (the groupBy-count shuffles only
-    # map-side-deduped (partition, fp) rows)
-    ("corpus_contamination_capped", 2, 1, False, False),
+    # capped contamination (the headline since r7): partial-agg hot-fp
+    # count + broadcast anti join — never a WindowExec that
+    # sort-buffers the hottest fp groups (r3 regression), and the cap
+    # itself adds no shuffle of the corpus posting list (the
+    # groupBy-count shuffles only map-side-deduped (partition, fp)
+    # rows)
+    ("corpus_contamination", 2, 1, False, False),
     # -- round-4 additions --
     # canonical keep-best: ONE fingerprint groupBy with an associative
     # max_by argmax — never a per-group row_number window
