@@ -4,6 +4,24 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Run: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Methodology (round-7, prescribed by two rounds of verdicts):
+- per query: 1 cold run (includes that query's codegen/JIT — the
+  primary metric, methodology of BENCH_r01) + 2 warm re-runs; if the
+  warm pair disagrees by >50% (and >0.15 s absolute) a 3rd warm run
+  breaks the tie. steady = MEDIAN of the warm runs, spread = max-min.
+  min-of-2 could not distinguish a genuinely fast query from one that
+  got lucky between background-load spikes; the median + recorded
+  spread lets a reviewer reject a contaminated run from the JSON alone
+  instead of inferring it across rounds.
+- load fingerprint: loadavg + process count sampled at start/end, and
+  1-min loadavg sampled per query, so cross-round comparisons can
+  check BOTH runs were taken under comparable machine load.
+- a streaming section measures the watch path (changelog ->
+  foreachBatch view-maintenance merge, the reference's
+  lib/indexer.js:67-87 analog) and an event-time windowed aggregation
+  driven as a real multi-batch stream — rows/sec, previously
+  correctness-proven but perf-invisible.
 """
 
 from __future__ import annotations
@@ -11,7 +29,10 @@ from __future__ import annotations
 import gc
 import json
 import os
+import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -20,6 +41,17 @@ from dat_archive_map_reduce_spark.queries import QUERIES
 from dat_archive_map_reduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Registered-but-not-benched (still in the correctness gate): queries
+# whose documented purpose is a corpus shape this flat-frequency
+# synthetic corpus cannot reward, so their multi-second compile+run
+# cost buys no signal here (round-6 verdict #4).
+BENCH_SKIP = {
+    # PPJoin prefix filtering wins on Zipfian vocabularies where every
+    # doc pair shares *something*; on this corpus the plain inverted
+    # index dominates and the equivalence is already hash-gated.
+    "dedup_ngram_prefix_filter",
+}
 
 
 def _sf_from_dir(d: str) -> float:
@@ -30,8 +62,115 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _load_fingerprint() -> dict:
+    """Machine-load snapshot a reviewer can use to reject a
+    contaminated run (concurrent pytest/Spark work inflates per-query
+    numbers 2-5x and is otherwise invisible in the output)."""
+    fp: dict = {"cpus": os.cpu_count()}
+    try:
+        la1, la5, la15 = os.getloadavg()
+        fp.update(loadavg1=round(la1, 2), loadavg5=round(la5, 2), loadavg15=round(la15, 2))
+    except OSError:
+        pass
+    try:
+        fp["n_procs"] = sum(1 for p in os.listdir("/proc") if p.isdigit())
+    except OSError:
+        pass
+    return fp
+
+
+def _bench_streaming(spark) -> dict:
+    """Rows/sec through the two streaming hot paths. Small fixed
+    workloads (same every round) so the numbers compare across rounds;
+    everything writes under a temp dir wiped afterwards."""
+    from dat_archive_map_reduce_spark.engine import MapReduce
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+    from dat_archive_map_reduce_spark.streaming.watch import (
+        watch_until_caught_up,
+        windowed_counts,
+    )
+
+    out: dict = {}
+    root = tempfile.mkdtemp(prefix="bench-streaming-")
+    try:
+        # -- 1. view-maintenance merge (the reference watch path) -----
+        # 4 origins x 2 views over one availableNow drain: the cost is
+        # per-(origin, view) merge cycles plus per-row map/emit work.
+        n_rows, n_origins = 8192, 4
+        rows = [
+            {
+                "origin": f"dat://bench{i % n_origins}",
+                "pathname": f"/docs/{i}.json",
+                "version": 1,
+                "content": json.dumps({"first": f"k{i % 512}", "n": i}),
+            }
+            for i in range(n_rows)
+        ]
+
+        def map_first(content, meta, emit):
+            obj = json.loads(content)
+            emit(obj["first"], meta["url"])
+
+        db = MapReduce(spark, f"{root}/wh")
+        db.define("by_key", path="/docs/*.json", map=map_first, key_schema=["string"])
+        db.define(
+            "counts",
+            path="/docs/*.json",
+            map=map_first,
+            reduce="count",
+            key_schema=["string"],
+        )
+        db.append_changes(rows)
+        t0 = time.perf_counter()
+        watch_until_caught_up(db)
+        wall = time.perf_counter() - t0
+        db.close()
+        out["maintain_rows"] = n_rows
+        out["maintain_origins"] = n_origins
+        out["maintain_views"] = 2
+        out["maintain_wall_sec"] = round(wall, 4)
+        out["maintain_rows_per_sec"] = round(n_rows / wall, 2)
+
+        # -- 2. event-time windowed aggregation as a real stream ------
+        # events split into 8 files, drained 2 files per micro-batch
+        # (4 stateful batches with watermarked window state), sinking
+        # via foreachBatch — the stream/batch-equivalence harness shape.
+        ev = load_table(spark, SF_DIR, "events")
+        src, ckpt, sink = f"{root}/ev-src", f"{root}/ev-ckpt", f"{root}/ev-out"
+        ev.repartition(8).write.parquet(src)
+        n_events = ev.count()
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        agg = windowed_counts(stream, window="1 hour", streaming=True)
+
+        def _sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(sink)
+
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        out["window_rows"] = n_events
+        out["window_batches"] = 4
+        out["window_wall_sec"] = round(wall, 4)
+        out["window_rows_per_sec"] = round(n_events / wall, 2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     spark = get_spark("bench")
+    fp_start = _load_fingerprint()
     # Steady-state warmup so per-query timings measure the query, not
     # one-time session costs: JVM + parquet footers, the events-table
     # nanos shim, whole-stage codegen compilation, and the Python
@@ -66,24 +205,35 @@ def main() -> None:
         ).alias("f"),
     ).groupBy("m").agg(F.sort_array(F.collect_list("f"))).count()
 
-    # Two passes per query: pass 0 is the cold number (includes that
-    # query's codegen/JIT compilation — methodology of BENCH_r01, kept
-    # as the primary metric), pass 1 re-plans and re-executes the same
-    # query warm. min(cold, warm) is reported as the steady-state
-    # number — the marginal cost of the query once the JVM has compiled
-    # it, i.e. what a long-running cluster actually pays per run.
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    load1: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
+        if name in BENCH_SKIP:
+            continue
+        try:
+            load1[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
         runs = []
-        for _ in range(2):
+        # run 0 = cold; runs 1..k = warm re-plans of the same query
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()  # force full execution
             runs.append(time.perf_counter() - t0)
+        warm = runs[1:]
+        # warm pair disagrees badly -> one tie-breaking 3rd warm run,
+        # so a single background-load spike cannot set the median
+        if max(warm) - min(warm) > max(0.15, 0.5 * min(warm)):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            warm.append(time.perf_counter() - t0)
         timings[name] = round(runs[0], 4)
-        steady[name] = round(min(runs), 4)
+        steady[name] = round(statistics.median(warm), 4)
+        spread[name] = round(max(warm) - min(warm), 4)
         total += runs[0]
         # Dedup operators release their fat intermediates at source
         # now (operators/_util.eager_release), so this sweep only
@@ -91,15 +241,22 @@ def main() -> None:
         # timing isolation: no query's number should depend on what
         # ran before it.
         spark.catalog.clearCache()
-        print(f"# {name}: cold={runs[0]:.3f}s steady={min(runs):.3f}s rows={n}", file=sys.stderr)
+        print(
+            f"# {name}: cold={runs[0]:.3f}s steady={steady[name]:.3f}s "
+            f"spread={spread[name]:.3f}s rows={n}",
+            file=sys.stderr,
+        )
         # localCheckpoint blocks (graph/rank/dedup queries) free only
         # when a JVM GC lets ContextCleaner collect them; without this,
-        # storage fills over the ~260 executions and later window-sort
+        # storage fills over the ~460 executions and later window-sort
         # queries spill (observed 5-8x degradation on text_winnowing /
         # dedup_exact_substring late in the run)
         if len(timings) % 16 == 0:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+
+    streaming = _bench_streaming(spark)
+    fp_end = _load_fingerprint()
 
     payload = {
         "metric": "total_query_wall_sec",
@@ -107,7 +264,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_steady": steady,
+        "queries_spread": spread,
+        "queries_loadavg1": load1,
         "total_steady_sec": round(sum(steady.values()), 4),
+        "streaming": streaming,
+        "load_fingerprint": {"start": fp_start, "end": fp_end},
+        "bench_skip": sorted(BENCH_SKIP),
         "sf": _sf_from_dir(SF_DIR),
     }
     # compact separators keep the line ~40% shorter — BENCH_r02's

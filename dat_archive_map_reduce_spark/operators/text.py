@@ -632,10 +632,17 @@ def dsir_weights(
     same content-addressed idiom as corpus_hash_split.
 
     Scale shape: both bucket-frequency tables partial-aggregate to
-    <= n_buckets rows and broadcast; per-document work pre-aggregates
-    to (doc, bucket) grain before the join, so the one real shuffle
-    moves at most n_buckets rows per document, independent of document
-    length. Nothing collects to the driver.
+    <= n_buckets rows, then fold to ONE row each — a (bucket -> count)
+    map plus its total in the same aggregation — and cross the
+    scoring pass as a single broadcast row (round-6 verdict #6: the
+    earlier <=256-row full-outer join + two separate scalar-total
+    aggregates cost four metadata-side exchanges; the map carrier is
+    the adaptive-k codebook idiom from nearest_centroid_join — data,
+    not literals, O(1) plan size). Per-document work pre-aggregates to
+    (doc, bucket) grain before scoring, so the real shuffles are: the
+    two tokenizing fact aggregations, one bucket rollup of the
+    already-reduced (doc, bucket) table, and the final per-doc score
+    aggregation. Nothing collects to the driver.
     """
     if n_buckets != 256:
         raise ValueError("portable bucketing uses the first md5 hex byte (256)")
@@ -658,28 +665,36 @@ def dsir_weights(
         F.count(F.lit(1)).alias("n")
     )
     cs = doc_b.groupBy("bucket").agg(F.sum("n").alias("cs"))
-    tot = ct.agg(F.sum("ct").alias("t_tot")).crossJoin(
-        cs.agg(F.sum("cs").alias("s_tot"))
+    # each <=256-row frequency table folds to ONE row carrying its
+    # (bucket -> count) map AND its total; crossJoin of two 1-row
+    # tables broadcasts into the scoring pass, and the log-ratio is
+    # computed inline per (doc, bucket) row — no bucket-keyed join
+    # exchange ever materializes the lr table
+    ct1 = ct.agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "ct"))).alias(
+            "ct_map"
+        ),
+        F.sum("ct").alias("t_tot"),
     )
-    lr = (
-        ct.join(cs, "bucket", "full")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-                    / (F.col("t_tot") + float(n_buckets))
-                )
-                - F.log(
-                    (F.coalesce(F.col("cs"), F.lit(0)) + 1.0)
-                    / (F.col("s_tot") + float(n_buckets))
-                )
-            ).alias("lr"),
-        )
+    cs1 = cs.agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cs"))).alias(
+            "cs_map"
+        ),
+        F.sum("cs").alias("s_tot"),
+    )
+    # try_element_at: a bucket absent from the target map must read as
+    # count 0, not raise (ANSI mode makes plain element_at throw on
+    # missing map keys)
+    lr = F.log(
+        (F.coalesce(F.try_element_at("ct_map", F.col("bucket")), F.lit(0)) + 1.0)
+        / (F.col("t_tot") + float(n_buckets))
+    ) - F.log(
+        (F.coalesce(F.try_element_at("cs_map", F.col("bucket")), F.lit(0)) + 1.0)
+        / (F.col("s_tot") + float(n_buckets))
     )
     return (
-        doc_b.join(F.broadcast(lr), "bucket")
+        doc_b.crossJoin(F.broadcast(ct1.crossJoin(cs1)))
+        .select("doc", "n", lr.alias("lr"))
         .groupBy("doc")
         .agg(
             F.sum("n").alias("n_tokens"),

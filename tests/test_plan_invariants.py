@@ -102,12 +102,15 @@ CONTRACTS = [
     # window, offsets broadcast back — never a global-order window
     ("corpus_shard_manifest", 3, 1, False, False),
     ("corpus_packing_efficiency", 1, 0, False, False),
-    # dsir: two bucket-count tables + (doc,bucket) pre-agg + final doc
-    # agg; the <=256-row log-ratio table and totals ride as broadcasts.
-    # The static plan shows the (doc,bucket) pre-agg twice (cs and the
-    # scoring join both consume it); ReuseExchange unifies them at
-    # execution, so 7 static exchanges run as 4 fact-bearing shuffles
-    ("corpus_dsir_weights", 7, 2, False, True),
+    # dsir: 6 static exchanges = 2 tokenizing fact aggs (target
+    # buckets, raw (doc,bucket) pre-agg) + 2 rollups of the
+    # already-reduced doc_b table (bucket totals, final per-doc score)
+    # + 2 SinglePartition folds of <=256-row frequency tables into
+    # 1-row broadcast map carriers. The former <=256-row full-outer
+    # lr join and its two scalar-total exchanges are gone (r6 verdict
+    # #6); ReuseExchange unifies the doc_b pre-agg's two consumers at
+    # execution, so at most 4 fact/doc-grain shuffles ever run
+    ("corpus_dsir_weights", 6, 2, False, True),
     # capped contamination (the headline since r7): partial-agg hot-fp
     # count + broadcast anti join — never a WindowExec that
     # sort-buffers the hottest fp groups (r3 regression), and the cap
