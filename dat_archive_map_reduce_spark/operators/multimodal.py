@@ -209,6 +209,321 @@ def decode_wav(content: bytes) -> "tuple[int, int, np.ndarray]":
     return sample_rate, n_channels, samples
 
 
+# ---------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, SOF0), grayscale, pure numpy/stdlib.
+# A real decoder for the real format: marker walk (SOI/DQT/SOF0/DHT/
+# SOS/EOI), canonical Huffman decode with the standard Annex-K
+# luminance tables, entropy-coded byte unstuffing (FF 00), differential
+# DC + run-length AC with EXTEND sign recovery, de-zigzag,
+# dequantization, orthonormal 2D IDCT, level shift. The encoder writes
+# standard-compliant streams so the decoder is exercised end-to-end
+# without PIL/libjpeg. Proof shape (multimodal_jpeg_decode): flat 8x8
+# blocks with an all-ones quant table quantize to a DC-only spectrum
+# whose reconstruction is EXACT, so the md5-arithmetic SQL oracle can
+# re-derive every decoded pixel stat despite JPEG being lossy in
+# general; generic (AC-bearing) blocks are pinned by pytest within the
+# quantization error bound.
+# ---------------------------------------------------------------------
+
+# zigzag position -> raster index within the 8x8 block (T.81 Figure 5)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# standard luminance Huffman tables (T.81 Annex K.3): BITS = number of
+# codes per code length 1..16, VALS = symbols in canonical order
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_canonical_codes(bits, vals) -> "dict[int, tuple[int, int]]":
+    """symbol -> (code, length) for a canonical Huffman table."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis (rows = frequencies): F = C f C^T
+    matches T.81's FDCT scaling, f = C^T F C its IDCT."""
+    j = np.arange(8)
+    C = np.cos((2 * j[None, :] + 1) * j[:, None] * np.pi / 16)
+    C *= np.sqrt(2.0 / 8.0)
+    C[0, :] = np.sqrt(1.0 / 8.0)
+    return C
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._nbits += 1
+            if self._nbits == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing (B.1.1.5)
+                    self.out.append(0x00)
+                self._acc = 0
+                self._nbits = 0
+
+    def flush(self) -> None:
+        if self._nbits:
+            self.write((1 << (8 - self._nbits)) - 1, 8 - self._nbits)
+
+
+class _JpegBitReader:
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated JPEG entropy data")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.buf[self.pos] if self.pos < len(self.buf) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self._acc = b
+            self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map the s received bits back to a signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg_gray(pixels: np.ndarray, quant: int = 1) -> bytes:
+    """Baseline JFIF-less JPEG (SOI/DQT/SOF0/DHT/SOS/EOI), one 8-bit
+    grayscale component, 1x1 sampling, standard Annex-K luminance
+    Huffman tables, uniform ``quant`` step. Dimensions must be
+    multiples of 8 (no edge-block padding — keeps the oracle algebra
+    exact)."""
+    img = np.asarray(pixels, dtype=np.int64)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    C = _jpeg_dct_matrix()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    qtab = bytes([quant]) * 64
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, b"\x00" + qtab)  # DQT: Pq=0 (8-bit), Tq=0
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes((1, 0x11, 0)))
+    out += seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xDA, bytes((1, 1, 0x00, 0, 63, 0)))
+
+    bw = _JpegBitWriter()
+    pred = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = img[by : by + 8, bx : bx + 8] - 128
+            coef = C @ block @ C.T
+            q = np.rint(coef / quant).astype(np.int64)
+            zz = [int(q.flat[_JPEG_ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = _jpeg_category(diff)
+            code, n = dc_codes[s]
+            bw.write(code, n)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, n = ac_codes[0xF0]  # ZRL
+                    bw.write(code, n)
+                    run -= 16
+                s = _jpeg_category(zz[k])
+                code, n = ac_codes[(run << 4) | s]
+                bw.write(code, n)
+                bw.write(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, n = ac_codes[0x00]  # EOB
+                bw.write(code, n)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg_gray(content: bytes) -> "tuple[int, int, np.ndarray]":
+    """Decode a baseline grayscale JPEG: returns (width, height,
+    pixels uint8 flat, raster order). Rejects (ValueError) the
+    variants this decoder does not implement — progressive (SOF2),
+    multi-component scans, 16-bit quant tables, restart intervals —
+    rather than mis-decoding them."""
+    buf = bytes(content)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = 0
+    scan_pos = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        body = buf[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = list(body[bpos + 1 : bpos + 65])
+                bpos += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component baseline")
+            if body[7] != 0x11:
+                raise ValueError("subsampled components unsupported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("non-baseline JPEG (progressive/extended)")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0x0F
+                bits = body[bpos + 1 : bpos + 17]
+                nvals = sum(bits)
+                vals = body[bpos + 17 : bpos + 17 + nvals]
+                codes = _jpeg_canonical_codes(tuple(bits), tuple(vals))
+                huff[(tc, th)] = {(c, n): sym for sym, (c, n) in codes.items()}
+                bpos += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scans unsupported")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan_pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_pos is None or w is None:
+        raise ValueError("missing SOF0/SOS")
+    if h % 8 or w % 8:
+        raise ValueError("non-multiple-of-8 dimensions unsupported")
+    dc_tab, ac_tab = huff[(0, td)], huff[(1, ta)]
+    qt = qtabs[comp_q]
+    C = _jpeg_dct_matrix()
+
+    def read_symbol(br: _JpegBitReader, tab) -> int:
+        code, n = 0, 0
+        while n <= 16:
+            code = (code << 1) | br.read_bit()
+            n += 1
+            sym = tab.get((code, n))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    br = _JpegBitReader(buf, scan_pos)
+    img = np.zeros((h, w), dtype=np.uint8)
+    pred = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            zz = [0] * 64
+            s = read_symbol(br, dc_tab)
+            pred += _jpeg_extend(br.receive(s), s)
+            zz[0] = pred * qt[0]
+            k = 1
+            while k < 64:
+                sym = read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                size = sym & 0x0F
+                zz[k] = _jpeg_extend(br.receive(size), size) * qt[k]
+                k += 1
+            coef = np.zeros(64, dtype=np.float64)
+            coef[list(_JPEG_ZIGZAG)] = zz
+            block = C.T @ coef.reshape(8, 8) @ C
+            img[by : by + 8, bx : bx + 8] = np.clip(
+                np.rint(block + 128), 0, 255
+            ).astype(np.uint8)
+    return w, h, img.reshape(-1)
+
+
 def _decode_header(content: bytes) -> tuple[int, int, int]:
     """Format dispatch for the metadata decode: synth headers, real
     binary PPM, and real RIFF/WAVE parse end-to-end; the raise remains
