@@ -327,22 +327,27 @@ class MapReduce:
         self.offsets.overwrite(self.spark.createDataFrame(cur, OFFSETS_SCHEMA))
 
     # -- the core merge: retract-then-add + re-aggregate ------------
-    def _apply_updates(self, vdef: ViewDefinition, origin: str, updates: DataFrame) -> int:
-        """Apply a latest-wins-compacted update batch for one
-        (view, origin): retract every entry derived from an updated
-        file, map the new 'put' contents, append, then re-fold only
-        the affected keys (reference readAndIndexFile/unindexFile,
-        lib/indexer.js:217-292). Returns the number of file updates
-        applied (for archive-index-progress).
+    def _apply_entry_updates(
+        self, vdef: ViewDefinition, origin: str, updates: DataFrame
+    ) -> "tuple[int, DataFrame | None]":
+        """The entries half of the merge for one (view, origin):
+        retract every entry derived from an updated file, map the new
+        'put' contents, write the origin shard. Returns (n file
+        updates applied, CACHED affected-keys DataFrame or None if the
+        batch was empty) — the caller owns re-aggregation scope and
+        must unpersist the keys. Split out so watch mode can apply
+        several origins' entry deltas and then re-fold the reduced
+        table ONCE per view per micro-batch instead of once per
+        (view, origin) cycle.
         """
         key_types = vdef.key_types()
         ent_table = self._entries_table(vdef.name, origin)
 
         updates = updates.cache()
         try:
-            if updates.isEmpty():
-                return 0
-            n_updates = updates.count()  # cheap: cached + needed below
+            n_updates = updates.count()
+            if n_updates == 0:
+                return 0, None
             affected_urls = updates.select("url")
 
             old_entries = ent_table.read()
@@ -368,15 +373,106 @@ class MapReduce:
             new_keys = new_entries.select("key_json")
             affected_keys = retracted_keys.union(new_keys).distinct().cache()
 
+            # old_entries reads the pre-overwrite snapshot DIRECTORY
+            # (resolved at read() time), so the lazy affected_keys plan
+            # stays correct after the pointer flips below
             ent_table.overwrite(
                 surviving.unionByName(new_entries),
                 sort_cols=["key_json", "file_url", "emit_seq"],
             )
+            return n_updates, affected_keys
+        finally:
+            updates.unpersist()
 
-            if vdef.reduce is not None:
-                self._reaggregate(vdef, affected_keys)
-            affected_keys.unpersist()
-            return n_updates
+    def _apply_updates(self, vdef: ViewDefinition, origin: str, updates: DataFrame) -> int:
+        """Apply a latest-wins-compacted update batch for one
+        (view, origin): entries merge + re-fold of the affected keys
+        (reference readAndIndexFile/unindexFile,
+        lib/indexer.js:217-292). Returns the number of file updates
+        applied (for archive-index-progress).
+        """
+        n_updates, affected_keys = self._apply_entry_updates(vdef, origin, updates)
+        if affected_keys is None:
+            return 0
+        if vdef.reduce is not None:
+            self._reaggregate(vdef, affected_keys)
+        affected_keys.unpersist()
+        return n_updates
+
+    def _apply_view_batch(
+        self,
+        vdef: ViewDefinition,
+        log: DataFrame,
+        origin_starts: "dict[str, int]",
+    ) -> "dict[str, int]":
+        """Watch-path merge for ONE view over a multi-origin
+        micro-batch, paying each per-batch cost once instead of once
+        per origin: a single latest-wins window across all origins
+        (partitioned by (origin, pathname), so one shuffle), the map
+        UDF run ONCE over the whole batch and persisted (per-origin
+        shard writes filter from the cached result instead of
+        re-executing the Python stage), and one re-aggregation over
+        the union of every origin's affected keys. Converges to the
+        identical state as per-origin _apply_updates cycles — the
+        entries shards and the reduced merge see the same rows, only
+        batched. Returns {origin: n file updates applied}.
+        """
+        if not origin_starts:
+            return {}
+        cond = None
+        for origin, start in origin_starts.items():
+            c = (F.col("origin") == origin) & (F.col("version") > F.lit(start))
+            cond = c if cond is None else cond | c
+        updates = latest_wins(glob_filter(log, vdef.path).filter(cond)).cache()
+        try:
+            counts = {
+                r["origin"]: r["n"]
+                for r in updates.groupBy("origin")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if not counts:
+                return {}
+            new_entries = run_map(
+                updates.filter(F.col("type") == "put"), vdef.map, vdef.key_types()
+            ).cache()
+            affected_parts = [new_entries.select("key_json")]
+            try:
+                for origin in sorted(counts):
+                    ent_table = self._entries_table(vdef.name, origin)
+                    old_entries = ent_table.read()
+                    urls_o = updates.filter(F.col("origin") == origin).select("url")
+                    surviving = old_entries.join(
+                        F.broadcast(urls_o),
+                        old_entries["file_url"] == urls_o["url"],
+                        "left_anti",
+                    )
+                    affected_parts.append(
+                        old_entries.join(
+                            F.broadcast(urls_o),
+                            old_entries["file_url"] == urls_o["url"],
+                            "left_semi",
+                        ).select("key_json")
+                    )
+                    # old_entries resolves the pre-overwrite snapshot
+                    # DIRECTORY at read() time, so the lazy retracted-
+                    # keys plans above stay correct after this flip
+                    ent_table.overwrite(
+                        surviving.unionByName(
+                            new_entries.filter(F.col("origin") == origin)
+                        ),
+                        sort_cols=["key_json", "file_url", "emit_seq"],
+                    )
+                if vdef.reduce is not None:
+                    keys = affected_parts[0]
+                    for p in affected_parts[1:]:
+                        keys = keys.union(p)
+                    keys = keys.distinct().cache()
+                    self._reaggregate(vdef, keys)
+                    keys.unpersist()
+                return counts
+            finally:
+                new_entries.unpersist()
         finally:
             updates.unpersist()
 

@@ -7425,8 +7425,16 @@ def _driver_seen_rounds(
 def _gate_window(rounds: "list[tuple[int, dict]]") -> int:
     """The driver's hashed-window size, read off the newest committed
     round file (every observed round checked exactly its leading N
-    registry entries). Fresh clone -> fallback."""
-    return len(rounds[-1][1]) if rounds else _GATE_WINDOW_FALLBACK
+    registry entries). Fresh clone -> fallback. Only rows naming a
+    currently-registered query count, and a size that deviates wildly
+    from the observed driver behavior (a truncated round file, a future
+    metadata key) falls back rather than silently moving the no-oracle
+    slot boundary."""
+    if not rounds:
+        return _GATE_WINDOW_FALLBACK
+    n = sum(1 for name in rounds[-1][1] if name in QUERIES)
+    lo, hi = _GATE_WINDOW_FALLBACK // 2, _GATE_WINDOW_FALLBACK * 2
+    return n if lo <= n <= hi else _GATE_WINDOW_FALLBACK
 
 
 def _reorder_registry() -> None:

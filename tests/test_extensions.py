@@ -1576,7 +1576,7 @@ def test_driver_checked_names_latest_round_wins(tmp_path):
     import unittest.mock as mock
     with mock.patch("glob.glob", lambda pat: sorted(
         str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))):
-        green = Q._driver_green_rounds()
+        green = Q._driver_green_rounds(Q._driver_rows_by_round())
     assert "q_ok" in green and "q_weak" in green
     assert "q_regressed" not in green
     # and the back-of-window ordering key is the green ROUND, so the
@@ -1605,8 +1605,23 @@ def test_driver_green_rounds_orders_stalest_first(tmp_path):
     import unittest.mock as mock
     with mock.patch("glob.glob", lambda pat: sorted(
         str(p) for p in tmp_path.glob("CORRECTNESS_r*.json"))):
-        green = Q._driver_green_rounds()
+        green = Q._driver_green_rounds(Q._driver_rows_by_round())
     assert green == {"q_old_green": 3, "q_new_green": 5}
+
+
+def test_gate_window_clamps_partial_round_files():
+    """A truncated/corrupt CORRECTNESS file (or one full of retired
+    names) must not silently shrink the hashed window and move the
+    no-oracle slot boundary: only registered names count, and a wild
+    deviation falls back to the observed driver default."""
+    import dat_archive_map_reduce_spark.queries as Q
+
+    assert Q._gate_window([]) == Q._GATE_WINDOW_FALLBACK
+    junk = [(9, {"not_a_query": {}, "also_not_one": {}})]
+    assert Q._gate_window(junk) == Q._GATE_WINDOW_FALLBACK
+    names = list(Q.QUERIES)[:40]
+    plausible = [(9, {n: {} for n in names})]
+    assert Q._gate_window(plausible) == 40
 
 
 def test_char_entropy_empty_doc_matches_oracle_absence(spark):

@@ -85,6 +85,35 @@ def test_watch_incremental_update_retracts(spark, tmp_path):
     assert db.get("multi-reduced", "dat://w0") == {"key": "dat://w0", "value": 2}
 
 
+def test_watch_batch_mixed_per_origin_offsets(spark, tmp_path):
+    """One micro-batch carrying origins at DIFFERENT offsets: the
+    view-batch merge's per-origin start predicate must apply only
+    rows above each origin's own offset — an already-indexed origin's
+    replayed v1 rows must not re-apply (idempotence), while a fresh
+    origin's v1 rows must. Pins the when-chain in
+    engine._apply_view_batch."""
+    db = MapReduce(spark, str(tmp_path / "wh"))
+    db.define("multi", path="/multi/*.json", map=map_first, key_schema=["string"])
+    db.define("multi-reduced", path="/multi/*.json", map=map_origin_one,
+              reduce="count", key_schema=["string"])
+    # origin w0 batch-indexed at v1 (offset now 1)
+    db.append_changes(rows_for(0))
+    db.index("dat://w0")
+    # one drain sees: w0's v1 (replayed, at/below offset) + w0's v2
+    # rewrite + fresh w1's v1 — all in the same micro-batch window
+    db.append_changes(rows_for(0, version=2, suffix="X"))
+    db.append_changes(rows_for(1))
+    W.watch_until_caught_up(db)
+    # w0: v2 keys only (v1 retracted exactly once, not doubled)
+    assert db.get("multi", "first0") is None
+    assert db.get("multi", "first0X") is not None
+    # w1: v1 applied
+    assert db.get("multi", "first1") is not None
+    # reduced counts: per-origin entry counts stay exact
+    assert db.get("multi-reduced", "dat://w0") == {"key": "dat://w0", "value": 2}
+    assert db.get("multi-reduced", "dat://w1") == {"key": "dat://w1", "value": 2}
+
+
 def test_stream_windowed_counts_equals_batch(spark, tmp_path):
     """Tumbling-window counts over a real stream (availableNow) match
     the batch computation on the same data."""
