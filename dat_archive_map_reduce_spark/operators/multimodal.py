@@ -6,13 +6,14 @@ pattern for 100 TB multimodal corpora (binaryFile source, partition by
 content kind, never parse binary JVM-side). Decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
-Codecs: uncompressed public formats decode FOR REAL — binary PPM
-(netpbm P6) and RIFF/WAVE PCM16 have genuine pure-numpy
-encoders/decoders here (header grammar, chunk walking, payload
-parse), proven end-to-end by the ``multimodal_real_decode`` oracle
-query whose stats are recomputed from the parsed arrays. Compressed
-formats (JPEG/PNG/MP4) still need codec libraries this container
-does not ship, so only they raise NotImplementedError; the
+Codecs: public formats decode FOR REAL — binary PPM (netpbm P6),
+RIFF/WAVE PCM16, and baseline grayscale JPEG (ITU-T T.81 SOF0:
+marker walk, canonical Huffman, dequant, IDCT) have genuine
+pure-numpy encoders/decoders here, proven end-to-end by the
+``multimodal_real_decode`` and ``multimodal_jpeg_decode`` oracle
+queries whose stats are recomputed from the parsed arrays. Formats
+that genuinely need codec libraries this container does not ship
+(PNG/MP4, non-baseline JPEG) raise NotImplementedError; the
 deterministic synth-header format remains for the original roundtrip
 oracle tests. The Spark-side plumbing — schema, batch shape, UDF
 signatures, partitioning — is shared by all paths.
@@ -526,9 +527,10 @@ def decode_jpeg_gray(content: bytes) -> "tuple[int, int, np.ndarray]":
 
 def _decode_header(content: bytes) -> tuple[int, int, int]:
     """Format dispatch for the metadata decode: synth headers, real
-    binary PPM, and real RIFF/WAVE parse end-to-end; the raise remains
-    only for formats that genuinely need external codec libraries
-    (JPEG/PNG/MP4). For audio, ``frames`` is the PCM frame count
+    binary PPM, real RIFF/WAVE, and real baseline JPEG parse
+    end-to-end; the raise remains only for formats that genuinely need
+    external codec libraries (PNG/MP4, and JPEG variants beyond
+    baseline grayscale). For audio, ``frames`` is the PCM frame count
     (samples per channel — the audio meaning of the word)."""
     head = bytes(content[:4])
     if head == _MAGIC:
@@ -540,9 +542,28 @@ def _decode_header(content: bytes) -> tuple[int, int, int]:
     if head == b"RIFF":
         _, n_ch, samples = decode_wav(content)
         return 0, 0, len(samples) // max(n_ch, 1)
+    if head[:2] == b"\xff\xd8":
+        # dimensions only: marker walk to SOF0, no entropy decode
+        buf = bytes(content)
+        pos = 2
+        while pos + 4 <= len(buf):
+            if buf[pos] != 0xFF:
+                raise ValueError("JPEG marker expected")
+            marker = buf[pos + 1]
+            if marker == 0xC0:
+                _, hh, ww, _ = struct.unpack(">BHHB", buf[pos + 4 : pos + 10])
+                return ww, hh, 1
+            if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+                raise ValueError("non-baseline JPEG (progressive/extended)")
+            if marker in (0xD9, 0xDA):
+                break
+            (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+            pos += 2 + ln
+        raise ValueError("JPEG missing SOF0")
     raise NotImplementedError(
-        "compressed formats (JPEG/PNG/MP4) need codec libraries this "
-        "container does not ship; PPM, WAV, and synth headers decode here"
+        "PNG/MP4 (and non-baseline JPEG) need codec libraries this "
+        "container does not ship; PPM, WAV, baseline-grayscale JPEG, "
+        "and synth headers decode here"
     )
 
 
@@ -578,6 +599,38 @@ def real_media_corpus(spark: SparkSession, n: int = 32) -> DataFrame:
             samples = ((np.int64(i) * 31 + t * 7) % 256) - 128
             content = encode_wav(sr, samples.astype(np.int16))
             rows.append((i, "audio", bytearray(content), (None, None, sr, None)))
+    n_slices = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
+def jpeg_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Corpus of REAL baseline-JPEG bytes whose decoded pixels are
+    md5-re-derivable by a SQL oracle despite JPEG being lossy in
+    general: every image is a grid of FLAT 8x8 blocks encoded with an
+    all-ones quant table, so each block's spectrum is DC-only and the
+    encode -> Huffman/DCT -> decode roundtrip reconstructs the exact
+    pixel values (AC-bearing blocks are pinned separately by pytest
+    within the quantization error bound).
+
+      b(k)  = byte k of md5(str(i))
+      bw    = 1 + b(0) % 4 blocks wide, bh = 1 + b(1) % 4 blocks high
+      block value v_j = (i*17 + 29*j) % 256, j raster over blocks
+    """
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        hb = hashlib.md5(str(i).encode()).digest()
+        bw = 1 + hb[0] % 4
+        bh = 1 + hb[1] % 4
+        img = np.zeros((8 * bh, 8 * bw), dtype=np.int64)
+        for j in range(bw * bh):
+            r, c = divmod(j, bw)
+            img[8 * r : 8 * r + 8, 8 * c : 8 * c + 8] = (i * 17 + 29 * j) % 256
+        content = encode_jpeg_gray(img, quant=1)
+        rows.append((i, "image", bytearray(content), (8 * bw, 8 * bh, None, None)))
     n_slices = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
@@ -620,6 +673,9 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                 elif bytes(content[:4]) == b"RIFF":
                     sr, _, vals = decode_wav(content)
                     width = height = None
+                elif head == b"\xff\xd8":
+                    w, h, vals = decode_jpeg_gray(content)
+                    width, height, sr = w, h, None
                 else:
                     raise NotImplementedError("real formats only")
                 out["media_id"].append(int(mid))

@@ -2154,6 +2154,54 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_decode",
+    oracle="""
+    WITH m AS (
+      SELECT i, md5(CAST(i AS VARCHAR)) AS h FROM range(0, 24) t(i)
+    ), b AS (
+      SELECT i,
+        16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+        16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
+      FROM m
+    ), dims AS (
+      SELECT i, 1 + b0 % 4 AS bw, 1 + b1 % 4 AS bh FROM b
+    )
+    SELECT i AS media_id, 'image' AS kind,
+           CAST(8 * bw AS INT) AS width,
+           CAST(8 * bh AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(64 * bw * bh AS BIGINT) AS n_vals,
+           CAST(64 * list_reduce(list_transform(range(0, bw * bh),
+                  j -> (i * 17 + 29 * j) % 256), (a, x) -> a + x)
+                AS BIGINT) AS val_sum,
+           CAST((i * 17) % 256 AS INT) AS val_first,
+           CAST((i * 17 + 29 * (bw * bh - 1)) % 256 AS INT) AS val_last
+    FROM dims
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-codec path: a corpus of genuine baseline
+    grayscale JPEG streams (ITU-T T.81 — SOI/DQT/SOF0/DHT/SOS markers,
+    standard Annex-K Huffman tables, entropy-coded scan) built and
+    parsed by the pure-numpy codec in operators/multimodal.py, decoded
+    end-to-end in Arrow batches. The corpus images are grids of flat
+    8x8 blocks under an all-ones quant table, so quantization is exact
+    (DC-only spectra) and the md5-arithmetic oracle re-derives every
+    decoded pixel stat — a hash match proves the marker walk, Huffman
+    decode, differential-DC recovery, dequantization, and IDCT
+    reconstruct the exact payload. Lossy (AC-bearing) blocks are
+    pinned by pytest within the quantization error bound."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_media_stats,
+        jpeg_media_corpus,
+    )
+
+    return decode_media_stats(jpeg_media_corpus(spark, n=24))
+
+
+@query(
     "multimodal_pipeline",
     oracle="""
     WITH m AS (

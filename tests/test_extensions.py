@@ -257,6 +257,97 @@ def test_wav_codec_roundtrip_with_extra_chunks():
         multimodal.decode_wav(bytes(bad))
 
 
+def test_jpeg_codec_flat_blocks_roundtrip_exact():
+    """Baseline JPEG codec: flat 8x8 blocks under an all-ones quant
+    table have DC-only spectra, so the full encode -> Huffman/DCT ->
+    decode roundtrip must reconstruct EXACT pixel values — the
+    property the multimodal_jpeg_decode oracle relies on. Exercises
+    multi-block differential DC across the full value range."""
+    img = np.zeros((16, 24), dtype=np.int64)
+    vals = [0, 255, 17, 200, 128, 1]  # extremes stress DC categories
+    for j, v in enumerate(vals):
+        r, c = divmod(j, 3)
+        img[8 * r : 8 * r + 8, 8 * c : 8 * c + 8] = v
+    buf = multimodal.encode_jpeg_gray(img, quant=1)
+    w, h, px = multimodal.decode_jpeg_gray(buf)
+    assert (w, h) == (24, 16)
+    assert np.array_equal(px.reshape(16, 24), img)
+
+
+def test_jpeg_codec_ac_blocks_within_quant_bound():
+    """AC-bearing (non-flat) blocks are lossy: reconstruction must
+    stay within the quantization error bound. Rounding each of the 64
+    orthonormal-DCT coefficients by <= quant/2 perturbs any pixel by
+    <= 0.5*quant*sum|basis| <= 4*quant; assert that bound plus the
+    much tighter empirical behavior, and that coarser quant degrades
+    (i.e. the quant table is actually applied)."""
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.int64)
+    errs = {}
+    for quant in (1, 8):
+        buf = multimodal.encode_jpeg_gray(img, quant=quant)
+        w, h, px = multimodal.decode_jpeg_gray(buf)
+        assert (w, h) == (16, 16)
+        err = np.abs(px.reshape(16, 16).astype(np.int64) - img).max()
+        assert err <= 4 * quant + 1  # +1 for the final pixel rint
+        errs[quant] = err
+    assert errs[8] > errs[1]  # quant step genuinely applied
+
+
+def test_jpeg_codec_rejects_unsupported_variants():
+    """The decoder must REJECT what it does not implement rather than
+    mis-decode: progressive SOF2, restart intervals, truncated entropy
+    data, and non-JPEG bytes."""
+    img = np.full((8, 8), 100, dtype=np.int64)
+    buf = multimodal.encode_jpeg_gray(img, quant=1)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(b"notajpeg")
+    prog = bytearray(buf)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(bytes(prog))
+    import struct as st
+
+    dri = buf[:2] + b"\xff\xdd" + st.pack(">HH", 4, 8) + buf[2:]
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(dri)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(buf[:-4])  # truncated scan/EOI
+    # _decode_header dispatch: baseline JPEG yields dims without a
+    # full decode; progressive raises through the same walk
+    w, h, frames = multimodal._decode_header(buf)
+    assert (w, h, frames) == (8, 8, 1)
+    with pytest.raises(ValueError):
+        multimodal._decode_header(bytes(prog))
+
+
+def test_jpeg_corpus_query_registered_and_decodes(spark):
+    """multimodal_jpeg_decode is a first-class registry entry whose
+    Spark result equals the generator algebra (the oracle's claim,
+    re-derived here in Python for a library-level pin)."""
+    import hashlib
+
+    from dat_archive_map_reduce_spark.queries import ORACLE, QUERIES
+
+    assert "multimodal_jpeg_decode" in QUERIES
+    assert "multimodal_jpeg_decode" in ORACLE
+    rows = {r["media_id"]: r for r in
+            QUERIES["multimodal_jpeg_decode"](spark, SF).collect()}
+    assert len(rows) == 24
+    for i in (0, 7, 23):
+        hb = hashlib.md5(str(i).encode()).digest()
+        bw, bh = 1 + hb[0] % 4, 1 + hb[1] % 4
+        r = rows[i]
+        assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
+        assert r["n_vals"] == 64 * bw * bh
+        assert r["val_sum"] == 64 * sum(
+            (i * 17 + 29 * j) % 256 for j in range(bw * bh)
+        )
+        assert r["val_first"] == (i * 17) % 256
+        assert r["val_last"] == (i * 17 + 29 * (bw * bh - 1)) % 256
+
+
 def test_real_media_corpus_decodes_end_to_end(spark):
     """decode_media (the shared metadata stage) must handle REAL
     format bytes end-to-end — the round-4 capability gap: width/height
