@@ -399,11 +399,37 @@ class MapReduce:
         affected_keys.unpersist()
         return n_updates
 
+    def _prepare_view_updates(
+        self,
+        path,
+        log: DataFrame,
+        origin_starts: "dict[str, int]",
+    ) -> "tuple[DataFrame, dict[str, int]]":
+        """Latest-wins-compacted, CACHED updates plus per-origin counts
+        for one glob over a multi-origin micro-batch. Shareable across
+        every view watching the same glob at the same offsets (watch
+        groups them), so the compaction window and the count job run
+        once per distinct (glob, offsets) per batch, not once per
+        view. Caller unpersists the returned DataFrame."""
+        cond = None
+        for origin, start in origin_starts.items():
+            c = (F.col("origin") == origin) & (F.col("version") > F.lit(start))
+            cond = c if cond is None else cond | c
+        updates = latest_wins(glob_filter(log, path).filter(cond)).cache()
+        counts = {
+            r["origin"]: r["n"]
+            for r in updates.groupBy("origin")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return updates, counts
+
     def _apply_view_batch(
         self,
         vdef: ViewDefinition,
         log: DataFrame,
         origin_starts: "dict[str, int]",
+        prepared: "tuple[DataFrame, dict[str, int]] | None" = None,
     ) -> "dict[str, int]":
         """Watch-path merge for ONE view over a multi-origin
         micro-batch, paying each per-batch cost once instead of once
@@ -419,18 +445,11 @@ class MapReduce:
         """
         if not origin_starts:
             return {}
-        cond = None
-        for origin, start in origin_starts.items():
-            c = (F.col("origin") == origin) & (F.col("version") > F.lit(start))
-            cond = c if cond is None else cond | c
-        updates = latest_wins(glob_filter(log, vdef.path).filter(cond)).cache()
+        owns = prepared is None
+        if owns:
+            prepared = self._prepare_view_updates(vdef.path, log, origin_starts)
+        updates, counts = prepared
         try:
-            counts = {
-                r["origin"]: r["n"]
-                for r in updates.groupBy("origin")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
             if not counts:
                 return {}
             new_entries = run_map(
@@ -438,7 +457,12 @@ class MapReduce:
             ).cache()
             affected_parts = [new_entries.select("key_json")]
             try:
-                for origin in sorted(counts):
+                # materialize the mapped batch ONCE up front so the
+                # concurrent shard writes below all read the cache
+                # instead of racing to compute the Python stage
+                new_entries.count()
+
+                def _write_shard(origin: str) -> DataFrame:
                     ent_table = self._entries_table(vdef.name, origin)
                     old_entries = ent_table.read()
                     urls_o = updates.filter(F.col("origin") == origin).select("url")
@@ -447,21 +471,39 @@ class MapReduce:
                         old_entries["file_url"] == urls_o["url"],
                         "left_anti",
                     )
-                    affected_parts.append(
-                        old_entries.join(
-                            F.broadcast(urls_o),
-                            old_entries["file_url"] == urls_o["url"],
-                            "left_semi",
-                        ).select("key_json")
-                    )
+                    retracted = old_entries.join(
+                        F.broadcast(urls_o),
+                        old_entries["file_url"] == urls_o["url"],
+                        "left_semi",
+                    ).select("key_json")
                     # old_entries resolves the pre-overwrite snapshot
                     # DIRECTORY at read() time, so the lazy retracted-
-                    # keys plans above stay correct after this flip
+                    # keys plan stays correct after this flip
                     ent_table.overwrite(
                         surviving.unionByName(
                             new_entries.filter(F.col("origin") == origin)
                         ),
                         sort_cols=["key_json", "file_url", "emit_seq"],
+                    )
+                    return retracted
+
+                # shard writes touch DISJOINT origin directories, so
+                # they run as concurrent Spark jobs (thread-per-origin)
+                # — wall clock for N small writes is ~the slowest one,
+                # not the sum; on a cluster this is also what keeps a
+                # many-source batch from serializing on the driver
+                if len(counts) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(
+                        max_workers=min(len(counts), 8)
+                    ) as pool:
+                        affected_parts.extend(
+                            pool.map(_write_shard, sorted(counts))
+                        )
+                else:
+                    affected_parts.extend(
+                        _write_shard(o) for o in sorted(counts)
                     )
                 if vdef.reduce is not None:
                     keys = affected_parts[0]
@@ -474,7 +516,8 @@ class MapReduce:
             finally:
                 new_entries.unpersist()
         finally:
-            updates.unpersist()
+            if owns:
+                updates.unpersist()
 
     def _reaggregate(self, vdef: ViewDefinition, affected_keys: DataFrame) -> None:
         """Re-fold only affected keys, merge into the reduced table.

@@ -93,25 +93,46 @@ def watch(
                 else {}
             )
             offset_updates = []
-            for name, vdef in engine.views.items():
-                origin_starts = {}
-                for origin in origins:
-                    target = per_origin[origin]
-                    start = offsets.get((name, origin), 0)
-                    engine._emit(
-                        "archive-indexing", origin=origin, view=name, version=target
-                    )
-                    if target > start:
-                        origin_starts[origin] = start
-                        offset_updates.append((name, origin, target))
-                engine._apply_view_batch(vdef, batch_df, origin_starts)
-                for origin in origins:
-                    engine._emit(
-                        "archive-indexed",
-                        origin=origin,
-                        view=name,
-                        version=per_origin[origin],
-                    )
+            # views watching the SAME glob at the SAME offsets share
+            # one latest-wins compaction + count per batch (the first
+            # view computes it, later views reuse the cached result)
+            shared: dict = {}
+            try:
+                for name, vdef in engine.views.items():
+                    origin_starts = {}
+                    for origin in origins:
+                        target = per_origin[origin]
+                        start = offsets.get((name, origin), 0)
+                        engine._emit(
+                            "archive-indexing", origin=origin, view=name, version=target
+                        )
+                        if target > start:
+                            origin_starts[origin] = start
+                            offset_updates.append((name, origin, target))
+                    if origin_starts:
+                        path_key = (
+                            tuple(vdef.path)
+                            if isinstance(vdef.path, (list, tuple))
+                            else (vdef.path,)
+                        )
+                        key = (path_key, tuple(sorted(origin_starts.items())))
+                        if key not in shared:
+                            shared[key] = engine._prepare_view_updates(
+                                vdef.path, batch_df, origin_starts
+                            )
+                        engine._apply_view_batch(
+                            vdef, batch_df, origin_starts, prepared=shared[key]
+                        )
+                    for origin in origins:
+                        engine._emit(
+                            "archive-indexed",
+                            origin=origin,
+                            view=name,
+                            version=per_origin[origin],
+                        )
+            finally:
+                for upd, _ in shared.values():
+                    upd.unpersist()
             engine._set_offsets(offset_updates)
             for origin in origins:
                 engine._emit(
