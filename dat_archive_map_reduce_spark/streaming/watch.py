@@ -93,46 +93,70 @@ def watch(
                 else {}
             )
             offset_updates = []
-            # views watching the SAME glob at the SAME offsets share
-            # one latest-wins compaction + count per batch (the first
-            # view computes it, later views reuse the cached result)
+            # Pass 1 (driver-side planning): per-view offset gates +
+            # archive-indexing events. Views watching the SAME glob at
+            # the SAME offsets share one latest-wins compaction +
+            # count per batch.
+            plan = []  # (name, vdef, origin_starts, shared-key)
             shared: dict = {}
+            for name, vdef in engine.views.items():
+                origin_starts = {}
+                for origin in origins:
+                    target = per_origin[origin]
+                    start = offsets.get((name, origin), 0)
+                    engine._emit(
+                        "archive-indexing", origin=origin, view=name, version=target
+                    )
+                    if target > start:
+                        origin_starts[origin] = start
+                        offset_updates.append((name, origin, target))
+                key = None
+                if origin_starts:
+                    path_key = (
+                        tuple(vdef.path)
+                        if isinstance(vdef.path, (list, tuple))
+                        else (vdef.path,)
+                    )
+                    key = (path_key, tuple(sorted(origin_starts.items())))
+                    if key not in shared:
+                        shared[key] = engine._prepare_view_updates(
+                            vdef.path, batch_df, origin_starts
+                        )
+                plan.append((name, vdef, origin_starts, key))
+            # Pass 2: apply views CONCURRENTLY — each view's entries
+            # shards and reduced table are disjoint storage, so the
+            # merges run as parallel Spark jobs and a multi-view
+            # engine's batch wall is ~the slowest view, not the sum.
             try:
-                for name, vdef in engine.views.items():
-                    origin_starts = {}
-                    for origin in origins:
-                        target = per_origin[origin]
-                        start = offsets.get((name, origin), 0)
-                        engine._emit(
-                            "archive-indexing", origin=origin, view=name, version=target
-                        )
-                        if target > start:
-                            origin_starts[origin] = start
-                            offset_updates.append((name, origin, target))
-                    if origin_starts:
-                        path_key = (
-                            tuple(vdef.path)
-                            if isinstance(vdef.path, (list, tuple))
-                            else (vdef.path,)
-                        )
-                        key = (path_key, tuple(sorted(origin_starts.items())))
-                        if key not in shared:
-                            shared[key] = engine._prepare_view_updates(
-                                vdef.path, batch_df, origin_starts
+                todo = [t for t in plan if t[2]]
+                if len(todo) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=min(len(todo), 4)) as pool:
+                        list(
+                            pool.map(
+                                lambda t: engine._apply_view_batch(
+                                    t[1], batch_df, t[2], prepared=shared[t[3]]
+                                ),
+                                todo,
                             )
-                        engine._apply_view_batch(
-                            vdef, batch_df, origin_starts, prepared=shared[key]
                         )
-                    for origin in origins:
-                        engine._emit(
-                            "archive-indexed",
-                            origin=origin,
-                            view=name,
-                            version=per_origin[origin],
-                        )
+                elif todo:
+                    name, vdef, origin_starts, key = todo[0]
+                    engine._apply_view_batch(
+                        vdef, batch_df, origin_starts, prepared=shared[key]
+                    )
             finally:
                 for upd, _ in shared.values():
                     upd.unpersist()
+            for name, _, _, _ in plan:
+                for origin in origins:
+                    engine._emit(
+                        "archive-indexed",
+                        origin=origin,
+                        view=name,
+                        version=per_origin[origin],
+                    )
             engine._set_offsets(offset_updates)
             for origin in origins:
                 engine._emit(
