@@ -598,6 +598,33 @@ class MapReduce:
             on_batch=on_batch,
         )
 
+    def vacuum(self, keep_last: int = 2) -> "dict[str, list[int]]":
+        """Trim snapshot history across the whole warehouse: every
+        view's entry shards, every reduced table, and the offsets
+        table keep their newest ``keep_last`` versions (never the
+        current one). Returns {table root: versions removed}.
+
+        Operationally load-bearing for watch mode: every micro-batch
+        merge is a copy-on-write snapshot, so a continuous stream
+        grows history without bound — at 100 TB a day of 500 ms
+        batches is ~170k snapshot generations per table. The watch
+        path calls this every ``vacuum_every`` batches; the
+        ``keep_last`` floor preserves the crash-safety property (the
+        previous snapshot survives a mid-write failure) and bounded
+        time travel, which is the same retention trade-off a
+        lakehouse VACUUM makes."""
+        out: "dict[str, list[int]]" = {}
+        tables: list[VersionedTable] = [self.offsets]
+        for name in self.views:
+            tables.append(self._reduced_table(name))
+            for origin in self._known_origins():
+                tables.append(self._entries_table(name, origin))
+        for t in tables:
+            removed = t.vacuum(keep_last=keep_last)
+            if removed:
+                out[t.root] = removed
+        return out
+
     def close(self) -> None:
         """Stop every active watch stream and mark the engine closed
         (reference close(), index.js:62-77: detaches watchers and closes

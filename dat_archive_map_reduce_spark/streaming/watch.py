@@ -38,6 +38,8 @@ def watch(
     engine,
     trigger: dict | None = None,
     on_batch: Callable[[int, int], None] | None = None,
+    vacuum_every: int | None = 64,
+    vacuum_keep: int = 2,
 ):
     """Start continuous maintenance of all defined views.
 
@@ -46,6 +48,12 @@ def watch(
     defaults to availableNow (drain-and-stop, used by tests); pass
     ``{"processingTime": "500 milliseconds"}`` for the reference's
     debounce cadence.
+
+    ``vacuum_every``: every N processed batches, trim warehouse
+    snapshot history to ``vacuum_keep`` versions per table
+    (engine.vacuum) — without retention a continuous stream's
+    copy-on-write merges grow history without bound. None disables
+    (keep every snapshot; full time travel).
     """
     spark = engine.spark
     # The changelog is an AppendOnlyLog: ONE stable directory for the
@@ -57,6 +65,9 @@ def watch(
         .option("maxFilesPerTrigger", 64)
         .parquet(engine.changelog.root)
     )
+    # local counter, not batch_id: checkpointed batch ids keep rising
+    # across restarts, which would skew the vacuum cadence
+    batch_counter = [0]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # Per-batch fixed costs are the watch path's throughput ceiling
@@ -162,6 +173,10 @@ def watch(
                 engine._emit(
                     "indexes-updated", origin=origin, version=per_origin[origin]
                 )
+            if vacuum_every is not None:
+                batch_counter[0] += 1
+                if batch_counter[0] % vacuum_every == 0:
+                    engine.vacuum(keep_last=vacuum_keep)
             if on_batch is not None:
                 on_batch(batch_id, len(origins))
         finally:

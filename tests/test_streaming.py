@@ -114,6 +114,37 @@ def test_watch_batch_mixed_per_origin_offsets(spark, tmp_path):
     assert db.get("multi-reduced", "dat://w1") == {"key": "dat://w1", "value": 2}
 
 
+def test_watch_vacuum_bounds_snapshot_history(spark, tmp_path):
+    """Continuous maintenance must not grow snapshot history without
+    bound: with vacuum_every=1, repeated drains keep <= keep_last
+    versions per warehouse table while the current state stays
+    correct and crash-safe (the previous snapshot survives)."""
+    import glob as g
+
+    db = MapReduce(spark, str(tmp_path / "wh"))
+    db.define("multi", path="/multi/*.json", map=map_first, key_schema=["string"])
+    db.define("multi-reduced", path="/multi/*.json", map=map_origin_one,
+              reduce="count", key_schema=["string"])
+    for version in range(1, 4):  # three drains = three merge cycles
+        db.append_changes(rows_for(0, version=version, suffix=f"v{version}"))
+        q = W.watch(db, vacuum_every=1)
+        q.awaitTermination()
+    # state: only the last rewrite's keys live
+    assert db.get("multi", "first0v3") is not None
+    assert db.get("multi", "first0v1") is None
+    assert db.get("multi-reduced", "dat://w0") == {"key": "dat://w0", "value": 2}
+    # history: every versioned table dir holds <= 2 snapshot versions
+    for manifest in g.glob(str(tmp_path / "wh" / "**" / "_manifest.json"),
+                           recursive=True):
+        import os
+        root = os.path.dirname(manifest)
+        versions = [d for d in os.listdir(root)
+                    if d.startswith("v") and d[1:].isdigit()]
+        assert len(versions) <= 2, f"{root} kept {sorted(versions)}"
+    # default watch keeps time travel alive between vacuums
+    assert db.list("multi")  # still readable end-to-end
+
+
 def test_stream_windowed_counts_equals_batch(spark, tmp_path):
     """Tumbling-window counts over a real stream (availableNow) match
     the batch computation on the same data."""
