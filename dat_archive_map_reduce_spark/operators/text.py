@@ -1162,3 +1162,95 @@ def chunk_overlap(
         "chunk_len",
         "chunk_hash",
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style blocklist filtering (Raffel et al. 2020 §2.2 removed
+    any page containing a word from a fixed blocklist): per document,
+    the number of blocklisted token occurrences, the count of distinct
+    blocklist terms present, and the keep/drop decision.
+
+    Spark-first: the blocklist folds to one literal array, matching is
+    a whole-word array scan inside codegen — a map-only stage with no
+    shuffle and no Python, so the filter costs one corpus scan at any
+    scale. Whole-token equality (not substring) avoids the classic
+    scunthorpe false positive of substring blocklists.
+    """
+    words = F.split(F.col(text_col), " ")
+    bl = F.array(*[F.lit(t) for t in sorted(set(terms))])
+    n_hits = F.size(F.filter(words, lambda w: F.array_contains(bl, w)))
+    n_terms = F.size(F.array_intersect(words, bl))
+    out_cols = [F.col(id_col)] + [
+        F.col(c) for c in docs.columns if c not in (id_col, text_col)
+    ]
+    return docs.select(
+        *out_cols,
+        n_hits.cast("bigint").alias("n_hits"),
+        n_terms.cast("bigint").alias("n_matched_terms"),
+        (n_hits == 0).alias("kept"),
+    )
+
+
+def line_boilerplate_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 2,
+    hot_num: int = 1,
+    hot_den: int = 20,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal (Wenzek
+    et al. 2020 §3.1 drop duplicated paragraphs; Penedo et al. 2023
+    line-wise filtering): segment each document into lines, find lines
+    appearing in at least ``hot_num/hot_den`` of all documents
+    (boilerplate: headers, nav bars, cookie banners), and rewrite
+    every document without them. The synthetic corpus has no newlines,
+    so the deterministic segmenter is fixed ``words_per_line`` word
+    windows — the operator is segmentation-agnostic, the corpus-wide
+    count/remove machinery is the real subject.
+
+    Scale plan: one shuffle counts distinct docs per line (partial
+    agg), the qualifying hot set folds to ONE broadcast array row
+    (data, not plan nodes — the SemDeDup centroid-table pattern), and
+    the rewrite is a map-side array filter inside codegen. The
+    fractional threshold keeps the hot set small by definition: a
+    line in >=1/20 of documents is bounded by 20*words_per_line lines
+    of corpus-average length worth of candidates per document,
+    independent of corpus size. Returns (id, n_lines, n_removed,
+    text_clean).
+    """
+    words = F.split(F.col(text_col), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(words_per_line)).cast("int")
+    lines_expr = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda j: F.array_join(
+                F.slice(words, j * words_per_line + 1, words_per_line), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col), lines_expr.alias("lines"))
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    hot = (
+        base.select(id_col, F.explode("lines").alias("line"))
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("nd") * F.lit(hot_den) >= F.col("total") * F.lit(hot_num))
+        .agg(F.array_sort(F.collect_list("line")).alias("hot"))
+    )
+    is_hot = lambda line: F.array_contains(F.col("hot"), line)  # noqa: E731
+    return base.crossJoin(F.broadcast(hot)).select(
+        id_col,
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size(F.filter(F.col("lines"), is_hot)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.filter(F.col("lines"), lambda line: ~is_hot(line)), " "
+        ).alias("text_clean"),
+    )

@@ -3521,6 +3521,103 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_blocklist_filter",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['dup', 'slow', 'spill'], w))) AS n_hits
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(n_hits) AS BIGINT) AS n_hits_total,
+           round(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS drop_rate
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def corpus_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist filtering (operators/text.py::
+    blocklist_filter — Raffel et al. 2020 dropped any page containing
+    a blocklisted word), reported per source: docs scanned, docs a
+    whole-token blocklist match would drop, total hits, drop rate.
+    The list exercises all three cases on this corpus: a common term
+    ('slow'), a rare one ('dup'), and an absent one ('spill').
+    Map-only matching inside codegen + one tiny per-source rollup —
+    the whole filter is one corpus scan at any scale."""
+    from dat_archive_map_reduce_spark.operators.text import blocklist_filter
+
+    d = _t(spark, sf_dir, "documents")
+    per = blocklist_filter(d, ["dup", "slow", "spill"])
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((~F.col("kept")).cast("bigint")).alias("n_dropped"),
+            F.sum("n_hits").alias("n_hits_total"),
+            F.round(
+                F.sum((~F.col("kept")).cast("bigint")) / F.count(F.lit(1)), 4
+            ).alias("drop_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_line_dedup",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(string_split(text, ' ')) / 2.0) AS INT)),
+               j -> array_to_string(
+                 list_slice(string_split(text, ' '), 2 * j + 1, 2 * j + 2),
+                 ' ')) AS lines
+      FROM documents
+    ), hot AS (
+      SELECT coalesce(list(line ORDER BY line), []) AS hot
+      FROM (
+        SELECT line
+        FROM (SELECT doc_id, unnest(lines) AS line FROM l)
+        GROUP BY line
+        HAVING count(DISTINCT doc_id) * 20 >= (SELECT count(*) FROM documents)
+      )
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, y -> list_contains(h.hot, y)))
+                AS BIGINT) AS n_removed,
+           array_to_string(
+             list_filter(lines, y -> NOT list_contains(h.hot, y)), ' ')
+             AS text_clean
+    FROM l, hot h
+    """,
+)
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb line-level boilerplate removal
+    (operators/text.py::line_boilerplate_dedup): lines appearing in
+    >= 5% of ALL documents are boilerplate and get stripped from every
+    document. Segmenter here is deterministic 2-word windows (the
+    synthetic corpus has no newlines); the subject is the corpus-wide
+    machinery — one distinct-doc count shuffle per line, the hot set
+    folded to ONE broadcast array row, map-side rewrite in codegen.
+    The 5% threshold genuinely bites at both gate SFs (the mean
+    2-word line sits in ~3% of docs, so only the hot tail crosses).
+    The oracle replays segmentation, threshold, and rewrite exactly."""
+    from dat_archive_map_reduce_spark.operators.text import (
+        line_boilerplate_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return line_boilerplate_dedup(
+        d, words_per_line=2, hot_num=1, hot_den=20
+    )
+
+
 # =====================================================================
 # G. TPC-H completion — the remaining 13 query shapes (2, 4, 9, 11,
 #    12, 13, 15, 16, 17, 19, 20, 21, 22), adapted to this schema

@@ -1700,6 +1700,45 @@ def test_driver_green_rounds_orders_stalest_first(tmp_path):
     assert green == {"q_old_green": 3, "q_new_green": 5}
 
 
+def test_blocklist_filter_whole_token_semantics(spark):
+    """Whole-token blocklist matching: counts every occurrence, no
+    substring false positives (the scunthorpe problem), extra columns
+    pass through, clean docs keep kept=True."""
+    df = spark.createDataFrame(
+        [(1, "bad stuff bad", "s1"), (2, "badge of honor", "s1"),
+         (3, "all clean here", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["doc_id"]: r for r in
+            TX.blocklist_filter(df, ["bad", "evil"]).collect()}
+    assert rows[1]["n_hits"] == 2 and rows[1]["n_matched_terms"] == 1
+    assert not rows[1]["kept"]
+    assert rows[2]["n_hits"] == 0 and rows[2]["kept"]  # 'badge' != 'bad'
+    assert rows[3]["kept"] and rows[3]["source"] == "s2"
+
+
+def test_line_boilerplate_dedup_removes_planted_banner(spark):
+    """A planted boilerplate line present in >= hot fraction of docs
+    is stripped from EVERY doc; unique lines survive; counts are
+    exact; a doc made entirely of boilerplate becomes empty."""
+    docs = [(i, f"cookie banner unique{i} text{i}") for i in range(9)]
+    docs.append((9, "cookie banner"))  # pure boilerplate doc
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.line_boilerplate_dedup(
+        df, words_per_line=2, hot_num=1, hot_den=2).collect()}
+    assert len(out) == 10
+    for i in range(9):
+        assert out[i]["n_lines"] == 2 and out[i]["n_removed"] == 1
+        assert out[i]["text_clean"] == f"unique{i} text{i}"
+    assert out[9]["n_removed"] == 1 and out[9]["text_clean"] == ""
+    # below-threshold corpus: nothing removed (hot set empty array)
+    quiet = TX.line_boilerplate_dedup(
+        spark.createDataFrame([(1, "a b c d"), (2, "e f g h")],
+                              "doc_id long, text string"),
+        words_per_line=2, hot_num=9, hot_den=10)
+    assert all(r["n_removed"] == 0 for r in quiet.collect())
+
+
 def test_gate_window_clamps_partial_round_files():
     """A truncated/corrupt CORRECTNESS file (or one full of retired
     names) must not silently shrink the hashed window and move the
