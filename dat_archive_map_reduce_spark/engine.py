@@ -327,59 +327,68 @@ class MapReduce:
         self.offsets.overwrite(self.spark.createDataFrame(cur, OFFSETS_SCHEMA))
 
     # -- the core merge: retract-then-add + re-aggregate ------------
+    def _merge_entry_shard(
+        self, vdef: ViewDefinition, origin: str, updates: DataFrame, new_entries: DataFrame
+    ) -> DataFrame:
+        """THE retract-then-add merge of one (view, origin) entries
+        shard — the single implementation both the batch path
+        (_apply_entry_updates) and the watch path (_apply_view_batch)
+        go through, so retraction semantics cannot diverge between
+        them. Retracts every entry derived from a file in ``updates``
+        (provenance anti-join on file_url, lib/view.js:126-148),
+        appends ``new_entries``, writes the shard. Returns the LAZY
+        retracted-keys DataFrame; its plan resolves the pre-overwrite
+        snapshot DIRECTORY at read() time, so it stays correct after
+        the pointer flip. ``updates``/``new_entries`` must already be
+        restricted to this origin."""
+        ent_table = self._entries_table(vdef.name, origin)
+        affected_urls = updates.select("url")
+        old_entries = ent_table.read()
+        surviving = old_entries.join(
+            F.broadcast(affected_urls),
+            old_entries["file_url"] == affected_urls["url"],
+            "left_anti",
+        )
+        retracted_keys = old_entries.join(
+            F.broadcast(affected_urls),
+            old_entries["file_url"] == affected_urls["url"],
+            "left_semi",
+        ).select("key_json")
+        ent_table.overwrite(
+            surviving.unionByName(new_entries),
+            sort_cols=["key_json", "file_url", "emit_seq"],
+        )
+        return retracted_keys
+
     def _apply_entry_updates(
         self, vdef: ViewDefinition, origin: str, updates: DataFrame
     ) -> "tuple[int, DataFrame | None]":
-        """The entries half of the merge for one (view, origin):
-        retract every entry derived from an updated file, map the new
-        'put' contents, write the origin shard. Returns (n file
-        updates applied, CACHED affected-keys DataFrame or None if the
-        batch was empty) — the caller owns re-aggregation scope and
-        must unpersist the keys. Split out so watch mode can apply
-        several origins' entry deltas and then re-fold the reduced
-        table ONCE per view per micro-batch instead of once per
-        (view, origin) cycle.
+        """The entries half of the merge for one (view, origin): map
+        the new 'put' contents and run the shard merge. Returns (n
+        file updates applied, CACHED affected-keys DataFrame or None
+        if the batch was empty) — the caller owns re-aggregation
+        scope and must unpersist the keys. Used by the single-origin
+        batch paths (index/index_file/unindex_file); watch mode's
+        multi-origin analog is _apply_view_batch.
         """
-        key_types = vdef.key_types()
-        ent_table = self._entries_table(vdef.name, origin)
-
         updates = updates.cache()
         try:
             n_updates = updates.count()
             if n_updates == 0:
                 return 0, None
-            affected_urls = updates.select("url")
-
-            old_entries = ent_table.read()
-            # provenance-based retraction: drop all rows whose file_url
-            # is in this batch (lib/view.js:126-148) — an anti-join,
-            # broadcast because the update batch is the small side
-            surviving = old_entries.join(
-                F.broadcast(affected_urls),
-                old_entries["file_url"] == affected_urls["url"],
-                "left_anti",
+            new_entries = run_map(
+                updates.filter(F.col("type") == "put"), vdef.map, vdef.key_types()
             )
-            new_entries = run_map(updates.filter(F.col("type") == "put"), vdef.map, key_types)
-
+            retracted_keys = self._merge_entry_shard(vdef, origin, updates, new_entries)
             # keys touched now or before: the re-aggregation scope
             # (old keys ∪ new keys, lib/indexer.js:228,273-274)
-            retracted_keys = (
-                old_entries.join(
-                    F.broadcast(affected_urls),
-                    old_entries["file_url"] == affected_urls["url"],
-                    "left_semi",
-                ).select("key_json")
+            affected_keys = (
+                retracted_keys.union(new_entries.select("key_json")).distinct().cache()
             )
-            new_keys = new_entries.select("key_json")
-            affected_keys = retracted_keys.union(new_keys).distinct().cache()
-
-            # old_entries reads the pre-overwrite snapshot DIRECTORY
-            # (resolved at read() time), so the lazy affected_keys plan
-            # stays correct after the pointer flips below
-            ent_table.overwrite(
-                surviving.unionByName(new_entries),
-                sort_cols=["key_json", "file_url", "emit_seq"],
-            )
+            # fill the keys cache NOW, while ``updates`` is still
+            # cached — materializing lazily after the finally below
+            # would re-run the map UDF from the raw changelog
+            affected_keys.count()
             return n_updates, affected_keys
         finally:
             updates.unpersist()
@@ -463,29 +472,12 @@ class MapReduce:
                 new_entries.count()
 
                 def _write_shard(origin: str) -> DataFrame:
-                    ent_table = self._entries_table(vdef.name, origin)
-                    old_entries = ent_table.read()
-                    urls_o = updates.filter(F.col("origin") == origin).select("url")
-                    surviving = old_entries.join(
-                        F.broadcast(urls_o),
-                        old_entries["file_url"] == urls_o["url"],
-                        "left_anti",
+                    return self._merge_entry_shard(
+                        vdef,
+                        origin,
+                        updates.filter(F.col("origin") == origin),
+                        new_entries.filter(F.col("origin") == origin),
                     )
-                    retracted = old_entries.join(
-                        F.broadcast(urls_o),
-                        old_entries["file_url"] == urls_o["url"],
-                        "left_semi",
-                    ).select("key_json")
-                    # old_entries resolves the pre-overwrite snapshot
-                    # DIRECTORY at read() time, so the lazy retracted-
-                    # keys plan stays correct after this flip
-                    ent_table.overwrite(
-                        surviving.unionByName(
-                            new_entries.filter(F.col("origin") == origin)
-                        ),
-                        sort_cols=["key_json", "file_url", "emit_seq"],
-                    )
-                    return retracted
 
                 # shard writes touch DISJOINT origin directories, so
                 # they run as concurrent Spark jobs (thread-per-origin)
@@ -582,11 +574,19 @@ class MapReduce:
         self._indexed_origins.discard(origin)
 
     # -- continuous maintenance / lifecycle -------------------------
-    def watch_views(self, trigger: dict | None = None, on_batch=None):
+    def watch_views(
+        self,
+        trigger: dict | None = None,
+        on_batch=None,
+        vacuum_every: int | None = None,
+        vacuum_keep: int = 2,
+    ):
         """Start (once) the continuous view-maintenance stream over the
         changelog (reference watch mode, lib/indexer.js:67-87). Returns
         the active StreamingQuery. Idempotent: a second call returns
-        the already-running stream."""
+        the already-running stream. ``vacuum_every``/``vacuum_keep``
+        opt into periodic snapshot-history trimming (see
+        streaming.watch.watch)."""
         for q in self._active_streams:
             if q.isActive:
                 return q
@@ -596,6 +596,8 @@ class MapReduce:
             self,
             trigger=trigger or {"processingTime": "500 milliseconds"},
             on_batch=on_batch,
+            vacuum_every=vacuum_every,
+            vacuum_keep=vacuum_keep,
         )
 
     def vacuum(self, keep_last: int = 2) -> "dict[str, list[int]]":

@@ -433,20 +433,31 @@ def decode_jpeg_gray(content: bytes) -> "tuple[int, int, np.ndarray]":
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: 0xFF fill bytes may pad in front of any marker
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(buf):
+            break
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break
         (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
         body = buf[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             bpos = 0
             while bpos < len(body):
                 pq, tq = body[bpos] >> 4, body[bpos] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if bpos + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 qtabs[tq] = list(body[bpos + 1 : bpos + 65])
                 bpos += 65
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8 or ncomp != 1:
                 raise ValueError("only 8-bit single-component baseline")
@@ -461,6 +472,8 @@ def decode_jpeg_gray(content: bytes) -> "tuple[int, int, np.ndarray]":
                 tc, th = body[bpos] >> 4, body[bpos] & 0x0F
                 bits = body[bpos + 1 : bpos + 17]
                 nvals = sum(bits)
+                if bpos + 17 + nvals > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = body[bpos + 17 : bpos + 17 + nvals]
                 codes = _jpeg_canonical_codes(tuple(bits), tuple(vals))
                 huff[(tc, th)] = {(c, n): sym for sym, (c, n) in codes.items()}
@@ -549,8 +562,16 @@ def _decode_header(content: bytes) -> tuple[int, int, int]:
         while pos + 4 <= len(buf):
             if buf[pos] != 0xFF:
                 raise ValueError("JPEG marker expected")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # the marker code
+            while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 4 > len(buf):
+                break
             marker = buf[pos + 1]
             if marker == 0xC0:
+                if pos + 10 > len(buf):
+                    raise ValueError("truncated SOF0 segment")
                 _, hh, ww, _ = struct.unpack(">BHHB", buf[pos + 4 : pos + 10])
                 return ww, hh, 1
             if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):

@@ -7570,16 +7570,19 @@ def _driver_seen_rounds(
 def _gate_window(rounds: "list[tuple[int, dict]]") -> int:
     """The driver's hashed-window size, read off the newest committed
     round file (every observed round checked exactly its leading N
-    registry entries). Fresh clone -> fallback. Only rows naming a
-    currently-registered query count, and a size that deviates wildly
-    from the observed driver behavior (a truncated round file, a future
-    metadata key) falls back rather than silently moving the no-oracle
-    slot boundary."""
+    registry entries). Fresh clone -> fallback. The clamp is
+    ASYMMETRIC because only undercounting is dangerous: a window
+    believed too small parks deferred no-oracle queries INSIDE the
+    driver's real hashed window, violating the one-slot budget, while
+    a window believed too large just defers them further out. So a
+    truncated round file (or one full of since-renamed names — row
+    count, not name matching, is what's measured) never shrinks the
+    window below the observed driver behavior, and absurd growth
+    (corrupt file / future metadata keys) falls back too."""
     if not rounds:
         return _GATE_WINDOW_FALLBACK
-    n = sum(1 for name in rounds[-1][1] if name in QUERIES)
-    lo, hi = _GATE_WINDOW_FALLBACK // 2, _GATE_WINDOW_FALLBACK * 2
-    return n if lo <= n <= hi else _GATE_WINDOW_FALLBACK
+    n = len(rounds[-1][1])
+    return n if _GATE_WINDOW_FALLBACK <= n <= _GATE_WINDOW_FALLBACK * 2 else _GATE_WINDOW_FALLBACK
 
 
 def _reorder_registry() -> None:

@@ -38,7 +38,7 @@ def watch(
     engine,
     trigger: dict | None = None,
     on_batch: Callable[[int, int], None] | None = None,
-    vacuum_every: int | None = 64,
+    vacuum_every: int | None = None,
     vacuum_keep: int = 2,
 ):
     """Start continuous maintenance of all defined views.
@@ -52,8 +52,11 @@ def watch(
     ``vacuum_every``: every N processed batches, trim warehouse
     snapshot history to ``vacuum_keep`` versions per table
     (engine.vacuum) — without retention a continuous stream's
-    copy-on-write merges grow history without bound. None disables
-    (keep every snapshot; full time travel).
+    copy-on-write merges grow history without bound, so long-running
+    production watches should set this. Default None keeps every
+    snapshot (full time travel, and no risk of deleting a snapshot
+    directory out from under a concurrent long-running read — opt in
+    with a keep_last sized to the longest concurrent reader).
     """
     spark = engine.spark
     # The changelog is an AppendOnlyLog: ONE stable directory for the
@@ -104,22 +107,30 @@ def watch(
                 else {}
             )
             offset_updates = []
-            # Pass 1 (driver-side planning): per-view offset gates +
-            # archive-indexing events. Views watching the SAME glob at
-            # the SAME offsets share one latest-wins compaction +
-            # count per batch.
+            # Pass 1 (driver-side planning). The offsets table is
+            # PROGRESS METADATA here, never a row filter: the parquet
+            # file stream already delivers each changelog file exactly
+            # once, so gating rows on version > stored offset would
+            # silently DROP data whenever one version's files span
+            # micro-batches (the offset advances after the first
+            # slice; the second slice then fails the gate). Every row
+            # of the batch applies. Re-delivery happens only on batch
+            # replay or a fresh checkpoint over an already-indexed
+            # warehouse — both converge, because the merge is
+            # retract-then-add and in-batch latest-wins keeps the
+            # newest version. Views watching the SAME glob share one
+            # compaction per batch. start=-1 admits version-0 rows
+            # (directory-corpus imports use version=0 puts).
             plan = []  # (name, vdef, origin_starts, shared-key)
             shared: dict = {}
             for name, vdef in engine.views.items():
-                origin_starts = {}
+                origin_starts = {origin: -1 for origin in origins}
                 for origin in origins:
                     target = per_origin[origin]
-                    start = offsets.get((name, origin), 0)
                     engine._emit(
                         "archive-indexing", origin=origin, view=name, version=target
                     )
-                    if target > start:
-                        origin_starts[origin] = start
+                    if target > offsets.get((name, origin), 0):
                         offset_updates.append((name, origin, target))
                 key = None
                 if origin_starts:

@@ -314,12 +314,23 @@ def test_jpeg_codec_rejects_unsupported_variants():
         multimodal.decode_jpeg_gray(dri)
     with pytest.raises(ValueError):
         multimodal.decode_jpeg_gray(buf[:-4])  # truncated scan/EOI
+    # truncation INSIDE a marker segment must raise ValueError, never
+    # struct.error (the contractual malformed-JPEG signal)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(buf[: sof + 5])
+    # T.81 B.1.1.2 fill bytes: 0xFF padding before a marker is legal
+    padded = buf[:2] + b"\xff\xff" + buf[2:]
+    w, h, px = multimodal.decode_jpeg_gray(padded)
+    assert (w, h) == (8, 8) and px[0] == 100
     # _decode_header dispatch: baseline JPEG yields dims without a
     # full decode; progressive raises through the same walk
     w, h, frames = multimodal._decode_header(buf)
     assert (w, h, frames) == (8, 8, 1)
     with pytest.raises(ValueError):
         multimodal._decode_header(bytes(prog))
+    with pytest.raises(ValueError):
+        multimodal._decode_header(buf[: sof + 5])
+    assert multimodal._decode_header(padded) == (8, 8, 1)
 
 
 def test_jpeg_corpus_query_registered_and_decodes(spark):
@@ -1740,18 +1751,26 @@ def test_line_boilerplate_dedup_removes_planted_banner(spark):
 
 
 def test_gate_window_clamps_partial_round_files():
-    """A truncated/corrupt CORRECTNESS file (or one full of retired
-    names) must not silently shrink the hashed window and move the
-    no-oracle slot boundary: only registered names count, and a wild
-    deviation falls back to the observed driver default."""
+    """A truncated/corrupt CORRECTNESS file must never SHRINK the
+    hashed window below the observed driver behavior (an undercount
+    parks deferred no-oracle queries inside the driver's real window,
+    violating the one-slot budget); plausible growth is trusted,
+    absurd growth falls back. Renamed/retired names in the newest
+    round file must not shrink it either — row count is what's
+    measured, not name matching."""
     import dat_archive_map_reduce_spark.queries as Q
 
-    assert Q._gate_window([]) == Q._GATE_WINDOW_FALLBACK
-    junk = [(9, {"not_a_query": {}, "also_not_one": {}})]
-    assert Q._gate_window(junk) == Q._GATE_WINDOW_FALLBACK
-    names = list(Q.QUERIES)[:40]
-    plausible = [(9, {n: {} for n in names})]
-    assert Q._gate_window(plausible) == 40
+    fb = Q._GATE_WINDOW_FALLBACK
+    assert Q._gate_window([]) == fb
+    truncated = [(9, {f"q{i}": {} for i in range(7)})]
+    assert Q._gate_window(truncated) == fb
+    # a full window of since-renamed names still counts as 50 rows
+    renamed = [(9, {f"retired_q{i}": {} for i in range(fb)})]
+    assert Q._gate_window(renamed) == fb
+    grown = [(9, {f"q{i}": {} for i in range(fb + 10)})]
+    assert Q._gate_window(grown) == fb + 10
+    absurd = [(9, {f"q{i}": {} for i in range(fb * 5)})]
+    assert Q._gate_window(absurd) == fb
 
 
 def test_char_entropy_empty_doc_matches_oracle_absence(spark):

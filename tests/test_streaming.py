@@ -86,12 +86,13 @@ def test_watch_incremental_update_retracts(spark, tmp_path):
 
 
 def test_watch_batch_mixed_per_origin_offsets(spark, tmp_path):
-    """One micro-batch carrying origins at DIFFERENT offsets: the
-    view-batch merge's per-origin start predicate must apply only
-    rows above each origin's own offset — an already-indexed origin's
-    replayed v1 rows must not re-apply (idempotence), while a fresh
-    origin's v1 rows must. Pins the when-chain in
-    engine._apply_view_batch."""
+    """One micro-batch carrying a batch-indexed origin's re-delivered
+    v1 files, its v2 rewrite, AND a fresh origin's v1 files: watch
+    applies every batch row (offsets are progress metadata, never a
+    row filter — version-gating would drop rows when one version's
+    files span micro-batches) and must still CONVERGE: in-batch
+    latest-wins supersedes the re-delivered v1 with v2, retraction is
+    idempotent, and per-origin counts stay exact."""
     db = MapReduce(spark, str(tmp_path / "wh"))
     db.define("multi", path="/multi/*.json", map=map_first, key_schema=["string"])
     db.define("multi-reduced", path="/multi/*.json", map=map_origin_one,
@@ -112,6 +113,36 @@ def test_watch_batch_mixed_per_origin_offsets(spark, tmp_path):
     # reduced counts: per-origin entry counts stay exact
     assert db.get("multi-reduced", "dat://w0") == {"key": "dat://w0", "value": 2}
     assert db.get("multi-reduced", "dat://w1") == {"key": "dat://w1", "value": 2}
+
+
+def test_watch_same_version_files_span_batches(spark, tmp_path):
+    """A single-version backfill whose files outnumber one trigger's
+    file cap spans several micro-batches. EVERY row must apply: if the
+    stored offset acted as a row filter, the first batch would advance
+    it to the version and the remaining batches' same-version rows
+    would be silently dropped — permanent data loss."""
+    db = MapReduce(spark, str(tmp_path / "wh"))
+    db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    db.define("vr", path="/d/*.json", map=map_origin_one,
+              reduce="count", key_schema=["string"])
+    n = 0
+    # one part file per non-empty partition per append; write enough
+    # appends to exceed the 64-file trigger cap at any parallelism
+    per_append = spark.sparkContext.defaultParallelism
+    for chunk in range(64 // per_append + 1):
+        db.append_changes([
+            {"origin": "dat://big", "pathname": f"/d/{chunk}-{i}.json",
+             "version": 1,
+             "content": json.dumps({"first": f"k{chunk}-{i}", "second": i,
+                                    "third": "x"})}
+            for i in range(per_append)
+        ])
+        n += per_append
+    batches = []
+    q = W.watch(db, on_batch=lambda bid, nn: batches.append(bid))
+    q.awaitTermination()
+    assert len(batches) >= 2, "setup must span multiple micro-batches"
+    assert db.get("vr", "dat://big") == {"key": "dat://big", "value": n}
 
 
 def test_watch_vacuum_bounds_snapshot_history(spark, tmp_path):
