@@ -1237,10 +1237,14 @@ def line_boilerplate_dedup(
     ).otherwise(F.array().cast("array<string>"))
     base = docs.select(F.col(id_col), lines_expr.alias("lines"))
     total = docs.agg(F.count(F.lit(1)).alias("total"))
+    # distinct docs per line == plain count after per-doc array_distinct:
+    # the shuffle then carries (line, partial count) rows with full
+    # map-side combine instead of expanding (line, doc_id) pairs
+    # through a two-exchange distinct aggregate.
     hot = (
-        base.select(id_col, F.explode("lines").alias("line"))
+        base.select(F.explode(F.array_distinct("lines")).alias("line"))
         .groupBy("line")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .agg(F.count(F.lit(1)).alias("nd"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("nd") * F.lit(hot_den) >= F.col("total") * F.lit(hot_num))
         .agg(F.array_sort(F.collect_list("line")).alias("hot"))
