@@ -1258,3 +1258,53 @@ def line_boilerplate_dedup(
             F.filter(F.col("lines"), lambda line: ~is_hot(line)), " "
         ).alias("text_clean"),
     )
+
+
+# Structured-PII pattern classes. The subset of regex syntax used here
+# (literal classes, bounded quantifiers, escaped metachars — no
+# word-boundary \b, no lookaround, no backreferences) has identical
+# match semantics under Java regex (Spark) and RE2 (DuckDB, Go), so an
+# engine-portable oracle can replay the scrub bit-for-bit.
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\+\d{2}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
+def pii_redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: "list[tuple[str, str, str]] | None" = None,
+) -> DataFrame:
+    """Structured-PII detection + masking, the pre-training scrub pass
+    every public web corpus runs (ROOTS, Laurencon et al. 2022 §PII;
+    RefinedWeb, Penedo et al. 2023 — emails/IPs/phones replaced with
+    class tokens rather than dropped so surrounding text survives).
+
+    Per document: one count per PII class measured on the ORIGINAL
+    text, plus ``text_clean`` with every match replaced by its class
+    token. Replacements apply in declaration order (email before ip
+    before phone) so an earlier class's token can never be chewed up
+    by a later pattern.
+
+    Spark-first: counts are ``regexp_extract_all`` sizes and the scrub
+    is chained ``regexp_replace`` — all inside one codegen'd map-only
+    projection, no shuffle, no Python; the filter costs one corpus
+    scan at any scale, exactly like ``blocklist_filter``.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    clean = F.col(text_col)
+    counts = []
+    for cname, pat, token in pats:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("bigint")
+            .alias(f"n_{cname}")
+        )
+        clean = F.regexp_replace(clean, pat, token)
+    out_cols = [F.col(id_col)] + [
+        F.col(c) for c in docs.columns if c not in (id_col, text_col)
+    ]
+    return docs.select(*out_cols, *counts, clean.alias("text_clean"))

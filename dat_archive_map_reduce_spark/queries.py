@@ -3618,6 +3618,105 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_pii_redact",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, text, md5(doc_id || ':pii') AS h FROM documents
+    ), v AS (
+      SELECT doc_id, text, h,
+             list_transform(range(1, 33), i ->
+               strpos('0123456789abcdef',
+                      substr(h, CAST(i AS INT), 1)) - 1) AS hv
+      FROM b
+    ), aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN hv[26] % 2 = 0
+                THEN ' user' || substr(h, 1, 6)
+                     || '@mail' || substr(h, 7, 2) || '.com'
+                ELSE '' END
+             || CASE WHEN hv[27] % 2 = 0
+                THEN ' ' || (hv[9] * 16 + hv[10]) || '.'
+                         || (hv[11] * 16 + hv[12]) || '.'
+                         || (hv[13] * 16 + hv[14]) || '.'
+                         || (hv[15] * 16 + hv[16])
+                ELSE '' END
+             || CASE WHEN hv[28] % 2 = 0
+                THEN ' +' || hv[17] % 10 || hv[18] % 10 || '-'
+                          || hv[19] % 10 || hv[20] % 10 || hv[21] % 10
+                    || '-' || hv[22] % 10 || hv[23] % 10
+                          || hv[24] % 10 || hv[25] % 10
+                ELSE '' END AS text
+      FROM v
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(text,
+             '\+\d{2}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+             '\+\d{2}-\d{3}-\d{4}', '<PHONE>', 'g') AS text_clean
+    FROM aug
+    """,
+)
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-PII scrub (operators/text.py::pii_redact): email /
+    IPv4 / phone matches counted on the raw text and masked with class
+    tokens — the ROOTS/RefinedWeb pre-training scrub pass. The
+    synthetic corpus carries no organic PII, so the proof follows the
+    multimodal pattern: each document deterministically injects
+    0-3 PII strings derived from md5(doc_id || ':pii') (presence
+    flags and every address/digit arithmetically derived from hex
+    nibbles), and the oracle re-derives the injections AND replays the
+    regex scrub — the hash gate proves detection counts, masking, and
+    pattern-order semantics simultaneously. Patterns stay inside the
+    Java-regex/RE2 common subset so both engines match identically;
+    the whole query is one codegen'd map-only projection (counts via
+    regexp_extract_all, scrub via chained regexp_replace), no shuffle,
+    no Python — one corpus scan at any scale."""
+    from dat_archive_map_reduce_spark.operators.text import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pii")))
+
+    def hexv(i: int, n: int = 1) -> F.Column:
+        return F.conv(F.substring(h, i, n), 16, 10).cast("int")
+
+    def dig(i: int) -> F.Column:
+        return (hexv(i) % 10).cast("string")
+
+    email = F.concat(
+        F.lit("user"), F.substring(h, 1, 6),
+        F.lit("@mail"), F.substring(h, 7, 2), F.lit(".com"),
+    )
+    ip = F.concat_ws(
+        ".",
+        hexv(9, 2).cast("string"), hexv(11, 2).cast("string"),
+        hexv(13, 2).cast("string"), hexv(15, 2).cast("string"),
+    )
+    phone = F.concat(
+        F.lit("+"), dig(17), dig(18),
+        F.lit("-"), dig(19), dig(20), dig(21),
+        F.lit("-"), dig(22), dig(23), dig(24), dig(25),
+    )
+    aug = F.concat(
+        F.col("text"),
+        F.when(hexv(26) % 2 == 0, F.concat(F.lit(" "), email)).otherwise(F.lit("")),
+        F.when(hexv(27) % 2 == 0, F.concat(F.lit(" "), ip)).otherwise(F.lit("")),
+        F.when(hexv(28) % 2 == 0, F.concat(F.lit(" "), phone)).otherwise(F.lit("")),
+    )
+    return pii_redact(d.select("doc_id", aug.alias("text")))
+
+
 # =====================================================================
 # G. TPC-H completion — the remaining 13 query shapes (2, 4, 9, 11,
 #    12, 13, 15, 16, 17, 19, 20, 21, 22), adapted to this schema

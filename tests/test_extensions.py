@@ -1845,3 +1845,44 @@ def test_codec_rejects_16bit_ppm_and_truncated_wav_chunk():
     wav[data_pos + 4 : data_pos + 8] = st.pack("<I", 4096)
     with pytest.raises(ValueError, match="truncated WAV chunk"):
         multimodal.decode_wav(bytes(wav))
+
+
+def test_pii_redact_masks_and_counts(spark):
+    """Planted email/IP/phone strings are counted on the raw text and
+    masked with class tokens; clean docs pass through untouched; the
+    scrub is idempotent (class tokens match no pattern); extra columns
+    survive."""
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.org today", "s1"),
+            (2, "server 10.0.255.7 and 192.168.1.1 up", "s1"),
+            (3, "call +49-555-0199 or +12-345-6789 now", "s2"),
+            (4, "nothing sensitive here at all", "s2"),
+            (5, "a@b.io pings 8.8.8.8 from +11-222-3333", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in TX.pii_redact(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ip"] == 0
+    assert out[1]["text_clean"] == "mail me at <EMAIL> today"
+    assert out[2]["n_ip"] == 2
+    assert out[2]["text_clean"] == "server <IP> and <IP> up"
+    assert out[3]["n_phone"] == 2
+    assert out[3]["text_clean"] == "call <PHONE> or <PHONE> now"
+    assert out[4]["n_email"] == out[4]["n_ip"] == out[4]["n_phone"] == 0
+    assert out[4]["text_clean"] == "nothing sensitive here at all"
+    assert (
+        out[5]["n_email"] == out[5]["n_ip"] == out[5]["n_phone"] == 1
+        and out[5]["text_clean"] == "<EMAIL> pings <IP> from <PHONE>"
+    )
+    assert out[5]["source"] == "s3"
+    # idempotence: a second pass over cleaned text changes nothing
+    again = TX.pii_redact(
+        spark.createDataFrame(
+            [(r["doc_id"], r["text_clean"]) for r in out.values()],
+            "doc_id long, text string",
+        )
+    ).collect()
+    for r in again:
+        assert r["n_email"] == r["n_ip"] == r["n_phone"] == 0
+        assert r["text_clean"] == out[r["doc_id"]]["text_clean"]
