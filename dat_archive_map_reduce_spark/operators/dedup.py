@@ -1058,3 +1058,105 @@ def incremental_span_counts(
         .groupBy("h")
         .agg(F.sum("n_docs").alias("n_docs"))
     )
+
+
+def _bloom_positions(value: F.Column, k: int, m_bits: int) -> F.Column:
+    """k independent bit positions for one value: position j is the
+    first 8 hex chars of md5(j ':' value) folded to an int mod m_bits
+    — pure arithmetic on the digest, so an engine-portable oracle can
+    replay every position exactly."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), value)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % m_bits
+            ).cast("int")
+            for j in range(k)
+        ]
+    )
+
+
+def _bit_mask(bit: F.Column, bits_per_word: int) -> F.Column:
+    """``1 << bit`` as an element_at lookup into a literal mask array
+    (the Python shiftleft wrapper only takes an int literal for the
+    shift amount; a 32-entry literal array works inside higher-order
+    lambdas too and constant-folds into the codegen references)."""
+    masks = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(bits_per_word)]
+    )
+    return F.element_at(masks, bit.cast("int") + 1)
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = 4,
+    m_words: int = 64,
+    bits_per_word: int = 32,
+) -> DataFrame:
+    """Fold a column into a Bloom filter (Bloom 1970): ONE row holding
+    the filter as a word_idx -> word map. Each value sets k bits; a
+    word packs ``bits_per_word`` bits of a BIGINT (32 by default so no
+    shift ever touches the sign bit — DuckDB raises on BIGINT shift
+    overflow, Java wraps; staying under bit 62 keeps both engines
+    identical). The whole build is explode -> partial-combined bit_or
+    -> one-row map fold: shuffle traffic is bounded by m_words rows
+    regardless of corpus size, and the finished filter broadcasts as
+    a single map value (m_words * 8 bytes — KBs for any practical m).
+    """
+    m_bits = m_words * bits_per_word
+    pos = F.explode(
+        F.array_distinct(_bloom_positions(F.col(value_col), k, m_bits))
+    ).alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / bits_per_word).cast("int").alias("word_idx"),
+            _bit_mask(F.col("pos") % bits_per_word, bits_per_word).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("word_idx", "word")))
+            ).alias("bloom")
+        )
+    )
+    return words
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    k: int = 4,
+    m_words: int = 64,
+    bits_per_word: int = 32,
+    hit_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test against a built filter: the one-row filter map
+    broadcasts onto the probe scan and each probe checks its k bits
+    map-side — zero shuffle on the probe table, the incremental-dedup
+    first pass at any scale (only bloom-positive probes go on to exact
+    verification). No false negatives by construction; false-positive
+    rate is the standard (1 - e^(-kn/m))^k.
+    """
+    m_bits = m_words * bits_per_word
+    positions = _bloom_positions(F.col(value_col), k, m_bits)
+    bit_set = lambda p: (  # noqa: E731
+        F.coalesce(
+            F.element_at(F.col("bloom"), (p / bits_per_word).cast("int")),
+            F.lit(0).cast("long"),
+        ).bitwiseAND(_bit_mask(p % bits_per_word, bits_per_word))
+        != 0
+    )
+    return df.crossJoin(F.broadcast(bloom)).select(
+        *[F.col(c) for c in df.columns],
+        F.forall(positions, bit_set).alias(hit_col),
+    )

@@ -3717,6 +3717,109 @@ def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(d.select("doc_id", aug.alias("text")))
 
 
+@query(
+    "dedup_bloom_prefilter",
+    oracle=r"""
+    WITH dg AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(string_split(text, ' '), 1, 8), ' ')) AS digest
+      FROM documents
+    ), probe AS (
+      SELECT doc_id, digest FROM dg WHERE doc_id % 10 = 7
+    ), build AS (
+      SELECT DISTINCT digest FROM dg WHERE doc_id % 10 <> 7
+    ), bbits AS (
+      SELECT digest, unnest(list_transform(range(0, 4), j ->
+        CAST(list_reduce(list_transform(range(1, 9), i ->
+          CAST(strpos('0123456789abcdef',
+               substr(md5(j || ':' || digest), CAST(i AS INT), 1)) - 1
+               AS BIGINT)),
+          (a, b) -> a * 16 + b) % 2048 AS INT))) AS p
+      FROM build
+    ), words AS (
+      SELECT p // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (p % 32)) AS word
+      FROM bbits GROUP BY 1
+    ), pbits AS (
+      SELECT doc_id, digest, unnest(list_transform(range(0, 4), j ->
+        CAST(list_reduce(list_transform(range(1, 9), i ->
+          CAST(strpos('0123456789abcdef',
+               substr(md5(j || ':' || digest), CAST(i AS INT), 1)) - 1
+               AS BIGINT)),
+          (a, b) -> a * 16 + b) % 2048 AS INT))) AS p
+      FROM probe
+    ), checks AS (
+      SELECT pb.doc_id, pb.digest,
+             (coalesce(w.word, 0)
+              & (CAST(1 AS BIGINT) << (pb.p % 32))) <> 0 AS hit
+      FROM pbits pb LEFT JOIN words w ON pb.p // 32 = w.word_idx
+    )
+    SELECT c.doc_id,
+           bool_and(c.hit) AS bloom_hit,
+           max(c.digest IN (SELECT digest FROM build)) AS exact_dup
+    FROM checks c
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter dedup pre-filter (operators/dedup.py::bloom_build /
+    bloom_probe), the classic incremental-dedup first pass: fold the
+    existing corpus's content digests into a 2048-bit filter (64 words
+    x 32 bits, k=4 md5-derived positions), broadcast it as ONE map row,
+    and test each new-batch document map-side — only bloom-positive
+    probes proceed to exact verification, so the exact join touches a
+    constant fraction of the batch. Probe set = doc_id % 10 = 7, build
+    = the rest.
+
+    The engine emits exact_dup = false for bloom-NEGATIVE probes
+    without ever joining them, while the oracle computes ground truth
+    (digest IN build) for every probe — so the hash match doubles as a
+    machine-checked proof of the filter's no-false-negatives
+    guarantee. bloom_hit > exact_dup rows are the sketch's false
+    positives (rate (1 - e^(-kn/m))^k), also replayed exactly.
+
+    Scale shape: build is explode -> partial-combined bit_or with
+    shuffle traffic bounded by 64 rows regardless of corpus size;
+    probe is a zero-shuffle broadcast scan."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # 8-token prefix fingerprint — the dedup_keep_best_canonical
+    # blocking key; coarse enough that true collisions exist at every
+    # gate SF, so the exact_dup column is genuinely exercised
+    digest = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    ).alias("digest")
+    probe = d.filter(F.col("doc_id") % 10 == 7).select("doc_id", digest)
+    build = d.filter(F.col("doc_id") % 10 != 7).select(digest)
+    bloom = bloom_build(build, "digest")
+    probed = bloom_probe(probe, "digest", bloom)
+    build_digests = build.distinct().withColumn("known", F.lit(True))
+    # bloom-NEGATIVE probes get a NULL join key, so they flow past the
+    # exact-verify join matching nothing — one pass, no union branch
+    # re-executing the filter build, and the join only ever probes for
+    # bloom-positive digests (the pre-filter contract)
+    keyed = probed.withColumn(
+        "jkey", F.when(F.col("bloom_hit"), F.col("digest"))
+    )
+    return (
+        keyed.join(
+            F.broadcast(build_digests.withColumnRenamed("digest", "jkey")),
+            "jkey",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce("known", F.lit(False)).alias("exact_dup"),
+        )
+    )
+
+
 # =====================================================================
 # G. TPC-H completion — the remaining 13 query shapes (2, 4, 9, 11,
 #    12, 13, 15, 16, 17, 19, 20, 21, 22), adapted to this schema

@@ -1886,3 +1886,30 @@ def test_pii_redact_masks_and_counts(spark):
     for r in again:
         assert r["n_email"] == r["n_ip"] == r["n_phone"] == 0
         assert r["text_clean"] == out[r["doc_id"]]["text_clean"]
+
+
+def test_bloom_filter_no_false_negatives_and_bit_packing(spark):
+    """Every value folded into the filter MUST probe positive (the
+    Bloom guarantee); unseen values mostly probe negative; the filter
+    is one map row whose words stay within 32 low bits (no sign-bit
+    shifts, the DuckDB-compatible packing)."""
+    build = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(200)], "digest string"
+    )
+    bloom = dedup.bloom_build(build, "digest")
+    brow = bloom.collect()
+    assert len(brow) == 1
+    words = brow[0]["bloom"]
+    assert all(0 <= w < (1 << 32) for w in words.values())
+    assert all(0 <= idx < 64 for idx in words.keys())
+    # members: all k bits set, bloom_hit true for every build value
+    hits = dedup.bloom_probe(build, "digest", bloom).collect()
+    assert all(r["bloom_hit"] for r in hits)
+    # fresh values: mostly negative at this load factor (n=200,
+    # m=2048, k=4 -> fp ~ 2.4%); assert a safe bound, and that at
+    # least one negative exists so the probe path is exercised
+    fresh = spark.createDataFrame(
+        [(f"new-{i}",) for i in range(200)], "digest string"
+    )
+    fp = [r["bloom_hit"] for r in dedup.bloom_probe(fresh, "digest", bloom).collect()]
+    assert sum(fp) < 40 and not all(fp)
