@@ -1308,3 +1308,147 @@ def pii_redact(
         F.col(c) for c in docs.columns if c not in (id_col, text_col)
     ]
     return docs.select(*out_cols, *counts, clean.alias("text_clean"))
+
+
+def logreg_train_hashed(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = 64,
+    lr: float = 4.0,
+    n_rounds: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed batch-gradient-descent training of a hashed-feature
+    logistic-regression quality classifier — the classifier-based
+    document filter of the GPT-3/LLaMA-style pipelines (Brown et al.
+    2020 §A; Touvron et al. 2023: classify pages against a quality
+    target, keep by score), trained INSIDE the engine instead of
+    exported to a separate ML system.
+
+    Features are hashed unigram frequencies: token -> md5 bucket in
+    [0, n_buckets), x = in-doc count / token count (the DSIR hashing
+    trick, dsir_weights), plus a constant bias feature at bucket -1.
+    Model state is a WEIGHT TABLE (bucket, w) — the kmeans_
+    train_distributed centroid-table pattern: weights never exist as
+    plan literals or driver vectors, every round is
+
+        z_d   = sum_b w_b x_db          (broadcast join on bucket)
+        p_d   = sigmoid(z_d)
+        g_b   = sum_d (p_d - y_d) x_db / N
+        w_b'  = round(w_b - lr * g_b, 6)
+
+    i.e. 2 shuffles per round at (doc, bucket) grain plus a
+    metadata-sized weight update; the 6-decimal per-round weight
+    rounding is exactly what makes the chained recurrence replayable
+    by an engine-portable SQL oracle (the kmeans precedent). Weights
+    start at 0, so round 1's p is exactly 0.5 — the oracle's first
+    round is closed-form. Returns the final (bucket, weight) table,
+    bias at bucket -1.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(label_col).cast("double").alias("y"),
+        toks.alias("t"),
+    ).withColumn("n_tok", F.greatest(F.size("t"), F.lit(1)))
+    feats = (
+        base.select("doc", "y", "n_tok", F.explode("t").alias("tok"))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
+                % n_buckets
+            ).cast("int"),
+        )
+        .groupBy("doc", "y", "n_tok", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "doc", "y", "bucket", (F.col("cnt") / F.col("n_tok")).alias("x")
+        )
+        .unionByName(
+            base.select(
+                "doc", "y", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")
+            )
+        )
+        .persist()
+    )
+    n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
+    spark = docs.sparkSession
+    weights = spark.range(-1, n_buckets).select(
+        F.col("id").cast("int").alias("bucket"), F.lit(0.0).alias("w")
+    )
+    for _ in range(n_rounds):
+        resid = (
+            feats.join(F.broadcast(weights), "bucket", "left")
+            .groupBy("doc", "y")
+            .agg(
+                F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("z")
+            )
+            .select(
+                "doc",
+                (
+                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
+                ).alias("r"),
+            )
+        )
+        grads = (
+            feats.join(resid, "doc")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("r") * F.col("x")).alias("gsum"))
+            .crossJoin(n_docs)
+            .select("bucket", (F.col("gsum") / F.col("n_docs")).alias("g"))
+        )
+        weights = (
+            weights.join(grads, "bucket", "left")
+            .select(
+                "bucket",
+                F.round(
+                    F.col("w") - F.lit(lr) * F.coalesce("g", F.lit(0.0)), 6
+                ).alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    feats.unpersist()
+    return weights
+
+
+def logreg_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serve a trained hashed-feature logistic model: per document the
+    sigmoid quality score from the broadcast (bucket, w) table — one
+    (doc, bucket) aggregation plus a broadcast join, no driver state."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col).alias("doc"), toks.alias("t")
+    ).withColumn("n_tok", F.greatest(F.size("t"), F.lit(1)))
+    feats = (
+        base.select("doc", "n_tok", F.explode("t").alias("tok"))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
+                % n_buckets
+            ).cast("int"),
+        )
+        .groupBy("doc", "n_tok", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("doc", "bucket", (F.col("cnt") / F.col("n_tok")).alias("x"))
+        .unionByName(
+            base.select("doc", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"))
+        )
+    )
+    return (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc")
+        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("z"))
+        .select(
+            F.col("doc").alias(id_col),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("score"),
+        )
+    )

@@ -3820,6 +3820,78 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_quality_classifier_train",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             string_split(lower(text), ' ') AS t
+      FROM documents
+    ), nb AS (
+      SELECT doc, y, greatest(len(t), 1) AS n_tok, t FROM base
+    ), bf AS (
+      SELECT doc, y, n_tok,
+             CAST(list_reduce(list_transform(range(1, 5), i ->
+               CAST(strpos('0123456789abcdef',
+                    substr(md5(tok), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 64 AS INT) AS bucket
+      FROM (SELECT doc, y, n_tok, unnest(t) AS tok FROM nb)
+    ), feats AS (
+      SELECT doc, y, bucket, count(*) / n_tok AS x
+      FROM bf GROUP BY doc, y, n_tok, bucket
+      UNION ALL
+      SELECT doc, y, -1 AS bucket, 1.0 AS x FROM nb
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), g1 AS (
+      SELECT bucket, sum((0.5 - y) * x) / (SELECT n_docs FROM n) AS g
+      FROM feats GROUP BY bucket
+    ), w1 AS (
+      SELECT b.bucket, round(0.0 - 4.0 * coalesce(g1.g, 0), 6) AS w
+      FROM (SELECT unnest(range(-1, 64)) AS bucket) b
+      LEFT JOIN g1 USING (bucket)
+    ), z2 AS (
+      SELECT f.doc, f.y, sum(coalesce(w1.w, 0) * f.x) AS z
+      FROM feats f LEFT JOIN w1 USING (bucket)
+      GROUP BY f.doc, f.y
+    ), r2 AS (
+      SELECT doc, 1.0 / (1.0 + exp(-z)) - y AS r FROM z2
+    ), g2 AS (
+      SELECT f.bucket, sum(r2.r * f.x) / (SELECT n_docs FROM n) AS g
+      FROM feats f JOIN r2 USING (doc) GROUP BY f.bucket
+    )
+    SELECT CAST(w1.bucket AS INT) AS bucket,
+           round(w1.w - 4.0 * coalesce(g2.g, 0), 6) AS weight
+    FROM w1 LEFT JOIN g2 USING (bucket)
+    """,
+)
+def corpus_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed in-engine training of the classifier-based quality
+    filter (operators/text.py::logreg_train_hashed): two chained
+    batch-gradient-descent rounds of hashed-unigram logistic
+    regression against the lang=='en' target — the GPT-3/LLaMA
+    pipeline step that scores every page against a quality reference.
+    Model state is a weight TABLE updated via broadcast joins (the
+    kmeans_train_distributed centroid-table pattern — no plan
+    literals, no driver vectors); each round is two (doc, bucket)-
+    grain shuffles plus a 65-row metadata update. Zero-init makes
+    round 1's sigmoid exactly 0.5, and per-round 6-decimal weight
+    rounding makes the full recurrence engine-portable: the oracle
+    replays featurization, both gradient steps, and the chained
+    rounding bit-for-bit. Output: the trained (bucket, weight) table,
+    bias at bucket -1."""
+    from dat_archive_map_reduce_spark.operators.text import (
+        logreg_train_hashed,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w = logreg_train_hashed(d, "y", n_buckets=64, lr=4.0, n_rounds=2)
+    return w.select("bucket", F.col("w").alias("weight"))
+
+
 # =====================================================================
 # G. TPC-H completion — the remaining 13 query shapes (2, 4, 9, 11,
 #    12, 13, 15, 16, 17, 19, 20, 21, 22), adapted to this schema

@@ -1913,3 +1913,29 @@ def test_bloom_filter_no_false_negatives_and_bit_packing(spark):
     )
     fp = [r["bloom_hit"] for r in dedup.bloom_probe(fresh, "digest", bloom).collect()]
     assert sum(fp) < 40 and not all(fp)
+
+
+def test_logreg_train_learns_separable_labels(spark):
+    """On a linearly separable corpus (positives and negatives use
+    disjoint vocabularies) batch GD must rank every positive above
+    every negative after a few rounds, the bias must track the class
+    prior, and scoring is pure serving (no label column needed)."""
+    pos = [(i, 1.0, "good clean quality prose text") for i in range(20)]
+    neg = [(100 + i, 0.0, "spam junk casino pills scam") for i in range(20)]
+    df = spark.createDataFrame(pos + neg, "doc_id long, y double, text string")
+    w = TX.logreg_train_hashed(df, "y", n_buckets=32, lr=4.0, n_rounds=4)
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in TX.logreg_score(df, w, n_buckets=32).collect()
+    }
+    lo_pos = min(scores[i] for i, _, _ in pos)
+    hi_neg = max(scores[i] for i, _, _ in neg)
+    assert lo_pos > hi_neg, (lo_pos, hi_neg)
+    assert lo_pos > 0.5 and hi_neg < 0.5
+    # weight table shape: one row per bucket plus the bias at -1
+    rows = {r["bucket"]: r["w"] for r in w.collect()}
+    assert set(rows) == set(range(-1, 32))
+    # balanced classes, symmetric vocab -> bias stays near zero while
+    # feature weights separate
+    assert abs(rows[-1]) < 0.5
+    assert any(abs(v) > 0.05 for b, v in rows.items() if b >= 0)
