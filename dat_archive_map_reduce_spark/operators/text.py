@@ -1452,3 +1452,42 @@ def logreg_score(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("score"),
         )
     )
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "url_canon",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """URL canonicalization, the normalize-before-dedup step of every
+    web-corpus pipeline (C4 deduplicated at URL level; Common Crawl
+    processing strips tracking decoration so syntactic variants of one
+    page collapse): drop the #fragment, drop tracking parameters
+    (utm_*, gclid, fbclid), drop a slash left dangling before the
+    query or at the end, drop a leading www., and lowercase the
+    scheme+host span (paths stay case-sensitive). Adds the canonical
+    URL and its registered domain.
+
+    All steps are chained regexp_replace + group-indexed
+    regexp_extract — a map-only codegen projection, no shuffle. The
+    patterns avoid lookahead (RE2 has none); the single capture-group
+    REPLACEMENT (re-anchoring a dangling '&' after param removal) is
+    spelled $1 in Java and \\1 in RE2 — an engine-portable oracle
+    transliterates that one token and replays everything else
+    verbatim.
+    """
+    c = F.col(url_col)
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(c, r"[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*", "")
+    # a removed leading '?param' may leave '&next' dangling
+    c = F.regexp_replace(c, r"^([^?]*)&", r"$1?")
+    c = F.regexp_replace(c, r"/\?", "?")  # slash before query
+    c = F.regexp_replace(c, r"/$", "")  # trailing slash
+    # lowercase scheme+host BEFORE the www. strip so WWW. is caught too
+    head = F.regexp_extract(c, r"^[a-zA-Z]+://[^/?]+", 0)
+    c = F.concat(F.lower(head), F.substring(c, F.length(head) + 1, 1 << 30))
+    c = F.regexp_replace(c, r"://www\.", "://")
+    return df.withColumn(out_col, c).withColumn(
+        domain_col, F.regexp_extract(F.col(out_col), r"://([^/?]+)", 1)
+    )

@@ -3892,6 +3892,142 @@ def corpus_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFra
     return w.select("bucket", F.col("w").alias("weight"))
 
 
+@query(
+    "corpus_url_canonicalize",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, md5(doc_id || ':url') AS h FROM documents
+    ), v AS (
+      SELECT doc_id, h,
+             list_transform(range(1, 17), i ->
+               strpos('0123456789abcdef',
+                      substr(h, CAST(i AS INT), 1)) - 1) AS hv
+      FROM b
+    ), raw AS (
+      SELECT doc_id,
+             'https://'
+             || CASE WHEN hv[2] % 2 = 0
+                THEN upper(CASE WHEN hv[1] % 2 = 0 THEN 'www.' ELSE '' END
+                           || 'site' || (hv[3] * 16 + hv[4]) % 16 || '.com')
+                ELSE CASE WHEN hv[1] % 2 = 0 THEN 'www.' ELSE '' END
+                     || 'site' || (hv[3] * 16 + hv[4]) % 16 || '.com' END
+             || '/p/' || substr(h, 5, 4)
+             || CASE WHEN hv[9] % 2 = 0 THEN '/' ELSE '' END
+             || CASE WHEN hv[5] % 2 = 0 THEN '?id=' || hv[6] ELSE '' END
+             || CASE WHEN hv[7] % 2 = 0
+                THEN CASE WHEN hv[5] % 2 = 0 THEN '&' ELSE '?' END
+                     || CASE WHEN hv[8] % 2 = 0
+                        THEN 'utm_source' ELSE 'utm_medium' END
+                     || '=' || substr(h, 8, 2)
+                ELSE '' END
+             || CASE WHEN hv[10] % 2 = 0 THEN '#s' || hv[11] ELSE '' END
+               AS url
+      FROM v
+    ), c1 AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '#.*$', '', 'g'),
+                     '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*', '', 'g'),
+                   '^([^?]*)&', '\1?'),
+                 '/\?', '?', 'g'),
+               '/$', '', 'g') AS u
+      FROM raw
+    ), c2 AS (
+      SELECT doc_id,
+             regexp_replace(
+               lower(regexp_extract(u, '^[a-zA-Z]+://[^/?]+'))
+                 || substr(u, length(regexp_extract(u, '^[a-zA-Z]+://[^/?]+')) + 1),
+               '://www\.', '://', 'g') AS url_canon
+      FROM c1
+    ), d AS (
+      SELECT doc_id, url_canon,
+             regexp_extract(url_canon, '://([^/?]+)', 1) AS domain
+      FROM c2
+    )
+    SELECT doc_id, domain, url_canon,
+           CAST(row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+                AS BIGINT) AS rank_in_domain,
+           CAST(count(*) OVER (PARTITION BY domain) AS BIGINT)
+             AS n_in_domain,
+           row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= 2
+             AS kept
+    FROM d
+    """,
+)
+def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-domain document caps
+    (operators/text.py::url_canonicalize) — the normalize-then-cap
+    step of web-corpus curation (C4's URL-level dedup; domain caps
+    against boilerplate-heavy hosts). The corpus has no URL column, so
+    each document derives a synthetic URL from md5(doc_id || ':url')
+    hex nibbles with every noise class the canonicalizer must undo:
+    optional WWW., randomly uppercased hosts, dangling/trailing
+    slashes, utm_* tracking params in both '?' and '&' position, and
+    #fragments — while a real '?id=' param must SURVIVE. 16 domains
+    ensure the cap=2 genuinely bites at every gate SF. The oracle
+    re-derives the synthetic URLs and replays each canonicalization
+    regex (one $1 -> \\1 transliteration, see the operator docstring).
+    Canonicalization is a map-only codegen projection; the cap is one
+    window over the domain partitioning (domain cardinality grows with
+    the corpus, so partitions stay bounded at scale)."""
+    from dat_archive_map_reduce_spark.operators.text import url_canonicalize
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":url")))
+
+    def hexv(i: int, n: int = 1) -> F.Column:
+        return F.conv(F.substring(h, i, n), 16, 10).cast("int")
+
+    host = F.concat(
+        F.when(hexv(1) % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (hexv(3, 2) % 16).cast("string"),
+        F.lit(".com"),
+    )
+    host = F.when(hexv(2) % 2 == 0, F.upper(host)).otherwise(host)
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/p/"),
+        F.substring(h, 5, 4),
+        F.when(hexv(9) % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            hexv(5) % 2 == 0,
+            F.concat(F.lit("?id="), hexv(6).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            hexv(7) % 2 == 0,
+            F.concat(
+                F.when(hexv(5) % 2 == 0, F.lit("&")).otherwise(F.lit("?")),
+                F.when(hexv(8) % 2 == 0, F.lit("utm_source")).otherwise(
+                    F.lit("utm_medium")
+                ),
+                F.lit("="),
+                F.substring(h, 8, 2),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            hexv(10) % 2 == 0,
+            F.concat(F.lit("#s"), hexv(11).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    canon = url_canonicalize(d.select("doc_id", url.alias("url")))
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    wc = Window.partitionBy("domain")
+    return canon.select(
+        "doc_id",
+        "domain",
+        "url_canon",
+        F.row_number().over(w).cast("bigint").alias("rank_in_domain"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_in_domain"),
+        (F.row_number().over(w) <= 2).alias("kept"),
+    )
+
+
 # =====================================================================
 # G. TPC-H completion — the remaining 13 query shapes (2, 4, 9, 11,
 #    12, 13, 15, 16, 17, 19, 20, 21, 22), adapted to this schema

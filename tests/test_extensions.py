@@ -1939,3 +1939,39 @@ def test_logreg_train_learns_separable_labels(spark):
     # feature weights separate
     assert abs(rows[-1]) < 0.5
     assert any(abs(v) > 0.05 for b, v in rows.items() if b >= 0)
+
+
+def test_url_canonicalize_noise_classes(spark):
+    """Each noise class collapses: WWW./www. strip (any case),
+    host lowercased while the PATH keeps its case, tracking params
+    dropped from both '?' and '&' positions (a real param survives
+    and is re-anchored to '?'), fragments and dangling/trailing
+    slashes removed; an already-canonical URL is a fixed point."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.Site7.COM/p/AB12/?utm_source=x#frag"),
+            (2, "https://site3.com/p/cd34?id=5&utm_medium=y"),
+            (3, "https://site1.com/p/ef56?utm_campaign=z&id=9"),
+            (4, "http://Site9.com/P/Keep/"),
+            (5, "https://site2.com/a/b?id=1&x=2"),
+            (6, "https://site4.com/p/77aa?gclid=abc"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in TX.url_canonicalize(df).collect()}
+    assert out[1]["url_canon"] == "https://site7.com/p/AB12"
+    assert out[1]["domain"] == "site7.com"
+    assert out[2]["url_canon"] == "https://site3.com/p/cd34?id=5"
+    assert out[3]["url_canon"] == "https://site1.com/p/ef56?id=9"
+    assert out[4]["url_canon"] == "http://site9.com/P/Keep"
+    assert out[5]["url_canon"] == "https://site2.com/a/b?id=1&x=2"
+    assert out[6]["url_canon"] == "https://site4.com/p/77aa"
+    # idempotence: canonicalizing canonical output changes nothing
+    again = TX.url_canonicalize(
+        spark.createDataFrame(
+            [(k, r["url_canon"]) for k, r in out.items()],
+            "doc_id long, url string",
+        )
+    ).collect()
+    for r in again:
+        assert r["url_canon"] == out[r["doc_id"]]["url_canon"]
