@@ -165,3 +165,75 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     return comps.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Distributed PageRank (Page et al. 1999) with the rank TABLE as
+    state — the kmeans centroid-table pattern applied to an iterative
+    graph algorithm. Per iteration: each node sends rank/outdegree
+    along its out-edges (one key-join shuffle + one dst aggregation
+    shuffle, both with map-side partial combine), dangling mass and
+    node count fold to 1-row broadcast scalars, and the new rank is
+
+        r'(v) = (1-d)/n + d * (sum_in contribs(v) + dangling_mass/n)
+
+    Multi-edges contribute once each (they also count in outdegree),
+    so a weighted graph encodes as repeated edges.
+
+    Engine portability: each iteration's ranks round to
+    ``round_digits`` decimals — the same per-round quantization that
+    makes the distributed-kmeans chain replay exactly in a SQL oracle
+    (sum-order float drift is ~1e-16 relative, orders of magnitude
+    under the 1e-9 quantum, so both engines land on identical
+    quantized ranks every round).
+
+    Scale shape: ranks never exist driver-side or as plan literals;
+    plan lineage grows linearly in ``n_iter`` (bounded, like the
+    Lloyd rounds) — for deep iteration counts callers should
+    localCheckpoint every ~10 rounds. 2 data-sized shuffles per
+    iteration at any graph size.
+    """
+    n1 = nodes.select(F.col(node_col).alias("node"))
+    tot = n1.agg(F.count(F.lit(1)).alias("n"))
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = n1.crossJoin(F.broadcast(tot)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), round_digits).alias("rank")
+    )
+    d = F.lit(float(damping))
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        dangling = (
+            ranks.join(
+                outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            n1.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (F.lit(1.0) - d) / F.col("n")
+                    + d
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n")),
+                    round_digits,
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -1491,3 +1491,81 @@ def url_canonicalize(
     return df.withColumn(out_col, c).withColumn(
         domain_col, F.regexp_extract(F.col(out_col), r"://([^/?]+)", 1)
     )
+
+
+FUNNEL_STAGES: "list[tuple[int, str, str]]" = [
+    (1, "words", "ok_words"),
+    (2, "mean_word_length", "ok_mwl"),
+    (3, "alpha_fraction", "ok_alpha"),
+    (4, "symbol_ratio", "ok_symbol"),
+    (5, "stopwords", "ok_stop"),
+]
+
+
+def filter_funnel(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-stage attrition report for the Gopher quality-filter chain —
+    the funnel table every production pretraining pipeline publishes
+    (Dolma, RefinedWeb, FineWeb all report per-rule document attrition
+    so threshold changes are reviewable). Each document is attributed
+    to its FIRST failing rule in the fixed stage order, so stages
+    compose: stage i's n_in is the survivors of stages < i.
+
+    Returns one row per stage: (stage_idx, stage, n_in, n_dropped,
+    n_out), ordered by stage_idx.
+
+    Scale shape: one corpus scan computes the first-fail stage
+    map-side (the gopher_rules narrow projection + a CASE chain), ONE
+    count shuffle groups by stage (<= 6 distinct keys, full partial
+    combine), and the funnel prefix sum runs over the <= 6-row count
+    table — the established SinglePartition-over-metadata pattern
+    (ntile offsets, dsir totals). Corpus-sized work is exactly the
+    scan.
+    """
+    from pyspark.sql import Window as W
+
+    g = gopher_rules(df, text_col, id_col)
+    first_fail = F.lit(0)
+    for idx, _, flag in reversed(FUNNEL_STAGES):
+        first_fail = F.when(~F.col(flag), F.lit(idx)).otherwise(first_fail)
+    counts = (
+        g.select(first_fail.alias("stage_idx"))
+        .groupBy("stage_idx")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+        # both the per-stage join and the total fold read this <= 6-row
+        # table; the eager checkpoint pins it so the corpus scans
+        # exactly once (Catalyst does not reuse the exchange across the
+        # two different parent aggregates)
+        .localCheckpoint(eager=True)
+    )
+    # stage 0 = kept docs lives in the count table too, so the grand
+    # total folds from it without touching the corpus again
+    total = counts.agg(F.sum("n_dropped").alias("total"))
+    spark = df.sparkSession
+    stages = spark.createDataFrame(
+        [(i, name) for i, name, _ in FUNNEL_STAGES],
+        "stage_idx int, stage string",
+    )
+    prior = W.orderBy("stage_idx").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        stages.join(counts, "stage_idx", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "stage_idx",
+            "stage",
+            F.col("total"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .select(
+            "stage_idx",
+            "stage",
+            (
+                F.col("total")
+                - F.coalesce(F.sum("n_dropped").over(prior), F.lit(0))
+            ).alias("n_in"),
+            F.col("n_dropped"),
+        )
+        .withColumn("n_out", F.col("n_in") - F.col("n_dropped"))
+        .orderBy("stage_idx")
+    )

@@ -7822,6 +7822,187 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_filter_funnel",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, string_split(lower(text), ' ') AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             list_reduce(list_transform(t, w -> len(w)), (a, b) -> a + b)
+               / greatest(len(t), 1) AS mean_wl,
+             len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+               / greatest(len(t), 1) AS alpha_frac,
+             (len(text) - len(replace(text, '#', ''))
+              + (len(text) - len(replace(text, '...', ''))) / 3)
+               / greatest(len(t), 1) AS symbol_ratio,
+             len(list_filter(t, w -> list_contains(
+               ['the','a','an','and','or','of','to','is','in','on','for'],
+               w))) AS stop_hits
+      FROM base
+    ), ff AS (
+      SELECT CASE
+               WHEN NOT (n_words >= 30 AND n_words <= 100000) THEN 1
+               WHEN NOT (mean_wl >= 3 AND mean_wl <= 10) THEN 2
+               WHEN NOT (alpha_frac >= 0.8) THEN 3
+               WHEN NOT (symbol_ratio <= 0.1) THEN 4
+               WHEN NOT (stop_hits >= 2) THEN 5
+               ELSE 0 END AS stage_idx
+      FROM s
+    ), cnt AS (
+      SELECT stage_idx, count(*) AS n_dropped FROM ff GROUP BY 1
+    ), tot AS (SELECT count(*) AS total FROM ff),
+    stages AS (
+      SELECT * FROM (VALUES
+        (1, 'words'), (2, 'mean_word_length'), (3, 'alpha_fraction'),
+        (4, 'symbol_ratio'), (5, 'stopwords')) AS v(stage_idx, stage)
+    ), f AS (
+      SELECT st.stage_idx, st.stage,
+             coalesce(c.n_dropped, 0) AS n_dropped, t.total
+      FROM stages st LEFT JOIN cnt c USING (stage_idx) CROSS JOIN tot t
+    )
+    SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+           CAST(total - coalesce(sum(n_dropped) OVER (
+                  ORDER BY stage_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_in,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(total - coalesce(sum(n_dropped) OVER (
+                  ORDER BY stage_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                - n_dropped AS BIGINT) AS n_out
+    FROM f ORDER BY stage_idx
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter attrition funnel
+    (operators/text.py::filter_funnel): every document attributed to
+    its FIRST failing Gopher rule in fixed stage order, reported as
+    the per-stage (n_in, n_dropped, n_out) table Dolma / RefinedWeb /
+    FineWeb publish so threshold changes are reviewable. One corpus
+    scan computes the first-fail stage map-side; ONE count shuffle
+    over <= 6 keys; the funnel prefix sum runs on the <= 6-row
+    metadata table (the ntile-offsets SinglePartition contract). The
+    oracle replays the exact rule expressions of text_gopher_rules
+    plus the CASE attribution chain."""
+    from dat_archive_map_reduce_spark.operators.text import filter_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    return filter_funnel(d, "text", "doc_id")
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    e AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 131071 + j.j * 524287) % t.n AS dst
+      FROM documents d CROSS JOIN tot t,
+           (SELECT unnest([1, 2, 3]) AS j) j
+      WHERE j.j <= 1 + d.doc_id % 3
+        AND (d.doc_id * 131071 + j.j * 524287) % t.n <> d.doc_id
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (
+      SELECT doc_id AS node, round(1.0 / t.n, 9) AS rank
+      FROM documents CROSS JOIN tot t
+    ),
+    c1 AS (
+      SELECT e.dst AS node, sum(r.rank / deg.deg) AS c
+      FROM e JOIN r0 r ON r.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY 1
+    ),
+    d1 AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm
+      FROM r0 r LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL
+    ),
+    r1 AS (
+      SELECT r.node,
+             round(0.15 / t.n + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
+               AS rank
+      FROM r0 r LEFT JOIN c1 c USING (node)
+      CROSS JOIN tot t CROSS JOIN d1 d
+    ),
+    c2 AS (
+      SELECT e.dst AS node, sum(r.rank / deg.deg) AS c
+      FROM e JOIN r1 r ON r.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY 1
+    ),
+    d2 AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm
+      FROM r1 r LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL
+    ),
+    r2 AS (
+      SELECT r.node,
+             round(0.15 / t.n + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
+               AS rank
+      FROM r1 r LEFT JOIN c2 c USING (node)
+      CROSS JOIN tot t CROSS JOIN d2 d
+    ),
+    c3 AS (
+      SELECT e.dst AS node, sum(r.rank / deg.deg) AS c
+      FROM e JOIN r2 r ON r.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY 1
+    ),
+    d3 AS (
+      SELECT coalesce(sum(r.rank), 0) AS dm
+      FROM r2 r LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL
+    ),
+    r3 AS (
+      SELECT r.node,
+             round(0.15 / t.n + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
+               AS rank
+      FROM r2 r LEFT JOIN c3 c USING (node)
+      CROSS JOIN tot t CROSS JOIN d3 d
+    )
+    SELECT node AS doc_id, round(rank * t.n, 4) AS rank_norm
+    FROM r3 CROSS JOIN tot t
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank over a deterministic synthetic doc-link
+    graph (operators/graph.py::pagerank): each doc links to
+    1 + doc_id % 3 targets derived arithmetically from its id modulo
+    the corpus size (the PII-injection precedent — both engines
+    re-derive the graph exactly; the varying out-degree is what makes
+    in-degrees, and therefore ranks, non-uniform — a constant
+    out-degree modular graph is a union of permutations and every
+    rank degenerates to exactly 1/n), then 3 damped iterations with
+    the rank TABLE as state.
+    Per iteration both engines quantize ranks to 9 decimals, the same
+    per-round rounding that makes the distributed-kmeans chain
+    oracle-replayable. Output is every node's final rank normalized
+    so the corpus average is 1 (rank_norm = rank * n, 4 dp).
+
+    Scale shape: 2 data-sized shuffles per iteration (src key join +
+    dst aggregation, both partial-combined); node count and dangling
+    mass fold to 1-row broadcast scalars; no ranks driver-side or in
+    plan literals. The iterative-graph sibling of
+    emb_kmeans_train_distributed and dedup_clusters."""
+    from dat_archive_map_reduce_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
+    dst = (F.col("doc_id") * 131071 + F.col("j") * 524287) % F.col("n")
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(j))
+        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
+        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    ranks = pagerank(docs.select("doc_id"), edges, node_col="doc_id")
+    return ranks.crossJoin(F.broadcast(tot)).select(
+        F.col("node").alias("doc_id"),
+        F.round(F.col("rank") * F.col("n"), 4).alias("rank_norm"),
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

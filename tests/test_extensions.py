@@ -1975,3 +1975,104 @@ def test_url_canonicalize_noise_classes(spark):
     ).collect()
     for r in again:
         assert r["url_canon"] == out[r["doc_id"]]["url_canon"]
+
+
+def test_filter_funnel_first_fail_attribution_and_conservation(spark):
+    """Each doc drops at its FIRST failing stage only, and the funnel
+    conserves: n_in[0] == total, n_out[i] == n_in[i+1], and
+    sum(n_dropped) + final n_out == total."""
+    import dat_archive_map_reduce_spark.operators.text as TX
+
+    good = "the quick brown fox and the lazy dog " * 5  # 45 words, stops
+    docs = [
+        (1, good),                       # passes everything
+        (2, "too short the and"),        # fails words (stage 1) only
+        # 30+ one-char words: passes words band, fails mean_wl (stage 2)
+        (3, " ".join(["a"] * 35)),
+        # 30+ numeric words: mean_wl ok only if len>=3 -> use '123'
+        # tokens (alpha_frac 0, mean_wl 3): fails alpha (stage 3)
+        (4, " ".join(["123"] * 35)),
+        # alpha ok but drenched in '#': fails symbol (stage 4)
+        (5, " ".join(["word#"] * 20) + " " + good),
+        # clean words, no stopwords: fails stopwords (stage 5)
+        (6, " ".join(["zebra", "quux", "word"] * 12)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = TX.filter_funnel(df).collect()
+    assert [r["stage"] for r in rows] == [
+        "words", "mean_word_length", "alpha_fraction",
+        "symbol_ratio", "stopwords",
+    ]
+    assert rows[0]["n_in"] == len(docs)
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_out"] == b["n_in"]
+        assert a["n_in"] == a["n_dropped"] + a["n_out"]
+    # doc 5: symbol-heavy text also keeps stopwords, so it must be
+    # attributed to stage 4, not 5
+    dropped = {r["stage"]: r["n_dropped"] for r in rows}
+    assert dropped == {
+        "words": 1, "mean_word_length": 1, "alpha_fraction": 1,
+        "symbol_ratio": 1, "stopwords": 1,
+    }
+    assert rows[-1]["n_out"] == 1  # only doc 1 survives
+
+
+def test_pagerank_regular_graph_is_uniform_and_mass_conserves(spark):
+    """On a directed cycle (1-regular) every rank is exactly 1/n; the
+    rank vector always sums to ~1 (damping + dangling handled)."""
+    from dat_archive_map_reduce_spark.operators.graph import pagerank
+
+    n = 8
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    got = pagerank(nodes, edges, n_iter=4).collect()
+    for r in got:
+        assert abs(r["rank"] - 1.0 / n) < 1e-8
+    assert abs(sum(r["rank"] for r in got) - 1.0) < 1e-6
+
+
+def test_pagerank_star_and_dangling(spark):
+    """Star graph: the hub (all leaves point to it) outranks every
+    leaf; the hub itself has no out-edges (dangling), yet total mass
+    stays ~1 because dangling mass redistributes uniformly."""
+    from dat_archive_map_reduce_spark.operators.graph import pagerank
+
+    n = 6  # node 0 = hub, 1..5 leaves -> hub
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, n)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(nodes, edges, n_iter=3).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    leaf = ranks[1]
+    assert all(abs(ranks[i] - leaf) < 1e-9 for i in range(2, n))
+    assert ranks[0] > 2 * leaf
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """3 damped iterations on an irregular multi-edge graph equal the
+    dense numpy power iteration with the same per-round quantization."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.graph import pagerank
+
+    n = 5
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 2), (4, 0)]
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(nodes, edges, n_iter=3).collect()}
+
+    deg = np.zeros(n)
+    for s, _ in edge_list:
+        deg[s] += 1
+    r = np.round(np.full(n, 1.0 / n), 9)
+    for _ in range(3):
+        contrib = np.zeros(n)
+        for s, d in edge_list:
+            contrib[d] += r[s] / deg[s]
+        dm = r[deg == 0].sum()
+        r = np.round(0.15 / n + 0.85 * (contrib + dm / n), 9)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
