@@ -8003,6 +8003,170 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4
+    ), cop AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    jpairs AS (
+      SELECT id_a, id_b FROM cop
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM jpairs
+      UNION SELECT id_b, id_a FROM jpairs
+    ), reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+    ), comp AS (
+      SELECT node, least(node, min(r)) AS c FROM reach GROUP BY node
+    ), lab AS (
+      SELECT d.doc_id, coalesce(c.c, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cd'
+                THEN 'train'
+                WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash-split by NEAR-DUP
+    CLUSTER id, not doc id, so two near-duplicate documents can never
+    land in different splits (the classic eval-contamination bug:
+    corpus_hash_split alone puts ~2 * 10% * 90% of each duplicate
+    pair's mass across a split boundary). Composition: the
+    dedup_clusters pair graph (hot-capped n-gram Jaccard >= 0.5 +
+    connected components) labels every doc with its component id
+    (singletons label themselves), then the corpus_hash_split md5
+    bucketing runs on the CLUSTER id. Same-cluster => same md5 =>
+    same split, by construction.
+
+    Scale: pair discovery and the O(log n) star rounds are the
+    dedup_clusters plan; the split assignment is a pure narrow map on
+    the labeled output — no extra shuffle beyond the clustering
+    itself. The oracle replays the closure (recursive CTE) and the
+    identical md5 bucket."""
+    from dat_archive_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+    from dat_archive_map_reduce_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, hot_cap=4)
+    cc = connected_components(pairs, "id_a", "id_b")
+    lab = d.select("doc_id").join(cc, d["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    h = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 2)
+    split = F.when(h < "cd", "train").when(h < "e6", "val").otherwise("test")
+    return lab.select("doc_id", "cluster_id", split.alias("split"))
+
+
+@query(
+    "corpus_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token
+      FROM documents
+    ), cnt AS (
+      SELECT token, count(*) AS c FROM tok GROUP BY 1
+    ), tot AS (SELECT sum(c) AS n_tokens FROM cnt),
+    ranked AS (
+      SELECT token, c,
+             row_number() OVER (ORDER BY c DESC, token) AS rn
+      FROM cnt QUALIFY rn <= 10000
+    ), cum AS (
+      SELECT rn, sum(c) OVER (ORDER BY rn) AS covered,
+             count(*) OVER () AS n_ranked
+      FROM ranked
+    )
+    SELECT v.vocab_size,
+           CAST(least(v.vocab_size, cum.n_ranked) AS BIGINT) AS n_types,
+           round(cum.covered * 1.0 / t.n_tokens, 6) AS coverage
+    FROM (SELECT unnest([100, 1000, 10000]) AS vocab_size) v
+    JOIN cum ON cum.rn = least(v.vocab_size, cum.n_ranked)
+    CROSS JOIN tot t
+    """,
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — for candidate vocab sizes
+    (100 / 1k / 10k types), what fraction of all corpus token
+    occurrences the top-N most frequent types cover. The standard
+    Zipf diagnostic behind tokenizer vocab-size choices (a BPE vocab
+    is sized where this curve flattens).
+
+    Scale shape: the ONLY corpus-sized work is one token-count
+    aggregation (explode + groupBy with partial combine). The ranking
+    never globally sorts the type table: the top max(N)=10k types
+    come via TakeOrderedAndProject (bounded), the cumulative sum runs
+    on that bounded table (SinglePartition over <= 10k metadata rows
+    — the ntile-offsets contract), and each vocab size reads one row
+    of it. Total-token count folds to a 1-row broadcast scalar.
+    Tie-break (count desc, token asc) is a total order, so both
+    engines rank identically."""
+    from pyspark.sql import Window as W_
+
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").alias("n_tokens"))
+    ranked = cnt.orderBy(F.desc("c"), F.asc("token")).limit(10000)
+    w_cum = W_.orderBy("rn")
+    cum = (
+        ranked.select(
+            "c",
+            F.row_number()
+            .over(W_.orderBy(F.desc("c"), F.asc("token")))
+            .alias("rn"),
+        )
+        .select(
+            "rn",
+            F.sum("c").over(w_cum).alias("covered"),
+            F.count(F.lit(1)).over(
+                W_.orderBy("rn").rowsBetween(
+                    W_.unboundedPreceding, W_.unboundedFollowing
+                )
+            ).alias("n_ranked"),
+        )
+    )
+    sizes = spark.createDataFrame([(100,), (1000,), (10000,)], "vocab_size int")
+    return (
+        F.broadcast(sizes)
+        .join(
+            cum,
+            cum["rn"] == F.least(F.col("vocab_size"), F.col("n_ranked")),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size").cast("bigint"), F.col("n_ranked")).alias(
+                "n_types"
+            ),
+            F.round(F.col("covered") / F.col("n_tokens"), 6).alias("coverage"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

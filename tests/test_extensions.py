@@ -2076,3 +2076,51 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         r = np.round(0.15 / n + 0.85 * (contrib + dm / n), 9)
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """Every near-dup cluster lands in exactly ONE split — the whole
+    point of splitting on cluster_id instead of doc_id — and the
+    assignment matches the doc-id split rule applied to cluster ids."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    out = QUERIES["corpus_leakage_safe_split"](spark, SF)
+    rows = out.collect()
+    assert len(rows) == 500
+    by_cluster: dict[int, set] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # at least one real multi-doc cluster exists at this SF, so the
+    # invariant is exercised, not vacuous
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in rows)
+    assert max(sizes.values()) >= 2
+    import hashlib
+
+    for r in rows[:50]:
+        h = hashlib.md5(str(r["cluster_id"]).encode()).hexdigest()[:2]
+        want = "train" if h < "cd" else ("val" if h < "e6" else "test")
+        assert r["split"] == want
+
+
+def test_vocab_coverage_monotone_and_exact_at_full_vocab(spark):
+    """Coverage grows with vocab size, stays in (0, 1], n_types is
+    capped by the true type count, and when the vocab covers every
+    type the coverage is exactly 1."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    rows = {
+        r["vocab_size"]: r
+        for r in QUERIES["corpus_vocab_coverage"](spark, SF).collect()
+    }
+    assert sorted(rows) == [100, 1000, 10000]
+    cov = [rows[v]["coverage"] for v in (100, 1000, 10000)]
+    assert 0 < cov[0] <= cov[1] <= cov[2] <= 1.0
+    for v in (100, 1000, 10000):
+        assert rows[v]["n_types"] <= v
+    # the sf0.001 corpus has < 10k distinct tokens, so the largest
+    # vocab covers everything exactly
+    if rows[10000]["n_types"] < 10000:
+        assert rows[10000]["coverage"] == 1.0
