@@ -7,13 +7,16 @@ content kind, never parse binary JVM-side). Decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
 Codecs: public formats decode FOR REAL — binary PPM (netpbm P6),
-RIFF/WAVE PCM16, and baseline grayscale JPEG (ITU-T T.81 SOF0:
-marker walk, canonical Huffman, dequant, IDCT) have genuine
-pure-numpy encoders/decoders here, proven end-to-end by the
-``multimodal_real_decode`` and ``multimodal_jpeg_decode`` oracle
+RIFF/WAVE PCM16, baseline grayscale JPEG (ITU-T T.81 SOF0: marker
+walk, canonical Huffman, dequant, IDCT), and 8-bit PNG (ISO/IEC
+15948: CRC-verified chunk walk, zlib inflate, all five scanline
+unfilters) have genuine pure-numpy/stdlib encoders/decoders here,
+proven end-to-end by the ``multimodal_real_decode``,
+``multimodal_jpeg_decode``, and ``multimodal_png_decode`` oracle
 queries whose stats are recomputed from the parsed arrays. Formats
 that genuinely need codec libraries this container does not ship
-(PNG/MP4, non-baseline JPEG) raise NotImplementedError; the
+(MP4, non-baseline JPEG, palette/16-bit/interlaced PNG) raise
+NotImplementedError; the
 deterministic synth-header format remains for the original roundtrip
 oracle tests. The Spark-side plumbing — schema, batch shape, UDF
 signatures, partitioning — is shared by all paths.
@@ -538,6 +541,199 @@ def decode_jpeg_gray(content: bytes) -> "tuple[int, int, np.ndarray]":
     return w, h, img.reshape(-1)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: np.ndarray,
+    channels: int = 1,
+    filter_for_row=None,
+) -> bytes:
+    """Encode an 8-bit PNG (ISO/IEC 15948: signature, IHDR, one zlib
+    IDAT, IEND — CRCs for real) from flat raster pixels. ``channels``
+    1 = grayscale (color type 0), 3 = RGB (color type 2).
+    ``filter_for_row(r) -> 0..4`` picks each scanline's filter (default
+    None-filter everywhere); the encoder applies the true inverse
+    filter, so a roundtrip through decode_png exercises whichever
+    predictors the caller selects."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8).reshape(height, width * channels)
+    bpp = channels
+    raw = bytearray()
+    prior = np.zeros(width * channels, dtype=np.int64)
+    for r in range(height):
+        ft = int(filter_for_row(r)) if filter_for_row else 0
+        cur = px[r].astype(np.int64)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prior
+        elif ft == 3:
+            enc = cur - (left + prior) // 2
+        elif ft == 4:
+            enc = cur - _paeth(left, prior, ul)
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        raw.append(ft)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prior = cur
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec 9.4): nearest of left /
+    up / upper-left to the linear estimate a + b - c, ties in that
+    order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _png_parse_chunks(buf: bytes) -> "list[tuple[bytes, bytes]]":
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream (bad signature)")
+    chunks = []
+    pos = 8
+    while pos < len(buf):
+        if pos + 8 > len(buf):
+            raise ValueError("truncated PNG chunk header")
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(buf):
+            raise ValueError("truncated PNG chunk body")
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        chunks.append((ctype, data))
+        pos += 12 + ln
+        if ctype == b"IEND":
+            return chunks
+    raise ValueError("PNG missing IEND")
+
+
+def decode_png(content: bytes) -> "tuple[int, int, int, np.ndarray]":
+    """Decode an 8-bit non-interlaced grayscale/RGB PNG: full chunk
+    walk with CRC verification, zlib inflate, and scanline
+    UNFILTERING for all five filter types (None/Sub/Up/Average/
+    Paeth). Returns (width, height, channels, flat uint8 pixels).
+    Rejects (ValueError) what it does not implement — palette/alpha
+    color types, 16-bit depth, Adam7 interlace — rather than
+    mis-decoding."""
+    import zlib
+
+    chunks = _png_parse_chunks(bytes(content))
+    ctypes = [c for c, _ in chunks]
+    if ctypes[0] != b"IHDR":
+        raise ValueError("PNG first chunk must be IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported")
+    if color not in (0, 2):
+        raise ValueError("only grayscale/RGB PNG supported (no palette/alpha)")
+    if interlace != 0:
+        raise ValueError("Adam7 interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    channels = 1 if color == 0 else 3
+    raw = zlib.decompress(b"".join(d for c, d in chunks if c == b"IDAT"))
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG payload size mismatch")
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        ft = raw[r * (1 + stride)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prior) & 0xFF
+        elif ft in (1, 3, 4):
+            # left-dependent filters recur along the row; go byte
+            # groups of bpp at a time (prior row is already decoded)
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG scanline filter {ft}")
+        out[r] = cur
+        prior = cur
+    return w, h, channels, out.astype(np.uint8).reshape(-1)
+
+
+def png_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Corpus of REAL PNG bytes (8-bit grayscale, genuine zlib IDAT +
+    CRC'd chunks) whose decoded pixels are md5-re-derivable by a SQL
+    oracle — PNG is lossless, so unlike the JPEG corpus no structural
+    restriction is needed; scanline filters cycle r % 5 so every
+    predictor (None/Sub/Up/Average/Paeth) is on the proven path.
+
+      b(k)  = byte k of md5(str(i))
+      w = 8 + b(0) % 24, h = 8 + b(1) % 24
+      pixel[j] = (i * 13 + 5 * j) % 256    (j raster order)
+    """
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        hb = hashlib.md5(str(i).encode()).digest()
+        w = 8 + hb[0] % 24
+        h = 8 + hb[1] % 24
+        px = (np.int64(i) * 13 + 5 * np.arange(w * h, dtype=np.int64)) % 256
+        content = encode_png(
+            w, h, px.astype(np.uint8), channels=1, filter_for_row=lambda r: r % 5
+        )
+        rows.append((i, "image", bytearray(content), (w, h, None, None)))
+    n_slices = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
 def _decode_header(content: bytes) -> tuple[int, int, int]:
     """Format dispatch for the metadata decode: synth headers, real
     binary PPM, real RIFF/WAVE, and real baseline JPEG parse
@@ -551,6 +747,13 @@ def _decode_header(content: bytes) -> tuple[int, int, int]:
         return w, h, frames
     if head[:2] == b"P6":
         w, h, _, _ = decode_ppm(content)
+        return w, h, 1
+    if bytes(content[:8]) == _PNG_SIG:
+        # dimensions only: IHDR parse (chunk walk validates CRCs)
+        chunks = _png_parse_chunks(bytes(content))
+        if chunks[0][0] != b"IHDR":
+            raise ValueError("PNG first chunk must be IHDR")
+        w, h = struct.unpack(">II", chunks[0][1][:8])
         return w, h, 1
     if head == b"RIFF":
         _, n_ch, samples = decode_wav(content)
@@ -582,9 +785,10 @@ def _decode_header(content: bytes) -> tuple[int, int, int]:
             pos += 2 + ln
         raise ValueError("JPEG missing SOF0")
     raise NotImplementedError(
-        "PNG/MP4 (and non-baseline JPEG) need codec libraries this "
-        "container does not ship; PPM, WAV, baseline-grayscale JPEG, "
-        "and synth headers decode here"
+        "MP4 (and non-baseline JPEG, palette/16-bit/interlaced PNG) "
+        "need codec libraries this container does not ship; PPM, WAV, "
+        "8-bit PNG, baseline-grayscale JPEG, and synth headers decode "
+        "here"
     )
 
 
@@ -696,6 +900,9 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     width = height = None
                 elif head == b"\xff\xd8":
                     w, h, vals = decode_jpeg_gray(content)
+                    width, height, sr = w, h, None
+                elif bytes(content[:8]) == _PNG_SIG:
+                    w, h, _, vals = decode_png(content)
                     width, height, sr = w, h, None
                 else:
                     raise NotImplementedError("real formats only")

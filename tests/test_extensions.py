@@ -210,8 +210,12 @@ def test_multimodal_frame_sample_and_resize(spark):
 
 
 def test_multimodal_stub_raises_only_on_codec_library_formats(spark):
-    # compressed formats still need external codec libs -> raise
+    # container formats still need external codec libs -> raise
     with pytest.raises(NotImplementedError):
+        multimodal._decode_header(b"\x00\x00\x00 ftypisom mp4 garbage")
+    # PNG decodes for real now: a malformed stream is a VALUE error
+    # from the chunk walk, never a stub raise
+    with pytest.raises(ValueError):
         multimodal._decode_header(b"\x89PNG\r\n\x1a\n garbage")
 
 
@@ -2124,3 +2128,96 @@ def test_vocab_coverage_monotone_and_exact_at_full_vocab(spark):
     # vocab covers everything exactly
     if rows[10000]["n_types"] < 10000:
         assert rows[10000]["coverage"] == 1.0
+
+
+def test_png_codec_roundtrip_exact_all_filters():
+    """PNG is lossless: encode -> decode is bit-exact for gray and
+    RGB, under every per-row filter choice including all-Paeth."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=11 * 13, dtype=np.int64).astype(np.uint8)
+    for pick in (None, (lambda r: r % 5), (lambda r: 4), (lambda r: 3)):
+        w, h, ch, out = decode_png(encode_png(13, 11, gray, 1, pick))
+        assert (w, h, ch) == (13, 11, 1)
+        assert np.array_equal(out, gray)
+    rgb = rng.integers(0, 256, size=9 * 6 * 3, dtype=np.int64).astype(np.uint8)
+    w, h, ch, out = decode_png(encode_png(9, 6, rgb, 3, lambda r: (r * 2) % 5))
+    assert (w, h, ch) == (9, 6, 3)
+    assert np.array_equal(out, rgb)
+
+
+def test_png_codec_rejects_corruption_and_unsupported():
+    """Truncation, CRC damage, interlace, and 16-bit depth raise
+    ValueError — never a silent mis-decode."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        _png_chunk,
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    px = np.arange(64, dtype=np.uint8)
+    good = encode_png(8, 8, px)
+    assert np.array_equal(decode_png(good)[3], px)
+    with _pytest.raises(ValueError):
+        decode_png(good[:-7])  # truncated IEND
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # corrupt an IDAT byte -> CRC mismatch
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(b"NOTAPNG" + good)
+    # interlaced header
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 1)
+    inter = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="interlace"):
+        decode_png(inter)
+    # 16-bit depth
+    ihdr16 = struct.pack(">IIBBBBB", 8, 8, 16, 0, 0, 0, 0)
+    deep = _PNG_SIG + _png_chunk(b"IHDR", ihdr16) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_png(deep)
+
+
+def test_png_header_dispatch_and_corpus_query(spark):
+    """_decode_header reads PNG dims via the CRC-checked IHDR walk, and
+    multimodal_png_decode's Spark result equals the generator algebra
+    (the oracle's claim, re-derived in Python)."""
+    import hashlib
+
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        _decode_header,
+        encode_png,
+    )
+    from dat_archive_map_reduce_spark.queries import ORACLE, QUERIES
+
+    px = np.zeros(15 * 4, dtype=np.uint8)
+    assert _decode_header(encode_png(15, 4, px)) == (15, 4, 1)
+
+    assert "multimodal_png_decode" in QUERIES
+    assert "multimodal_png_decode" in ORACLE
+    rows = {r["media_id"]: r for r in
+            QUERIES["multimodal_png_decode"](spark, SF).collect()}
+    assert len(rows) == 24
+    for i in (0, 9, 23):
+        hb = hashlib.md5(str(i).encode()).digest()
+        w, h = 8 + hb[0] % 24, 8 + hb[1] % 24
+        r = rows[i]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_vals"] == w * h
+        assert r["val_sum"] == sum((i * 13 + 5 * j) % 256 for j in range(w * h))
+        assert r["val_first"] == (i * 13) % 256
+        assert r["val_last"] == (i * 13 + 5 * (w * h - 1)) % 256
