@@ -1569,3 +1569,97 @@ def filter_funnel(
         .withColumn("n_out", F.col("n_in") - F.col("n_dropped"))
         .orderBy("stage_idx")
     )
+
+
+def cdc_chunk_structs(
+    text_col: "str | Column", gram: int = 4, boundary_below: str = "2"
+) -> Column:
+    """Content-defined chunking (Rabin-style; the boundary idea behind
+    FastCDC / LBFS): split the token stream wherever the rolling
+    ``gram``-gram fingerprint's first md5 hex char is < ``boundary_below``
+    (probability 2/16 -> ~8-word average chunks). Boundaries depend
+    only on LOCAL content, so an edit reshapes at most the chunks
+    around it — the invariance that makes CDC the storage/transfer
+    dedup primitive (a shifted byte stream still mostly re-hashes to
+    the same chunks, where fixed-size blocks all change).
+
+    Returns array<struct<h: md5 of the chunk's tokens, len: words>>.
+    Pure native expressions (no shuffle, no Python); the identical
+    boundary rule replays in the SQL oracle.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(c), " ")
+    n = F.size(toks)
+    # boundary AFTER token i when the gram ending at i fingerprints
+    # under the mask; i stops at n-1 (a boundary at the last token
+    # would make an empty tail chunk). sequence() descends when
+    # start > stop, so short docs guard to the empty array.
+    ends = F.when(
+        n >= gram + 1,
+        F.filter(
+            F.sequence(F.lit(gram), n - 1),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i - (gram - 1), gram))),
+                1,
+                1,
+            )
+            < boundary_below,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(ends, F.array(n))
+    starts = F.concat(F.array(F.lit(0)), ends)
+    return F.zip_with(
+        bounds,
+        starts,
+        lambda e, s: F.struct(
+            F.md5(F.concat_ws(" ", F.slice(toks, s + 1, e - s))).alias("h"),
+            (e - s).alias("len"),
+        ),
+    )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 4,
+    boundary_below: str = "2",
+) -> DataFrame:
+    """Per-document CDC chunk report + cross-document duplicate-chunk
+    detection: (id, n_chunks, avg_chunk_words, n_dup_chunks) where
+    n_dup_chunks counts this doc's chunk instances whose hash occurs
+    in >= 2 DISTINCT documents — sub-document duplication that
+    doc-level fingerprints miss entirely.
+
+    Scale shape: chunking is a map-side projection; duplicate
+    detection is one posting-style count shuffle on chunk hash (the
+    per-doc array_distinct + plain count trick — no count-distinct
+    double exchange) followed by one explode-join keyed on the same
+    hash. No pair explosion anywhere: hot chunks only ever carry
+    their COUNT.
+    """
+    base = df.select(
+        F.col(id_col),
+        cdc_chunk_structs(text_col, gram, boundary_below).alias("chunks"),
+    )
+    inst = base.select(
+        id_col, F.explode("chunks").alias("c")
+    ).select(id_col, F.col("c.h").alias("h"), F.col("c.len").alias("clen"))
+    docs_per_hash = (
+        base.select(
+            F.explode(
+                F.array_distinct(F.transform("chunks", lambda c: c["h"]))
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    return (
+        inst.join(docs_per_hash, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg("clen"), 4).alias("avg_chunk_words"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+    )

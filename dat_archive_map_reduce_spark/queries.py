@@ -8214,6 +8214,58 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_cdc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), b AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) >= 5 THEN
+               list_filter(generate_series(4, len(t) - 1),
+                 i -> substr(md5(array_to_string(t[i-3:i], ' ')), 1, 1)
+                      < '2')
+             ELSE [] END AS ends
+      FROM toks
+    ), ch AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               t[list_prepend(0, ends)[j] + 1 : list_concat(ends, [n])[j]],
+               ' ')) AS h,
+             list_concat(ends, [n])[j] - list_prepend(0, ends)[j] AS clen
+      FROM b, unnest(generate_series(1, len(ends) + 1)) AS u(j)
+    ), dph AS (
+      SELECT h, count(*) AS nd
+      FROM (SELECT DISTINCT doc_id, h FROM ch)
+      GROUP BY h
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           round(avg(ch.clen), 4) AS avg_chunk_words,
+           CAST(sum(CASE WHEN dph.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks
+    FROM ch JOIN dph USING (h)
+    GROUP BY ch.doc_id
+    """,
+)
+def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + cross-doc duplicate-chunk detection
+    (operators/text.py::cdc_chunk_stats): Rabin-style boundaries where
+    the rolling 4-gram md5 starts under hex '2' (~8-word chunks),
+    then each doc reports how many of its chunks' hashes occur in
+    >= 2 distinct documents — the sub-document dedup primitive
+    (LBFS/FastCDC) that doc-level fingerprints miss. Chunking is a
+    pure map-side projection; duplicate detection is one chunk-hash
+    count shuffle (per-doc array_distinct + plain count) and one
+    explode-join — hot chunks only ever carry their count, never a
+    pair explosion. The oracle replays the identical boundary rule,
+    chunk hashing, and distinct-doc counting."""
+    from dat_archive_map_reduce_spark.operators.text import cdc_chunk_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunk_stats(d, "text", "doc_id")
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -2221,3 +2221,66 @@ def test_png_header_dispatch_and_corpus_query(spark):
         assert r["val_sum"] == sum((i * 13 + 5 * j) % 256 for j in range(w * h))
         assert r["val_first"] == (i * 13) % 256
         assert r["val_last"] == (i * 13 + 5 * (w * h - 1)) % 256
+
+
+def test_cdc_chunking_edit_locality_and_coverage(spark):
+    """CDC's defining property: a local edit (word inserted at the
+    front) leaves the tail chunks' hashes intact — fixed-size blocks
+    would all shift. Also pins coverage: chunk word-lengths sum to
+    the doc's word count, and every chunk is non-empty."""
+    import dat_archive_map_reduce_spark.operators.text as TX
+    from pyspark.sql import functions as F
+
+    words = [f"w{(i * 7) % 23}x{i % 11}" for i in range(120)]
+    base = " ".join(words)
+    edited = "zzz " + base  # one-word insertion at position 0
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["chunks"]
+        for r in df.select(
+            "doc_id", TX.cdc_chunk_structs("text").alias("chunks")
+        ).collect()
+    }
+    for did, chunks in rows.items():
+        n_words = 120 if did == 1 else 121
+        assert sum(c["len"] for c in chunks) == n_words
+        assert all(c["len"] >= 1 for c in chunks)
+    h1 = [c["h"] for c in rows[1]]
+    h2 = [c["h"] for c in rows[2]]
+    assert len(h1) > 3  # boundaries actually fire on this text
+    # all but the chunks overlapping the edit survive verbatim
+    shared = set(h1) & set(h2)
+    assert len(shared) >= len(h1) - 2
+    # and the final chunks are identical (the tail never felt the edit)
+    assert h1[-1] == h2[-1]
+
+    # stats query wiring: n_dup_chunks counts cross-doc shared hashes
+    stats = {
+        r["doc_id"]: r
+        for r in TX.cdc_chunk_stats(df, "text", "doc_id").collect()
+    }
+    assert stats[1]["n_chunks"] == len(h1)
+    assert stats[1]["n_dup_chunks"] == sum(1 for h in h1 if h in set(h2))
+
+
+def test_cdc_short_doc_single_chunk(spark):
+    """Docs shorter than the gram window form exactly one chunk equal
+    to the whole token stream."""
+    import hashlib
+
+    import dat_archive_map_reduce_spark.operators.text as TX
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc here"), (2, "one")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["chunks"]
+        for r in df.select(
+            "doc_id", TX.cdc_chunk_structs("text").alias("chunks")
+        ).collect()
+    }
+    assert len(rows[1]) == 1 and rows[1][0]["len"] == 3
+    assert rows[1][0]["h"] == hashlib.md5(b"tiny doc here").hexdigest()
+    assert len(rows[2]) == 1 and rows[2][0]["len"] == 1
