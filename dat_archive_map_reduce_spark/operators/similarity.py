@@ -1486,3 +1486,52 @@ def semdedup_pairs(
         "cid", "id_a", "id_b", F.round("cos", 4).alias("cos_sim")
     )
     return eager_release(out, assigned)
+
+
+def kcenter_select(
+    embeddings_df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    start_id: int = 0,
+) -> "list[tuple[int, int, float]]":
+    """Greedy k-center / farthest-point-first coreset selection
+    (Gonzalez 1985, the 2-approximation): start from ``start_id``,
+    then k-1 times pick the point FARTHEST (squared L2, ties to the
+    lowest id) from the already-chosen set — the standard diverse
+    subset / coreset primitive for training-data curation (herding,
+    active-learning seeds, prototype selection).
+
+    Returns [(sel_idx, vec_id, radius_sq)] where radius_sq is the
+    selected point's (6dp-rounded) squared distance to the prior set
+    — non-increasing by construction, and radius_sq of the last pick
+    upper-bounds every point's distance to the final set (the
+    k-center coverage guarantee).
+
+    Scale shape: each round is one nearest_centroid_join scan (the
+    chosen set folds to ONE broadcast codebook row — data, not plan
+    literals) + TakeOrdered(1) for the argmax. The only driver
+    traffic is ONE winner row per round (the BPE merge-winner
+    precedent: inherent to greedy iteration, bounded by k).
+    """
+    spark = embeddings_df.sparkSession
+    e = embeddings_df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    first = e.filter(F.col("vid") == start_id).first()
+    chosen: "list[tuple[int, int, float]]" = [(0, int(first["vid"]), 0.0)]
+    vecs = [list(first["v"])]
+    for r in range(1, k):
+        cents = spark.createDataFrame(
+            [(j, vecs[j]) for j in range(len(vecs))],
+            "cid int, centroid array<double>",
+        )
+        far = (
+            nearest_centroid_join(e, cents, id_col="vid", vec_col="v")
+            .orderBy(F.desc("mindist"), F.asc("vid"))
+            .select("vid", "v", F.round("mindist", 6).alias("radius_sq"))
+            .first()
+        )
+        chosen.append((r, int(far["vid"]), float(far["radius_sq"])))
+        vecs.append(list(far["v"]))
+    return chosen

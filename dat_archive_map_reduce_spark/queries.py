@@ -8266,6 +8266,85 @@ def corpus_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_stats(d, "text", "doc_id")
 
 
+@query(
+    "emb_kcenter_step",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cents AS (
+      SELECT CASE vec_id WHEN 0 THEN 0 WHEN 7 THEN 1 ELSE 2 END AS cid,
+             v AS c
+      FROM e WHERE vec_id IN (0, 7, 21)
+    ), dists AS (
+      SELECT e.vec_id, s.cid,
+             list_reduce(list_transform(generate_series(1, len(e.v)),
+                           i -> (e.v[i] - s.c[i]) * (e.v[i] - s.c[i])),
+                         (a, b) -> a + b) AS dist
+      FROM e, cents s
+    )
+    SELECT vec_id, CAST(cid AS INT) AS nearest_cid,
+           round(dist, 6) AS min_sqdist
+    FROM (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM dists
+    ) WHERE rn = 1
+    """,
+)
+def emb_kcenter_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-center round's distance scan under the full oracle gate:
+    min squared L2 from every vector to a fixed chosen set (vec_id
+    0/7/21 as cids 0/1/2), ties to the lowest cid — the hash-gated
+    portable twin for emb_kcenter_coreset's iterative greedy loop
+    (the corpus_bpe_merge_step pairing recipe). The chosen set rides
+    as nearest_centroid_join's one-row broadcast codebook; the
+    selection argmax the full loop runs per round is exactly
+    TakeOrdered(1) over this output."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        nearest_centroid_join,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id").isin(0, 7, 21)).select(
+        F.when(F.col("vec_id") == 0, 0)
+        .when(F.col("vec_id") == 7, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("cid"),
+        F.col("embedding").cast("array<double>").alias("centroid"),
+    )
+    return nearest_centroid_join(e, cents).select(
+        F.col("vid").alias("vec_id"),
+        F.col("cid").cast("int").alias("nearest_cid"),
+        F.round("mindist", 6).alias("min_sqdist"),
+    )
+
+
+@query("emb_kcenter_coreset")
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding table
+    (operators/similarity.py::kcenter_select, Gonzalez 1985
+    farthest-point-first): 8 diversity-maximizing prototypes starting
+    from vec_id 0, each round one broadcast-codebook distance scan +
+    TakeOrdered(1). No oracle by design — iterative with one winner
+    row fetched per round (the BPE training-loop shape);
+    emb_kcenter_step is the oracle-gated single round, and pytest
+    pins the loop against a pure-numpy greedy reference. Output
+    (sel_idx, vec_id, radius_sq) with radius_sq non-increasing — the
+    last radius upper-bounds every point's distance to the selected
+    set (the k-center coverage guarantee)."""
+    from dat_archive_map_reduce_spark.operators.similarity import kcenter_select
+
+    e = _t(spark, sf_dir, "embeddings")
+    rows = kcenter_select(e, k=8)
+    return spark.createDataFrame(
+        rows, "sel_idx int, vec_id bigint, radius_sq double"
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both
@@ -8333,6 +8412,8 @@ NO_ORACLE_TWINS: "dict[str, str]" = {
     # the full training loop and the train-then-serve composition
     "corpus_bpe_train": "corpus_bpe_merge_step",
     "corpus_bpe_tokenize": "corpus_bpe_merge_step",
+    # greedy farthest-point loop; the oracle-gated round is the twin
+    "emb_kcenter_coreset": "emb_kcenter_step",
 }
 
 

@@ -2284,3 +2284,38 @@ def test_cdc_short_doc_single_chunk(spark):
     assert len(rows[1]) == 1 and rows[1][0]["len"] == 3
     assert rows[1][0]["h"] == hashlib.md5(b"tiny doc here").hexdigest()
     assert len(rows[2]) == 1 and rows[2][0]["len"] == 1
+
+
+def test_kcenter_greedy_matches_numpy_and_radii_decrease(spark):
+    """The distributed farthest-point loop equals a pure-numpy greedy
+    reference (ids, order, radii), radii are non-increasing, and the
+    last radius upper-bounds every point's distance to the final set
+    (the k-center coverage guarantee)."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.similarity import kcenter_select
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 6)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    k = 5
+    got = kcenter_select(df, k=k, start_id=0)
+
+    chosen = [0]
+    radii = [0.0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        far = int(np.lexsort((np.arange(40), -d2))[0])
+        radii.append(round(float(d2[far]), 6))
+        chosen.append(far)
+        d2 = np.minimum(d2, ((X - X[far]) ** 2).sum(axis=1))
+    assert [(i, c) for i, c, _ in got] == list(enumerate(chosen))
+    for (_, _, r_got), r_want in zip(got, radii):
+        assert abs(r_got - r_want) < 1e-9
+    rs = [r for _, _, r in got[1:]]
+    assert all(a >= b for a, b in zip(rs, rs[1:]))
+    # coverage: after k picks no point is farther than the last radius
+    assert d2.max() <= rs[-1] + 1e-9
