@@ -653,6 +653,8 @@ def decode_png(content: bytes) -> "tuple[int, int, int, np.ndarray]":
     ctypes = [c for c, _ in chunks]
     if ctypes[0] != b"IHDR":
         raise ValueError("PNG first chunk must be IHDR")
+    if len(chunks[0][1]) != 13:
+        raise ValueError("PNG IHDR must be exactly 13 bytes")
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", chunks[0][1]
     )
@@ -665,7 +667,13 @@ def decode_png(content: bytes) -> "tuple[int, int, int, np.ndarray]":
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     channels = 1 if color == 0 else 3
-    raw = zlib.decompress(b"".join(d for c, d in chunks if c == b"IDAT"))
+    idat = b"".join(d for c, d in chunks if c == b"IDAT")
+    if not idat:
+        raise ValueError("PNG has no IDAT chunk")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:  # CRC-valid but corrupt deflate stream
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     stride = w * channels
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG payload size mismatch")
@@ -736,11 +744,14 @@ def png_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
 
 def _decode_header(content: bytes) -> tuple[int, int, int]:
     """Format dispatch for the metadata decode: synth headers, real
-    binary PPM, real RIFF/WAVE, and real baseline JPEG parse
-    end-to-end; the raise remains only for formats that genuinely need
-    external codec libraries (PNG/MP4, and JPEG variants beyond
-    baseline grayscale). For audio, ``frames`` is the PCM frame count
-    (samples per channel — the audio meaning of the word)."""
+    binary PPM, real 8-bit PNG (CRC-checked IHDR walk), real
+    RIFF/WAVE, and real baseline JPEG parse end-to-end; the raise
+    remains only for formats that genuinely need external codec
+    libraries (MP4, JPEG variants beyond baseline grayscale,
+    palette/16-bit/interlaced PNG — the latter rejected with
+    ValueError by the full decode). For audio, ``frames`` is the PCM
+    frame count (samples per channel — the audio meaning of the
+    word)."""
     head = bytes(content[:4])
     if head == _MAGIC:
         w, h, frames = struct.unpack("<HHI", bytes(content[4:12]))
@@ -751,8 +762,8 @@ def _decode_header(content: bytes) -> tuple[int, int, int]:
     if bytes(content[:8]) == _PNG_SIG:
         # dimensions only: IHDR parse (chunk walk validates CRCs)
         chunks = _png_parse_chunks(bytes(content))
-        if chunks[0][0] != b"IHDR":
-            raise ValueError("PNG first chunk must be IHDR")
+        if chunks[0][0] != b"IHDR" or len(chunks[0][1]) != 13:
+            raise ValueError("PNG first chunk must be a 13-byte IHDR")
         w, h = struct.unpack(">II", chunks[0][1][:8])
         return w, h, 1
     if head == b"RIFF":

@@ -1519,6 +1519,11 @@ def kcenter_select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
     first = e.filter(F.col("vid") == start_id).first()
+    if first is None:
+        raise ValueError(
+            f"kcenter_select start_id={start_id} not present in "
+            f"{id_col} — pass an existing row id"
+        )
     chosen: "list[tuple[int, int, float]]" = [(0, int(first["vid"]), 0.0)]
     vecs = [list(first["v"])]
     for r in range(1, k):

@@ -1540,8 +1540,11 @@ def filter_funnel(
         .localCheckpoint(eager=True)
     )
     # stage 0 = kept docs lives in the count table too, so the grand
-    # total folds from it without touching the corpus again
-    total = counts.agg(F.sum("n_dropped").alias("total"))
+    # total folds from it without touching the corpus again (coalesce:
+    # sum over an EMPTY corpus is NULL, the oracle's count(*) is 0)
+    total = counts.agg(
+        F.coalesce(F.sum("n_dropped"), F.lit(0)).alias("total")
+    )
     spark = df.sparkSession
     stages = spark.createDataFrame(
         [(i, name) for i, name, _ in FUNNEL_STAGES],
@@ -1638,10 +1641,16 @@ def cdc_chunk_stats(
     hash. No pair explosion anywhere: hot chunks only ever carry
     their COUNT.
     """
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    # the chunking projection (one md5 per rolling gram + one per
+    # chunk, the operator's dominant compute) feeds BOTH the instance
+    # explode and the distinct-doc hash counts; persist it so Catalyst
+    # does not re-chunk the corpus for the second branch
     base = df.select(
         F.col(id_col),
         cdc_chunk_structs(text_col, gram, boundary_below).alias("chunks"),
-    )
+    ).persist()
     inst = base.select(
         id_col, F.explode("chunks").alias("c")
     ).select(id_col, F.col("c.h").alias("h"), F.col("c.len").alias("clen"))
@@ -1654,7 +1663,7 @@ def cdc_chunk_stats(
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
     )
-    return (
+    out = (
         inst.join(docs_per_hash, "h")
         .groupBy(id_col)
         .agg(
@@ -1663,3 +1672,4 @@ def cdc_chunk_stats(
             F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_chunks"),
         )
     )
+    return eager_release(out, base)

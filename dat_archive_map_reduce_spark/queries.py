@@ -7968,7 +7968,8 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r1 AS (
       SELECT r.node,
-             round(0.15 / t.n + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
+             round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / t.n
+                   + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
                AS rank
       FROM r0 r LEFT JOIN c1 c USING (node)
       CROSS JOIN tot t CROSS JOIN d1 d
@@ -7984,7 +7985,8 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r2 AS (
       SELECT r.node,
-             round(0.15 / t.n + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
+             round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / t.n
+                   + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
                AS rank
       FROM r1 r LEFT JOIN c2 c USING (node)
       CROSS JOIN tot t CROSS JOIN d2 d
@@ -8000,7 +8002,8 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r3 AS (
       SELECT r.node,
-             round(0.15 / t.n + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
+             round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / t.n
+                   + 0.85 * (coalesce(c.c, 0) + d.dm / t.n), 9)
                AS rank
       FROM r2 r LEFT JOIN c3 c USING (node)
       CROSS JOIN tot t CROSS JOIN d3 d

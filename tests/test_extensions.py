@@ -2077,7 +2077,9 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         for s, d in edge_list:
             contrib[d] += r[s] / deg[s]
         dm = r[deg == 0].sum()
-        r = np.round(0.15 / n + 0.85 * (contrib + dm / n), 9)
+        # (1.0 - 0.85), not the literal 0.15: the engine computes the
+        # teleport term by subtraction, one ulp above the 0.15 literal
+        r = np.round((1.0 - 0.85) / n + 0.85 * (contrib + dm / n), 9)
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
 
