@@ -386,3 +386,72 @@ def test_wav_codec_roundtrip_property(sr, samples):
     got_sr, got_ch, got = decode_wav(encode_wav(sr, arr))
     assert (got_sr, got_ch) == (sr, 1)
     assert np.array_equal(got, arr)
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.sampled_from([1, 3]),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(w, h, channels, data):
+    """encode_png/decode_png are exact inverses for every dimension,
+    channel count, pixel payload, and per-row filter assignment — the
+    losslessness the multimodal_png_decode oracle proof rests on."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    n = w * h * channels
+    px = np.array(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=n,
+                max_size=n,
+            )
+        ),
+        dtype=np.uint8,
+    )
+    filters = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=4), min_size=h, max_size=h
+        )
+    )
+    got_w, got_h, got_ch, got = decode_png(
+        encode_png(w, h, px, channels, lambda r: filters[r])
+    )
+    assert (got_w, got_h, got_ch) == (w, h, channels)
+    assert np.array_equal(got, px)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_cdc_chunks_partition_tokens_exactly(spark, word_ids):
+    """CDC chunk word-lengths always partition the token stream: they
+    sum to the doc's word count, every chunk is non-empty, and
+    re-running the projection is deterministic (content-defined, no
+    RNG, no partition dependence)."""
+    import dat_archive_map_reduce_spark.operators.text as TX
+
+    text = " ".join(f"t{i}" for i in word_ids)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out1 = df.select(TX.cdc_chunk_structs("text").alias("c")).collect()[0]["c"]
+    out2 = (
+        df.repartition(4)
+        .select(TX.cdc_chunk_structs("text").alias("c"))
+        .collect()[0]["c"]
+    )
+    assert [tuple(x) for x in out1] == [tuple(x) for x in out2]
+    assert sum(c["len"] for c in out1) == len(word_ids)
+    assert all(c["len"] >= 1 for c in out1)
