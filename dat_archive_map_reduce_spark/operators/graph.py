@@ -252,3 +252,67 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts (node, n_triangles) for
+    every node in at least one triangle — the MapReduce triangle
+    algorithm of Cohen 2009 / Suri-Vassilvitskii 2011 with
+    DEGREE ORIENTATION: each undirected edge points from its
+    lower-(degree, id) endpoint to the higher, so every node's
+    out-degree is O(sqrt(m)) and the wedge self-join — the step that
+    explodes quadratically on hot vertices in the naive id-ordered
+    form — generates at most m^(3/2) candidates total regardless of
+    skew (a celebrity node with 10^6 neighbors creates zero wedges
+    at itself; its wedges distribute across its low-degree
+    neighbors).
+
+    Orientation affects only the plan, never the result: a SQL oracle
+    may count the same triangles with the naive u<v chain join.
+    Shuffles: degree agg, two orientation key joins, the wedge
+    self-join, the closing-edge join, and the per-node count — all
+    partial-combined or key-partitioned, no driver state.
+    """
+    e = _canonical(edges, src, dst)  # (u, v) with u > v, deduped
+    both = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = (
+        e.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("deg", "deg_u")
+        .join(
+            deg.select(
+                F.col("node").alias("v"), F.col("deg").alias("deg_v")
+            ),
+            "v",
+        )
+    )
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    )
+    o2 = oriented.select(
+        F.col("a").alias("a2"), F.col("b").alias("c")
+    )
+    wedges = oriented.join(
+        o2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c"))
+    ).select("a", "b", "c")
+    closing = e.select(
+        F.col("u").alias("hi"), F.col("v").alias("lo")
+    )
+    tri = wedges.join(
+        closing,
+        (F.col("hi") == F.greatest("b", "c"))
+        & (F.col("lo") == F.least("b", "c")),
+    ).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -8348,6 +8348,65 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    e0 AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 131071 + j.j * 524287) % t.n AS dst
+      FROM documents d CROSS JOIN tot t,
+           (SELECT unnest([1, 2, 3]) AS j) j
+      WHERE j.j <= 1 + d.doc_id % 3
+        AND (d.doc_id * 131071 + j.j * 524287) % t.n <> d.doc_id
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0
+    ),
+    tri AS (
+      SELECT a.u AS x, a.v AS y, b.v AS z
+      FROM und a
+      JOIN und b ON a.v = b.u
+      JOIN und c ON c.u = a.u AND c.v = b.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the same synthetic
+    doc-link graph as graph_pagerank
+    (operators/graph.py::triangle_counts): the Cohen 2009 /
+    Suri-Vassilvitskii 2011 MapReduce triangle algorithm with DEGREE
+    ORIENTATION — edges point low-(degree, id) -> high, so wedge
+    generation is bounded m^(3/2) total and a celebrity vertex
+    creates zero wedges at itself (the skew story the naive
+    id-ordered chain join lacks). Orientation changes only the plan:
+    the oracle counts the identical triangles with the naive u<v
+    chain join, so the hash match doubles as an
+    orientation-correctness proof."""
+    from dat_archive_map_reduce_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
+    dst = (F.col("doc_id") * 131071 + F.col("j") * 524287) % F.col("n")
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(j))
+        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
+        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return triangle_counts(edges)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

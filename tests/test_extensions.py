@@ -2321,3 +2321,25 @@ def test_kcenter_greedy_matches_numpy_and_radii_decrease(spark):
     assert all(a >= b for a, b in zip(rs, rs[1:]))
     # coverage: after k picks no point is farther than the last radius
     assert d2.max() <= rs[-1] + 1e-9
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 (every node in C(3,2)=3 triangles), a square with one
+    diagonal (diagonal nodes in 2, others 1), and a triangle-free
+    star (empty result). Duplicate and reversed input edges must not
+    change counts."""
+    from dat_archive_map_reduce_spark.operators.graph import triangle_counts
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return {
+            r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+        }
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert run(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # square 0-1-2-3 plus diagonal 0-2; reversed + duplicate edges
+    sq = [(0, 1), (2, 1), (2, 3), (3, 0), (0, 2), (2, 0), (1, 0)]
+    assert run(sq) == {0: 2, 2: 2, 1: 1, 3: 1}
+    star = [(0, i) for i in range(1, 6)]
+    assert run(star) == {}
