@@ -8407,6 +8407,67 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+@query(
+    "corpus_systematic_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars AS wt,
+             coalesce(sum(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS lo
+      FROM documents
+    ), tot AS (SELECT sum(n_chars) AS W FROM documents)
+    SELECT doc_id,
+           CAST(greatest(0, (2 * 1000 * (lo + wt) + W - 1) // (2 * W))
+                - greatest(0, (2 * 1000 * lo + W - 1) // (2 * W))
+                AS BIGINT) AS n_copies
+    FROM w CROSS JOIN tot
+    WHERE greatest(0, (2 * 1000 * (lo + wt) + W - 1) // (2 * W))
+          - greatest(0, (2 * 1000 * lo + W - 1) // (2 * W)) > 0
+    """,
+)
+def corpus_systematic_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (stratified-grid) weighted resampling WITH
+    replacement at a fixed budget of N=1000 draws — the epoch
+    resampling step of importance-weighted training (pair of
+    corpus_weighted_sample_topk, which samples WITHOUT replacement):
+    draw positions sit at (k + 0.5) * W/N on the cumulative-weight
+    axis, so a document of weight w_d receives floor-exact
+    n_copies ~ N * w_d / W with zero variance beyond the +-1
+    quantization — and the arithmetic stays in BIGINT ((2k+1) * W
+    comparisons), so both engines count identical copies with no
+    float boundary anywhere.
+
+    Scale shape: the exclusive prefix sum of weights comes from
+    exact_global_cumsum (range-bucketed — fact rows never cross a
+    single-partition exchange); the copy count is then a pure narrow
+    map. Deterministic: no RNG state, stable under partitioning,
+    re-runs, and engines."""
+    from dat_archive_map_reduce_spark.operators.ranking import (
+        exact_global_cumsum,
+    )
+
+    n_draws = 1000
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = exact_global_cumsum(d, "doc_id", "n_chars", cumsum_col="lo")
+    tot = d.agg(F.sum("n_chars").alias("W"))
+    g_hi = F.greatest(
+        F.lit(0),
+        F.expr(f"(2 * {n_draws} * (lo + n_chars) + W - 1) div (2 * W)"),
+    )
+    g_lo = F.greatest(
+        F.lit(0), F.expr(f"(2 * {n_draws} * lo + W - 1) div (2 * W)")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id", (g_hi - g_lo).cast("bigint").alias("n_copies")
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -2343,3 +2343,23 @@ def test_triangle_counts_known_graphs(spark):
     assert run(sq) == {0: 2, 2: 2, 1: 1, 3: 1}
     star = [(0, i) for i in range(1, 6)]
     assert run(star) == {}
+
+
+def test_systematic_resample_conserves_budget_and_proportionality(spark):
+    """The copy counts sum EXACTLY to the draw budget (N=1000), every
+    count is within 1 of the real-valued target N*w/W, and docs too
+    light for a grid point get zero copies (filtered out)."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    rows = QUERIES["corpus_systematic_resample"](spark, SF).collect()
+    total = sum(r["n_copies"] for r in rows)
+    assert total == 1000
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    w = dict(zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()))
+    W = sum(w.values())
+    got = {r["doc_id"]: r["n_copies"] for r in rows}
+    for did, wt in w.items():
+        target = 1000 * wt / W
+        assert abs(got.get(did, 0) - target) <= 1.0, (did, target)
