@@ -1673,3 +1673,85 @@ def cdc_chunk_stats(
         )
     )
     return eager_release(out, base)
+
+
+def source_drift_kl(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source distribution drift: KL(P_source || P_corpus) over
+    16 first-md5-hex-char token buckets (the dsir hashing idiom at
+    coarser grain), add-1 smoothed — the monitoring signal a
+    data pipeline tracks per snapshot/source to catch composition
+    drift (train/serve skew, a crawler gone wrong, a source changing
+    register) before it reaches training. Returns (source, n_tokens,
+    kl_bits) with KL in bits, 6dp.
+
+    Engine determinism: the 64 per-bucket KL terms fold in BUCKET
+    ORDER via an ordered array fold (the cosine/BM25 fixed-order-sum
+    recipe), so the float sum is bit-identical across engines and
+    partitionings — never a shuffle-order sum of doubles.
+
+    Scale shape: one tokenizing fact aggregation to (source, bucket)
+    grain (partial combine; <= 16 rows per source survive), the
+    corpus marginal folds from that same table, totals broadcast; the
+    fold runs on <= 16-element arrays per source.
+    """
+    import math
+
+    buckets = (
+        docs.select(
+            F.col(source_col).alias("src"), tokens(text_col).alias("ts")
+        )
+        .select("src", F.explode_outer("ts").alias("tok"))
+        .filter(F.col("tok").isNotNull() & (F.length("tok") > 0))
+        .select("src", F.substring(F.md5("tok"), 1, 1).alias("b1"))
+        .withColumn("bucket", F.conv(F.col("b1"), 16, 10).cast("int"))
+        .groupBy("src", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = buckets.groupBy("bucket").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("n_all"))
+    qmap = corpus.crossJoin(F.broadcast(corpus_tot)).agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", F.col("cc")))
+            )
+        ).alias("qc"),
+        F.first("n_all").alias("n_all"),
+    )
+    per_src = buckets.groupBy("src").agg(
+        F.array_sort(F.collect_list(F.struct("bucket", "c"))).alias("pcs"),
+        F.sum("c").alias("n_tok"),
+    )
+    # fold over ALL 16 bucket ids in order; missing buckets contribute
+    # their smoothed mass too (p = 1/(n+16))
+    idx = F.sequence(F.lit(0), F.lit(15))
+    term = lambda acc, b, pc, qc, n_tok, n_all: acc + (  # noqa: E731
+        ((pc + 1.0) / (n_tok + 16.0))
+        * F.log(
+            ((pc + 1.0) / (n_tok + 16.0)) / ((qc + 1.0) / (n_all + 16.0))
+        )
+    )
+    joined = per_src.crossJoin(F.broadcast(qmap))
+    pc_of = lambda b: F.coalesce(  # noqa: E731
+        F.element_at(F.map_from_entries(F.col("pcs")), b).cast("double"),
+        F.lit(0.0),
+    )
+    qc_of = lambda b: F.coalesce(  # noqa: E731
+        F.element_at(F.col("qc"), b).cast("double"), F.lit(0.0)
+    )
+    kl_nats = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, b: term(
+            acc, b, pc_of(b), qc_of(b), F.col("n_tok"), F.col("n_all")
+        ),
+    )
+    return joined.select(
+        F.col("src").alias(source_col),
+        F.col("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(kl_nats / float(math.log(2.0)), 6).alias("kl_bits"),
+    )

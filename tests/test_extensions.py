@@ -2363,3 +2363,26 @@ def test_systematic_resample_conserves_budget_and_proportionality(spark):
     for did, wt in w.items():
         target = 1000 * wt / W
         assert abs(got.get(did, 0) - target) <= 1.0, (did, target)
+
+
+def test_source_drift_kl_properties(spark):
+    """KL >= 0 always; a source drawn from the corpus distribution
+    scores ~0; a source with disjoint vocabulary scores far higher;
+    identical-content sources tie exactly."""
+    import dat_archive_map_reduce_spark.operators.text as TX
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = (
+        [(i, common, "a") for i in range(10)]
+        + [(100 + i, common, "b") for i in range(10)]
+        + [(200 + i, "zzz qqq xxx www vvv uuu ttt sss", "weird")
+           for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           TX.source_drift_kl(df, "text", "doc_id", "source").collect()}
+    assert set(out) == {"a", "b", "weird"}
+    for r in out.values():
+        assert r["kl_bits"] >= 0.0
+    assert out["a"]["kl_bits"] == out["b"]["kl_bits"]  # identical content
+    assert out["weird"]["kl_bits"] > out["a"]["kl_bits"] + 0.1
