@@ -206,16 +206,22 @@ def pagerank(
     tot = n1.agg(F.count(F.lit(1)).alias("n"))
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # loop-invariant state materializes ONCE (the connected-components
-    # checkpoint recipe): the degree-joined edge table keeps its src
-    # hash partitioning, so each iteration's key join reshuffles only
-    # the rank table — without this, edges + degrees re-derive and
+    # loop-invariant state checkpoints ONCE (the connected-components
+    # recipe): the degree-joined edge table keeps its src hash
+    # partitioning, so each iteration's key join reshuffles only the
+    # rank table — without this, edges + degrees re-derive and
     # re-exchange every round (measured: 14 static exchanges for 3
-    # rounds vs 2 data-sized per round after)
-    e_deg = e.join(outdeg, "src").localCheckpoint(eager=True)
+    # rounds vs 2 data-sized per round after). LAZY checkpoints: the
+    # logical plan truncates at the .localCheckpoint() call either
+    # way, but eager=True paid one separate Spark job per checkpoint
+    # (6 jobs for 3 rounds — 11.9 s of fixed overhead on a 5k-node
+    # graph at sf0.1); lazy defers materialization to the single
+    # final action, where each checkpointed RDD computes once and
+    # both consumers (contributions + dangling mass) share it.
+    e_deg = e.join(outdeg, "src").localCheckpoint(eager=False)
     dangling_nodes = n1.join(
         outdeg.withColumnRenamed("src", "node"), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ranks = n1.crossJoin(F.broadcast(tot)).select(
         "node", F.round(F.lit(1.0) / F.col("n"), round_digits).alias("rank")
     )
@@ -244,12 +250,12 @@ def pagerank(
             )
             # the rank table appears TWICE per round (contributions +
             # dangling mass), so lineage doubles each iteration without
-            # a per-round materialization — 3 un-checkpointed rounds
-            # already carry 40 Exchange nodes through analysis. One
-            # node-grain checkpoint per round is how iterative graph
-            # state is supposed to live (kmeans keeps k rows; here the
-            # state IS node-sized).
-            .localCheckpoint(eager=True)
+            # a per-round checkpoint — 3 un-checkpointed rounds already
+            # carry 40 Exchange nodes through analysis. Lazy: the plan
+            # truncates now; the RDD computes once at the final action
+            # and both next-round consumers share it (eager would add
+            # one job per round).
+            .localCheckpoint(eager=False)
         )
     return ranks
 
