@@ -1,17 +1,21 @@
-"""Connected components over pair edges — dedup clustering.
+"""Distributed graph operators over pair edges.
 
 Near-dup operators (dedup.py) emit PAIRS; a pipeline acting on them
 (keep one representative per duplicate group) needs CLUSTERS, i.e. the
 connected components of the pair graph. Not in the reference (its view
 engine has no graph ops); needed by any training-data dedup pass.
+Alongside components live PageRank (iterative rank-table state — link
+authority over a doc graph) and degree-oriented triangle counting
+(local clustering structure).
 
-Algorithm: alternating large-star / small-star (the standard
-MapReduce-model connected-components method; converges in O(log n)
-rounds on any graph, each round a constant number of shuffles). No
-driver-side graph state — the driver loop only compares a per-round
-(count, hash-sum) fingerprint, so a 10^11-edge graph iterates exactly
-like a 25-edge one. Per-round ``localCheckpoint`` truncates the plan
-lineage that otherwise grows linearly in rounds and overwhelms the
+Connected-components algorithm: alternating large-star / small-star
+(the standard MapReduce-model method; converges in O(log n) rounds on
+any graph, each round a constant number of shuffles). No driver-side
+graph state — the driver loop only compares a per-round (count,
+hash-sum) fingerprint, so a 10^11-edge graph iterates exactly like a
+25-edge one. Per-round ``localCheckpoint`` truncates the plan lineage
+that otherwise grows linearly (components) or exponentially
+(pagerank's twice-consumed rank state) in rounds and overwhelms the
 optimizer.
 """
 
