@@ -272,6 +272,14 @@ def main() -> None:
         # timing isolation: no query's number should depend on what
         # ran before it.
         spark.catalog.clearCache()
+        # flush dirty pages NOW, in this query's accounting, instead
+        # of letting the kernel's ~30 s writeback expiry fire mid-way
+        # through a later query (observed: the same shuffle-heavy
+        # query absorbing a reproducible ~16 s stall at the same loop
+        # offset in consecutive runs — warehouse-writing view_*
+        # queries run earlier in rotation order and leave dirty pages
+        # behind)
+        os.sync()
         print(
             f"# {name}: cold={runs[0]:.3f}s steady={steady[name]:.3f}s "
             f"spread={spread[name]:.3f}s rows={n}",
