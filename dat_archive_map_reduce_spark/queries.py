@@ -8522,6 +8522,132 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_drift_kl(d, "text", "doc_id", "source")
 
 
+@query(
+    "corpus_classifier_calibration",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             string_split(lower(text), ' ') AS t
+      FROM documents
+    ), nb AS (
+      SELECT doc, y, greatest(len(t), 1) AS n_tok, t FROM base
+    ), bf AS (
+      SELECT doc, y, n_tok,
+             CAST(list_reduce(list_transform(range(1, 5), i ->
+               CAST(strpos('0123456789abcdef',
+                    substr(md5(tok), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 64 AS INT) AS bucket
+      FROM (SELECT doc, y, n_tok, unnest(t) AS tok FROM nb)
+    ), feats AS (
+      SELECT doc, y, bucket, count(*) / n_tok AS x
+      FROM bf GROUP BY doc, y, n_tok, bucket
+      UNION ALL
+      SELECT doc, y, -1 AS bucket, 1.0 AS x FROM nb
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), g1 AS (
+      SELECT bucket, sum((0.5 - y) * x) / (SELECT n_docs FROM n) AS g
+      FROM feats GROUP BY bucket
+    ), w1 AS (
+      SELECT b.bucket, round(0.0 - 4.0 * coalesce(g1.g, 0), 6) AS w
+      FROM (SELECT unnest(range(-1, 64)) AS bucket) b
+      LEFT JOIN g1 USING (bucket)
+    ), z2 AS (
+      SELECT f.doc, f.y, sum(coalesce(w1.w, 0) * f.x) AS z
+      FROM feats f LEFT JOIN w1 USING (bucket)
+      GROUP BY f.doc, f.y
+    ), r2 AS (
+      SELECT doc, 1.0 / (1.0 + exp(-z)) - y AS r FROM z2
+    ), g2 AS (
+      SELECT f.bucket, sum(r2.r * f.x) / (SELECT n_docs FROM n) AS g
+      FROM feats f JOIN r2 USING (doc) GROUP BY f.bucket
+    ), w2 AS (
+      SELECT w1.bucket, round(w1.w - 4.0 * coalesce(g2.g, 0), 6) AS w
+      FROM w1 LEFT JOIN g2 USING (bucket)
+    ), z3 AS (
+      SELECT f.doc, f.y, sum(coalesce(w2.w, 0) * f.x) AS z
+      FROM feats f LEFT JOIN w2 USING (bucket)
+      GROUP BY f.doc, f.y
+    ), p AS (
+      SELECT doc, y, round(1.0 / (1.0 + exp(-z)), 6) AS p6 FROM z3
+    ), r AS (
+      SELECT doc, y, p6,
+             row_number() OVER (
+               ORDER BY CAST(round(p6 * 1000000) AS BIGINT)
+                        * 10000000000 + doc) AS rn,
+             count(*) OVER () AS nt
+      FROM p
+    )
+    SELECT CAST((rn - 1) * 10 // nt AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(p6), 6) AS mean_pred,
+           round(avg(y), 6) AS pos_rate
+    FROM r GROUP BY 1
+    """,
+)
+def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the in-engine quality classifier: train
+    the 2-round hashed-unigram logistic model
+    (corpus_quality_classifier_train's exact recurrence), score every
+    document, and report per predicted-probability decile the doc
+    count, mean predicted probability, and OBSERVED positive rate —
+    the calibration table a pipeline reviews before trusting
+    classifier scores as sampling weights (a filter that is 90%
+    confident should be right ~90% of the time; systematic gaps mean
+    the scores need temperature scaling before use). Bins are
+    EQUAL-MASS score deciles (rank-based), the robust choice when the
+    score distribution concentrates — equal-width deciles collapse to
+    one populated row on a barely-trained model.
+
+    Portability: scores round to 6dp before ranking on both engines,
+    and the rank key is the composite BIGINT (p6 * 1e6) * 1e10 + doc
+    — a total order, so decile membership is exact, never a float
+    boundary. Scale: training is the classifier-train plan; scoring
+    is one (doc, bucket) aggregation + broadcast weights; the decile
+    assignment is exact_global_rank (range-bucketed — no
+    single-partition window over the corpus); the rollup is a
+    <= 10-key partial-combined aggregate."""
+    from dat_archive_map_reduce_spark.operators.ranking import (
+        exact_global_rank,
+    )
+    from dat_archive_map_reduce_spark.operators.text import (
+        logreg_score,
+        logreg_train_hashed,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("double")
+    )
+    w = logreg_train_hashed(d, "y", n_buckets=64, lr=4.0, n_rounds=2)
+    scored = logreg_score(d, w, n_buckets=64)
+    p6 = F.round("score", 6)
+    joined = scored.join(d.select("doc_id", "y"), "doc_id").select(
+        p6.alias("p6"),
+        "y",
+        (
+            F.round(p6 * 1000000).cast("bigint") * F.lit(10000000000).cast("bigint")
+            + F.col("doc_id")
+        ).alias("rank_key"),
+    )
+    ranked = exact_global_rank(joined, "rank_key")
+    return (
+        ranked.select(
+            F.expr("(global_pos - 1) * 10 div __gr_total")
+            .cast("int")
+            .alias("bin"),
+            "p6",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p6"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("pos_rate"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -2386,3 +2386,23 @@ def test_source_drift_kl_properties(spark):
         assert r["kl_bits"] >= 0.0
     assert out["a"]["kl_bits"] == out["b"]["kl_bits"]  # identical content
     assert out["weird"]["kl_bits"] > out["a"]["kl_bits"] + 0.1
+
+
+def test_classifier_calibration_equal_mass_and_monotone_scores(spark):
+    """10 equal-mass deciles (sizes within 1), mean predicted score
+    strictly ordered by bin (rank-based bins guarantee it), doc count
+    conserved, and the score ranking carries signal: the top decile's
+    observed positive rate beats the bottom decile's."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["corpus_classifier_calibration"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["bin"] for r in rows] == list(range(10))
+    sizes = [r["n_docs"] for r in rows]
+    assert sum(sizes) == 500
+    assert max(sizes) - min(sizes) <= 1
+    preds = [r["mean_pred"] for r in rows]
+    assert all(a <= b for a, b in zip(preds, preds[1:]))
+    assert rows[-1]["pos_rate"] > rows[0]["pos_rate"]
