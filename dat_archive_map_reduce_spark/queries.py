@@ -8648,6 +8648,84 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "agg_weighted_percentiles",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars AS v,
+             len(string_split(text, ' ')) AS wt
+      FROM documents
+    ), tot AS (SELECT sum(wt) AS tw FROM w),
+    r AS (
+      SELECT v, wt,
+             sum(wt) OVER (ORDER BY v, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cwi,
+             coalesce(sum(wt) OVER (
+               ORDER BY v, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cwe
+      FROM w WHERE wt > 0
+    )
+    SELECT
+      CAST(sum(CASE WHEN cwe * 100 < tw * 50 AND cwi * 100 >= tw * 50
+               THEN v ELSE 0 END) AS BIGINT) AS wp50,
+      CAST(sum(CASE WHEN cwe * 100 < tw * 90 AND cwi * 100 >= tw * 90
+               THEN v ELSE 0 END) AS BIGINT) AS wp90,
+      CAST(sum(CASE WHEN cwe * 100 < tw * 99 AND cwi * 100 >= tw * 99
+               THEN v ELSE 0 END) AS BIGINT) AS wp99
+    FROM r CROSS JOIN tot
+    """,
+)
+def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED percentiles, fully distributed: the document
+    length (n_chars) below which 50 / 90 / 99 percent of the corpus
+    TOKEN MASS lives — the weighted quantile every packing /
+    context-length decision actually needs (the unweighted p99 of doc
+    length says little when token mass concentrates in long docs).
+    Inverse-CDF ("lower") semantics: the value of the first
+    weight-ordered row whose inclusive cumulative weight crosses q*W.
+
+    Exactness: the crossing test is pure BIGINT (cw*100 vs W*q100 —
+    no float quantile anywhere); the cumulative weights come from
+    exact_global_cumsum over the composite (v, doc_id) key
+    (range-bucketed — fact rows never cross a single-partition
+    exchange), and each percentile folds in the same one tiny
+    aggregate as agg_percentiles_exact_distributed."""
+    from dat_archive_map_reduce_spark.operators.ranking import (
+        exact_global_cumsum,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("v"),
+            F.size(F.split("text", " ")).cast("bigint").alias("wt"),
+        )
+        .filter(F.col("wt") > 0)
+        .withColumn(
+            "okey",
+            F.col("v").cast("bigint") * F.lit(10_000_000_000).cast("bigint")
+            + F.col("doc_id"),
+        )
+    )
+    cum = exact_global_cumsum(d, "okey", "wt", cumsum_col="cwe")
+    tot = d.agg(F.sum("wt").alias("tw"))
+    r = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "cwi", F.col("cwe") + F.col("wt")
+    )
+
+    def pick(q100: int) -> F.Column:
+        hit = (F.col("cwe") * 100 < F.col("tw") * q100) & (
+            F.col("cwi") * 100 >= F.col("tw") * q100
+        )
+        return F.sum(F.when(hit, F.col("v")).otherwise(F.lit(0))).cast("bigint")
+
+    return r.agg(
+        pick(50).alias("wp50"), pick(90).alias("wp90"), pick(99).alias("wp99")
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -2406,3 +2406,32 @@ def test_classifier_calibration_equal_mass_and_monotone_scores(spark):
     preds = [r["mean_pred"] for r in rows]
     assert all(a <= b for a, b in zip(preds, preds[1:]))
     assert rows[-1]["pos_rate"] > rows[0]["pos_rate"]
+
+
+def test_weighted_percentiles_match_numpy_inverse_cdf(spark):
+    """The distributed weighted quantiles equal a direct inverse-CDF
+    computation over the same (value, weight) pairs, and weighting
+    matters: a corpus where token mass concentrates in long docs puts
+    wp50 far above the unweighted median length."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    row = QUERIES["agg_weighted_percentiles"](spark, SF).collect()[0]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    pairs = sorted(
+        (nc, did, len(tx.split(" ")))
+        for did, tx, nc in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["n_chars"].to_pylist()
+        )
+        if len(tx.split(" ")) > 0
+    )
+    wts = np.array([w for _, _, w in pairs], dtype=np.int64)
+    vals = [v for v, _, _ in pairs]
+    cw = np.cumsum(wts)
+    W = int(cw[-1])
+    for q100, col in ((50, "wp50"), (90, "wp90"), (99, "wp99")):
+        idx = int(np.searchsorted(cw * 100, W * q100))
+        assert row[col] == vals[idx], (col, row[col], vals[idx])
