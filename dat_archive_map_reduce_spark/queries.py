@@ -8726,6 +8726,71 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_token_fertility",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> length(w) > 0)) AS n_words,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             w -> length(w) > 0),
+                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT))),
+               (a, b) -> a + b) AS n_bpe
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_tokens,
+           round(sum(n_bpe) * 1.0 / greatest(sum(n_words), 1), 4)
+             AS fertility,
+           round(sum(n_chars) * 1.0 / greatest(sum(n_bpe), 1), 4)
+             AS chars_per_token
+    FROM d GROUP BY lang
+    """,
+)
+def corpus_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility report — subword tokens per
+    word and characters per token, the table every multilingual
+    tokenizer evaluation publishes (high fertility = a language the
+    vocab serves poorly, paying more sequence length per word; drives
+    vocab-allocation decisions next to corpus_vocab_coverage). Tokens
+    here are the engine's deterministic BPE-ish estimate
+    (operators/text.py::bpe_ish_token_count — word pieces at
+    ~4 chars/piece), so both engines count identically. Map-only
+    per-doc arithmetic folded by ONE partial-combined aggregate on
+    the <= n_langs key — a single corpus scan at any scale."""
+    from dat_archive_map_reduce_spark.operators.text import (
+        bpe_ish_token_count,
+        tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(tokens("text"), lambda w: F.length(w) > 0))
+        .cast("bigint")
+        .alias("n_words"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_tokens"),
+        F.round(
+            F.sum("n_bpe") / F.greatest(F.sum("n_words"), F.lit(1)), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars") / F.greatest(F.sum("n_bpe"), F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

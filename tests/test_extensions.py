@@ -2435,3 +2435,23 @@ def test_weighted_percentiles_match_numpy_inverse_cdf(spark):
     for q100, col in ((50, "wp50"), (90, "wp90"), (99, "wp99")):
         idx = int(np.searchsorted(cw * 100, W * q100))
         assert row[col] == vals[idx], (col, row[col], vals[idx])
+
+
+def test_token_fertility_hand_computed(spark):
+    """Fertility on a crafted frame equals hand arithmetic: 'hello
+    worldliness!' = 2 words; pieces ceil(5/4)+ceil(11/4) = 2+3 = 5."""
+    import dat_archive_map_reduce_spark.operators.text as TX
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "hello worldliness!", "en"), (2, "ab cd", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["lang"]: r
+        for r in df.select(
+            "lang", TX.bpe_ish_token_count("text").alias("n_bpe")
+        ).collect()
+    }
+    assert got["en"]["n_bpe"] == 5  # ceil(5/4) + ceil(11/4)
+    assert got["xx"]["n_bpe"] == 2  # two 2-char pieces
