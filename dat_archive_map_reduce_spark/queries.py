@@ -8791,6 +8791,56 @@ def corpus_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_source_dup_matrix",
+    oracle="""
+    WITH fp AS (
+      SELECT DISTINCT
+             md5(array_to_string(list_slice(list_filter(
+               string_split(lower(text), ' '), w -> length(w) > 0),
+               1, 5), ' ')) AS fp,
+             source
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_prefixes
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def corpus_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix on the 5-token PREFIX digest
+    (the dedup_keep_best_canonical blocking key): for every source
+    pair, how many distinct document-opening fingerprints appear in
+    both — the "which crawls copy each other\'s boilerplate" report
+    that decides source priority order for keep-best dedup (the
+    per-source corpus_dedup_rate_report says how much a source
+    self-duplicates; this says who it shares openings WITH; the
+    full-text digest finds zero cross-source exact dups on this
+    corpus, so the prefix digest is the signal-bearing grain).
+
+    Scale shape: one (fp, source) distinct aggregation, then a
+    self-join keyed on the digest — a digest shared by k sources
+    emits C(k,2) pairs, bounded by the SOURCE count squared (tens),
+    never by document count; the pair rollup partial-combines on the
+    <= n_sources^2 key space."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower("text"), "\\s+"), lambda t: F.length(t) > 0
+    )
+    fp = d.select(
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 5))).alias("fp"), "source"
+    ).distinct()
+    a = fp.select(F.col("fp"), F.col("source").alias("source_a"))
+    b = fp.select(F.col("fp"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_prefixes"))
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both
