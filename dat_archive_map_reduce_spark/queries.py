@@ -8841,6 +8841,63 @@ def corpus_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_neyman_allocation",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n_h,
+             round(stddev_pop(n_chars), 6) AS s_h
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(n_h * s_h) AS denom FROM s
+    )
+    SELECT source,
+           CAST(n_h AS BIGINT) AS n_docs,
+           s_h AS stddev_chars,
+           round(1000.0 * n_h * s_h / t.denom, 4) AS neyman_n,
+           round(1000.0 * n_h / (SELECT sum(n_h) FROM s), 4)
+             AS proportional_n
+    FROM s CROSS JOIN t
+    """,
+)
+def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation (Neyman 1934): for
+    a budget of 1000 draws, allocate to each stratum (source)
+    proportionally to N_h * S_h — stratum size times its
+    doc-length standard deviation — the allocation that minimizes the
+    variance of the stratified estimator; reported next to the naive
+    proportional allocation so the review sees where variance-aware
+    sampling actually moves budget (high-variance sources gain). The
+    downstream deterministic take is corpus_stratified_sample's
+    md5-cutoff machinery.
+
+    Portability: per-stratum moments round to 6dp before the
+    allocation arithmetic, so the only floats crossing engines are
+    already-quantized; one partial-combined aggregate on the source
+    key + a 1-row broadcast denominator. Map-only at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.round(F.stddev_pop("n_chars"), 6).alias("s_h"),
+    )
+    t = s.agg(
+        F.sum(F.col("n_h") * F.col("s_h")).alias("denom"),
+        F.sum("n_h").alias("n_total"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n_h").cast("bigint").alias("n_docs"),
+        F.col("s_h").alias("stddev_chars"),
+        F.round(1000.0 * F.col("n_h") * F.col("s_h") / F.col("denom"), 4).alias(
+            "neyman_n"
+        ),
+        F.round(1000.0 * F.col("n_h") / F.col("n_total"), 4).alias(
+            "proportional_n"
+        ),
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -2455,3 +2455,61 @@ def test_token_fertility_hand_computed(spark):
     }
     assert got["en"]["n_bpe"] == 5  # ceil(5/4) + ceil(11/4)
     assert got["xx"]["n_bpe"] == 2  # two 2-char pieces
+
+
+def test_source_dup_matrix_counts_shared_prefixes_once(spark):
+    """A prefix digest shared by sources a and b counts ONCE per pair
+    even when each source holds it in many documents (the distinct
+    grain), and non-shared prefixes never pair."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+    import tempfile, os
+    import pyspark.sql.functions as F
+
+    pre = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, pre + " one", "en", "src_a", 10),
+        (2, pre + " two", "en", "src_a", 10),   # same prefix, same src
+        (3, pre + " three", "en", "src_b", 10),  # same prefix, other src
+        (4, "zeta eta theta iota kappa x", "en", "src_b", 10),
+        (5, pre + " four", "en", "src_c", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            (r["source_a"], r["source_b"]): r["n_shared_prefixes"]
+            for r in QUERIES["corpus_source_dup_matrix"](spark, td).collect()
+        }
+    assert out == {
+        ("src_a", "src_b"): 1,
+        ("src_a", "src_c"): 1,
+        ("src_b", "src_c"): 1,
+    }
+
+
+def test_neyman_allocation_sums_to_budget_and_tracks_variance(spark):
+    """Both allocations sum to ~1000, and a stratum with double the
+    spread at equal size gets ~double the Neyman budget while the
+    proportional allocation ignores it."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+    import tempfile, os
+
+    rows = []
+    for i in range(100):
+        rows.append((i, "t", "en", "tight", 100 + (i % 2)))       # tiny spread
+        rows.append((1000 + i, "t", "en", "wide", 100 + 50 * (i % 2)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in QUERIES["corpus_neyman_allocation"](spark, td).collect()
+        }
+    assert abs(sum(r["neyman_n"] for r in out.values()) - 1000) < 0.01
+    assert abs(sum(r["proportional_n"] for r in out.values()) - 1000) < 0.01
+    assert out["tight"]["proportional_n"] == out["wide"]["proportional_n"]
+    assert out["wide"]["neyman_n"] > 10 * out["tight"]["neyman_n"]
