@@ -1678,7 +1678,6 @@ def cdc_chunk_stats(
 def source_drift_kl(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     source_col: str = "source",
 ) -> DataFrame:
     """Per-source distribution drift: KL(P_source || P_corpus) over
@@ -1689,7 +1688,7 @@ def source_drift_kl(
     register) before it reaches training. Returns (source, n_tokens,
     kl_bits) with KL in bits, 6dp.
 
-    Engine determinism: the 64 per-bucket KL terms fold in BUCKET
+    Engine determinism: the 16 per-bucket KL terms fold in BUCKET
     ORDER via an ordered array fold (the cosine/BM25 fixed-order-sum
     recipe), so the float sum is bit-identical across engines and
     partitionings — never a shuffle-order sum of doubles.
@@ -1735,9 +1734,13 @@ def source_drift_kl(
             ((pc + 1.0) / (n_tok + 16.0)) / ((qc + 1.0) / (n_all + 16.0))
         )
     )
-    joined = per_src.crossJoin(F.broadcast(qmap))
+    # materialize the per-source bucket map ONCE as a column — built
+    # inside the fold lambda it re-constructs 16 times per row
+    joined = per_src.crossJoin(F.broadcast(qmap)).withColumn(
+        "pmap", F.map_from_entries(F.col("pcs"))
+    )
     pc_of = lambda b: F.coalesce(  # noqa: E731
-        F.element_at(F.map_from_entries(F.col("pcs")), b).cast("double"),
+        F.element_at(F.col("pmap"), b).cast("double"),
         F.lit(0.0),
     )
     qc_of = lambda b: F.coalesce(  # noqa: E731

@@ -8519,7 +8519,7 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dat_archive_map_reduce_spark.operators.text import source_drift_kl
 
     d = _t(spark, sf_dir, "documents")
-    return source_drift_kl(d, "text", "doc_id", "source")
+    return source_drift_kl(d, "text", "source")
 
 
 @query(
@@ -8622,6 +8622,10 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     w = logreg_train_hashed(d, "y", n_buckets=64, lr=4.0, n_rounds=2)
     scored = logreg_score(d, w, n_buckets=64)
     p6 = F.round("score", 6)
+    # rank_key assumes doc_id < 1e10 (composite order key; the oracle
+    # shares the formula). persist: exact_global_rank's approxQuantile
+    # pre-pass is a separate action that would otherwise re-run the
+    # whole train+score aggregation a second time
     joined = scored.join(d.select("doc_id", "y"), "doc_id").select(
         p6.alias("p6"),
         "y",
@@ -8629,9 +8633,11 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(p6 * 1000000).cast("bigint") * F.lit(10000000000).cast("bigint")
             + F.col("doc_id")
         ).alias("rank_key"),
-    )
+    ).persist()
     ranked = exact_global_rank(joined, "rank_key")
-    return (
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
         ranked.select(
             F.expr("(global_pos - 1) * 10 div __gr_total")
             .cast("int")
@@ -8644,7 +8650,8 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("p6"), 6).alias("mean_pred"),
             F.round(F.avg("y"), 6).alias("pos_rate"),
-        )
+        ),
+        joined,
     )
 
 
@@ -8703,6 +8710,10 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", " ")).cast("bigint").alias("wt"),
         )
         .filter(F.col("wt") > 0)
+        # composite order key: assumes doc_id < 1e10 and v < ~9e8 (the
+        # bigint headroom); the oracle shares the formula, so violating
+        # the bound silently corrupts the order on BOTH sides — widen
+        # the multiplier (or rank on a struct) for id spaces past 1e10
         .withColumn(
             "okey",
             F.col("v").cast("bigint") * F.lit(10_000_000_000).cast("bigint")
@@ -8825,8 +8836,11 @@ def corpus_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     never by document count; the pair rollup partial-combines on the
     <= n_sources^2 key space."""
     d = _t(spark, sf_dir, "documents")
+    # split on the literal single space, exactly as the oracle's
+    # string_split does — a \\s+ regex here silently diverges the
+    # moment a document carries a tab/newline/double space
     toks = F.filter(
-        F.split(F.lower("text"), "\\s+"), lambda t: F.length(t) > 0
+        F.split(F.lower("text"), " "), lambda t: F.length(t) > 0
     )
     fp = d.select(
         F.md5(F.concat_ws(" ", F.slice(toks, 1, 5))).alias("fp"), "source"
@@ -8855,7 +8869,10 @@ def corpus_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(n_h AS BIGINT) AS n_docs,
            s_h AS stddev_chars,
-           round(1000.0 * n_h * s_h / t.denom, 4) AS neyman_n,
+           CASE WHEN t.denom = 0
+                THEN round(1000.0 * n_h / (SELECT sum(n_h) FROM s), 4)
+                ELSE round(1000.0 * n_h * s_h / t.denom, 4) END
+             AS neyman_n,
            round(1000.0 * n_h / (SELECT sum(n_h) FROM s), 4)
              AS proportional_n
     FROM s CROSS JOIN t
@@ -8885,16 +8902,20 @@ def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_h") * F.col("s_h")).alias("denom"),
         F.sum("n_h").alias("n_total"),
     )
+    prop = F.round(1000.0 * F.col("n_h") / F.col("n_total"), 4)
     return s.crossJoin(F.broadcast(t)).select(
         "source",
         F.col("n_h").cast("bigint").alias("n_docs"),
         F.col("s_h").alias("stddev_chars"),
-        F.round(1000.0 * F.col("n_h") * F.col("s_h") / F.col("denom"), 4).alias(
-            "neyman_n"
-        ),
-        F.round(1000.0 * F.col("n_h") / F.col("n_total"), 4).alias(
-            "proportional_n"
-        ),
+        # every-stratum-constant corpus: denom = 0 and the optimal
+        # allocation is undefined — fall back to proportional instead
+        # of emitting NULL (Spark) vs inf (SQL)
+        F.when(F.col("denom") == 0, prop)
+        .otherwise(
+            F.round(1000.0 * F.col("n_h") * F.col("s_h") / F.col("denom"), 4)
+        )
+        .alias("neyman_n"),
+        prop.alias("proportional_n"),
     )
 
 

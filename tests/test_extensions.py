@@ -2380,7 +2380,7 @@ def test_source_drift_kl_properties(spark):
     )
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = {r["source"]: r for r in
-           TX.source_drift_kl(df, "text", "doc_id", "source").collect()}
+           TX.source_drift_kl(df, "text", "source").collect()}
     assert set(out) == {"a", "b", "weird"}
     for r in out.values():
         assert r["kl_bits"] >= 0.0
