@@ -191,7 +191,13 @@ def pagerank(
         r'(v) = (1-d)/n + d * (sum_in contribs(v) + dangling_mass/n)
 
     Multi-edges contribute once each (they also count in outdegree),
-    so a weighted graph encodes as repeated edges.
+    so a weighted graph encodes as repeated edges. Edges are
+    restricted to the node set up front (both endpoints must appear
+    in ``nodes``): an edge to an unknown endpoint is dropped BEFORE
+    outdegree is computed, so its mass redistributes over the
+    source's remaining edges (or the source becomes dangling) and
+    total rank stays exactly 1 — without the pre-filter such edges
+    would silently leak rank mass out of the system.
 
     Engine portability: each iteration's ranks round to
     ``round_digits`` decimals — the same per-round quantization that
@@ -201,14 +207,20 @@ def pagerank(
     quantized ranks every round).
 
     Scale shape: ranks never exist driver-side or as plan literals;
-    plan lineage grows linearly in ``n_iter`` (bounded, like the
-    Lloyd rounds) — for deep iteration counts callers should
-    localCheckpoint every ~10 rounds. 2 data-sized shuffles per
+    the rank table lazily localCheckpoints EVERY round (it feeds two
+    consumers per iteration — contributions and dangling mass — so
+    un-truncated lineage would double per round), keeping the plan
+    O(1) across arbitrary ``n_iter``. 2 data-sized shuffles per
     iteration at any graph size.
     """
     n1 = nodes.select(F.col(node_col).alias("node"))
     tot = n1.agg(F.count(F.lit(1)).alias("n"))
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # restrict to the node set so rank mass is conserved (see above);
+    # loop-invariant, folded into the one-time checkpointed edge table
+    e = e.join(n1.withColumnRenamed("node", "src"), "src", "leftsemi").join(
+        n1.withColumnRenamed("node", "dst"), "dst", "leftsemi"
+    )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # loop-invariant state checkpoints ONCE (the connected-components
     # recipe): the degree-joined edge table keeps its src hash

@@ -639,19 +639,13 @@ def _png_parse_chunks(buf: bytes) -> "list[tuple[bytes, bytes]]":
     raise ValueError("PNG missing IEND")
 
 
-def decode_png(content: bytes) -> "tuple[int, int, int, np.ndarray]":
-    """Decode an 8-bit non-interlaced grayscale/RGB PNG: full chunk
-    walk with CRC verification, zlib inflate, and scanline
-    UNFILTERING for all five filter types (None/Sub/Up/Average/
-    Paeth). Returns (width, height, channels, flat uint8 pixels).
-    Rejects (ValueError) what it does not implement — palette/alpha
-    color types, 16-bit depth, Adam7 interlace — rather than
-    mis-decoding."""
-    import zlib
-
-    chunks = _png_parse_chunks(bytes(content))
-    ctypes = [c for c, _ in chunks]
-    if ctypes[0] != b"IHDR":
+def _png_ihdr_dims(chunks) -> "tuple[int, int, int]":
+    """Validate the IHDR of a parsed PNG chunk list and return
+    (width, height, channels). Shared by decode_png and the metadata
+    header path so the two stages accept exactly the same streams —
+    a 16-bit / palette / interlaced PNG is rejected with ValueError
+    in BOTH, never passing metadata and then failing full decode."""
+    if chunks[0][0] != b"IHDR":
         raise ValueError("PNG first chunk must be IHDR")
     if len(chunks[0][1]) != 13:
         raise ValueError("PNG IHDR must be exactly 13 bytes")
@@ -666,7 +660,21 @@ def decode_png(content: bytes) -> "tuple[int, int, int, np.ndarray]":
         raise ValueError("Adam7 interlaced PNG not supported")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    channels = 1 if color == 0 else 3
+    return w, h, 1 if color == 0 else 3
+
+
+def decode_png(content: bytes) -> "tuple[int, int, int, np.ndarray]":
+    """Decode an 8-bit non-interlaced grayscale/RGB PNG: full chunk
+    walk with CRC verification, zlib inflate, and scanline
+    UNFILTERING for all five filter types (None/Sub/Up/Average/
+    Paeth). Returns (width, height, channels, flat uint8 pixels).
+    Rejects (ValueError) what it does not implement — palette/alpha
+    color types, 16-bit depth, Adam7 interlace — rather than
+    mis-decoding."""
+    import zlib
+
+    chunks = _png_parse_chunks(bytes(content))
+    w, h, channels = _png_ihdr_dims(chunks)
     idat = b"".join(d for c, d in chunks if c == b"IDAT")
     if not idat:
         raise ValueError("PNG has no IDAT chunk")
@@ -760,11 +768,11 @@ def _decode_header(content: bytes) -> tuple[int, int, int]:
         w, h, _, _ = decode_ppm(content)
         return w, h, 1
     if bytes(content[:8]) == _PNG_SIG:
-        # dimensions only: IHDR parse (chunk walk validates CRCs)
+        # dimensions only: IHDR parse (chunk walk validates CRCs);
+        # shares decode_png's IHDR validation so metadata and full
+        # decode accept exactly the same streams
         chunks = _png_parse_chunks(bytes(content))
-        if chunks[0][0] != b"IHDR" or len(chunks[0][1]) != 13:
-            raise ValueError("PNG first chunk must be a 13-byte IHDR")
-        w, h = struct.unpack(">II", chunks[0][1][:8])
+        w, h, _channels = _png_ihdr_dims(chunks)
         return w, h, 1
     if head == b"RIFF":
         _, n_ch, samples = decode_wav(content)

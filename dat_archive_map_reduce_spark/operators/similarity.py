@@ -14,11 +14,12 @@ per Arrow batch beats per-row expression eval.
 
 from __future__ import annotations
 
+import math
 from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1424,6 +1425,138 @@ def jl_project(
     )
 
 
+def _dim_stats_row(
+    e: DataFrame, vec_col: str = "v", round_digits: int = 6
+) -> DataFrame:
+    """Per-dimension (mean, stddev_pop) of an array column, folded to
+    ONE broadcast row of dim-ordered arrays — the DSIR metadata-fold
+    recipe: the posexplode aggregate reduces to d rows (bounded by the
+    embedding width, never the corpus), and the final collect_list
+    runs on those d rows only, so the single-partition exchange
+    carries metadata cardinality, not data."""
+    stats = (
+        e.select(F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("val"), round_digits).alias("mu"),
+            F.round(F.stddev_pop("val"), round_digits).alias("sd"),
+        )
+    )
+    return stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("mus"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "sd"))), lambda s: s["sd"]
+        ).alias("sds"),
+    )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-score standardization (feature whitening) of an
+    embedding column — the preprocessing step before PCA/clustering/
+    linear probes when dimensions carry different scales. Each element
+    becomes z_j = (x_j - mean_j) / std_j with population std (std=0
+    dims map to 0, not NaN/inf).
+
+    Returns per vector: the standardized squared norm and element sum
+    (6dp), both ordered ascending-index folds over the z array — any
+    single wrong element shifts both, so the hash gate proves every
+    element without hashing d columns. Means/stds round to 6dp before
+    use (the kmeans/pagerank quantization: shuffle-order float drift
+    is ~1e-16 relative, orders of magnitude under the quantum), so a
+    SQL oracle re-derives every z exactly.
+
+    Scale shape: one posexplode aggregate to the d-row stats table
+    (partial-combined, d = embedding width), folded to a single
+    broadcast row (_dim_stats_row); the standardization itself is a
+    map-only zip over the broadcast arrays — no per-row shuffle at
+    any corpus size."""
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    stats = _dim_stats_row(e)
+    z = F.zip_with(
+        F.col("v"),
+        F.zip_with(F.col("mus"), F.col("sds"), lambda m, s: F.struct(m.alias("m"), s.alias("s"))),
+        lambda x, ms: F.when(ms["s"] == 0.0, F.lit(0.0)).otherwise(
+            (x - ms["m"]) / ms["s"]
+        ),
+    )
+    fold_sum = lambda arr: F.aggregate(  # noqa: E731 — ordered fold
+        arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+    fold_sq = lambda arr: F.aggregate(  # noqa: E731 — ordered fold
+        arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x
+    )
+    return e.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        F.round(fold_sq(z), 6).alias("z_norm2"),
+        F.round(fold_sum(z), 6).alias("z_sum"),
+    )
+
+
+def pca_power_iteration_step(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """One covariance-free power-iteration step toward the top
+    principal component (distributed PCA, the Halko/NIPS-era
+    randomized-sketch building block): with X centered and v0 the
+    deterministic uniform unit vector (1/sqrt(d) — exact when d is a
+    perfect square, 64 here),
+
+        u = X_c v0        (per-row dot, map-only)
+        w = X_c^T u       (dim-keyed sums)
+        w_unit = w / ||w||
+
+    Repeated, w converges to the top eigenvector of X^T X; one
+    quantized step is oracle-replayable (the kmeans-step/kcenter-step
+    twin pattern for iterative algorithms). Every per-row reduction is
+    an ordered ascending-index fold; u and w round to ``round_digits``
+    before reuse so both engines walk the same quantized grid.
+
+    Scale shape: means fold to one broadcast row (_dim_stats_row); u
+    never leaves its row (no per-row state table); w is ONE
+    partial-combined posexplode aggregate to d rows; the norm is a
+    single-partition window over those d rows (metadata cardinality).
+    Nothing corpus-sized ever single-partitions or collects."""
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    stats = _dim_stats_row(e)
+    d_row = e.select(F.size("v").alias("d")).first()
+    d = int(d_row["d"])
+    v0 = 1.0 / math.sqrt(d)
+    centered = e.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        F.zip_with(F.col("v"), F.col("mus"), lambda x, m: x - m).alias("xc"),
+    )
+    u = F.round(
+        F.aggregate(
+            F.col("xc"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * F.lit(v0)
+        ),
+        round_digits,
+    )
+    w = (
+        centered.select(F.col(id_col), u.alias("u"), F.posexplode("xc").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.round(F.sum(F.col("x") * F.col("u")), round_digits).alias("w_raw"))
+    )
+    norm = F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw")).over(Window.partitionBy()))
+    return w.select(
+        "dim",
+        "w_raw",
+        F.round(F.col("w_raw") / norm, round_digits).alias("w_unit"),
+    ).orderBy("dim")
+
+
 def semdedup_pairs(
     embeddings_df: DataFrame,
     seed_vectors: "Sequence[Sequence[float]] | DataFrame",
@@ -1506,7 +1639,11 @@ def kcenter_select(
     selected point's (6dp-rounded) squared distance to the prior set
     — non-increasing by construction, and radius_sq of the last pick
     upper-bounds every point's distance to the final set (the
-    k-center coverage guarantee).
+    k-center coverage guarantee). If fewer than ``k`` distinct points
+    exist (the farthest remaining distance hits 0), selection stops
+    early rather than re-selecting already-chosen points, so the
+    returned list may be shorter than ``k`` but never contains
+    duplicate prototypes.
 
     Scale shape: each round is one nearest_centroid_join scan (the
     chosen set folds to ONE broadcast codebook row — data, not plan
@@ -1537,6 +1674,11 @@ def kcenter_select(
             .select("vid", "v", F.round("mindist", 6).alias("radius_sq"))
             .first()
         )
+        if float(far["radius_sq"]) == 0.0:
+            # every remaining point coincides with a chosen one: the
+            # dataset has fewer than k distinct points — stop instead
+            # of padding the coreset with duplicate prototypes
+            break
         chosen.append((r, int(far["vid"]), float(far["radius_sq"])))
         vecs.append(list(far["v"]))
     return chosen

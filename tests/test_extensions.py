@@ -2,6 +2,8 @@
 similarity-search recall vs brute force, multimodal plumbing, text
 analysis edge cases."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -217,6 +219,36 @@ def test_multimodal_stub_raises_only_on_codec_library_formats(spark):
     # from the chunk walk, never a stub raise
     with pytest.raises(ValueError):
         multimodal._decode_header(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_png_header_path_rejects_exactly_what_decode_rejects():
+    """Metadata (_decode_header) and full decode share the IHDR
+    validation: a 16-bit / palette / interlaced PNG is ValueError in
+    BOTH stages — it must never pass metadata as (w, h, 1) and then
+    fail mid-pipeline at full decode."""
+    import struct as _s
+    import zlib as _z
+
+    def png_with_ihdr(depth, color, interlace):
+        ihdr = _s.pack(">IIBBBBB", 8, 8, depth, color, 0, 0, interlace)
+        chans = {0: 1, 2: 3, 3: 1}[color]
+        stride = 8 * chans * (2 if depth == 16 else 1)
+        raw = b"".join(b"\x00" + b"\x00" * stride for _ in range(8))
+        out = b"\x89PNG\r\n\x1a\n"
+        for tag, data in ((b"IHDR", ihdr), (b"IDAT", _z.compress(raw)), (b"IEND", b"")):
+            crc = _z.crc32(tag + data) & 0xFFFFFFFF
+            out += _s.pack(">I", len(data)) + tag + data + _s.pack(">I", crc)
+        return out
+
+    for depth, color, interlace in ((16, 0, 0), (8, 3, 0), (8, 0, 1)):
+        buf = png_with_ihdr(depth, color, interlace)
+        with pytest.raises(ValueError):
+            multimodal._decode_header(buf)
+        with pytest.raises(ValueError):
+            multimodal.decode_png(buf)
+    # and the valid case still passes the shared check
+    good = png_with_ihdr(8, 0, 0)
+    assert multimodal._decode_header(good) == (8, 8, 1)
 
 
 def test_ppm_codec_roundtrip_with_comments():
@@ -2055,6 +2087,27 @@ def test_pagerank_star_and_dangling(spark):
     assert ranks[0] > 2 * leaf
 
 
+def test_pagerank_conserves_mass_with_unknown_endpoints(spark):
+    """Edges whose endpoint is NOT in the node table are dropped
+    before outdegree is computed, so rank mass still sums to exactly
+    ~1 (previously such edges silently leaked mass): node 0's edge to
+    ghost node 99 is ignored, its remaining edge carries full rank,
+    and node 2 (only in-link from the ghost) gets teleport+dangling
+    share only."""
+    from dat_archive_map_reduce_spark.operators.graph import pagerank
+
+    nodes = spark.range(3).withColumnRenamed("id", "node")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 99), (99, 2), (1, 0)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(nodes, edges, n_iter=3).collect()}
+    assert set(ranks) == {0, 1, 2}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    # ghost in-link contributed nothing: 2 only receives teleport +
+    # dangling share, strictly less than the linked nodes
+    assert ranks[2] < ranks[0] and ranks[2] < ranks[1]
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """3 damped iterations on an irregular multi-edge graph equal the
     dense numpy power iteration with the same per-round quantization."""
@@ -2321,6 +2374,161 @@ def test_kcenter_greedy_matches_numpy_and_radii_decrease(spark):
     assert all(a >= b for a, b in zip(rs, rs[1:]))
     # coverage: after k picks no point is farther than the last radius
     assert d2.max() <= rs[-1] + 1e-9
+
+
+def test_skyline_2d_matches_bruteforce_dominance(spark):
+    """Bucketed skyline equals the O(n^2) dominance definition on a
+    random integer point set with deliberate duplicates and tied
+    coordinates; duplicates of a frontier point all survive."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.ranking import skyline_2d
+
+    rng = np.random.default_rng(23)
+    pts = rng.integers(0, 12, size=(120, 2)).tolist()
+    pts += pts[:10]  # exact duplicates
+    rows = [(i, int(x), int(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "rid long, x long, y long")
+    got = sorted(r["rid"] for r in skyline_2d(df, "x", "y").collect())
+
+    def dominated(i):
+        xi, yi = pts[i]
+        return any(
+            (xj >= xi and yj >= yi and (xj > xi or yj > yi))
+            for j, (xj, yj) in enumerate(pts)
+            if j != i
+        )
+
+    want = sorted(i for i in range(len(pts)) if not dominated(i))
+    assert got == want
+    # both copies of any duplicated frontier point survive
+    dup_frontier = [i for i in want if i >= 120]
+    for i in dup_frontier:
+        assert i - 120 in want
+
+
+def test_pca_power_iteration_step_matches_numpy(spark):
+    """One distributed power-iteration step equals the dense numpy
+    computation with the same 6dp quantization, and w_unit has unit
+    norm; on data with a dominant direction the step aligns with it."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        pca_power_iteration_step,
+    )
+
+    rng = np.random.default_rng(5)
+    d = 16  # perfect square: v0 = 0.25 exact
+    X = (rng.normal(size=(60, d)) + np.outer(rng.normal(size=60) * 4, np.eye(d)[3])).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    got = pca_power_iteration_step(df, "vec_id", "embedding").collect()
+
+    mu = np.round(X.mean(axis=0), 6)
+    Xc = X - mu
+    u = np.round(Xc @ np.full(d, 0.25), 6)
+    w = np.round(Xc.T @ u, 6)
+    w_unit = np.round(w / np.sqrt((w * w).sum()), 6)
+    assert [r["dim"] for r in got] == list(range(d))
+    # 2e-6 tolerance: numpy rounds half-even, Spark/DuckDB half-up —
+    # a value landing on the 5e-7 grid differs by exactly one quantum
+    # (bit-exactness across engines is the oracle gate's job)
+    for r in got:
+        assert abs(r["w_raw"] - w[r["dim"]]) < 2e-6
+        assert abs(r["w_unit"] - w_unit[r["dim"]]) < 2e-6
+    assert abs(sum(r["w_unit"] ** 2 for r in got) - 1.0) < 1e-4
+    # the planted direction (dim 3) dominates the step
+    assert abs(got[3]["w_unit"]) == max(abs(r["w_unit"]) for r in got)
+
+
+def test_standardize_embeddings_matches_numpy(spark):
+    """z_norm2/z_sum equal numpy z-scores under the same 6dp stats
+    quantization; a zero-variance dimension maps to 0 (never NaN)."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(50, 8)).round(3)
+    X[:, 5] = 7.0  # constant dimension: sd == 0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in standardize_embeddings(df).collect()}
+
+    mu = np.round(X.mean(axis=0), 6)
+    sd = np.round(X.std(axis=0), 6)
+    Z = np.where(sd == 0, 0.0, (X - mu) / np.where(sd == 0, 1.0, sd))
+    for i in range(50):
+        assert abs(got[i]["z_norm2"] - round(float((Z[i] ** 2).sum()), 6)) < 1e-5
+        assert abs(got[i]["z_sum"] - round(float(Z[i].sum()), 6)) < 1e-5
+        assert not math.isnan(got[i]["z_norm2"])
+
+
+def test_tfidf_topk_matches_naive(spark):
+    """tfidf_topk_terms equals a naive per-doc python computation,
+    including the rounded-score + term tiebreak ranking."""
+    import math as _m
+
+    from dat_archive_map_reduce_spark.operators.text import tfidf_topk_terms
+
+    docs = [
+        (0, "apple banana apple cherry"),
+        (1, "banana banana cherry"),
+        (2, "cherry date elderberry date"),
+        (3, "apple"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["rank"], r["term"], r["tfidf"])
+        for r in tfidf_topk_terms(df, "text", "doc_id", k=2)
+        .orderBy("doc_id", "rank")
+        .collect()
+    ]
+
+    n = len(docs)
+    from collections import Counter
+
+    dfreq = Counter()
+    toks = {i: t.lower().split() for i, t in docs}
+    for i in toks:
+        dfreq.update(set(toks[i]))
+    want = []
+    for i in sorted(toks):
+        cnt = Counter(toks[i])
+        dl = len(toks[i])
+        scored = sorted(
+            (
+                (round((c / dl) * _m.log((n + 1.0) / (dfreq[t] + 1.0)), 6), t)
+                for t, c in cnt.items()
+            ),
+            key=lambda st: (-st[0], st[1]),
+        )
+        for rk, (s, t) in enumerate(scored[:2], start=1):
+            want.append((i, rk, t, s))
+    assert got == want
+
+
+def test_kcenter_stops_early_when_fewer_distinct_points_than_k(spark):
+    """With only 3 distinct vectors among 6 rows and k=5, selection
+    stops after the 3rd pick (farthest remaining distance 0) instead
+    of padding the coreset with duplicate prototypes."""
+    from dat_archive_map_reduce_spark.operators.similarity import kcenter_select
+
+    pts = [[0.0, 0.0], [0.0, 0.0], [3.0, 0.0], [3.0, 0.0], [0.0, 4.0], [0.0, 4.0]]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "vec_id long, embedding array<double>"
+    )
+    got = kcenter_select(df, k=5, start_id=0)
+    assert len(got) == 3
+    ids = [vid for _, vid, _ in got]
+    assert len(set(tuple(pts[i]) for i in ids)) == 3  # all distinct prototypes
+    assert all(r > 0 for _, _, r in got[1:])
 
 
 def test_triangle_counts_known_graphs(spark):
