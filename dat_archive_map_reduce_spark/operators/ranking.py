@@ -184,3 +184,78 @@ def exact_global_cumsum(
         )
         .drop(_BUCKET, _OFF)
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    num_buckets: int | None = None,
+    quantile_err: float = 0.001,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier; Börzsönyi et al. 2001's SKYLINE
+    OF): keep every row not DOMINATED — where p dominates q iff
+    p.x >= q.x AND p.y >= q.y with at least one strict — the
+    multi-objective selection primitive (e.g. documents maximizing
+    both length and lexical diversity with no doc strictly better on
+    both). Exact duplicates of a frontier point all survive (none
+    dominates its equal). ``x_col`` must be numeric non-null.
+
+    Dominance decides from two maxima per row, both exact:
+      * m_gt = max(y) over rows with STRICTLY GREATER x: >= y means a
+        longer row is also at least as diverse — dominated.
+      * m_eq = max(y) within the SAME x: > y means an equal-length
+        row is strictly more diverse — dominated.
+
+    Scale shape (the exact_global_rank bucketing — a bare
+    Window.orderBy(x) would funnel the whole fact table through ONE
+    partition): rows range-bucket by approxQuantile bounds on x
+    (equal x always lands in one bucket), m_gt composes from a
+    PARTITIONED per-bucket RANGE window (strictly-greater x inside
+    the bucket) and a broadcast suffix-max over the <= num_buckets
+    per-bucket maxima (the single-partition window there carries
+    metadata cardinality only); m_eq is a partition-by-x keyed
+    window. No self-join (the naive dominance anti-join is O(n^2)),
+    nothing corpus-sized single-partitions."""
+    spark = df.sparkSession
+    n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(x_col, fracs, quantile_err)))
+
+    x, y = F.col(x_col), F.col(y_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(x > F.lit(b), F.lit(1)).otherwise(F.lit(0))
+    tagged = df.withColumn(_BUCKET, bucket)
+
+    # suffix max of per-bucket y maxima over STRICTLY HIGHER buckets:
+    # every row there has x beyond this bucket's upper bound, hence
+    # strictly greater than any x in this bucket. <= num_buckets rows.
+    bmax = tagged.groupBy(_BUCKET).agg(F.max(y).alias("_bmax"))
+    w_meta = Window.partitionBy(F.lit(0)).orderBy(_BUCKET)
+    suffix = bmax.select(
+        _BUCKET,
+        F.max("_bmax")
+        .over(w_meta.rowsBetween(1, Window.unboundedFollowing))
+        .alias("_sfx"),
+    )
+
+    w_gt = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(x.asc())
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy(x_col)
+    # greatest() skips NULLs (null only when both are): a top-bucket
+    # max-x row has neither an in-bucket successor nor a suffix max
+    m_gt = F.greatest(F.max(y).over(w_gt), F.col("_sfx"))
+    return (
+        tagged.join(F.broadcast(suffix), _BUCKET)
+        .withColumn("_m_gt", m_gt)
+        .withColumn("_m_eq", F.max(y).over(w_eq))
+        .filter(
+            (F.col("_m_gt").isNull() | (F.col("_m_gt") < y)) & (F.col("_m_eq") <= y)
+        )
+        .drop(_BUCKET, "_sfx", "_m_gt", "_m_eq")
+    )

@@ -563,6 +563,65 @@ def bm25_topk(
     )
 
 
+def tfidf_topk_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms over the FULL vocabulary — the
+    keyword-extraction / topic-signature primitive (Salton & Buckley
+    1988) a pipeline runs for per-document routing tags and
+    deduplication-cluster naming. Complements bm25_topk, which ranks
+    documents for a FIXED query bag; this ranks terms within each
+    document with no vocabulary filter.
+
+        tfidf(t, d) = (tf/dl) * ln((N + 1)/(df + 1))
+
+    (add-1 smoothed IDF, so df = N never yields -0.0). Ranking uses
+    the 6dp-ROUNDED score with the term string as tiebreak — the
+    rounded grid is what both engines agree on; an unrounded ln()
+    comparison would let a 1-ulp libm difference flip a rank.
+
+    Scale shape: tokens explode once into (doc, term) counts
+    (partial-combined shuffle on the doc+term grain), document
+    frequencies aggregate on the term grain and join back on term
+    (fact-sized shuffle, no broadcast assumption — the vocabulary is
+    corpus-sized), N rides as a 1-row broadcast scalar, and the
+    per-doc top-k is a doc-partitioned window over rows already
+    reduced to distinct (doc, term) — every stage is partial-combined
+    or windowed, nothing collects."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            F.round(
+                (F.col("tf") / F.col("dl"))
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "rank", "term", "tfidf")
+    )
+
+
 def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document bigram-LM cross-entropy — the CCNet-style
     perplexity filter (Wenzek et al. 2020, arXiv:1911.00359) with the

@@ -8919,6 +8919,286 @@ def corpus_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_tfidf_topk",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+      ) WHERE length(term) > 0
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round((tf.tf * 1.0 / dl.dl)
+                   * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over the FULL vocabulary
+    (operators/text.py::tfidf_topk_terms) — keyword extraction for
+    routing tags and cluster naming, complementing corpus_bm25_topk's
+    fixed-query document ranking. Ranking compares the 6dp-ROUNDED
+    score (term-string tiebreak) so a 1-ulp ln() difference between
+    engines cannot flip a rank. Postings partial-combine on
+    (doc, term); document frequencies aggregate and join back on the
+    term grain (fact-sized, no broadcast assumption — the vocabulary
+    is corpus-sized); N rides as a 1-row broadcast scalar; the per-doc
+    top-k is a doc-partitioned window."""
+    from dat_archive_map_reduce_spark.operators.text import tfidf_topk_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(d, "text", "doc_id", k=3)
+
+
+@query(
+    "emb_standardize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, pos, v[pos] AS x
+      FROM e, unnest(generate_series(1, len(v))) AS u(pos)
+    ), st AS (
+      SELECT pos, round(avg(x), 6) AS mu, round(stddev_pop(x), 6) AS sd
+      FROM ex GROUP BY pos
+    ), z AS (
+      SELECT ex.vec_id, ex.pos,
+             CASE WHEN st.sd = 0 THEN 0.0
+                  ELSE (ex.x - st.mu) / st.sd END AS z
+      FROM ex JOIN st USING (pos)
+    )
+    SELECT vec_id,
+           round(list_reduce(list_transform(list(z ORDER BY pos),
+                 t -> t * t), (a, b) -> a + b), 6) AS z_norm2,
+           round(list_reduce(list(z ORDER BY pos), (a, b) -> a + b), 6)
+             AS z_sum
+    FROM z GROUP BY vec_id
+    """,
+)
+def emb_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score whitening of the embedding table
+    (operators/similarity.py::standardize_embeddings) — the
+    preprocessing pass before PCA / clustering / linear probes.
+    Output per vector: standardized squared norm + element sum, both
+    ordered ascending-index folds, so the hash proves every element.
+    One posexplode aggregate to a d-row stats table folded to a
+    single broadcast row; the whitening itself is map-only."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return standardize_embeddings(e, "vec_id", "embedding")
+
+
+@query(
+    "emb_pca_power_iter",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, pos, v[pos] AS x
+      FROM e, unnest(generate_series(1, len(v))) AS u(pos)
+    ), st AS (
+      SELECT pos, round(avg(x), 6) AS mu FROM ex GROUP BY pos
+    ), xc AS (
+      SELECT ex.vec_id, ex.pos, ex.x - st.mu AS xc
+      FROM ex JOIN st USING (pos)
+    ), uvec AS (
+      SELECT vec_id,
+             round(list_reduce(list(xc * 0.125 ORDER BY pos),
+                   (a, b) -> a + b), 6) AS u
+      FROM xc GROUP BY vec_id
+    ), w AS (
+      SELECT xc.pos - 1 AS dim, round(sum(xc.xc * uvec.u), 6) AS w_raw
+      FROM xc JOIN uvec USING (vec_id) GROUP BY xc.pos
+    ), nr AS (SELECT sqrt(sum(w_raw * w_raw)) AS nr FROM w)
+    SELECT dim, w_raw, round(w_raw / nr.nr, 6) AS w_unit
+    FROM w CROSS JOIN nr ORDER BY dim
+    """,
+)
+def emb_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One covariance-free power-iteration step toward the top
+    principal component (operators/similarity.py::
+    pca_power_iteration_step) — distributed PCA without ever
+    materializing the d*d covariance: u = X_c v0 stays in its row,
+    w = X_c^T u is one partial-combined posexplode aggregate to d
+    rows. The oracle-replayable quantized single step is the
+    kmeans-step/kcenter-step twin pattern for iterative algorithms;
+    v0 = 1/sqrt(64) = 0.125 is exact so both engines start
+    identically."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        pca_power_iteration_step,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return pca_power_iteration_step(e, "vec_id", "embedding")
+
+
+@query(
+    "corpus_soft_dedup_weights",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      FROM toks
+    ), kept AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 4
+    ), cop AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN kept k ON k.shingle = a.shingle
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    jpairs AS (
+      SELECT id_a, id_b FROM cop
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.5
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM jpairs
+      UNION SELECT id_b, id_a FROM jpairs
+    ), reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT reach.node, edges.v FROM reach JOIN edges ON reach.r = edges.u
+    ), comp AS (
+      SELECT node, least(node, min(r)) AS c FROM reach GROUP BY node
+    ), clus AS (
+      SELECT d.doc_id, coalesce(c.c, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           round(1.0 / count(*) OVER (PARTITION BY cluster_id), 6)
+             AS weight
+    FROM clus
+    """,
+)
+def corpus_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup down-weighting instead of dropping: every document
+    keeps weight 1/cluster_size over its near-dup cluster (n-gram
+    Jaccard >= 0.5 pairs -> connected components, the dedup_clusters
+    machinery), so a 4-way duplicate family contributes one document's
+    worth of gradient mass in aggregate without discarding any
+    variant's unique spans. Same scale shape as dedup_clusters
+    (hot-capped pair discovery, O(log n) CC rounds) plus one
+    cluster-partitioned window."""
+    from dat_archive_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+    from dat_archive_map_reduce_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.5, hot_cap=4)
+    cc = connected_components(pairs, "id_a", "id_b")
+    out = d.select("doc_id").join(cc, d["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    size = F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("weight"),
+    )
+
+
+@query(
+    "agg_pareto_frontier",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             len(list_distinct(list_filter(string_split(lower(text), ' '),
+                 t -> length(t) > 0))) AS n_distinct_tokens
+      FROM documents
+    ), w AS (
+      SELECT doc_id, n_chars, n_distinct_tokens,
+             max(n_distinct_tokens) OVER (
+               ORDER BY n_chars
+               RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS m_gt,
+             max(n_distinct_tokens) OVER (PARTITION BY n_chars) AS m_eq
+      FROM d
+    )
+    SELECT doc_id, n_chars, n_distinct_tokens
+    FROM w
+    WHERE (m_gt IS NULL OR m_gt < n_distinct_tokens)
+      AND m_eq <= n_distinct_tokens
+    """,
+)
+def agg_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (operators/ranking.py::
+    skyline_2d; Börzsönyi et al. 2001): documents maximizing both
+    length (n_chars) and lexical diversity (distinct whitespace
+    tokens) with no document at least as good on both and strictly
+    better on one — the multi-objective data-selection primitive.
+    Exact dominance from two windows (strictly-greater-x running max
+    via a RANGE frame + same-x partition max) — 2 shuffles, never the
+    O(n^2) dominance self-join."""
+    from dat_archive_map_reduce_spark.operators.ranking import skyline_2d
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), " "), lambda t: F.length(t) > 0)
+            )
+        ).alias("n_distinct_tokens"),
+    )
+    return skyline_2d(d, "n_chars", "n_distinct_tokens")
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi,
+           round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over events.value (width 50) — the
+    profiling primitive behind range-partition planning, outlier
+    triage, and dashboard distributions. ONE partial-combined shuffle
+    whose key cardinality is the bucket count (~10 here), map-side
+    combine does all the work at any scale; bucket edges are exact
+    double division + floor, identical in both engines."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both
