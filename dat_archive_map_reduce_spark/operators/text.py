@@ -583,27 +583,29 @@ def tfidf_topk_terms(
     rounded grid is what both engines agree on; an unrounded ln()
     comparison would let a 1-ulp libm difference flip a rank.
 
-    Scale shape: tokens explode once into (doc, term) counts
-    (partial-combined shuffle on the doc+term grain), document
-    frequencies aggregate on the term grain and join back on term
-    (fact-sized shuffle, no broadcast assumption — the vocabulary is
-    corpus-sized), N rides as a 1-row broadcast scalar, and the
-    per-doc top-k is a doc-partitioned window over rows already
-    reduced to distinct (doc, term) — every stage is partial-combined
-    or windowed, nothing collects."""
+    Scale shape — 4 static shuffles, the corpus tokenized ONCE:
+    tokens explode into (doc, term) counts (partial-combined shuffle
+    1); document frequencies re-aggregate those counts on the term
+    grain (2 — the tf exchange under both consumers is an identical
+    subtree, so ReuseExchange tokenizes once) and join back on term
+    (3, fact-sized, no broadcast assumption — the vocabulary is
+    corpus-sized); N rides as a 1-row broadcast scalar; document
+    length and the top-k rank then compute as TWO WindowExecs over
+    ONE doc-grain exchange (4) — dl via a doc-partition sum, rank
+    over the score it feeds, no separate dl aggregate+join."""
     from pyspark.sql import Window
 
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
     ).filter(F.length("term") > 0)
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w_doc = Window.partitionBy("doc")
     scored = (
-        tf.join(dl, "doc")
-        .join(dfreq, "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("dl", F.sum("tf").over(w_doc))
         .select(
             "doc",
             "term",
@@ -614,7 +616,7 @@ def tfidf_topk_terms(
             ).alias("tfidf"),
         )
     )
-    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    w = w_doc.orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -179,6 +179,27 @@ CONTRACTS = [
     # single-partition exchange) + broadcast query-ADC tables, one
     # candidate-set window shuffle
     ("ann_pq_adc_batch_topk", 2, 2, False, True),
+    # -- round-9 additions --
+    # tfidf: corpus tokenizes ONCE (ReuseExchange under tf's two
+    # consumers); 5 static = tf agg + df re-agg + term-align join +
+    # one doc-grain window exchange (dl AND rank share it) + the
+    # 1-row N scalar fold
+    ("corpus_tfidf_topk", 5, 1, False, False),
+    # whitening: d-row stats agg + its single-partition metadata fold;
+    # the transform itself is map-only over the broadcast stats row
+    ("emb_standardize", 2, 1, False, False),
+    # PCA step: stats agg + metadata fold + ONE partial-combined
+    # (dim)-keyed w aggregate + the 64-row output sort
+    ("emb_pca_power_iter", 4, 1, False, False),
+    # soft-dedup weights add ONE cluster window atop the pair/CC
+    # machinery (small-graph CC runs as the single-task arrow path)
+    ("corpus_soft_dedup_weights", 1, 1, False, False),
+    # skyline: bucket-max agg + metadata suffix window + the two
+    # dominance windows — never a single-partition fact window and
+    # never the O(n^2) dominance self-join
+    ("agg_pareto_frontier", 4, 1, False, False),
+    # histogram: one partial-combined shuffle at bucket cardinality
+    ("events_value_histogram", 1, 0, False, False),
 ]
 
 
