@@ -338,3 +338,55 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``rounds`` iterations of k-core peeling (Seidman 1983; the
+    Batagelj-Zaveršnik peel expressed as bulk-synchronous rounds):
+    repeatedly drop every node whose degree in the SURVIVING subgraph
+    is < k, with all drops in a round applied simultaneously. Run to
+    a fixed point this yields the k-core — the standard web-graph
+    quality/spam signal; a FIXED round count makes the step
+    oracle-replayable (the pagerank/kmeans bounded-iteration
+    pattern), and each round only ever shrinks the edge set.
+
+    Input edges are treated as undirected and deduplicated (multi-
+    edges count once toward degree). Returns (node, degree) for nodes
+    surviving all rounds, with their degree in the final subgraph.
+
+    Scale shape per round: one partial-combined degree aggregate +
+    two semi-joins of the edge table against the surviving node set
+    (node-grain, co-partitioned on the join key) — all integer
+    arithmetic, no floats anywhere. The edge table localCheckpoints
+    each round (lazily) so plan depth stays O(1) in rounds, the same
+    lineage-truncation recipe as pagerank."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    e = (
+        und.select("u", "v")
+        .union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        e = (
+            e.join(keep, "u", "leftsemi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+    )

@@ -1500,6 +1500,76 @@ def standardize_embeddings(
     )
 
 
+def mmr_select_step(
+    corpus: DataFrame,
+    query_id: int,
+    selected_ids: "Sequence[int]",
+    lam: float = 0.7,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """One Maximal-Marginal-Relevance selection step (Carbonell &
+    Goldstein 1998): rank the corpus by
+
+        mmr = lam * cos(query, d) - (1 - lam) * max_{s in S} cos(s, d)
+
+    — relevance to the query minus redundancy against the
+    already-selected set S. Greedy MMR repeats this with the winner
+    appended to S; the quantized single step is oracle-replayable
+    (the kmeans-/kcenter-/BPE-step pattern for greedy iteration).
+
+    Scale shape: the selected set rides as a broadcast (|S| rows —
+    bounded by the selection budget); one |S|-way fan-out per corpus
+    row folds back with a partial-combined max on the candidate key;
+    top-k plans as TakeOrderedAndProject. Ranking compares the
+    ``round_digits``-rounded score (id tiebreak) so both engines rank
+    on the grid they agree on — the 4dp default is the proven
+    cross-engine cosine quantum (emb_cosine_topk precedent)."""
+    # the query vector rides in the same broadcast as S (rel is the
+    # sid == query_id slot of the fan-out); candidates exclude S but
+    # not the query unless it was selected
+    sel_ids = sorted({int(query_id)} | {int(s) for s in selected_ids})
+    sel = corpus.filter(F.col(id_col).isin(sel_ids)).select(
+        F.col(id_col).alias("sid"),
+        F.col(vec_col).cast("array<double>").alias("sv"),
+    )
+    cand = corpus.filter(~F.col(id_col).isin([int(s) for s in selected_ids])).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    pair_cos = cosine(F.col("cv"), F.col("sv"))
+    scored = (
+        cand.crossJoin(F.broadcast(sel))
+        .groupBy("cid")
+        .agg(
+            F.max(
+                F.when(F.col("sid") == int(query_id), pair_cos)
+            ).alias("rel"),
+            F.max(
+                F.when(
+                    F.col("sid").isin([int(s) for s in selected_ids]), pair_cos
+                )
+            ).alias("div"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("cid").alias(id_col),
+            F.round("rel", round_digits).alias("relevance"),
+            F.round("div", round_digits).alias("redundancy"),
+            F.round(
+                F.lit(float(lam)) * F.col("rel")
+                - F.lit(1.0 - float(lam)) * F.col("div"),
+                round_digits,
+            ).alias("mmr"),
+        )
+        .orderBy(F.desc("mmr"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def pca_power_iteration_step(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -9199,6 +9199,177 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_poisson_bootstrap",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(0, 8)) AS rep),
+    x AS (
+      SELECT rep, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(rep AS VARCHAR)), 1, 8) AS h
+      FROM documents CROSS JOIN reps
+    ), kk AS (
+      SELECT rep, n_chars,
+             (CASE WHEN h >= '5e2d58d8' THEN 1 ELSE 0 END +
+              CASE WHEN h >= 'bc5ab1b1' THEN 1 ELSE 0 END +
+              CASE WHEN h >= 'eb715e1d' THEN 1 ELSE 0 END +
+              CASE WHEN h >= 'fb239797' THEN 1 ELSE 0 END +
+              CASE WHEN h >= 'ff1025f5' THEN 1 ELSE 0 END +
+              CASE WHEN h >= 'ffd90f3b' THEN 1 ELSE 0 END) AS k
+      FROM x
+    )
+    SELECT CAST(rep AS BIGINT) AS rep,
+           CAST(sum(k) AS BIGINT) AS n_drawn,
+           CAST(sum(k * n_chars) AS BIGINT) AS total_chars,
+           round(sum(k * n_chars) * 1.0 / sum(k), 4) AS mean_chars
+    FROM kk GROUP BY rep
+    """,
+)
+def corpus_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap (Chamandy et al. 2012, Google's
+    large-scale bootstrap): 8 deterministic resampling replicates for
+    variance estimation of corpus statistics — each doc enters
+    replicate r with multiplicity k ~ Poisson(1), k derived by
+    inverse-CDF on the md5(doc:rep) uniform COMPARED AS HEX STRINGS
+    against precomputed cutoffs (floor(CDF_k * 16^8) in hex), so the
+    draw is integer-exact on both engines — no float CDF arithmetic
+    anywhere, and all replicate totals are exact BIGINT sums.
+
+    Scale shape: a map-only 8x fan-out (explode of a literal range)
+    followed by ONE partial-combined 8-key shuffle. The classic
+    n-out-of-n bootstrap needs global coordination; the Poisson
+    approximation is embarrassingly parallel — that is the point of
+    the technique at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    cutoffs = ["5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5", "ffd90f3b"]
+    h8 = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("rep"))), 1, 8
+    )
+    k = None
+    for c in cutoffs:
+        term = F.when(h8 >= c, 1).otherwise(0)
+        k = term if k is None else k + term
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("rep"),
+        )
+        .select(F.col("rep").cast("bigint").alias("rep"), "n_chars", k.alias("k"))
+        .groupBy("rep")
+        .agg(
+            F.sum("k").alias("n_drawn"),
+            F.sum(F.col("k") * F.col("n_chars")).alias("total_chars"),
+            F.round(
+                F.sum(F.col("k") * F.col("n_chars"))
+                / F.sum("k"),
+                4,
+            ).alias("mean_chars"),
+        )
+    )
+
+
+@query(
+    "emb_mmr_select",
+    oracle="""
+    WITH sel AS (
+      SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE vec_id IN (0, 1)
+    ), cand AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id NOT IN (0, 1)
+    ), pc AS (
+      SELECT cid, sid, list_cosine_similarity(cv, sv) AS cos
+      FROM cand CROSS JOIN sel
+    ), agg AS (
+      SELECT cid,
+             max(CASE WHEN sid = 0 THEN cos END) AS rel,
+             max(cos) AS red
+      FROM pc GROUP BY cid
+    )
+    SELECT cid AS vec_id,
+           round(rel, 4) AS relevance,
+           round(red, 4) AS redundancy,
+           round(0.7 * rel - 0.3 * red, 4) AS mmr
+    FROM agg
+    ORDER BY round(0.7 * rel - 0.3 * red, 4) DESC, cid
+    LIMIT 10
+    """,
+)
+def emb_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Maximal-Marginal-Relevance selection step
+    (operators/similarity.py::mmr_select_step; Carbonell & Goldstein
+    1998): rank candidates by lam*cos(query,d) - (1-lam)*max_{s in S}
+    cos(s,d) with query = vec 0, S = {0, 1}, lam = 0.7 — the
+    diversity-aware retrieval/selection primitive (greedy MMR repeats
+    the step with the winner appended; the quantized single step is
+    the oracle-replayable twin, the kcenter_step pairing). Selected
+    set rides as a broadcast; one candidate-keyed partial-combined
+    max; top-10 as TakeOrderedAndProject."""
+    from dat_archive_map_reduce_spark.operators.similarity import mmr_select_step
+
+    e = _t(spark, sf_dir, "embeddings")
+    return mmr_select_step(e, query_id=0, selected_ids=[0, 1], lam=0.7, k=10)
+
+
+@query(
+    "graph_kcore",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 131071 + j.j * 524287) % t.n AS dst
+      FROM documents d CROSS JOIN tot t,
+           (SELECT unnest([1, 2, 3]) AS j) j
+      WHERE j.j <= 1 + d.doc_id % 3
+        AND (d.doc_id * 131071 + j.j * 524287) % t.n <> d.doc_id
+    ),
+    e0 AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM raw
+        UNION ALL SELECT dst, src FROM raw
+      )
+    ),
+    d1 AS (SELECT u, count(*) AS c FROM e0 GROUP BY u),
+    k1 AS (SELECT u FROM d1 WHERE c >= 3),
+    e1 AS (SELECT e.u, e.v FROM e0 e
+           JOIN k1 a ON e.u = a.u JOIN k1 b ON e.v = b.u),
+    d2 AS (SELECT u, count(*) AS c FROM e1 GROUP BY u),
+    k2 AS (SELECT u FROM d2 WHERE c >= 3),
+    e2 AS (SELECT e.u, e.v FROM e1 e
+           JOIN k2 a ON e.u = a.u JOIN k2 b ON e.v = b.u),
+    d3 AS (SELECT u, count(*) AS c FROM e2 GROUP BY u),
+    k3 AS (SELECT u FROM d3 WHERE c >= 3),
+    e3 AS (SELECT e.u, e.v FROM e2 e
+           JOIN k3 a ON e.u = a.u JOIN k3 b ON e.v = b.u)
+    SELECT u AS node, count(*) AS degree FROM e3 GROUP BY u
+    """,
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three bulk-synchronous rounds of 3-core peeling
+    (operators/graph.py::kcore_peel; Seidman 1983) over the same
+    synthetic doc-link graph as graph_pagerank/graph_triangle_count —
+    the web-graph quality/spam-farm signal (low-core pages are
+    link-poor periphery). All-integer computation, so the fixed-round
+    oracle replay is exact with no quantization at all; the oracle
+    unrolls the identical three peels as CTEs."""
+    from dat_archive_map_reduce_spark.operators.graph import kcore_peel
+
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
+    dst = (F.col("doc_id") * 131071 + F.col("j") * 524287) % F.col("n")
+    edges = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(j))
+        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
+        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return kcore_peel(edges, k=3, rounds=3)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -2514,6 +2514,97 @@ def test_tfidf_topk_matches_naive(spark):
     assert got == want
 
 
+def test_kcore_peel_known_graph_with_cascade(spark):
+    """4-clique + a tail hung off it: the clique survives 3-core
+    peeling, the tail dies — and the cascade needs MULTIPLE rounds
+    (t2 has degree 2 from the start; t1 has degree 2 only AFTER t2
+    drops... actually t1 drops round 1, exposing t2), so the
+    fixed-round bulk-synchronous peel is exercised, not just one
+    pass."""
+    from dat_archive_map_reduce_spark.operators.graph import kcore_peel
+
+    # clique 0-1-2-3; tail 3-10, 10-11, 11-12 (chain)
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tail = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + tail, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore_peel(edges, k=3, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # k=2: the chain is NOT a 2-core (leaf 12 peels, then 11, then 10
+    # — a 3-round cascade), the clique is
+    got2 = {r["node"]: r["degree"] for r in kcore_peel(edges, k=2, rounds=3).collect()}
+    assert set(got2) == {0, 1, 2, 3}
+    assert got2[3] == 3  # tail edge gone
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """MMR picks the diverse candidate over one nearly identical to an
+    already-selected vector, even though the redundant one has higher
+    raw query similarity; scores match a numpy recompute."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.similarity import mmr_select_step
+
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    s1 = np.array([0.9, 0.1, 0.0, 0.0])  # the only selected vector (id 1)
+    redundant = np.array([0.9, 0.1, 0.05, 0.0])  # id 2: near-copy of s1
+    diverse = np.array([0.6, 0.0, 0.8, 0.0])  # id 3: moderate rel, low red
+    rows = [
+        (0, [float(x) for x in q]),
+        (1, [float(x) for x in s1]),
+        (2, [float(x) for x in redundant]),
+        (3, [float(x) for x in diverse]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_select_step(df, query_id=0, selected_ids=[1], lam=0.5, k=3).collect()
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    X = {0: q, 2: redundant, 3: diverse}
+    for r in got:
+        v = X[r["vec_id"]]
+        rel = cos(v, q)
+        red = cos(v, s1)
+        assert abs(r["relevance"] - round(rel, 4)) < 2e-4
+        assert abs(r["mmr"] - round(0.5 * rel - 0.5 * red, 4)) < 2e-4
+    # the near-copy of s1 has HIGHER raw query similarity than the
+    # diverse candidate, yet MMR ranks it below (redundancy penalty)
+    ranked = [r["vec_id"] for r in got]
+    assert ranked.index(3) < ranked.index(2)
+
+
+def test_poisson_bootstrap_draws_are_deterministic_and_calibrated(spark):
+    """Replicate draws re-derive exactly from python md5 (integer-exact
+    inverse CDF), and the average multiplicity across (doc, rep) is ~1
+    (Poisson(1) calibration)."""
+    import hashlib
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["rep"]: r for r in E.queries()["corpus_poisson_bootstrap"](spark, sf).collect()}
+    assert set(got) == set(range(8))
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf}/documents.parquet'"
+    ).fetchall()
+    cutoffs = ["5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5", "ffd90f3b"]
+    for rep in (0, 5):
+        n_drawn = total = 0
+        for doc_id, n_chars in docs:
+            h = hashlib.md5(f"{doc_id}:{rep}".encode()).hexdigest()[:8]
+            k = sum(h >= c for c in cutoffs)
+            n_drawn += k
+            total += k * n_chars
+        assert got[rep]["n_drawn"] == n_drawn
+        assert got[rep]["total_chars"] == total
+    mean_k = sum(got[r]["n_drawn"] for r in got) / (8 * len(docs))
+    assert 0.85 < mean_k < 1.15
+
+
 def test_kcenter_stops_early_when_fewer_distinct_points_than_k(spark):
     """With only 3 distinct vectors among 6 rows and k=5, selection
     stops after the 3rd pick (farthest remaining distance 0) instead

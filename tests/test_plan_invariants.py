@@ -200,6 +200,14 @@ CONTRACTS = [
     ("agg_pareto_frontier", 4, 1, False, False),
     # histogram: one partial-combined shuffle at bucket cardinality
     ("events_value_histogram", 1, 0, False, False),
+    # Poisson bootstrap: map-only 8x fan-out + ONE 8-key shuffle
+    ("corpus_poisson_bootstrap", 1, 0, False, False),
+    # MMR step: broadcast selected set, one candidate-keyed
+    # partial-combined max, TakeOrderedAndProject
+    ("emb_mmr_select", 1, 1, True, True),
+    # k-core: per-round lineage truncates at localCheckpoint; the
+    # audited static plan is the final degree aggregate
+    ("graph_kcore", 1, 0, False, False),
 ]
 
 
