@@ -1819,3 +1819,91 @@ def source_drift_kl(
         F.col("n_tok").cast("bigint").alias("n_tokens"),
         F.round(kl_nats / float(math.log(2.0)), 6).alias("kl_bits"),
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_phrase_len: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (capped at
+    ``max_phrase_len``); each word scores degree/frequency over the
+    candidate-phrase co-occurrence graph (degree = summed lengths of
+    phrases containing the word, frequency = occurrence count); a
+    phrase scores the sum of its word scores. Returns the corpus
+    top-k phrases by (6dp-rounded score, phrase) with occurrence
+    counts.
+
+    Scale shape: phrase assembly is ONE doc-partitioned window pass
+    (running stopword-boundary count) + a (doc, phrase) aggregate;
+    word stats partial-combine on the word grain and join back on
+    word (fact-sized, vocabulary never broadcasts); the phrase score
+    folds word scores in word order (ordered float sum — the
+    KL/BM25 portability recipe); top-k plans as
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    is_stop = F.col("w").isin(STOPWORDS)
+    w_doc = Window.partitionBy("doc").orderBy("pos")
+    seg = toks.withColumn(
+        "phrase_id",
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(w_doc),
+    ).filter(~is_stop)
+    phrases = (
+        seg.groupBy("doc", "phrase_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ).alias("words")
+        )
+        .filter(F.size("words") <= max_phrase_len)
+        .withColumn("phrase", F.array_join("words", " "))
+        .withColumn("plen", F.size("words"))
+    )
+    word_stats = (
+        phrases.select("plen", F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .withColumn("wscore", F.col("degree") / F.col("freq"))
+    )
+    # one aggregate on the phrase key: every occurrence of the same
+    # phrase string has the same word multiset, so the per-occurrence
+    # RAKE score = (ordered fold over ALL word rows) * plen / n_rows,
+    # and n_occurrences = n_rows / plen — integer-exact, no second
+    # (doc, phrase) shuffle
+    scored = (
+        phrases.select("phrase", "plen", F.explode("words").alias("w"))
+        .join(word_stats, "w")
+        .groupBy("phrase")
+        .agg(
+            (F.count(F.lit(1)) / F.max("plen")).cast("bigint").alias(
+                "n_occurrences"
+            ),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("w", "wscore"))),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, s: acc + s["wscore"],
+                )
+                * F.max("plen")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(k)
+        .select("phrase", "n_occurrences", "score")
+    )

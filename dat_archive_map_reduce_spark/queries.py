@@ -9370,6 +9370,188 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, k=3, rounds=3)
 
 
+@query(
+    "text_rake_keyphrases",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc, pos, t[pos] AS w
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+           unnest(generate_series(1, len(t))) AS u(pos)
+      WHERE length(t[pos]) > 0
+    ), seg AS (
+      SELECT doc, pos, w,
+             sum(CASE WHEN w IN ('the','a','an','and','or','of','to',
+                                 'is','in','on','for')
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc ORDER BY pos) AS phrase_id,
+             w IN ('the','a','an','and','or','of','to','is','in','on',
+                   'for') AS is_stop
+      FROM toks
+    ), phrases AS (
+      SELECT doc, phrase_id,
+             list(w ORDER BY pos) AS words,
+             array_to_string(list(w ORDER BY pos), ' ') AS phrase,
+             count(*) AS plen
+      FROM seg WHERE NOT is_stop
+      GROUP BY doc, phrase_id
+      HAVING count(*) <= 3
+    ), ws AS (
+      SELECT w, count(*) AS freq, sum(plen) AS degree,
+             sum(plen) * 1.0 / count(*) AS wscore
+      FROM (SELECT plen, unnest(words) AS w FROM phrases)
+      GROUP BY w
+    ), scored AS (
+      SELECT p.phrase,
+             CAST(count(*) / max(p.plen) AS BIGINT) AS n_occurrences,
+             round(list_reduce(list(ws.wscore ORDER BY ws.w),
+                               (a, b) -> a + b)
+                   * max(p.plen) / count(*), 6) AS score
+      FROM (SELECT phrase, plen, unnest(words) AS w FROM phrases) p
+      JOIN ws ON ws.w = p.w
+      GROUP BY p.phrase
+    )
+    SELECT phrase, n_occurrences, score
+    FROM scored ORDER BY score DESC, phrase LIMIT 10
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (operators/text.py::rake_keyphrases;
+    Rose et al. 2010): stopword-bounded candidate phrases scored by
+    summed word degree/frequency over the phrase co-occurrence graph
+    — the unsupervised topic-tagging primitive. One doc-partitioned
+    boundary window + word-grain stats joined back on the word key;
+    phrase scores fold word scores in word order (the fixed-order
+    float-sum recipe)."""
+    from dat_archive_map_reduce_spark.operators.text import rake_keyphrases
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keyphrases(d, "text", "doc_id", max_phrase_len=3, k=10)
+
+
+@query(
+    "retrieval_ndcg_eval",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), lens AS (
+      SELECT doc_id, len(t) AS dl FROM d
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM d)
+      WHERE term IN ('spark', 'filter', 'window')
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+    ), sc AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / s.avgdl))
+               AS sc
+      FROM tf JOIN dfreq USING (term) JOIN lens USING (doc_id)
+      CROSS JOIN stats s
+    ), agg AS (
+      SELECT doc_id,
+             sum(CASE WHEN term = 'spark'  THEN sc ELSE 0.0 END)
+             + sum(CASE WHEN term = 'filter' THEN sc ELSE 0.0 END)
+             + sum(CASE WHEN term = 'window' THEN sc ELSE 0.0 END) AS s
+      FROM sc GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, round(s, 4) AS bm25,
+             row_number() OVER (ORDER BY round(s, 4) DESC, doc_id)
+               AS rnk
+      FROM agg
+      QUALIFY rnk <= 10
+    ), graded AS (
+      SELECT rnk,
+             CAST((strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 4
+                  AS BIGINT) AS grade
+      FROM ranked
+    ), dcg AS (
+      SELECT round(list_reduce(
+               list((power(2, grade) - 1.0) / log2(rnk + 1.0)
+                    ORDER BY rnk),
+               (a, b) -> a + b), 6) AS dcg
+      FROM graded
+    ), idcg AS (
+      SELECT round(list_reduce(
+               list((power(2, grade) - 1.0) / log2(p + 1.0) ORDER BY p),
+               (a, b) -> a + b), 6) AS idcg
+      FROM (SELECT grade,
+                   row_number() OVER (ORDER BY grade DESC) AS p
+            FROM graded)
+    )
+    SELECT dcg.dcg AS dcg, idcg.idcg AS idcg,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against md5-derived graded
+    relevance labels (grade = first-md5-nibble % 4) — the retrieval
+    evaluation harness every search/RAG pipeline runs, expressed
+    in-engine: exponential-gain DCG over the ranked list, ideal DCG
+    from the grade-sorted permutation, both folded in position order
+    (fixed-order float sums). Everything after the bm25
+    TakeOrderedAndProject is a 10-row metadata computation."""
+    from dat_archive_map_reduce_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    top = bm25_topk(d, "text", "doc_id", ["spark", "filter", "window"], k=10)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), F.asc("doc_id"))
+    graded = top.select(
+        F.row_number().over(w).alias("rnk"),
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                )
+                - 1
+            )
+            % 4
+        ).cast("bigint").alias("grade"),
+    )
+    folded = graded.agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("rnk").alias("p"), F.col("grade").alias("grade"))
+                    )
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc
+                + (F.pow(F.lit(2.0), s["grade"]) - 1.0) / F.log2(s["p"] + 1.0),
+            ),
+            6,
+        ).alias("dcg"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("grade")).alias("ng")))
+                    ),
+                    lambda s, i: F.struct(
+                        (i + 1).alias("p"), (-s["ng"]).alias("grade")
+                    ),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, s: acc
+                + (F.pow(F.lit(2.0), s["grade"]) - 1.0) / F.log2(s["p"] + 1.0),
+            ),
+            6,
+        ).alias("idcg"),
+    )
+    return folded.select(
+        "dcg", "idcg", F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg")
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

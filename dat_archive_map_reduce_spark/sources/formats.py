@@ -76,6 +76,39 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """XML via Spark 4's NATIVE xml source (the spark-xml package
+    folded into core): one record per ``row_tag`` element, schema
+    inferred (attributes become ``_attr`` columns) or supplied.
+    Feed-style enterprise inputs (sitemaps, RSS/Atom, SOAP dumps)
+    land in the same DataFrame pipeline as every other source.
+
+    Scale note: like JSON/CSV, schema inference is an extra pass —
+    pass ``schema`` in production; files split per-file (a single
+    giant XML document does not parallelize within the file)."""
+    reader = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.xml(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    df.write.mode(mode).option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).xml(path)
+
+
 def read_fixed_width(
     spark: SparkSession,
     path: str,

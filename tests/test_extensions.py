@@ -2605,6 +2605,66 @@ def test_poisson_bootstrap_draws_are_deterministic_and_calibrated(spark):
     assert 0.85 < mean_k < 1.15
 
 
+def test_rake_keyphrases_handcrafted(spark):
+    """Stopwords split candidate phrases; runs longer than
+    max_phrase_len are dropped; the co-occurring multiword phrase
+    outscores single words (RAKE's degree/freq favors longer
+    phrases); scores match a hand computation."""
+    from dat_archive_map_reduce_spark.operators.text import rake_keyphrases
+
+    docs = [
+        (0, "deep learning is deep learning for vision"),
+        (1, "deep learning and vision"),
+        (2, "one two three four five"),  # 5-token run: dropped (>3)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["phrase"]: (r["n_occurrences"], r["score"])
+        for r in rake_keyphrases(df, "text", "doc_id", max_phrase_len=3, k=10).collect()
+    }
+    # candidate phrases: "deep learning" x3, "vision" x2
+    assert set(got) == {"deep learning", "vision"}
+    assert got["deep learning"][0] == 3
+    assert got["vision"][0] == 2
+    # word stats: deep/learning freq 3, degree 6 -> wscore 2 each;
+    # vision freq 2, degree 2 -> wscore 1
+    assert abs(got["deep learning"][1] - 4.0) < 1e-9
+    assert abs(got["vision"][1] - 1.0) < 1e-9
+
+
+def test_ndcg_eval_bounds_and_recompute(spark):
+    """0 < ndcg <= 1, and dcg/idcg re-derive from a python recompute
+    of the same ranked list and md5 grades."""
+    import hashlib
+    import math as _m
+
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    row = E.queries()["retrieval_ndcg_eval"](spark, sf).first()
+    assert 0 < row["ndcg"] <= 1.0
+    assert row["dcg"] <= row["idcg"]
+
+    from dat_archive_map_reduce_spark.operators.text import bm25_topk
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    d = load_table(spark, sf, "documents")
+    top = bm25_topk(d, "text", "doc_id", ["spark", "filter", "window"], k=10).collect()
+    grades = [
+        int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[0], 16) % 4
+        for r in top
+    ]
+    dcg = sum(
+        (2**g - 1) / _m.log2(p + 1) for p, g in enumerate(grades, start=1)
+    )
+    idcg = sum(
+        (2**g - 1) / _m.log2(p + 1)
+        for p, g in enumerate(sorted(grades, reverse=True), start=1)
+    )
+    assert abs(row["dcg"] - round(dcg, 6)) < 1e-5
+    assert abs(row["idcg"] - round(idcg, 6)) < 1e-5
+
+
 def test_kcenter_stops_early_when_fewer_distinct_points_than_k(spark):
     """With only 3 distinct vectors among 6 rows and k=5, selection
     stops after the 3rd pick (farthest remaining distance 0) instead

@@ -208,6 +208,13 @@ CONTRACTS = [
     # k-core: per-round lineage truncates at localCheckpoint; the
     # audited static plan is the final degree aggregate
     ("graph_kcore", 1, 0, False, False),
+    # RAKE: boundary window + (doc,phrase) agg + word-grain stats,
+    # word join back (broadcast at audit SF; sort-merge at scale),
+    # top-k as TakeOrderedAndProject
+    ("text_rake_keyphrases", 3, 0, True, False),
+    # NDCG: bm25's 5 exchanges; everything above the ranked list is a
+    # 10-row metadata fold
+    ("retrieval_ndcg_eval", 5, 1, True, False),
 ]
 
 

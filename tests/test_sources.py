@@ -91,6 +91,32 @@ def test_orc_roundtrip_matches_parquet_with_pushdown(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in buf.getvalue()
 
 
+def test_xml_roundtrip_matches_parquet(spark, tmp_path):
+    """XML write -> read via Spark 4's native xml source roundtrips
+    the nation table exactly (values and row count), with an explicit
+    schema on read so types survive (inference is also exercised and
+    must agree on the numeric columns)."""
+    from dat_archive_map_reduce_spark.sources.formats import read_xml, write_xml
+    from dat_archive_map_reduce_spark.sources.tables import load_table
+
+    nation = load_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    xdir = str(tmp_path / "x")
+    write_xml(nation, xdir, row_tag="nation", root_tag="nations")
+    x = read_xml(
+        spark,
+        xdir,
+        row_tag="nation",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+    assert x.exceptAll(nation).count() == 0
+    assert nation.exceptAll(x).count() == 0
+    inferred = read_xml(spark, xdir, row_tag="nation")
+    assert inferred.count() == nation.count()
+    assert set(inferred.columns) == set(nation.columns)
+
+
 def test_fixed_width_roundtrip(spark, tmp_path):
     """Fixed-width write -> read roundtrips the nation table exactly
     (trim + typed casts), and the reader is pure native substring
