@@ -9552,6 +9552,95 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hierarchy_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc(doc_id, depth) AS (
+      SELECT doc_id, 0 FROM documents WHERE doc_id = 0
+      UNION ALL
+      SELECT d.doc_id, anc.depth + 1
+      FROM documents d JOIN anc ON CAST(floor(d.doc_id / 4) AS BIGINT)
+                                   = anc.doc_id
+      WHERE d.doc_id > 0
+    )
+    SELECT depth, count(*) AS n_nodes,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+           min(a.doc_id) AS min_id, max(a.doc_id) AS max_id
+    FROM anc a JOIN documents d USING (doc_id)
+    GROUP BY depth
+    """,
+)
+def hierarchy_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy traversal via Spark 4's NATIVE recursive CTE (SQL:1999
+    WITH RECURSIVE, new in Spark 4.0): each document parents to
+    doc_id DIV 4 (a 4-ary tree rooted at 0), and the recursion labels
+    every node with its depth — the org-chart / bill-of-materials /
+    category-tree workload SQL engines classically could not express
+    in Spark without a driver-side loop. The per-depth rollup keeps
+    output bounded at tree height (log4 n).
+
+    Scale shape: Spark plans the recursion as iterated UnionLoop
+    steps, one join per level — depth-bounded (log4 of the corpus),
+    each level a keyed equi-join, no driver iteration at all. The
+    oracle runs DuckDB's own WITH RECURSIVE over the same tree."""
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__hier_docs")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(doc_id, depth) AS (
+          SELECT doc_id, 0 FROM __hier_docs WHERE doc_id = 0
+          UNION ALL
+          SELECT d.doc_id, anc.depth + 1
+          FROM __hier_docs d JOIN anc ON d.doc_id DIV 4 = anc.doc_id
+          WHERE d.doc_id > 0
+        )
+        SELECT depth, count(*) AS n_nodes,
+               sum(d.n_chars) AS total_chars,
+               min(a.doc_id) AS min_id, max(a.doc_id) AS max_id
+        FROM anc a JOIN __hier_docs d USING (doc_id)
+        GROUP BY depth
+        """
+    )
+
+
+@query(
+    "map_variant_shred",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(max(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT)
+             AS max_k,
+           count(DISTINCT CAST(props::JSON ->> 'k' AS BIGINT) // 10)
+             AS n_k_buckets
+    FROM events GROUP BY event_type
+    """,
+)
+def map_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding via Spark 4's VARIANT type:
+    parse_json() the raw props column ONCE into the binary variant
+    encoding, then variant_get typed paths feed ordinary aggregates —
+    the modern lakehouse answer to schema-on-read JSON (no rigid
+    from_json schema, no per-access string re-parse;
+    map_json_schema_on_read is the classical twin). Map-only
+    extraction + one partial-combined rollup on event_type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(
+                (F.col("k") / 10).cast("bigint")
+            ).alias("n_k_buckets"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

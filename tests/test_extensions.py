@@ -2665,6 +2665,53 @@ def test_ndcg_eval_bounds_and_recompute(spark):
     assert abs(row["idcg"] - round(idcg, 6)) < 1e-5
 
 
+def test_recursive_cte_depths_match_python(spark):
+    """Spark 4 recursive-CTE depth labels equal the python DIV-4 walk
+    for every node, and the per-depth rollup conserves the corpus."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["depth"]: r for r in E.queries()["hierarchy_recursive_cte"](spark, sf).collect()}
+
+    import duckdb
+
+    ids = [r[0] for r in duckdb.sql(
+        f"SELECT doc_id FROM '{sf}/documents.parquet'").fetchall()]
+
+    def depth(i):
+        d = 0
+        while i > 0:
+            i //= 4
+            d += 1
+        return d
+
+    from collections import Counter
+
+    want = Counter(depth(i) for i in ids)
+    assert {d: r["n_nodes"] for d, r in got.items()} == dict(want)
+    assert sum(r["n_nodes"] for r in got.values()) == len(ids)
+
+
+def test_variant_get_typed_paths_and_missing(spark):
+    """VARIANT extraction: typed paths come back as the asked-for
+    type, missing paths are NULL (not an error), and nested access
+    works — the schema-on-read contract the shred query relies on."""
+    df = spark.createDataFrame(
+        [('{"k": 5, "tags": ["a", "b"], "m": {"x": 1.5}}',), ('{"k": 9}',)],
+        "props string",
+    )
+    out = df.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(parse_json(props), '$.m.x', 'double')").alias("mx"),
+        F.expr("variant_get(parse_json(props), '$.absent', 'string')").alias("ab"),
+        F.expr("variant_get(parse_json(props), '$.tags[1]', 'string')").alias("t1"),
+    ).collect()
+    assert [r["k"] for r in out] == [5, 9]
+    assert out[0]["mx"] == 1.5 and out[1]["mx"] is None
+    assert all(r["ab"] is None for r in out)
+    assert out[0]["t1"] == "b" and out[1]["t1"] is None
+
+
 def test_kcenter_stops_early_when_fewer_distinct_points_than_k(spark):
     """With only 3 distinct vectors among 6 rows and k=5, selection
     stops after the 3rd pick (farthest remaining distance 0) instead

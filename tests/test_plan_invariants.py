@@ -215,6 +215,12 @@ CONTRACTS = [
     # NDCG: bm25's 5 exchanges; everything above the ranked list is a
     # 10-row metadata fold
     ("retrieval_ndcg_eval", 5, 1, True, False),
+    # recursive CTE: the UnionLoop's per-level joins live inside the
+    # loop node; the audited static plan is the depth rollup
+    ("hierarchy_recursive_cte", 1, 1, False, False),
+    # variant shred: map-only parse_json/variant_get + one rollup on
+    # event_type (2nd exchange is the count-distinct expand)
+    ("map_variant_shred", 2, 0, False, False),
 ]
 
 
