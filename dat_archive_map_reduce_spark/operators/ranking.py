@@ -34,6 +34,36 @@ from pyspark.sql import functions as F
 _BUCKET, _CNT, _OFF, _TOTAL = "__gr_bucket", "__gr_cnt", "__gr_off", "__gr_total"
 
 
+def _range_bounds(
+    df: DataFrame,
+    order_col: str,
+    num_buckets: int | None,
+    quantile_err: float,
+) -> "list[float]":
+    """Deterministic range cut-points on ``order_col`` via the
+    mergeable Greenwald-Khanna approxQuantile sketch — shared by every
+    bucketed-window operator in this module so the bucketing contract
+    (pure value function of the row, equal values share a bucket)
+    lives in exactly one place."""
+    spark = df.sparkSession
+    n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    return sorted(set(df.stat.approxQuantile(order_col, fracs, quantile_err)))
+
+
+def _bucket_expr(
+    order_col: str, bounds: "list[float]", *, descending: bool = False
+) -> Column:
+    """Monotone bucket id in the scan order: bucket 0 holds the rows
+    that sort first; equal values always land in the same bucket."""
+    c = F.col(order_col)
+    bucket = F.lit(0)
+    for b in bounds:
+        hit = (c < F.lit(b)) if descending else (c > F.lit(b))
+        bucket = bucket + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+    return bucket
+
+
 def exact_global_rank(
     df: DataFrame,
     order_col: str,
@@ -51,19 +81,10 @@ def exact_global_rank(
     deterministic. Also leaves the ``__gr_total`` column (row count of
     ``df``) for downstream position math.
     """
-    spark = df.sparkSession
-    n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(order_col, fracs, quantile_err)))
-
-    c = F.col(order_col)
-    bucket = F.lit(0)
-    for b in bounds:
-        # monotone in the scan order: bucket 0 holds the rows that sort
-        # first; equal values always land in the same bucket
-        hit = (c < F.lit(b)) if descending else (c > F.lit(b))
-        bucket = bucket + F.when(hit, F.lit(1)).otherwise(F.lit(0))
-    tagged = df.withColumn(_BUCKET, bucket)
+    bounds = _range_bounds(df, order_col, num_buckets, quantile_err)
+    tagged = df.withColumn(
+        _BUCKET, _bucket_expr(order_col, bounds, descending=descending)
+    )
 
     counts = tagged.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias(_CNT))
     # Catalyst folds the constant partition key away, so this window
@@ -150,16 +171,8 @@ def exact_global_cumsum(
     the running token count IS each document's start offset in the
     concatenated training stream.
     """
-    spark = df.sparkSession
-    n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(order_col, fracs, quantile_err)))
-
-    c = F.col(order_col)
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.when(c > F.lit(b), F.lit(1)).otherwise(F.lit(0))
-    tagged = df.withColumn(_BUCKET, bucket)
+    bounds = _range_bounds(df, order_col, num_buckets, quantile_err)
+    tagged = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
 
     sums = tagged.groupBy(_BUCKET).agg(F.sum(value_col).alias(_CNT))
     w_meta = Window.partitionBy(F.lit(0)).orderBy(_BUCKET)
@@ -210,29 +223,27 @@ def skyline_2d(
 
     Scale shape (the exact_global_rank bucketing — a bare
     Window.orderBy(x) would funnel the whole fact table through ONE
-    partition): rows range-bucket by approxQuantile bounds on x
-    (equal x always lands in one bucket), m_gt composes from a
-    PARTITIONED per-bucket RANGE window (strictly-greater x inside
-    the bucket) and a broadcast suffix-max over the <= num_buckets
-    per-bucket maxima (the single-partition window there carries
-    metadata cardinality only); m_eq is a partition-by-x keyed
-    window. No self-join (the naive dominance anti-join is O(n^2)),
-    nothing corpus-sized single-partitions."""
-    spark = df.sparkSession
-    n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(x_col, fracs, quantile_err)))
-
+    partition): rows first reduce to the per-distinct-x max-y table
+    (one partial-combined shuffle), where a ROWS-frame suffix max per
+    bucket gives strictly-greater-x semantics EXACTLY for any numeric
+    x — integer or fractional (a RANGE(1, ...) frame would skip
+    fractionally-greater neighbors); across buckets a broadcast
+    suffix-max over the <= num_buckets per-bucket maxima bridges (the
+    single-partition window there carries metadata cardinality only).
+    The per-x table joins back on x, which also carries m_eq. No
+    self-join (the naive dominance anti-join is O(n^2)), nothing
+    corpus-sized single-partitions."""
+    bounds = _range_bounds(df, x_col, num_buckets, quantile_err)
     x, y = F.col(x_col), F.col(y_col)
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.when(x > F.lit(b), F.lit(1)).otherwise(F.lit(0))
-    tagged = df.withColumn(_BUCKET, bucket)
+    tagged = df.withColumn(_BUCKET, _bucket_expr(x_col, bounds))
 
+    # per-distinct-x maxima: x is unique per row here, so a ROWS
+    # suffix frame is exactly "strictly greater x" within the bucket
+    px = tagged.groupBy(_BUCKET, x_col).agg(F.max(y).alias("_m_eq"))
     # suffix max of per-bucket y maxima over STRICTLY HIGHER buckets:
     # every row there has x beyond this bucket's upper bound, hence
     # strictly greater than any x in this bucket. <= num_buckets rows.
-    bmax = tagged.groupBy(_BUCKET).agg(F.max(y).alias("_bmax"))
+    bmax = px.groupBy(_BUCKET).agg(F.max("_m_eq").alias("_bmax"))
     w_meta = Window.partitionBy(F.lit(0)).orderBy(_BUCKET)
     suffix = bmax.select(
         _BUCKET,
@@ -240,22 +251,22 @@ def skyline_2d(
         .over(w_meta.rowsBetween(1, Window.unboundedFollowing))
         .alias("_sfx"),
     )
-
     w_gt = (
         Window.partitionBy(_BUCKET)
         .orderBy(x.asc())
-        .rangeBetween(1, Window.unboundedFollowing)
+        .rowsBetween(1, Window.unboundedFollowing)
     )
-    w_eq = Window.partitionBy(x_col)
-    # greatest() skips NULLs (null only when both are): a top-bucket
-    # max-x row has neither an in-bucket successor nor a suffix max
-    m_gt = F.greatest(F.max(y).over(w_gt), F.col("_sfx"))
+    # greatest() skips NULLs (null only when both are): the max-x row
+    # has neither a greater-x successor nor a higher-bucket suffix
+    px = px.join(F.broadcast(suffix), _BUCKET).select(
+        x_col,
+        "_m_eq",
+        F.greatest(F.max("_m_eq").over(w_gt), F.col("_sfx")).alias("_m_gt"),
+    )
     return (
-        tagged.join(F.broadcast(suffix), _BUCKET)
-        .withColumn("_m_gt", m_gt)
-        .withColumn("_m_eq", F.max(y).over(w_eq))
+        df.join(px, x_col)
         .filter(
             (F.col("_m_gt").isNull() | (F.col("_m_gt") < y)) & (F.col("_m_eq") <= y)
         )
-        .drop(_BUCKET, "_sfx", "_m_gt", "_m_eq")
+        .drop("_m_gt", "_m_eq")
     )

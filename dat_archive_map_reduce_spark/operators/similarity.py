@@ -14,7 +14,6 @@ per Arrow batch beats per-row expression eval.
 
 from __future__ import annotations
 
-import math
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -1547,10 +1546,16 @@ def mmr_select_step(
             F.max(
                 F.when(F.col("sid") == int(query_id), pair_cos)
             ).alias("rel"),
-            F.max(
-                F.when(
-                    F.col("sid").isin([int(s) for s in selected_ids]), pair_cos
-                )
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("sid").isin([int(s) for s in selected_ids]),
+                        pair_cos,
+                    )
+                ),
+                # empty selected set (the loop's first step): no
+                # redundancy yet — degrade to pure relevance ranking
+                F.lit(0.0),
             ).alias("div"),
         )
     )
@@ -1579,8 +1584,9 @@ def pca_power_iteration_step(
     """One covariance-free power-iteration step toward the top
     principal component (distributed PCA, the Halko/NIPS-era
     randomized-sketch building block): with X centered and v0 the
-    deterministic uniform unit vector (1/sqrt(d) — exact when d is a
-    perfect square, 64 here),
+    deterministic uniform unit vector (1/sqrt(d), derived in-plan
+    from the broadcast stats row — exact when d is a perfect square,
+    64 here),
 
         u = X_c v0        (per-row dot, map-only)
         w = X_c^T u       (dim-keyed sums)
@@ -1601,16 +1607,19 @@ def pca_power_iteration_step(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     stats = _dim_stats_row(e)
-    d_row = e.select(F.size("v").alias("d")).first()
-    d = int(d_row["d"])
-    v0 = 1.0 / math.sqrt(d)
+    # v0 = 1/sqrt(d) derived IN-PLAN from the broadcast stats row (no
+    # eager first() job; empty input yields an empty result) — exact
+    # when d is a perfect square (sqrt is correctly rounded IEEE)
     centered = e.crossJoin(F.broadcast(stats)).select(
         F.col(id_col),
+        (F.lit(1.0) / F.sqrt(F.size("mus"))).alias("_v0"),
         F.zip_with(F.col("v"), F.col("mus"), lambda x, m: x - m).alias("xc"),
     )
     u = F.round(
         F.aggregate(
-            F.col("xc"), F.lit(0.0).cast("double"), lambda acc, x: acc + x * F.lit(v0)
+            F.col("xc"),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x * F.col("_v0"),
         ),
         round_digits,
     )
@@ -1741,10 +1750,14 @@ def kcenter_select(
         far = (
             nearest_centroid_join(e, cents, id_col="vid", vec_col="v")
             .orderBy(F.desc("mindist"), F.asc("vid"))
-            .select("vid", "v", F.round("mindist", 6).alias("radius_sq"))
+            .select(
+                "vid", "v", "mindist", F.round("mindist", 6).alias("radius_sq")
+            )
             .first()
         )
-        if float(far["radius_sq"]) == 0.0:
+        # stop on the UNROUNDED distance: near-duplicate points within
+        # the 6dp reporting quantum must not abort selection early
+        if float(far["mindist"]) == 0.0:
             # every remaining point coincides with a chosen one: the
             # dataset has fewer than k distinct points — stop instead
             # of padding the coreset with duplicate prototypes

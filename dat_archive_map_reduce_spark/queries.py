@@ -9290,9 +9290,13 @@ def corpus_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cid AS vec_id,
            round(rel, 4) AS relevance,
            round(red, 4) AS redundancy,
-           round(0.7 * rel - 0.3 * red, 4) AS mmr
+           round(0.7 * rel
+                 - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * red, 4)
+             AS mmr
     FROM agg
-    ORDER BY round(0.7 * rel - 0.3 * red, 4) DESC, cid
+    ORDER BY round(0.7 * rel
+                   - (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * red, 4)
+             DESC, cid
     LIMIT 10
     """,
 )
@@ -9635,7 +9639,7 @@ def map_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             F.max("k").alias("max_k"),
             F.count_distinct(
-                (F.col("k") / 10).cast("bigint")
+                F.floor(F.col("k") / 10)
             ).alias("n_k_buckets"),
         )
     )

@@ -2407,6 +2407,56 @@ def test_skyline_2d_matches_bruteforce_dominance(spark):
         assert i - 120 in want
 
 
+def test_skyline_2d_fractional_x_exact_dominance(spark):
+    """Strictly-greater-x semantics must hold for FRACTIONAL x (the
+    review counterexample: a RANGE(1, ...) frame misses a neighbor
+    greater by 0.5): B(1.5, 2) dominates A(1.0, 1), and brute force
+    agrees on a random float point set."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.ranking import skyline_2d
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 1.5, 2.0)], "rid long, x double, y double"
+    )
+    got = [r["rid"] for r in skyline_2d(df, "x", "y").collect()]
+    assert got == [1]
+
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(0, 3, size=(80, 2)).round(2).tolist()
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    big = spark.createDataFrame(rows, "rid long, x double, y double")
+    got2 = sorted(r["rid"] for r in skyline_2d(big, "x", "y").collect())
+    want = sorted(
+        i
+        for i, (xi, yi) in enumerate(pts)
+        if not any(
+            xj >= xi and yj >= yi and (xj > xi or yj > yi)
+            for j, (xj, yj) in enumerate(pts)
+            if j != i
+        )
+    )
+    assert got2 == want
+
+
+def test_mmr_empty_selected_set_degrades_to_relevance(spark):
+    """selected_ids=[] (the greedy loop's first step) ranks by pure
+    relevance with redundancy 0 — never NULL scores."""
+    from dat_archive_map_reduce_spark.operators.similarity import mmr_select_step
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = mmr_select_step(df, query_id=0, selected_ids=[], lam=0.7, k=3).collect()
+    assert all(r["mmr"] is not None for r in got)
+    assert all(r["redundancy"] == 0.0 for r in got)
+    # pure relevance order: the query itself ranks first (cos=1)
+    assert [r["vec_id"] for r in got] == [0, 1, 2]
+
+
 def test_pca_power_iteration_step_matches_numpy(spark):
     """One distributed power-iteration step equals the dense numpy
     computation with the same 6dp quantization, and w_unit has unit
@@ -2515,12 +2565,12 @@ def test_tfidf_topk_matches_naive(spark):
 
 
 def test_kcore_peel_known_graph_with_cascade(spark):
-    """4-clique + a tail hung off it: the clique survives 3-core
-    peeling, the tail dies — and the cascade needs MULTIPLE rounds
-    (t2 has degree 2 from the start; t1 has degree 2 only AFTER t2
-    drops... actually t1 drops round 1, exposing t2), so the
-    fixed-round bulk-synchronous peel is exercised, not just one
-    pass."""
+    """4-clique + a 3-edge tail hung off it. At k=3 the whole tail
+    peels in round 1 (every tail node starts below degree 3) and the
+    clique survives. At k=2 the peel genuinely CASCADES across rounds
+    — leaf 12 drops first, which exposes 11, which exposes 10 — so
+    the multi-round bulk-synchronous semantics are exercised, not
+    just a single pass."""
     from dat_archive_map_reduce_spark.operators.graph import kcore_peel
 
     # clique 0-1-2-3; tail 3-10, 10-11, 11-12 (chain)
