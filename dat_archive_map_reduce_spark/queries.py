@@ -9645,6 +9645,62 @@ def map_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_profile",
+    oracle="""
+    WITH a AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+             count(DISTINCT l_orderkey) AS nd1,
+             sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+             count(DISTINCT l_suppkey) AS nd2,
+             sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS nn3,
+             count(DISTINCT l_linestatus) AS nd3,
+             sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS nn4,
+             count(DISTINCT l_returnflag) AS nd4
+      FROM lineitem
+    )
+    SELECT 'l_orderkey' AS col_name, n_rows,
+           CAST(nn1 AS BIGINT) AS n_null, nd1 AS n_distinct FROM a
+    UNION ALL
+    SELECT 'l_suppkey', n_rows, CAST(nn2 AS BIGINT), nd2 FROM a
+    UNION ALL
+    SELECT 'l_linestatus', n_rows, CAST(nn3 AS BIGINT), nd3 FROM a
+    UNION ALL
+    SELECT 'l_returnflag', n_rows, CAST(nn4 AS BIGINT), nd4 FROM a
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling in ONE scan: row count plus
+    per-column null count and EXACT distinct count for a mixed
+    numeric/string column set, unpivoted to one row per column — the
+    stats pass behind CBO statistics, data-quality dashboards, and
+    join-key cardinality checks. Spark plans the multi-distinct
+    aggregate with a single Expand (k-way row replication, one
+    shuffle) — the standard exact formulation; swap in the KMV
+    portable sketch (approx_distinct_portable) per column when k x
+    corpus no longer fits the shuffle budget."""
+    l = _t(spark, sf_dir, "lineitem")
+    cols = ["l_orderkey", "l_suppkey", "l_linestatus", "l_returnflag"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    row = l.agg(*aggs)
+    parts = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"_nn_{c}").cast("bigint").alias("n_null"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

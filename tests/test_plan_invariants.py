@@ -221,6 +221,9 @@ CONTRACTS = [
     # variant shred: map-only parse_json/variant_get + one rollup on
     # event_type (2nd exchange is the count-distinct expand)
     ("map_variant_shred", 2, 0, False, False),
+    # profiling: ONE scan, Expand-based multi-distinct (2nd exchange
+    # is the distinct pre-agg)
+    ("table_profile", 2, 0, False, False),
 ]
 
 
