@@ -9701,6 +9701,68 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(F.explode(F.array(*parts)).alias("s")).select("s.*")
 
 
+@query(
+    "events_conversion_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), pre AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id, c.conv_ts
+      FROM events e JOIN conv c USING (user_id)
+      WHERE e.ts < c.conv_ts AND e.event_type <> 'purchase'
+    ), marked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rn_last
+      FROM pre
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS first_touch,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS last_touch
+    FROM marked GROUP BY event_type
+    """,
+)
+def events_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch conversion attribution: for each
+    converting user (first 'purchase'), credit the first and the last
+    preceding non-purchase event — the marketing-attribution primitive
+    every event warehouse serves. One per-user min aggregate + one
+    user-partitioned window pass (both row_numbers share the exchange,
+    opposite sort orders); ties break on event_id so attribution is
+    deterministic under same-timestamp events."""
+    e = _t(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    pre = (
+        e.join(conv, "user_id")
+        .filter((F.col("ts") < F.col("conv_ts")) & (F.col("event_type") != "purchase"))
+    )
+    w_first = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_last = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    marked = pre.select(
+        "event_type",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn_first") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("first_touch"),
+        F.sum(F.when(F.col("rn_last") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("last_touch"),
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

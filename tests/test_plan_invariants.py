@@ -224,6 +224,10 @@ CONTRACTS = [
     # profiling: ONE scan, Expand-based multi-distinct (2nd exchange
     # is the distinct pre-agg)
     ("table_profile", 2, 0, False, False),
+    # attribution: conversion-time agg + ONE user-window exchange
+    # (both row_numbers share it) + the final event_type rollup;
+    # the purchase filter pushes to the scan
+    ("events_conversion_attribution", 3, 1, False, True),
 ]
 
 
