@@ -9763,6 +9763,103 @@ def events_conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "dedup_lsh_scurve_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), shl AS (
+      SELECT doc_id AS doc,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM toks WHERE len(t) >= 3
+    ), shr AS (
+      SELECT doc, unnest(sh) AS shingle FROM shl
+    ), kept AS (
+      SELECT shingle FROM shr GROUP BY shingle HAVING count(*) <= 4
+    ), cop AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+      FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc < b.doc
+      JOIN kept k ON k.shingle = a.shingle
+      GROUP BY 1, 2
+    ), sizes AS (SELECT doc, len(sh) AS n FROM shl),
+    gt AS (
+      SELECT id_a, id_b,
+             common * 1.0 / (sa.n + sb.n - common) AS s
+      FROM cop
+      JOIN sizes sa ON sa.doc = id_a
+      JOIN sizes sb ON sb.doc = id_b
+      WHERE common * 1.0 / (sa.n + sb.n - common) >= 0.2
+    ), sig AS (
+      SELECT doc,
+             list_transform(range(0, 8), i ->
+               list_min(list_transform(sh,
+                 s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+      FROM shl
+    ), banded AS (
+      SELECT doc, u.b AS band,
+             sig[2 * u.b + 1] || sig[2 * u.b + 2] AS bucket
+      FROM sig, unnest(range(0, 4)) AS u(b)
+    ), cands AS (
+      SELECT DISTINCT a.doc AS id_a, b2.doc AS id_b
+      FROM banded a JOIN banded b2
+        ON a.band = b2.band AND a.bucket = b2.bucket AND a.doc < b2.doc
+    ), marked AS (
+      SELECT gt.id_a, gt.id_b, gt.s,
+             CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS det,
+             (1.0 - gt.s * gt.s) AS q
+      FROM gt LEFT JOIN cands c USING (id_a, id_b)
+    )
+    SELECT CAST(floor(s * 10) AS BIGINT) AS sim_decile,
+           count(*) AS n_pairs,
+           CAST(sum(det) AS BIGINT) AS n_detected,
+           round(sum(det) * 1.0 / count(*), 4) AS recall,
+           round(avg(1.0 - q * q * q * q), 4) AS expected_recall
+    FROM marked GROUP BY 1
+    """,
+)
+def dedup_lsh_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH TUNING report — the S-curve check a pipeline runs
+    before trusting a banding config: ground-truth near-dup pairs
+    (exact n-gram Jaccard >= 0.2 via the hot-capped inverted index)
+    bucketed by similarity decile, with OBSERVED recall of the
+    portable MinHash(8)/LSH(4 bands, r=2) candidate stage next to the
+    THEORETICAL detection probability 1-(1-s^r)^b averaged per bucket
+    (spelled as repeated multiplication — power() lowers to exp/log
+    and drifts across engines). Low deciles should show the S-curve's
+    miss region, high deciles recall ~1; a mismatch means the hash
+    family or banding is broken. Composes the two existing pair
+    pipelines plus one pair-keyed left join and a <=10-row rollup."""
+    from dat_archive_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        portable_minhash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gt = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2, hot_cap=4)
+    cands = portable_minhash_pairs(
+        d, "text", "doc_id", num_perm=8, bands=4, shingle_n=3, threshold=0.0
+    ).select("id_a", "id_b", F.lit(1).alias("det"))
+    q = F.lit(1.0) - F.col("s") * F.col("s")
+    marked = (
+        gt.withColumnRenamed("jaccard", "s")
+        .join(cands, ["id_a", "id_b"], "left")
+        .select("s", F.coalesce("det", F.lit(0)).alias("det"), q.alias("q"))
+    )
+    return marked.groupBy(
+        F.floor(F.col("s") * 10).cast("bigint").alias("sim_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("det").cast("bigint").alias("n_detected"),
+        F.round(F.sum("det") / F.count(F.lit(1)), 4).alias("recall"),
+        F.round(
+            F.avg(F.lit(1.0) - F.col("q") * F.col("q") * F.col("q") * F.col("q")),
+            4,
+        ).alias("expected_recall"),
+    )
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -228,6 +228,10 @@ CONTRACTS = [
     # (both row_numbers share it) + the final event_type rollup;
     # the purchase filter pushes to the scan
     ("events_conversion_attribution", 3, 1, False, True),
+    # S-curve tuning report: composes the capped inverted-index pair
+    # pipeline (2) + portable LSH banding/verify (3) + the pair-keyed
+    # left join and <=10-row decile rollup (2)
+    ("dedup_lsh_scurve_report", 7, 0, False, False),
 ]
 
 
