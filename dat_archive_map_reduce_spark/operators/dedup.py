@@ -580,9 +580,33 @@ def portable_minhash_pairs(
     """
     if num_perm % bands:
         raise ValueError("num_perm must be a multiple of bands")
-    r = num_perm // bands
     # persisted: feeds the signature pass AND both verify sides
     sets = shingle_sets(df, text_col, id_col, shingle_n).persist()
+    cands = portable_minhash_candidates(
+        sets, num_perm=num_perm, bands=bands
+    )
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(_verify_pairs_against_sets(cands, sets, threshold), sets)
+
+
+def portable_minhash_candidates(
+    sets: DataFrame,
+    num_perm: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The CANDIDATE stage of portable_minhash_pairs alone: banded
+    md5-minhash buckets to distinct (id_a, id_b) pairs, NO exact
+    verify — the portable-family twin of the lsh_candidate_pairs /
+    verify_jaccard_pairs split. Use when the caller needs raw LSH
+    detections (e.g. the S-curve recall report, which compares the
+    candidate stage against independently-computed ground truth);
+    pipelines acting on pairs should go through
+    portable_minhash_pairs, whose verify removes false positives.
+    ``sets`` is shingle_sets output (doc, sh, n_sh)."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be a multiple of bands")
+    r = num_perm // bands
     sig = sets.select(
         "doc",
         F.expr(
@@ -614,16 +638,12 @@ def portable_minhash_pairs(
             ),
         )
     )
-    cands = (
+    return (
         buckets.select(pair_col.alias("ps"))
         .select(F.explode_outer("ps").alias("p"))  # alias-then-explode: one eval
-
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    from dat_archive_map_reduce_spark.operators._util import eager_release
-
-    return eager_release(_verify_pairs_against_sets(cands, sets, threshold), sets)
 
 
 def incremental_minhash_pairs(

@@ -9676,8 +9676,9 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric/string column set, unpivoted to one row per column — the
     stats pass behind CBO statistics, data-quality dashboards, and
     join-key cardinality checks. Spark plans the multi-distinct
-    aggregate with a single Expand (k-way row replication, one
-    shuffle) — the standard exact formulation; swap in the KMV
+    aggregate with an Expand (k-way row replication) into two
+    exchanges — the distinct pre-agg plus the final fold, the
+    standard exact formulation; swap in the KMV
     portable sketch (approx_distinct_portable) per column when k x
     corpus no longer fits the shuffle budget."""
     l = _t(spark, sf_dir, "lineitem")
@@ -9833,19 +9834,36 @@ def dedup_lsh_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines plus one pair-keyed left join and a <=10-row rollup."""
     from dat_archive_map_reduce_spark.operators.dedup import (
         ngram_jaccard_pairs,
-        portable_minhash_pairs,
+        portable_minhash_candidates,
+        shingle_sets,
     )
 
+    num_perm, bands = 8, 4  # mirrored by the oracle's literal 8/4 SQL
+    r = num_perm // bands
     d = _t(spark, sf_dir, "documents")
     gt = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2, hot_cap=4)
-    cands = portable_minhash_pairs(
-        d, "text", "doc_id", num_perm=8, bands=4, shingle_n=3, threshold=0.0
+    # raw candidate stage, no exact-verify join — detection is "the
+    # pair shared an LSH bucket", which is what the S-curve predicts
+    cands = portable_minhash_candidates(
+        shingle_sets(d, "text", "doc_id", 3), num_perm=num_perm, bands=bands
     ).select("id_a", "id_b", F.lit(1).alias("det"))
-    q = F.lit(1.0) - F.col("s") * F.col("s")
+    # theoretical detection probability 1 - (1 - s^r)^b, exponents
+    # DERIVED from the banding config above; repeated multiplication
+    # (power() lowers to exp/log and drifts across engines)
+    s_r = F.lit(1.0)
+    for _ in range(r):
+        s_r = s_r * F.col("s")
+    q_b = F.lit(1.0)
+    for _ in range(bands):
+        q_b = q_b * (F.lit(1.0) - s_r)
     marked = (
         gt.withColumnRenamed("jaccard", "s")
         .join(cands, ["id_a", "id_b"], "left")
-        .select("s", F.coalesce("det", F.lit(0)).alias("det"), q.alias("q"))
+        .select(
+            "s",
+            F.coalesce("det", F.lit(0)).alias("det"),
+            (F.lit(1.0) - q_b).alias("p_detect"),
+        )
     )
     return marked.groupBy(
         F.floor(F.col("s") * 10).cast("bigint").alias("sim_decile")
@@ -9853,10 +9871,7 @@ def dedup_lsh_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("det").cast("bigint").alias("n_detected"),
         F.round(F.sum("det") / F.count(F.lit(1)), 4).alias("recall"),
-        F.round(
-            F.avg(F.lit(1.0) - F.col("q") * F.col("q") * F.col("q") * F.col("q")),
-            4,
-        ).alias("expected_recall"),
+        F.round(F.avg("p_detect"), 4).alias("expected_recall"),
     )
 
 

@@ -228,10 +228,11 @@ CONTRACTS = [
     # (both row_numbers share it) + the final event_type rollup;
     # the purchase filter pushes to the scan
     ("events_conversion_attribution", 3, 1, False, True),
-    # S-curve tuning report: composes the capped inverted-index pair
-    # pipeline (2) + portable LSH banding/verify (3) + the pair-keyed
-    # left join and <=10-row decile rollup (2)
-    ("dedup_lsh_scurve_report", 7, 0, False, False),
+    # S-curve tuning report: capped inverted-index pair pipeline +
+    # the RAW portable-LSH candidate stage (no verify joins — the
+    # review split portable_minhash_candidates out for exactly this)
+    # + the pair-keyed left join and <=10-row decile rollup
+    ("dedup_lsh_scurve_report", 6, 0, False, False),
 ]
 
 
