@@ -9875,6 +9875,92 @@ def dedup_lsh_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', CAST(max(ts) AS DATE), DATE '2026-01-01')
+               AS rec_days,
+             count(*) AS freq,
+             round(sum(value), 4) AS mon
+      FROM events GROUP BY user_id
+    ), t AS (
+      SELECT user_id, mon,
+             ntile(5) OVER (ORDER BY rec_days, user_id) AS r_tile,
+             ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+             ntile(5) OVER (ORDER BY mon DESC, user_id) AS m_tile
+      FROM u
+    )
+    SELECT CAST(r_tile * 100 + f_tile * 10 + m_tile AS BIGINT) AS segment,
+           count(*) AS n_users,
+           round(avg(mon), 4) AS avg_monetary
+    FROM t GROUP BY 1
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary
+    quintiles — the classic CRM scoring) computed with THREE
+    `exact_global_ntile` passes over the per-user rollup, so no
+    single-partition NTILE window exists anywhere in the plan
+    (the window_ntile recipe, composed): recency quintile ranks days
+    since last activity ascending (most recent = tile 1), frequency
+    and monetary rank descending, segment = r*100 + f*10 + m. The
+    monetary ranking key is the 4dp-ROUNDED per-user sum, so a 1-ulp
+    shuffle-order drift can never flip a quantile boundary between
+    engines. The per-user table persists across the three bucketing
+    passes (each needs an approxQuantile action)."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_ntile
+
+    e = _t(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.lit("2026-01-01").cast("date"), F.max("ts").cast("date")
+            ).alias("rec_days"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value"), 4).alias("mon"),
+        )
+        .persist()
+    )
+    tiled = exact_global_ntile(
+        users, "rec_days", 5, tie_breakers=[F.asc("user_id")], tile_col="r_tile"
+    )
+    tiled = exact_global_ntile(
+        tiled,
+        "freq",
+        5,
+        descending=True,
+        tie_breakers=[F.asc("user_id")],
+        tile_col="f_tile",
+    )
+    tiled = exact_global_ntile(
+        tiled,
+        "mon",
+        5,
+        descending=True,
+        tie_breakers=[F.asc("user_id")],
+        tile_col="m_tile",
+    )
+    out = (
+        tiled.groupBy(
+            (
+                F.col("r_tile") * 100 + F.col("f_tile") * 10 + F.col("m_tile")
+            )
+            .cast("bigint")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("mon"), 4).alias("avg_monetary"),
+        )
+    )
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(out, users)
+
+
 # =====================================================================
 # Driver-gate scheduling: the correctness harness hashes the FIRST 50
 # registry entries per round (observed in CORRECTNESS_r01/r02 — both

@@ -233,6 +233,11 @@ CONTRACTS = [
     # review split portable_minhash_candidates out for exactly this)
     # + the pair-keyed left join and <=10-row decile rollup
     ("dedup_lsh_scurve_report", 6, 0, False, False),
+    # RFM: ONE fact shuffle (the per-user rollup, persisted), then
+    # 3 composed exact-NTILE passes whose exchanges are user-grain or
+    # metadata (bucket counts / broadcast offsets) — never a
+    # single-partition NTILE window
+    ("events_rfm_segments", 13, 3, False, False),
 ]
 
 
