@@ -51,6 +51,7 @@ from dat_archive_map_reduce_spark.operators.map_reduce import (
 from dat_archive_map_reduce_spark.plans.catalog import (
     OFFSETS_SCHEMA,
     AppendOnlyLog,
+    BucketedEntriesTable,
     VersionedTable,
 )
 from dat_archive_map_reduce_spark.plans.view_def import ViewDefinition, validate_view_def
@@ -87,12 +88,21 @@ class MapReduce:
         spark: SparkSession,
         warehouse: str,
         listeners: dict[str, list[Callable[..., None]]] | None = None,
+        entries_buckets: int = 16,
     ):
         """``listeners`` registers callbacks before the warehouse opens
         (the reference attaches handlers before open(), index.js:34-60,
-        so `open`/`open-failed` are observable)."""
+        so `open`/`open-failed` are observable).
+
+        ``entries_buckets``: hash buckets per (view, origin) entries
+        shard (BucketedEntriesTable) — a maintenance batch rewrites
+        only buckets containing changed files and hardlinks the rest,
+        so merge IO is O(delta + touched/N of the shard), not
+        O(shard). Applies to NEW shards; an existing shard keeps the
+        bucket count it was created with (pinned in _buckets.json)."""
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
+        self.entries_buckets = int(entries_buckets)
         self.views: dict[str, ViewDefinition] = {}
         self._listeners: dict[str, list[Callable[..., None]]] = {}
         for event, cbs in (listeners or {}).items():
@@ -148,12 +158,17 @@ class MapReduce:
         return self.views[name]
 
     # -- storage handles --------------------------------------------
-    def _entries_table(self, view: str, origin: str) -> VersionedTable:
+    def _entries_table(self, view: str, origin: str) -> BucketedEntriesTable:
+        """Per-(view, origin) entries shard, hash-bucketed on file_url
+        (the retraction key): merges rewrite only buckets containing
+        the batch's changed files — see BucketedEntriesTable."""
         vdef = self._view(view)
-        return VersionedTable(
+        return BucketedEntriesTable(
             self.spark,
             f"{self.warehouse}/views/{view}/entries/{_origin_shard(origin)}",
             entries_schema(vdef.key_types()),
+            bucket_col="file_url",
+            n_buckets=self.entries_buckets,
         )
 
     def _reduced_table(self, view: str) -> VersionedTable:
@@ -165,8 +180,11 @@ class MapReduce:
         )
 
     def _known_origins(self) -> set[str]:
-        offs = self.offsets.read().select("origin").distinct().collect()
-        return {r["origin"] for r in offs} | set(self._indexed_origins)
+        # driver-local metadata read (no Spark job): the offsets table
+        # is O(views x sources) rows by construction
+        return {o for _v, o, _lv in self.offsets.read_rows()} | set(
+            self._indexed_origins
+        )
 
     def entries_df(self, view: str, origins: Sequence[str] | None = None) -> DataFrame:
         """All current entries of a view as one DataFrame (union of
@@ -230,7 +248,7 @@ class MapReduce:
             self._missing_origins.discard(origin)
             self._emit("archive-found", origin=origin)
         log = self.changelog.read().filter(F.col("origin") == origin)
-        offsets = {r["view"]: r["last_version"] for r in self.offsets.read().filter(F.col("origin") == origin).collect()}
+        offsets = {v: lv for v, o, lv in self.offsets.read_rows() if o == origin}
         any_work = False
         offset_updates: list[tuple[str, str, int]] = []
         for name, vdef in self.views.items():
@@ -311,24 +329,34 @@ class MapReduce:
     def _set_offsets(self, updates: list[tuple[str, str, int]]) -> None:
         """Upsert a batch of (view, origin, last_version) rows in ONE
         table rewrite. The offsets table is one row per (view, origin)
-        — driver-side rewrite is bounded by view*source count, and
-        batching makes an index() cycle write it once instead of once
-        per view (O(views * sources) rewrites per full re-index became
-        O(sources))."""
+        — bounded by view*source count — so both the read and the
+        copy-on-write rewrite are driver-local pyarrow IO (~1 ms), not
+        Spark jobs: together with the snapshot pointer flip this was
+        the watch path's largest FIXED per-batch cost. Batching keeps
+        an index() cycle at one write instead of one per view."""
         if not updates:
             return
         changed = {(v, o) for v, o, _ in updates}
-        cur = [
-            (r["view"], r["origin"], r["last_version"])
-            for r in self.offsets.read().collect()
-            if (r["view"], r["origin"]) not in changed
-        ]
+        cur = [r for r in self.offsets.read_rows() if (r[0], r[1]) not in changed]
         cur.extend(updates)
-        self.offsets.overwrite(self.spark.createDataFrame(cur, OFFSETS_SCHEMA))
+        self.offsets.overwrite_rows(cur)
+
+    def _url_bucket_expr(self):
+        """Entries-shard bucket id of a changelog row's ``url`` column
+        (must mirror BucketedEntriesTable.bucket_expr with the
+        engine's bucket count)."""
+        return F.pmod(F.crc32(F.col("url").cast("string")), F.lit(self.entries_buckets)).cast(
+            "int"
+        )
 
     # -- the core merge: retract-then-add + re-aggregate ------------
     def _merge_entry_shard(
-        self, vdef: ViewDefinition, origin: str, updates: DataFrame, new_entries: DataFrame
+        self,
+        vdef: ViewDefinition,
+        origin: str,
+        updates: DataFrame,
+        new_entries: DataFrame,
+        bucket_ids: "list[int] | None" = None,
     ) -> DataFrame:
         """THE retract-then-add merge of one (view, origin) entries
         shard — the single implementation both the batch path
@@ -338,23 +366,53 @@ class MapReduce:
         (provenance anti-join on file_url, lib/view.js:126-148),
         appends ``new_entries``, writes the shard. Returns the LAZY
         retracted-keys DataFrame; its plan resolves the pre-overwrite
-        snapshot DIRECTORY at read() time, so it stays correct after
-        the pointer flip. ``updates``/``new_entries`` must already be
-        restricted to this origin."""
+        snapshot paths at construction, so it stays correct after the
+        pointer flip. ``updates``/``new_entries`` must already be
+        restricted to this origin.
+
+        Delta-proportional IO: the shard is hash-bucketed on file_url,
+        and every row derived from url u lives in bucket crc32(u)%N —
+        so the batch's ``bucket_ids`` (from the urls alone; callers
+        pass them precomputed to skip the probe job here) bound BOTH
+        the retraction scan and the rewrite to the touched buckets;
+        untouched buckets carry into the new snapshot as hardlinks
+        (BucketedEntriesTable.write_merged). One Spark job per merge,
+        reading+writing O(delta + touched_buckets * shard/N), where
+        the flat layout read+rewrote O(shard) per batch — the LevelDB
+        O(keys-touched) batch-write analog (lib/view.js:89-103)."""
         ent_table = self._entries_table(vdef.name, origin)
         affected_urls = updates.select("url")
-        old_entries = ent_table.read()
-        surviving = old_entries.join(
+        if not ent_table.current_is_bucketed():
+            # pre-bucketing (flat) snapshot: one full re-bucketing
+            # rewrite; every later merge is incremental
+            bucket_ids = list(range(ent_table.n_buckets))
+        elif bucket_ids is None or ent_table.n_buckets != self.entries_buckets:
+            # callers precompute ids with the ENGINE's bucket count;
+            # a shard created under a different count pins its own
+            # (_buckets.json), so recompute against the shard's N —
+            # stale ids here would hardlink a bucket that needed
+            # retraction
+            bucket_ids = None
+        if bucket_ids is None:
+            bucket_ids = sorted(
+                r["b"]
+                for r in updates.select(ent_table.bucket_expr("url").alias("b"))
+                .distinct()
+                .collect()
+            )
+        old_touched = ent_table.read_buckets(bucket_ids)
+        surviving = old_touched.join(
             F.broadcast(affected_urls),
-            old_entries["file_url"] == affected_urls["url"],
+            old_touched["file_url"] == affected_urls["url"],
             "left_anti",
         )
-        retracted_keys = old_entries.join(
+        retracted_keys = old_touched.join(
             F.broadcast(affected_urls),
-            old_entries["file_url"] == affected_urls["url"],
+            old_touched["file_url"] == affected_urls["url"],
             "left_semi",
         ).select("key_json")
-        ent_table.overwrite(
+        ent_table.write_merged(
+            bucket_ids,
             surviving.unionByName(new_entries),
             sort_cols=["key_json", "file_url", "emit_seq"],
         )
@@ -373,13 +431,22 @@ class MapReduce:
         """
         updates = updates.cache()
         try:
-            n_updates = updates.count()
+            # one probe job returns the batch size AND the touched
+            # bucket ids (bounded: <= entries_buckets values), so the
+            # merge needs no second look at the updates
+            probe = updates.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(self._url_bucket_expr()).alias("bs"),
+            ).first()
+            n_updates = probe["n"]
             if n_updates == 0:
                 return 0, None
             new_entries = run_map(
                 updates.filter(F.col("type") == "put"), vdef.map, vdef.key_types()
             )
-            retracted_keys = self._merge_entry_shard(vdef, origin, updates, new_entries)
+            retracted_keys = self._merge_entry_shard(
+                vdef, origin, updates, new_entries, bucket_ids=sorted(probe["bs"])
+            )
             # keys touched now or before: the re-aggregation scope
             # (old keys ∪ new keys, lib/indexer.js:228,273-274)
             affected_keys = (
@@ -413,32 +480,40 @@ class MapReduce:
         path,
         log: DataFrame,
         origin_starts: "dict[str, int]",
-    ) -> "tuple[DataFrame, dict[str, int]]":
+    ) -> "tuple[DataFrame, dict[str, int], dict[str, list[int]]]":
         """Latest-wins-compacted, CACHED updates plus per-origin counts
-        for one glob over a multi-origin micro-batch. Shareable across
-        every view watching the same glob at the same offsets (watch
-        groups them), so the compaction window and the count job run
-        once per distinct (glob, offsets) per batch, not once per
-        view. Caller unpersists the returned DataFrame."""
+        AND touched entries-bucket ids for one glob over a multi-origin
+        micro-batch. Shareable across every view watching the same
+        glob at the same offsets (watch groups them), so the
+        compaction window and the count job run once per distinct
+        (glob, offsets) per batch, not once per view — and the bucket
+        ids ride in the SAME aggregation (bounded: <= entries_buckets
+        values per origin), so the per-origin shard merges need no
+        probe jobs of their own. Caller unpersists the returned
+        DataFrame."""
         cond = None
         for origin, start in origin_starts.items():
             c = (F.col("origin") == origin) & (F.col("version") > F.lit(start))
             cond = c if cond is None else cond | c
         updates = latest_wins(glob_filter(log, path).filter(cond)).cache()
-        counts = {
-            r["origin"]: r["n"]
-            for r in updates.groupBy("origin")
-            .agg(F.count(F.lit(1)).alias("n"))
+        rows = (
+            updates.groupBy("origin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(self._url_bucket_expr()).alias("bs"),
+            )
             .collect()
-        }
-        return updates, counts
+        )
+        counts = {r["origin"]: r["n"] for r in rows}
+        buckets = {r["origin"]: sorted(r["bs"]) for r in rows}
+        return updates, counts, buckets
 
     def _apply_view_batch(
         self,
         vdef: ViewDefinition,
         log: DataFrame,
         origin_starts: "dict[str, int]",
-        prepared: "tuple[DataFrame, dict[str, int]] | None" = None,
+        prepared: "tuple[DataFrame, dict[str, int], dict[str, list[int]]] | None" = None,
     ) -> "dict[str, int]":
         """Watch-path merge for ONE view over a multi-origin
         micro-batch, paying each per-batch cost once instead of once
@@ -457,7 +532,7 @@ class MapReduce:
         owns = prepared is None
         if owns:
             prepared = self._prepare_view_updates(vdef.path, log, origin_starts)
-        updates, counts = prepared
+        updates, counts, buckets = prepared
         try:
             if not counts:
                 return {}
@@ -477,6 +552,7 @@ class MapReduce:
                         origin,
                         updates.filter(F.col("origin") == origin),
                         new_entries.filter(F.col("origin") == origin),
+                        bucket_ids=buckets.get(origin),
                     )
 
                 # shard writes touch DISJOINT origin directories, so
@@ -565,12 +641,9 @@ class MapReduce:
             if vdef.reduce is not None:
                 self._reaggregate(vdef, gone_keys)
             gone_keys.unpersist()
-        remaining = [
-            (r["view"], r["origin"], r["last_version"])
-            for r in self.offsets.read().collect()
-            if r["origin"] != origin
-        ]
-        self.offsets.overwrite(self.spark.createDataFrame(remaining, OFFSETS_SCHEMA))
+        self.offsets.overwrite_rows(
+            [r for r in self.offsets.read_rows() if r[1] != origin]
+        )
         self._indexed_origins.discard(origin)
 
     # -- continuous maintenance / lifecycle -------------------------
@@ -664,12 +737,9 @@ class MapReduce:
         for origin in self._known_origins():
             self._entries_table(view, origin).reset()
         self._reduced_table(view).reset()
-        remaining = [
-            (r["view"], r["origin"], r["last_version"])
-            for r in self.offsets.read().collect()
-            if r["view"] != view
-        ]
-        self.offsets.overwrite(self.spark.createDataFrame(remaining, OFFSETS_SCHEMA))
+        self.offsets.overwrite_rows(
+            [r for r in self.offsets.read_rows() if r[0] != view]
+        )
         self._emit("view-reset", view=view)
 
     # -- queries ----------------------------------------------------

@@ -321,7 +321,7 @@ def banded_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, num_perm: int | None = None
+    signatures: DataFrame, bands: int = 16, *, num_perm: int
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs per equal bucket.
 
@@ -329,12 +329,12 @@ def lsh_candidate_pairs(
     r-slice matches exactly. The bucket join shuffles on
     (band, band_hash) — sub-quadratic, no cross join anywhere.
 
-    Pass ``num_perm`` when known: the fallback probes it with a
-    ``first()``, which costs a full evaluation of the signature
-    pipeline before the real job even starts.
+    ``num_perm`` is required: a ``first()`` probe of the signature
+    column would force a full evaluation of the signature pipeline
+    before the real job even starts, and every caller knows its own
+    permutation count statically.
     """
-    n_perm = num_perm or len(signatures.select("signature").first()["signature"])
-    banded = banded_signatures(signatures, bands, n_perm)
+    banded = banded_signatures(signatures, bands, num_perm)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

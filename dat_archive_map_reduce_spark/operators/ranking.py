@@ -213,7 +213,10 @@ def skyline_2d(
     multi-objective selection primitive (e.g. documents maximizing
     both length and lexical diversity with no doc strictly better on
     both). Exact duplicates of a frontier point all survive (none
-    dominates its equal). ``x_col`` must be numeric non-null.
+    dominates its equal). ``x_col`` AND ``y_col`` must be numeric
+    non-null: a NULL x breaks range-bucketing, and a NULL y is
+    silently dropped by the dominance comparisons (m_eq <= y is
+    NULL, never true) — filter or impute nulls before calling.
 
     Dominance decides from two maxima per row, both exact:
       * m_gt = max(y) over rows with STRICTLY GREATER x: >= y means a

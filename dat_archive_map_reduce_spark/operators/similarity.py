@@ -1559,10 +1559,23 @@ def mmr_select_step(
             ).alias("div"),
         )
     )
+    # precondition check in the data path (not a separate column, so
+    # Catalyst can't prune it): query_id absent from the corpus — or
+    # present with a NULL embedding — leaves rel NULL for EVERY
+    # candidate, which would silently degrade the ranking to the id
+    # tiebreak. Fail loudly instead.
+    rel_checked = F.when(F.col("rel").isNotNull(), F.col("rel")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"mmr_select_step: query_id {int(query_id)} has no non-null "
+                f"{vec_col} row in the corpus"
+            )
+        )
+    )
     return (
         scored.select(
             F.col("cid").alias(id_col),
-            F.round("rel", round_digits).alias("relevance"),
+            F.round(rel_checked, round_digits).alias("relevance"),
             F.round("div", round_digits).alias("redundancy"),
             F.round(
                 F.lit(float(lam)) * F.col("rel")

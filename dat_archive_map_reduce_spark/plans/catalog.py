@@ -268,6 +268,263 @@ class VersionedTable:
         view reset, /root/reference/lib/util-level.js:26-35)."""
         self.overwrite(self.spark.createDataFrame([], self.schema))
 
+    # -- driver-local metadata IO ------------------------------------
+    # The offsets/sources tables are O(views x sources) rows of
+    # PROGRESS METADATA, read and rewritten once per maintenance
+    # batch. Launching a Spark job (scheduler round-trip, task
+    # dispatch) to move a few hundred bytes is the watch path's
+    # largest FIXED per-batch cost; a driver-local pyarrow read/write
+    # of the same snapshot layout is ~1 ms and bit-compatible with
+    # the Spark reader (plain parquet, schema pinned on read). On a
+    # real cluster this is exactly what a lakehouse does with its
+    # transaction-log metadata: driver/catalog-side IO, never a job.
+    # Snapshot protocol is unchanged — new directory + pointer flip —
+    # so crash-safety, time travel, and vacuum are identical.
+
+    def _pa_schema(self):
+        import pyarrow as pa
+
+        _MAP = {
+            "string": pa.string(),
+            "bigint": pa.int64(),
+            "int": pa.int32(),
+            "boolean": pa.bool_(),
+            "double": pa.float64(),
+        }
+        return pa.schema(
+            [(f.name, _MAP[f.dataType.simpleString()]) for f in self.schema.fields]
+        )
+
+    def read_rows(self) -> "list[tuple]":
+        """Driver-local read of the current snapshot as a list of row
+        tuples (schema field order) — NO Spark job. Only for bounded
+        metadata tables; a data table must go through read()."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        v = self._current()
+        if v is None:
+            return []
+        names = [f.name for f in self.schema.fields]
+        out: list[tuple] = []
+        for path in sorted(_glob.glob(f"{self._snapshot_dir(v)}/*.parquet")):
+            t = pq.read_table(path, columns=names)
+            cols = [t.column(n).to_pylist() for n in names]
+            out.extend(zip(*cols) if cols and t.num_rows else [])
+        return out
+
+    def overwrite_rows(self, rows: "list[tuple]") -> None:
+        """Driver-local copy-on-write snapshot write of row tuples
+        (schema field order) — NO Spark job. Counterpart of
+        read_rows; same manifest flip as overwrite()."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = self._pa_schema()
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+        table = pa.table(
+            {n: list(c) for n, c in zip(schema.names, cols)}, schema=schema
+        )
+        v = (self._current() or 0) + 1
+        d = self._snapshot_dir(v)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(table, f"{d}/part-00000.parquet")
+        self._set_current(v)
+
+
+class BucketedEntriesTable(VersionedTable):
+    """VersionedTable whose snapshots are internally hash-bucketed on
+    one column:
+
+        <root>/vXXXXXXXX/_b=K/part-*.parquet     (K in 0..n_buckets-1)
+        <root>/_buckets.json                     {"n": N, "col": "..."}
+
+    Purpose: delta-proportional MERGE on plain parquet. A flat
+    copy-on-write overwrite is O(table) per mutation whatever the
+    delta; bucketing by the retraction key (here file provenance,
+    ``file_url``) means a batch touching k distinct files rewrites
+    only the <= k buckets that can contain their rows, while every
+    untouched bucket's files are HARDLINKED from the previous snapshot
+    into the new one — a driver-side metadata op, no data movement.
+    This is the filesystem analog of how a lakehouse MERGE commits:
+    rewrite only the data files containing matched rows, and have the
+    new snapshot's manifest re-reference every unchanged file
+    (Delta/Iceberg do it with manifest pointers; plain parquet has no
+    manifest, so the hardlink plays that role — same inode, two
+    directory entries, vacuum of either snapshot leaves the other
+    intact). Merge IO: O(delta + touched_buckets * table/N) instead
+    of O(table). The reference gets the same property from LevelDB's
+    O(keys-touched) batch writes (lib/view.js:89-103); at 100 TB you
+    would swap this class for a real lakehouse MERGE, which is why
+    the engine funnels every entries mutation through write_merged.
+
+    The bucket function is crc32(col) % N — exact-deterministic
+    across sessions, engines, and languages (zlib crc32), so bucket
+    membership can be derived driver-side from the url strings alone,
+    without reading any data.
+
+    Layout compatibility: read() uses recursiveFileLookup with a
+    pinned schema, so it reads bucketed and flat (plain overwrite/
+    reset) snapshots alike; ``current_is_bucketed`` tells the merge
+    path whether the previous snapshot supports per-bucket reuse (a
+    flat snapshot forces one full re-bucketing rewrite, after which
+    merges are incremental again).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        bucket_col: str,
+        n_buckets: int = 16,
+    ):
+        super().__init__(spark, root, schema)
+        self.bucket_col = bucket_col
+        meta_path = f"{self.root}/_buckets.json"
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.n_buckets = int(meta["n"])
+            self.bucket_col = meta["col"]
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            # first open wins and pins the layout for the table's
+            # lifetime — a later reopen with a different n would
+            # compute wrong bucket membership for existing snapshots
+            self.n_buckets = int(n_buckets)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n": self.n_buckets, "col": self.bucket_col}, f)
+            os.replace(tmp, meta_path)
+
+    # -- bucket math --------------------------------------------------
+    def bucket_expr(self, col: str | None = None):
+        """In-plan bucket id of ``col`` (default: the table's bucket
+        column) — must stay in lockstep with bucket_of()."""
+        return F.pmod(
+            F.crc32(F.col(col or self.bucket_col).cast("string")),
+            F.lit(self.n_buckets),
+        ).cast("int")
+
+    def bucket_of(self, value: str) -> int:
+        """Driver-side bucket id of one value — zlib crc32 == Spark
+        F.crc32 on utf-8 bytes (pinned by test)."""
+        import zlib
+
+        return zlib.crc32(value.encode("utf-8")) % self.n_buckets
+
+    def _bucket_dir(self, v: int, b: int) -> str:
+        return f"{self._snapshot_dir(v)}/_b={b}"
+
+    def current_is_bucketed(self) -> bool:
+        v = self._current()
+        if v is None:
+            return True  # nothing on disk: the next write buckets it
+        d = self._snapshot_dir(v)
+        names = os.listdir(d) if os.path.isdir(d) else []
+        return all(n.startswith(("_b=", "_", ".")) for n in names)
+
+    # -- reads ---------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Whole-table read (bucket layout is invisible: the _b=K
+        directory level is NOT a partition column — recursive lookup
+        with a pinned schema skips inference entirely)."""
+        v = version if version is not None else self._current()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        if version is not None and not os.path.isdir(self._snapshot_dir(version)):
+            raise FileNotFoundError(
+                f"snapshot v{version} of {self.root} not on disk "
+                f"(available: {self.versions()}) — vacuumed or never written"
+            )
+        return (
+            self.spark.read.schema(self.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(self._snapshot_dir(v))
+        )
+
+    def read_buckets(self, bucket_ids: "list[int]") -> DataFrame:
+        """Rows of the given buckets of the CURRENT snapshot. The
+        path list resolves NOW, so the returned plan stays pinned to
+        this snapshot across a subsequent pointer flip (the merge
+        path's retracted-keys contract). Falls back to the whole
+        snapshot when it predates bucketing (flat layout)."""
+        v = self._current()
+        if v is None:
+            return self.spark.createDataFrame([], self.schema)
+        if not self.current_is_bucketed():
+            return self.read()
+        dirs = [
+            self._bucket_dir(v, b)
+            for b in bucket_ids
+            if os.path.isdir(self._bucket_dir(v, b))
+        ]
+        if not dirs:
+            return self.spark.createDataFrame([], self.schema)
+        return (
+            self.spark.read.schema(self.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*dirs)
+        )
+
+    # -- the merge write ------------------------------------------------
+    def write_merged(
+        self,
+        touched_ids: "list[int]",
+        touched_df: DataFrame,
+        sort_cols: "list[str] | None" = None,
+    ) -> None:
+        """Commit a new snapshot: ``touched_df`` (which must contain
+        ONLY rows whose bucket id is in ``touched_ids`` — i.e. the
+        touched buckets' full post-merge contents) is written
+        bucket-partitioned in ONE Spark job; every other bucket's
+        files are hardlinked from the previous snapshot. If the
+        previous snapshot is flat (pre-bucketing or a reset), the
+        caller must pass the FULL table as touched_df with all ids —
+        one re-bucketing rewrite, incremental afterwards."""
+        cur = self._current()
+        v = (cur or 0) + 1
+        dest = self._snapshot_dir(v)
+        os.makedirs(dest, exist_ok=True)
+        w = touched_df.withColumn("_b", self.bucket_expr())
+        # one shuffle partition per touched bucket: each bucket dir
+        # gets one sorted file (row-group min/max stats prune key-range
+        # scans within the bucket, the LevelDB-iterator stand-in)
+        w = w.repartition(max(1, len(touched_ids)), "_b")
+        if sort_cols:
+            w = w.sortWithinPartitions("_b", *sort_cols)
+        w.write.mode("overwrite").partitionBy("_b").parquet(dest)
+        if cur is not None and self.current_is_bucketed():
+            touched = set(touched_ids)
+            for b in range(self.n_buckets):
+                if b in touched:
+                    continue
+                src = self._bucket_dir(cur, b)
+                if os.path.isdir(src):
+                    _link_tree(src, self._bucket_dir(v, b))
+        self._set_current(v)
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Recreate ``src``'s file tree at ``dst`` via hardlinks (copy
+    fallback for cross-device trees): snapshot file reuse without data
+    movement. Both snapshots own a directory entry to the same inode,
+    so vacuuming either leaves the other readable."""
+    import shutil
+
+    for dirpath, _dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        out_dir = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out_dir, exist_ok=True)
+        for name in files:
+            s = os.path.join(dirpath, name)
+            d = os.path.join(out_dir, name)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
 
 class AppendOnlyLog:
     """Append-only parquet log in ONE stable directory.

@@ -98,11 +98,10 @@ def watch(
                     # archive-found, lib/indexer.js:309-340)
                     engine._missing_origins.discard(origin)
                     engine._emit("archive-found", origin=origin)
+            # driver-local metadata read — O(views x sources) rows,
+            # no Spark job (the per-batch fixed-cost budget)
             offsets = (
-                {
-                    (r["view"], r["origin"]): r["last_version"]
-                    for r in engine.offsets.read().collect()
-                }
+                {(v, o): lv for v, o, lv in engine.offsets.read_rows()}
                 if origins
                 else {}
             )
@@ -169,7 +168,7 @@ def watch(
                         vdef, batch_df, origin_starts, prepared=shared[key]
                     )
             finally:
-                for upd, _ in shared.values():
+                for upd, *_ in shared.values():
                     upd.unpersist()
             for name, _, _, _ in plan:
                 for origin in origins:

@@ -321,3 +321,114 @@ def test_changelog_legacy_flat_layout_still_works(spark, tmp_path):
                    for n in os.listdir(db1.changelog.root))
     assert db1.current_version("dat://old") == 1
     assert db1.current_version("dat://new") == 1
+
+
+def test_bucket_fn_driver_matches_spark(spark):
+    """The merge path derives touched-bucket ids from url strings in
+    TWO places — in-plan (F.crc32 % N) and driver-side (zlib.crc32 %
+    N, BucketedEntriesTable.bucket_of) — so the two functions must be
+    bit-identical or a merge could hardlink a bucket that needed
+    retraction."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    urls = [
+        "dat://site0/single.json",
+        "dat://sité1/multi/ü.json",  # non-ascii: crc runs on utf-8 bytes
+        "", "a", "dat://x/" + "p" * 500,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["b"]
+        for r in df.select(
+            "url", F.pmod(F.crc32(F.col("url").cast("string")), F.lit(16)).cast("int").alias("b")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == zlib.crc32(u.encode("utf-8")) % 16
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100-TB maintenance contract: updating ONE file rewrites only
+    the bucket(s) containing it; every other bucket's data files carry
+    into the new snapshot as hardlinks (same inode — zero data IO),
+    and retraction still removes the file's old entries."""
+    import os
+    import zlib
+
+    wh = str(tmp_path / "wh-buckets")
+    db = MapReduce(spark, wh, entries_buckets=8)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://bucketed"
+    rows = [
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(24)
+    ]
+    db.append_changes(rows)
+    db.index(origin)
+
+    store = db._entries_table("single", origin)
+    v1 = store._current()
+
+    def inodes(v):
+        out = {}
+        for b in range(store.n_buckets):
+            d = store._bucket_dir(v, b)
+            if os.path.isdir(d):
+                out[b] = {
+                    n: os.stat(os.path.join(d, n)).st_ino
+                    for n in os.listdir(d) if n.endswith(".parquet")
+                }
+        return out
+
+    before = inodes(v1)
+    assert len(before) > 1  # 24 files spread over >1 of 8 buckets
+
+    # update one file -> exactly its bucket is rewritten
+    url = f"{origin}/docs/5.json"
+    hot = zlib.crc32(url.encode()) % store.n_buckets
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/5.json", "version": 2,
+         "content": json.dumps({"first": "k5-new", "second": 5, "third": "t"})}
+    ])
+    db.index(origin)
+
+    v2 = store._current()
+    assert v2 == v1 + 1
+    after = inodes(v2)
+    for b, files in before.items():
+        if b == hot:
+            # rewritten: no file of the old bucket survives by inode
+            assert not (set(files.values()) & set(after.get(b, {}).values()))
+        else:
+            # untouched: identical file set, SAME inodes (hardlinks)
+            assert after[b] == files
+    # retract-then-add semantics held across the bucketed merge
+    assert db.get("single", "k5") is None
+    assert db.get("single", "k5-new")["value"] == [url]
+    # pre-flip snapshot still readable (time travel across hardlinks)
+    assert store.read(v1).count() == 24
+
+
+def test_offsets_local_io_spark_interop(spark, tmp_path):
+    """read_rows/overwrite_rows (driver-local pyarrow) and the Spark
+    reader/writer must interoperate on the same snapshot chain."""
+    from dat_archive_map_reduce_spark.plans.catalog import (
+        OFFSETS_SCHEMA,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "offs"), OFFSETS_SCHEMA)
+    assert t.read_rows() == []
+    t.overwrite_rows([("v1", "dat://a", 3), ("v2", "dat://b", 7)])
+    # Spark reads what pyarrow wrote
+    got = {(r["view"], r["origin"]): r["last_version"] for r in t.read().collect()}
+    assert got == {("v1", "dat://a"): 3, ("v2", "dat://b"): 7}
+    # pyarrow reads what Spark wrote
+    t.overwrite(spark.createDataFrame([("v1", "dat://a", 9)], OFFSETS_SCHEMA))
+    assert t.read_rows() == [("v1", "dat://a", 9)]
+    # empty rewrite round-trips
+    t.overwrite_rows([])
+    assert t.read_rows() == [] and t.read().count() == 0
