@@ -157,6 +157,54 @@ def _bench_streaming(spark) -> dict:
         out["maintain_wall_sec"] = curve[0]["wall_sec"]
         out["maintain_rows_per_sec"] = curve[0]["rows_per_sec"]
 
+        # -- 1b. hot-origin steady drip (round-9 verdict #1) ----------
+        # One large archive receiving a trickle of small updates — the
+        # reference's core workload. The signal is per-batch wall at
+        # two shard sizes 16x apart: a delta-proportional merge
+        # (bucketed entries shards) holds per-batch cost ~flat, while
+        # the old whole-shard rewrite scaled it with the shard. Each
+        # drip batch updates 8 files; reported number is sec/batch
+        # (median of 8 batches) per shard size, plus the big/small
+        # ratio (1.0 = perfectly delta-proportional, 16.0 = O(shard)).
+        drip: dict = {}
+        hot = "dat://hot"
+        for label, backfill in (("4k", 4096), ("64k", 65536)):
+            db = MapReduce(spark, f"{root}/hot{backfill}", entries_buckets=64)
+            db.define(
+                "by_key", path="/docs/*.json", map=map_first, key_schema=["string"]
+            )
+            db.append_changes(
+                [
+                    {
+                        "origin": hot,
+                        "pathname": f"/docs/{i}.json",
+                        "version": 1,
+                        "content": json.dumps({"first": f"k{i % 512}", "n": i}),
+                    }
+                    for i in range(backfill)
+                ]
+            )
+            db.index(hot)
+            per_batch = []
+            for b in range(8):
+                upd = [
+                    {
+                        "origin": hot,
+                        "pathname": f"/docs/{b * 8 + j}.json",
+                        "version": 2,
+                        "content": json.dumps({"first": f"u{b}-{j}", "n": j}),
+                    }
+                    for j in range(8)
+                ]
+                t0 = time.perf_counter()
+                db.index_source(hot, upd)
+                per_batch.append(time.perf_counter() - t0)
+            db.close()
+            per_batch.sort()
+            drip[label] = round(per_batch[len(per_batch) // 2], 4)
+        out["maintain_drip_sec_per_batch"] = drip
+        out["maintain_drip_big_over_small"] = round(drip["64k"] / drip["4k"], 3)
+
         # -- 2. event-time windowed aggregation as a real stream ------
         # events split into 8 files, drained 2 files per micro-batch
         # (4 stateful batches with watermarked window state), sinking
