@@ -1031,3 +1031,132 @@ def resize_plan(media: DataFrame, max_side: int = 32) -> DataFrame:
         F.ceil(F.col("width") * scale).cast("int").alias("target_w"),
         F.ceil(F.col("height") * scale).cast("int").alias("target_h"),
     )
+
+
+# ---------------------------------------------------------------------
+# perceptual image dedup (dHash — gradient hash)
+# ---------------------------------------------------------------------
+
+def perceptual_media_corpus(spark: SparkSession, n_base: int = 20) -> DataFrame:
+    """Corpus for PERCEPTUAL image dedup: ``n_base`` clusters of three
+    REAL binary-PPM images each — byte-distinct variants of one base
+    picture — with every pixel closed-form so a SQL oracle re-derives
+    each image's dHash arithmetically (the real_media_corpus recipe).
+
+    Image geometry: 32x32 RGB, an 8x8 grid of 4x4 flat blocks; block
+    j (raster) of base b has channel value
+
+        v(b, j) = (31*b*b + 29*b*j + 23*j*j + 7) % 255   (<= 254, +1-safe)
+
+    The b*j cross-term decorrelates the horizontal GRADIENT SIGNS
+    across bases (a b-independent gradient, e.g. v = b*17 + j*23,
+    makes every base a near-dup of every other — all hashes share the
+    same sign pattern except at wraparounds); with this form the
+    minimum cross-base Hamming distance is 15 at n_base=20, far above
+    any sane dedup threshold.
+
+    media_id = 3*b + variant:
+      0  the base image
+      1  PIXEL NOISE: +1 on every odd pixel index — bytes differ, but
+         each 4x4 cell gains exactly 8/16 -> floor(mean) is UNCHANGED,
+         so the dHash is IDENTICAL (distance 0): the near-dup a
+         byte-digest can never catch
+      2  LOCAL EDIT: block 0 flips to (v+128) % 255 — cell (0,0)
+         participates in exactly one horizontal comparison, so the
+         dHash lands within Hamming distance 1 of the base
+    Different bases differ in (essentially) every block, so cross-
+    cluster distances are large. Deterministic: recall/precision are
+    properties of the construction, not of a seed."""
+    rows = []
+    for b in range(n_base):
+        j = np.arange(64, dtype=np.int64)
+        grid = (31 * b * b + 29 * b * j + 23 * j * j + 7) % 255
+        base = np.repeat(np.repeat(grid.reshape(8, 8), 4, axis=0), 4, axis=1)
+        for variant in range(3):
+            img = base.copy()
+            if variant == 2:
+                img[0:4, 0:4] = (grid[0] + 128) % 255
+            rgb = np.repeat(img.reshape(-1), 3)  # r = g = b
+            if variant == 1:
+                # +1 on every odd PIXEL index, all three channels
+                pix_idx = np.repeat(np.arange(32 * 32, dtype=np.int64), 3)
+                rgb = rgb + (pix_idx % 2)
+            content = encode_ppm(32, 32, rgb.astype(np.uint8))
+            rows.append((3 * b + variant, "image", bytearray(content), (32, 32, None, None)))
+    n_slices = max(1, min(len(rows) // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
+def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-image 56-bit dHash (gradient hash): decode -> integer gray
+    -> grid x grid cell means -> sign of each horizontal neighbor
+    difference, packed big-endian (bit (r, c) of the hash is
+    cell[r][c+1] > cell[r][c], weight 2^(55 - (r*7 + c)) for the
+    default 8x8 grid).
+
+    All integer math — gray = (r+g+b) div 3, cell = sum div area,
+    strict > — so the hash replays EXACTLY in any SQL engine given
+    the pixel values; no float resampling anywhere. Dims must be
+    divisible by ``grid`` (run resize_plan first for arbitrary
+    sizes). Map-only Arrow-batched stage (one pass per image, no
+    shuffle at any corpus size); pair search goes through the SAME
+    pigeonhole chunk join as SimHash (dedup.simhash_near_pairs), so
+    candidate generation stays sub-quadratic."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+    n_bits_per_row = grid - 1
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, _maxval, vals = decode_ppm(content)
+                if w % grid or h % grid:
+                    raise ValueError(
+                        f"image_dhash: dims {w}x{h} not divisible by grid {grid}"
+                    )
+                gray = (
+                    vals.reshape(-1, 3).astype(np.int64).sum(axis=1) // 3
+                ).reshape(h, w)
+                bh, bw = h // grid, w // grid
+                cells = (
+                    gray.reshape(grid, bh, grid, bw).sum(axis=(1, 3)) // (bh * bw)
+                )
+                bits = cells[:, 1:] > cells[:, :-1]
+                sig = 0
+                for r in range(grid):
+                    for c in range(n_bits_per_row):
+                        if bits[r, c]:
+                            sig += 1 << (
+                                grid * n_bits_per_row - 1 - (r * n_bits_per_row + c)
+                            )
+                ids.append(int(mid))
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": ids, "dhash": sigs})
+
+    return media.select("media_id", "content").mapInPandas(_hash, schema=out_schema)
+
+
+def dhash_near_pairs(media: DataFrame, max_distance: int = 4) -> DataFrame:
+    """Perceptual near-duplicate image pairs: dHash signatures +
+    the SimHash pigeonhole chunk join (a pair within Hamming distance
+    d agrees exactly on >= 1 of the d+1 bit-chunks, so candidates
+    come from equal-chunk buckets — never an all-pairs join).
+    Returns (id_a, id_b, hamming)."""
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+    from dat_archive_map_reduce_spark.operators.dedup import simhash_near_pairs
+
+    sigs = (
+        image_dhash(media)
+        .select(F.col("media_id").alias("id"), F.col("dhash").alias("simhash"))
+        .persist()
+    )
+    return eager_release(
+        simhash_near_pairs(sigs, max_distance=max_distance, bits=56), sigs
+    )

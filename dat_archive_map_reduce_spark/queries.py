@@ -10017,6 +10017,65 @@ _REVERIFY_SINCE: "dict[str, int]" = {
     "dedup_clusters": 7,
 }
 
+@query(
+    "dedup_image_dhash",
+    oracle="""
+    WITH cells AS (
+      SELECT 3 * b.b + v.v AS media_id, r.r, c.c,
+             CASE WHEN v.v = 2 AND r.r = 0 AND c.c = 0
+                  THEN ((31 * b.b * b.b + 7) % 255 + 128) % 255
+                  ELSE (31 * b.b * b.b + 29 * b.b * (r.r * 8 + c.c)
+                        + 23 * (r.r * 8 + c.c) * (r.r * 8 + c.c) + 7) % 255
+             END AS val
+      FROM range(0, 20) b(b), range(0, 3) v(v),
+           range(0, 8) r(r), range(0, 8) c(c)
+    ), diffs AS (
+      SELECT media_id, r, c, val,
+             lead(val) OVER (PARTITION BY media_id, r ORDER BY c) AS nxt
+      FROM cells
+    ), sigs AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN nxt > val
+                  THEN CAST(power(2, 55 - (r * 7 + c)) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sig
+      FROM diffs WHERE c < 7
+      GROUP BY media_id
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    """,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup (round-9 verdict #3): near-duplicate
+    image pairs by 56-bit dHash (gradient hash) over REAL binary-PPM
+    bytes. The corpus (operators/multimodal.py::perceptual_media_corpus)
+    is 20 clusters x 3 byte-distinct variants — original, +1-on-odd-
+    pixels noise (hash-identical: the near-dup a byte digest can never
+    catch), and a flipped block (Hamming distance <= 1) — every pixel
+    closed-form. The Spark path runs the REAL decoder + integer dHash
+    (gray div, cell-mean div, strict >, big-endian bit pack) in one
+    Arrow-batched map-only stage; pair search reuses the SimHash
+    pigeonhole chunk join (operators/dedup.py::simhash_near_pairs), so
+    candidates come from equal-bit-chunk buckets, never an all-pairs
+    join. The oracle re-derives each dHash arithmetically from the
+    generator formulas and verifies ALL pairs exhaustively (60 images
+    — exhaustive is the oracle's job, not the plan's): a hash match
+    proves decoder, hash math, bit packing, AND that the pigeonhole
+    candidate stage has perfect recall at the distance bound. Scale:
+    decode+hash is embarrassingly parallel; the chunk join shuffles
+    on (chunk, value) buckets only."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        dhash_near_pairs,
+        perceptual_media_corpus,
+    )
+
+    return dhash_near_pairs(
+        perceptual_media_corpus(spark, n_base=20), max_distance=4
+    ).orderBy("id_a", "id_b")
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

@@ -2969,3 +2969,34 @@ def test_neyman_allocation_sums_to_budget_and_tracks_variance(spark):
     assert abs(sum(r["proportional_n"] for r in out.values()) - 1000) < 0.01
     assert out["tight"]["proportional_n"] == out["wide"]["proportional_n"]
     assert out["wide"]["neyman_n"] > 10 * out["tight"]["neyman_n"]
+
+
+def test_perceptual_dhash_recall_and_separation(spark):
+    """Perceptual dedup contract on the closed-form corpus: the noise
+    variant (byte-distinct, +1 on odd pixels) hashes IDENTICALLY to
+    its base; the local-edit variant lands within Hamming distance 1;
+    no cross-cluster pair survives the distance-4 threshold — and the
+    pigeonhole candidate stage finds every qualifying pair (exact
+    recall, guaranteed by construction, asserted here)."""
+    media = multimodal.perceptual_media_corpus(spark, n_base=8)
+    sigs = {r["media_id"]: r["dhash"] for r in multimodal.image_dhash(media).collect()}
+    assert len(sigs) == 24
+    for b in range(8):
+        assert sigs[3 * b + 1] == sigs[3 * b], "noise variant must hash equal"
+        d = bin(sigs[3 * b + 2] ^ sigs[3 * b]).count("1")
+        assert d <= 1, f"local edit drifted to distance {d}"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.dhash_near_pairs(media, max_distance=4).collect()
+    }
+    # every within-cluster pair found, each with its structural distance
+    for b in range(8):
+        ids = [3 * b, 3 * b + 1, 3 * b + 2]
+        assert pairs[(ids[0], ids[1])] == 0
+        assert pairs[(ids[0], ids[2])] <= 1
+        assert pairs[(ids[1], ids[2])] <= 1
+    # no cross-cluster pair within the threshold
+    assert all(a // 3 == b // 3 for a, b in pairs)
+    # bytes really differ (the digest-dedup counterexample)
+    contents = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    assert contents[0] != contents[1] and sigs[0] == sigs[1]

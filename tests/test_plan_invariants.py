@@ -238,6 +238,12 @@ CONTRACTS = [
     # metadata (bucket counts / broadcast offsets) — never a
     # single-partition NTILE window
     ("events_rfm_segments", 13, 3, False, False),
+    # -- round-10 additions --
+    # perceptual dHash dedup: decode+hash is ONE Arrow-batched
+    # map-only stage (persisted — the static audit sees it per join
+    # side, runtime runs it once); 3 = the pigeonhole chunk join's
+    # two (chunk,val) exchanges + the output sort; never all-pairs
+    ("dedup_image_dhash", 3, 0, False, False),
 ]
 
 
