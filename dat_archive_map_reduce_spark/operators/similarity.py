@@ -1641,6 +1641,9 @@ def pca_power_iteration_step(
         .groupBy("dim")
         .agg(F.round(F.sum(F.col("x") * F.col("u")), round_digits).alias("w_raw"))
     )
+    # global window over the per-DIM aggregate: <= d rows by
+    # construction (embedding width — bounded metadata, never the
+    # fact table)
     norm = F.sqrt(F.sum(F.col("w_raw") * F.col("w_raw")).over(Window.partitionBy()))
     return w.select(
         "dim",

@@ -6999,6 +6999,8 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ntok).alias("n_tokens"),
     )
     u = F.pow(F.col("n_tokens").cast("double"), 0.3)
+    # global window over the per-LANG rollup: <= |languages| rows by
+    # construction (bounded metadata), never the fact table
     w = F.round(u / F.sum(u).over(W_.partitionBy()), 6)
     return c.select(
         "lang",
@@ -7063,6 +7065,8 @@ def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
     )
     c = d.groupBy("lang").agg(F.sum(ntok).alias("n_tokens"))
+    # unpartitioned windows below run over the per-LANG rollup:
+    # <= |languages| rows by construction (bounded metadata)
     order = W_.orderBy("n_tokens", "lang")
     k = c.select(
         "lang",
@@ -9506,6 +9510,8 @@ def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     top = bm25_topk(d, "text", "doc_id", ["spark", "filter", "window"], k=10)
+    # global window over the TakeOrdered top-k: <= k=10 rows by
+    # construction (bounded metadata), never the fact table
     w = Window.partitionBy(F.lit(0)).orderBy(F.desc("bm25"), F.asc("doc_id"))
     graded = top.select(
         F.row_number().over(w).alias("rnk"),
@@ -10074,6 +10080,83 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_near_pairs(
         perceptual_media_corpus(spark, n_base=20), max_distance=4
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "eval_roc_auc",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), r AS (
+      SELECT score, pos,
+             rank() OVER (ORDER BY score) AS rk,
+             count(*) OVER (PARTITION BY score) AS c
+      FROM s
+    ), agg AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+             CAST(sum(pos * (2 * (rk - 1) + c + 1)) AS BIGINT) AS two_rank_sum
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+           CAST(two_rank_sum - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           round(CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    """,
+)
+def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT ROC-AUC — the classifier-eval primitive every
+    quality-filter pipeline needs at corpus scale — via the
+    Mann-Whitney U identity: AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg) with AVERAGE ranks for ties (the textbook tie
+    correction), where R_pos is the positive class's rank sum under
+    ORDER BY score. Score = embedding[0] scored against label==0 —
+    any (score, label) pair slots in.
+
+    Integer-exact all the way: ranks come from grouping duplicate
+    scores (c rows sharing a score all take avg rank rank_start +
+    (c+1)/2, so TWICE the rank sum stays integral — u2 below is 2U,
+    a BIGINT both engines agree on bit-for-bit); only the final AUC
+    ratio rounds (6dp, the kmeans/pagerank quantum). Scale shape:
+    one partial-combined groupBy(score) shuffle, then
+    exact_global_cumsum's bucketed prefix (metadata-sized windows
+    only — never a single-partition rank over the fact table, which
+    is how naive distributed AUC dies at 100 TB), and a one-row fold.
+    f32 -> f64 score cast is exact, so grouping keys match DuckDB's.
+    """
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    per_score = (
+        e.select(
+            F.element_at("embedding", 1).cast("double").alias("score"),
+            F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("pos").alias("pos_cnt"))
+    )
+    ranked = exact_global_cumsum(
+        per_score, "score", "c", cumsum_col="rank_start"
+    )
+    n_pos = F.sum("pos_cnt")
+    n_neg = F.sum(F.col("c") - F.col("pos_cnt"))
+    two_rank_sum = F.sum(
+        F.col("pos_cnt") * (2 * F.col("rank_start") + F.col("c") + 1)
+    )
+    u2 = (two_rank_sum - n_pos * (n_pos + 1)).cast("long")
+    return ranked.agg(
+        n_pos.cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        u2.alias("u2"),
+        F.round(
+            u2.cast("double") / (2.0 * n_pos * n_neg), 6
+        ).alias("auc"),
+    )
 
 
 NO_ORACLE_TWINS: "dict[str, str]" = {

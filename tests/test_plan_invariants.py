@@ -244,6 +244,11 @@ CONTRACTS = [
     # side, runtime runs it once); 3 = the pigeonhole chunk join's
     # two (chunk,val) exchanges + the output sort; never all-pairs
     ("dedup_image_dhash", 3, 0, False, False),
+    # ROC-AUC: ONE fact shuffle (groupBy score), then the bucketed
+    # cumsum machinery (bucket counts + <= num_buckets-row metadata
+    # window + per-bucket window + broadcast offsets) and the 1-row
+    # final fold — never a single-partition rank over the fact table
+    ("eval_roc_auc", 6, 1, False, True),
 ]
 
 

@@ -84,8 +84,15 @@ def value_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -108,10 +115,12 @@ def main() -> None:
             scols = list(spdf.columns)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "fail", "error": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in ORACLE:
             print(f"weak {name}: rows={len(srows)} (no oracle)")
+            results[name] = {"status": "weak", "rows": len(srows)}
             n_weak += 1
             continue
         try:
@@ -124,6 +133,7 @@ def main() -> None:
             ocols = list(odf.columns)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "fail", "error": f"duckdb: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -144,11 +154,29 @@ def main() -> None:
                     problems.append(f"  oracle-only: {d}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "fail", "problems": problems}
             n_fail += 1
         else:
             print(f"PASS {name} rows={len(srows)}")
+            results[name] = {"status": "pass", "rows": len(srows)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "pass": n_pass,
+                    "fail": n_fail,
+                    "weak": n_weak,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                default=str,
+            )
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
