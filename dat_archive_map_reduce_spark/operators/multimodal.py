@@ -1160,3 +1160,114 @@ def dhash_near_pairs(media: DataFrame, max_distance: int = 4) -> DataFrame:
     return eager_release(
         simhash_near_pairs(sigs, max_distance=max_distance, bits=56), sigs
     )
+
+
+# ---------------------------------------------------------------------
+# perceptual audio dedup (energy-contour fingerprint)
+# ---------------------------------------------------------------------
+
+def audio_fingerprint_corpus(spark: SparkSession, n_base: int = 20) -> DataFrame:
+    """Corpus for PERCEPTUAL audio dedup: ``n_base`` clusters of three
+    REAL PCM16 RIFF/WAVE clips each — byte-distinct variants of one
+    base clip — every sample closed-form so a SQL oracle re-derives
+    each clip's fingerprint arithmetically (the perceptual_media_corpus
+    recipe, audio edition).
+
+    Clip geometry: 912 samples = 57 frames x 16; frame f of base b
+    holds a zero-DC alternating square wave +-v with amplitude
+
+        v(b, f) = (31*b*b + 29*b*f + 23*f*f + 7) % 251 + 8
+
+    (the b*f cross-term decorrelates energy-contour signs across
+    bases: min cross-base Hamming distance 15 at n_base=20).
+    media_id = 3*b + variant:
+      0  the base clip
+      1  POLARITY INVERSION (s -> -s): different bytes, identical
+         per-frame energy — fingerprint-identical (distance 0), the
+         near-dup a byte digest can never catch
+      2  LOCAL EDIT: frame 0's amplitude flips to ((v-8+128)%251)+8 —
+         frame 0 joins exactly one energy comparison, distance <= 1
+    """
+    rows = []
+    for b in range(n_base):
+        f = np.arange(57, dtype=np.int64)
+        amps = (31 * b * b + 29 * b * f + 23 * f * f + 7) % 251 + 8
+        for variant in range(3):
+            a = amps.copy()
+            if variant == 2:
+                a[0] = ((amps[0] - 8 + 128) % 251) + 8
+            # alternating +v, -v within each 16-sample frame (zero DC)
+            wave = np.repeat(a, 16) * np.tile(
+                np.array([1, -1] * 8, dtype=np.int64), 57
+            )
+            if variant == 1:
+                wave = -wave
+            content = encode_wav(8000, wave.astype(np.int16))
+            rows.append((3 * b + variant, "audio", bytearray(content), (None, None, 8000, None)))
+    n_slices = max(1, min(len(rows) // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
+def audio_fingerprint(media: DataFrame, frame_len: int = 16) -> DataFrame:
+    """Per-clip 56-bit energy-contour fingerprint: decode PCM16 ->
+    sum(|sample|) per ``frame_len``-sample frame -> sign of each
+    adjacent-frame energy difference, packed big-endian (bit f is
+    E[f+1] > E[f], weight 2^(55 - f); clips must span >= 57 frames,
+    extra tail frames are ignored).
+
+    The shape of Haitsma-Kalker/Chromaprint-style fingerprints with
+    the FFT filterbank replaced by time-domain frame energies — all
+    INTEGER math (|s| sums, strict >), so the hash replays exactly in
+    SQL given the sample values; robust to polarity inversion and any
+    other energy-preserving remaster, which byte digests miss.
+    Map-only Arrow-batched stage; pair search reuses the SimHash
+    pigeonhole chunk join."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _sr, _nch, samples = decode_wav(content)
+                n_frames = samples.size // frame_len
+                if n_frames < 57:
+                    raise ValueError(
+                        f"audio_fingerprint: {n_frames} frames < 57 required"
+                    )
+                en = (
+                    np.abs(samples[: 57 * frame_len].astype(np.int64))
+                    .reshape(57, frame_len)
+                    .sum(axis=1)
+                )
+                sig = 0
+                for f in range(56):
+                    if en[f + 1] > en[f]:
+                        sig += 1 << (55 - f)
+                ids.append(int(mid))
+                sigs.append(sig)
+            yield pd.DataFrame({"media_id": ids, "afp": sigs})
+
+    return media.select("media_id", "content").mapInPandas(_fp, schema=out_schema)
+
+
+def audio_near_pairs(media: DataFrame, max_distance: int = 4) -> DataFrame:
+    """Perceptual near-duplicate audio pairs: energy fingerprints +
+    the SimHash pigeonhole chunk join. Returns (id_a, id_b, hamming)."""
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+    from dat_archive_map_reduce_spark.operators.dedup import simhash_near_pairs
+
+    sigs = (
+        audio_fingerprint(media)
+        .select(F.col("media_id").alias("id"), F.col("afp").alias("simhash"))
+        .persist()
+    )
+    return eager_release(
+        simhash_near_pairs(sigs, max_distance=max_distance, bits=56), sigs
+    )

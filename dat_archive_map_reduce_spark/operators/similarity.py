@@ -1781,3 +1781,67 @@ def kcenter_select(
         chosen.append((r, int(far["vid"]), float(far["radius_sq"])))
         vecs.append(list(far["v"]))
     return chosen
+
+
+def quantize_embeddings_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension affine uint8 quantization of an embedding column
+    — the standard 4x memory/bandwidth reduction before ANN serving
+    (FAISS SQ8): q_j = round((x_j - min_j) * 255 / (max_j - min_j)),
+    constant dims map to 0.
+
+    INTEGER-EXACT gate: min/max are order-independent exact doubles
+    (f32 -> f64 widening is lossless), the affine transform is one
+    fixed double expression both engines evaluate bit-identically,
+    and round(., 0) is half-away-from-zero in both — so the code
+    checksums below (plain, position-weighted, squared; ordered
+    ascending-index folds over the code array) are BIGINTs with no
+    rounding quantum anywhere. Any wrong code shifts all three.
+
+    Scale shape (the emb_standardize recipe): one posexplode
+    aggregate to the d-row min/max table, folded to a single
+    broadcast row; quantization is a map-only zip over the broadcast
+    arrays — no per-row shuffle at any corpus size."""
+    e = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    stats = (
+        e.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    )
+    # d rows -> ONE broadcast row of dim-ordered arrays (metadata fold)
+    row = stats.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))), lambda s: s["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("mxs"),
+    )
+    q = F.zip_with(
+        F.col("v"),
+        F.zip_with(
+            F.col("mns"), F.col("mxs"), lambda a, b: F.struct(a.alias("mn"), b.alias("mx"))
+        ),
+        lambda x, s: F.when(s["mx"] == s["mn"], F.lit(0).cast("long")).otherwise(
+            F.round((x - s["mn"]) * 255.0 / (s["mx"] - s["mn"]), 0).cast("long")
+        ),
+    )
+    idx = F.zip_with(
+        q,
+        F.sequence(F.lit(1), F.size("v").cast("bigint")),
+        lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+    )
+    fold = lambda arr, f: F.aggregate(  # noqa: E731 — ordered fold
+        arr, F.lit(0).cast("long"), f
+    )
+    return e.crossJoin(F.broadcast(row)).select(
+        id_col,
+        fold(idx, lambda a, s: a + s["c"]).alias("q_sum"),
+        fold(idx, lambda a, s: a + s["c"] * s["i"]).alias("q_wsum"),
+        fold(idx, lambda a, s: a + s["c"] * s["c"]).alias("q_norm2"),
+    )

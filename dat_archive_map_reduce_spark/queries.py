@@ -10159,6 +10159,104 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_int8_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, pos, v[pos] AS x
+      FROM e, unnest(generate_series(1, len(v))) AS u(pos)
+    ), st AS (
+      SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos
+    ), q AS (
+      SELECT ex.vec_id, ex.pos,
+             CASE WHEN st.mx = st.mn THEN 0
+                  ELSE CAST(round((ex.x - st.mn) * 255.0 / (st.mx - st.mn), 0)
+                       AS BIGINT) END AS c
+      FROM ex JOIN st USING (pos)
+    )
+    SELECT vec_id,
+           CAST(sum(c) AS BIGINT) AS q_sum,
+           CAST(sum(c * pos) AS BIGINT) AS q_wsum,
+           CAST(sum(c * c) AS BIGINT) AS q_norm2
+    FROM q GROUP BY vec_id
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar uint8 quantization of the embedding table
+    (operators/similarity.py::quantize_embeddings_int8) — the FAISS
+    SQ8 serving compression. Per vector: three BIGINT code checksums
+    (plain / position-weighted / squared ordered folds), so the hash
+    proves every quantized code with NO float rounding quantum in the
+    output — min/max stats are exact, the affine map is one fixed
+    double expression both engines evaluate identically, round(.,0)
+    is half-away in both. One posexplode aggregate to the d-row
+    min/max table folded to a broadcast row; quantization is
+    map-only."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings_int8(e, "vec_id", "embedding")
+
+
+@query(
+    "dedup_audio_fingerprint",
+    oracle="""
+    WITH amps AS (
+      SELECT 3 * b.b + v.v AS media_id, f.f,
+             CASE WHEN v.v = 2 AND f.f = 0
+                  THEN ((31 * b.b * b.b + 7) % 251 + 128) % 251 + 8
+                  ELSE (31 * b.b * b.b + 29 * b.b * f.f
+                        + 23 * f.f * f.f + 7) % 251 + 8
+             END AS amp
+      FROM range(0, 20) b(b), range(0, 3) v(v), range(0, 57) f(f)
+    ), diffs AS (
+      SELECT media_id, f, amp,
+             lead(amp) OVER (PARTITION BY media_id ORDER BY f) AS nxt
+      FROM amps
+    ), sigs AS (
+      SELECT media_id,
+             CAST(sum(CASE WHEN nxt > amp
+                  THEN CAST(power(2, 55 - f) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS sig
+      FROM diffs WHERE f < 56
+      GROUP BY media_id
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    """,
+)
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL audio dedup: near-duplicate clip pairs by a 56-bit
+    energy-contour fingerprint (the Haitsma-Kalker/Chromaprint shape
+    with time-domain frame energies) over REAL PCM16 RIFF/WAVE bytes.
+    The corpus (operators/multimodal.py::audio_fingerprint_corpus) is
+    20 clusters x 3 byte-distinct variants — original, polarity
+    inversion (fingerprint-identical: the remaster a byte digest
+    can never catch), one flipped frame amplitude (distance <= 1) —
+    every sample closed-form. Spark runs the real RIFF chunk-walk
+    decoder + integer energy hash in one Arrow-batched map-only
+    stage; pairs come from the SimHash pigeonhole chunk join. The
+    oracle re-derives each fingerprint from the amplitude formulas
+    (frame energy = 16*amp, so comparisons reduce to amp order) and
+    verifies ALL pairs exhaustively — a hash match proves decoder,
+    energy math, bit packing, and the candidate stage's recall."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        audio_fingerprint_corpus,
+        audio_near_pairs,
+    )
+
+    return audio_near_pairs(
+        audio_fingerprint_corpus(spark, n_base=20), max_distance=4
+    ).orderBy("id_a", "id_b")
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

@@ -3000,3 +3000,19 @@ def test_perceptual_dhash_recall_and_separation(spark):
     # bytes really differ (the digest-dedup counterexample)
     contents = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
     assert contents[0] != contents[1] and sigs[0] == sigs[1]
+
+
+def test_audio_fingerprint_polarity_invariance(spark):
+    """Audio perceptual-dedup contract: polarity inversion (byte-
+    distinct PCM) fingerprints identically; the one-frame edit lands
+    within distance 1; no cross-cluster pair survives threshold 4."""
+    media = multimodal.audio_fingerprint_corpus(spark, n_base=6)
+    sigs = {r["media_id"]: r["afp"] for r in multimodal.audio_fingerprint(media).collect()}
+    assert len(sigs) == 18
+    for b in range(6):
+        assert sigs[3 * b + 1] == sigs[3 * b]
+        assert bin(sigs[3 * b + 2] ^ sigs[3 * b]).count("1") <= 1
+    pairs = {(r["id_a"], r["id_b"]) for r in multimodal.audio_near_pairs(media).collect()}
+    for b in range(6):
+        assert (3 * b, 3 * b + 1) in pairs and (3 * b, 3 * b + 2) in pairs
+    assert all(a // 3 == b // 3 for a, b in pairs)

@@ -249,6 +249,11 @@ CONTRACTS = [
     # window + per-bucket window + broadcast offsets) and the 1-row
     # final fold — never a single-partition rank over the fact table
     ("eval_roc_auc", 6, 1, False, True),
+    # audio fingerprint dedup: same shape as dedup_image_dhash
+    ("dedup_audio_fingerprint", 3, 0, False, False),
+    # int8 quantization: posexplode stats agg + its metadata fold;
+    # the quantize itself is map-only over the broadcast min/max row
+    ("emb_int8_quantize", 2, 1, False, False),
 ]
 
 
