@@ -10257,6 +10257,177 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "table_expectations",
+    oracle="""
+    SELECT 'orders.custkey_exists' AS expectation,
+           (SELECT count(*) FROM orders) AS checked,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS violations
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+    UNION ALL
+    SELECT 'lineitem.quantity_in_1_50',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem.pk_unique',
+           (SELECT count(*) FROM lineitem),
+           (SELECT CAST(count(*) - count(DISTINCT l_orderkey * 16 + l_linenumber)
+                   AS BIGINT) FROM lineitem)
+    UNION ALL
+    SELECT 'customer.custkey_unique',
+           (SELECT count(*) FROM customer),
+           (SELECT CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+            FROM customer)
+    UNION ALL
+    SELECT 'documents.text_nonempty',
+           (SELECT count(*) FROM documents),
+           (SELECT count(*) FROM documents
+            WHERE text IS NULL OR length(text) = 0)
+    ORDER BY expectation
+    """,
+)
+def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style DATA-QUALITY AUDIT — the pre-training gate every
+    100 TB ingest runs before a table feeds a pipeline: one row per
+    declared expectation with (rows checked, violations). Constraint
+    classes covered: referential integrity (orders.o_custkey ->
+    customer, a broadcast ANTI join — the dim side broadcasts, the
+    fact side is one scan), range/null checks (conditional-sum
+    aggregates fused into ONE pass per table), and key uniqueness
+    (count vs count-distinct in the same aggregate). Scale shape:
+    each table is scanned ONCE for all its row-local checks (the
+    violation counts are F.sum(WHEN ...) columns of a single agg);
+    only the FK check pays a join, and it broadcasts the key side.
+    The composite lineitem PK check packs (orderkey, linenumber) into
+    one BIGINT (linenumber < 16) so count-distinct needs no struct."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    d = _t(spark, sf_dir, "documents")
+
+    def _row(name, checked, violations):
+        return F.struct(
+            F.lit(name).alias("expectation"),
+            checked.cast("long").alias("checked"),
+            violations.cast("long").alias("violations"),
+        )
+
+    bad = F.count(F.lit(1))  # in filtered anti-join branch
+    fk = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o["o_custkey"] == c["c_custkey"],
+        "left_anti",
+    ).agg(
+        _row("orders.custkey_exists", F.lit(None), bad).alias("r")
+    )
+    # one scan of orders serves both its checks; the FK row joins in
+    # its 'checked' denominator from here (1-row broadcast)
+    o_agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0), 1
+            ).otherwise(0)
+        ).alias("bad_price"),
+    )
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                1,
+            ).otherwise(0)
+        ).alias("bad_qty"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+        ).alias("dup_pk"),
+    )
+    c_agg = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("dup_key"),
+    )
+    d_agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.length("text") == 0), 1).otherwise(0)
+        ).alias("empty_text"),
+    )
+    rows = (
+        fk.select(F.col("r.violations").alias("fk_bad"))
+        .crossJoin(F.broadcast(o_agg))
+        .crossJoin(F.broadcast(li_agg.withColumnRenamed("n", "li_n")))
+        .crossJoin(F.broadcast(c_agg.withColumnRenamed("n", "c_n")))
+        .crossJoin(F.broadcast(d_agg.withColumnRenamed("n", "d_n")))
+        .select(
+            F.explode(
+                F.array(
+                    _row("orders.custkey_exists", F.col("n"), F.col("fk_bad")),
+                    _row("orders.totalprice_positive", F.col("n"), F.col("bad_price")),
+                    _row("lineitem.quantity_in_1_50", F.col("li_n"), F.col("bad_qty")),
+                    _row("lineitem.pk_unique", F.col("li_n"), F.col("dup_pk")),
+                    _row("customer.custkey_unique", F.col("c_n"), F.col("dup_key")),
+                    _row("documents.text_nonempty", F.col("d_n"), F.col("empty_text")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    return rows.orderBy("expectation")
+
+
+@query(
+    "events_ewma_smooth",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list(value ORDER BY ts, event_id),
+                 (s, x) -> 0.5 * x + 0.5 * s), 6) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (alpha = 0.5, a power of two — the multiply is exact) — the
+    online-smoothing primitive behind rate limiters and trend
+    features. Each user's events fold IN TIME ORDER (ts, event_id
+    tiebreak — a total order) inside one F.aggregate over the sorted
+    per-user array, so the float fold is order-deterministic and
+    replays bit-for-bit in DuckDB's list_reduce; the seed is the
+    user's FIRST value (the fold starts from element one), matching
+    pandas ewm(adjust=False). One groupBy(user) shuffle, no window.
+    6dp rounding is the standard cross-engine quantum (drift zero
+    here by construction, but the guard costs nothing)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
+            ),
+            lambda s: s["value"],
+        ).alias("vals"),
+    )
+    ewma = F.aggregate(
+        F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at("vals", 1),
+        lambda s, x: 0.5 * x + 0.5 * s,
+    )
+    return per_user.select(
+        "user_id", "n_events", F.round(ewma, 6).alias("ewma")
+    )
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

@@ -254,6 +254,14 @@ CONTRACTS = [
     # int8 quantization: posexplode stats agg + its metadata fold;
     # the quantize itself is map-only over the broadcast min/max row
     ("emb_int8_quantize", 2, 1, False, False),
+    # expectations audit: one aggregate pass per table (5 tables ->
+    # partial+final exchanges + countDistinct expands), every
+    # 1-row audit aggregate broadcast into the assembly row; the FK
+    # check's dim side broadcasts
+    ("table_expectations", 7, 5, False, False),
+    # EWMA: ONE user-grain shuffle; the time-ordered fold runs inside
+    # the aggregate's sorted array — no window, no second exchange
+    ("events_ewma_smooth", 1, 0, False, False),
 ]
 
 
