@@ -10428,6 +10428,227 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "graph_label_propagation",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    raw AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 131071 + j.j * 524287) % t.n AS dst
+      FROM documents d CROSS JOIN tot t,
+           (SELECT unnest([1, 2, 3]) AS j) j
+      WHERE j.j <= 1 + d.doc_id % 3
+        AND (d.doc_id * 131071 + j.j * 524287) % t.n <> d.doc_id
+    ),
+    e0 AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM raw
+        UNION ALL SELECT dst, src FROM raw
+      )
+    ),
+    votes AS (
+      SELECT u, v % 7 AS lbl, CAST(count(*) AS BIGINT) AS votes
+      FROM e0 GROUP BY u, v % 7
+    ),
+    best AS (
+      SELECT u, lbl, votes,
+             row_number() OVER (PARTITION BY u
+                                ORDER BY votes DESC, lbl ASC) AS rn
+      FROM votes
+    )
+    SELECT u AS node, CAST(lbl AS BIGINT) AS new_label, votes
+    FROM best WHERE rn = 1
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bulk-synchronous LABEL-PROPAGATION step (Raghavan 2007 —
+    the near-linear community-detection pass): every node adopts the
+    MODE of its neighbors' labels, smallest label winning ties, over
+    the same synthetic doc-link graph as graph_pagerank/graph_kcore
+    with init label(v) = v % 7. The oracle-gated single step is the
+    proof pattern for the iterated algorithm (kmeans-/kcore-step
+    precedent). All-integer: no quantization anywhere.
+
+    Scale shape: labels are derivable map-only from the neighbor id
+    (no label-table join in step 1), votes are one partial-combined
+    (node, label) aggregate, and the argmax folds per node via
+    max(struct(votes, -label)) — one more node-grain aggregate, never
+    a per-node window over the fact table."""
+    docs = _t(spark, sf_dir, "documents")
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
+    dst = (F.col("doc_id") * 131071 + F.col("j") * 524287) % F.col("n")
+    raw = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(j))
+        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
+        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    edges = (
+        raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(raw.select("dst", "src"))
+        .distinct()
+    )
+    votes = edges.groupBy("u", (F.col("v") % 7).alias("lbl")).agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    best = votes.groupBy("u").agg(
+        F.max(F.struct(F.col("votes"), (-F.col("lbl")).alias("neg"))).alias("b")
+    )
+    return best.select(
+        F.col("u").alias("node"),
+        (-F.col("b.neg")).alias("new_label"),
+        F.col("b.votes").alias("votes"),
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH n AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL),
+    vc AS (SELECT value AS x, count(*) AS c FROM events
+           WHERE value IS NOT NULL GROUP BY value),
+    vr AS (SELECT x, c, sum(c) OVER (ORDER BY x) AS cum FROM vc),
+    med AS (SELECT min(x) AS m FROM vr, n WHERE cum >= ceil(n / 2.0)),
+    dc AS (SELECT abs(e.value - med.m) AS d, count(*) AS c
+           FROM events e, med WHERE e.value IS NOT NULL GROUP BY 1),
+    dr AS (SELECT d, c, sum(c) OVER (ORDER BY d) AS cum FROM dc),
+    mad AS (SELECT min(d) AS mad FROM dr, n WHERE cum >= ceil(n / 2.0))
+    SELECT n.n AS n_values, med.m AS median, mad.mad AS mad,
+           (SELECT CAST(count(*) AS BIGINT) FROM events e, med, mad
+            WHERE e.value IS NOT NULL
+              AND abs(e.value - med.m) > 3 * mad.mad) AS n_outliers
+    FROM n, med, mad
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier detection via median / MAD (median absolute
+    deviation) — the z-score query's heavy-tail-safe sibling (one
+    whale inflates a stddev threshold; the median+MAD fence does not
+    move). Both medians are EXACT lower medians (type-1 quantile:
+    smallest value whose cumulative count reaches ceil(n/2)) computed
+    DISTRIBUTED: per-value counts, the bucketed exact_global_cumsum
+    prefix, then min-over-qualifying — never a sort to one partition,
+    never an approximate percentile. Exact double comparisons
+    throughout (values pass through untouched), so NO rounding
+    quantum. Flags |x - median| > 3 * MAD."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+
+    def lower_median(df: DataFrame, col: str):
+        """1-row DF (m): smallest value with cum count >= ceil(n/2)."""
+        vc = df.groupBy(F.col(col).alias("x")).agg(F.count(F.lit(1)).alias("c"))
+        vr = exact_global_cumsum(vc, "x", "c", cumsum_col="cum_before")
+        tot = vc.agg(F.sum("c").alias("n"))
+        return (
+            vr.crossJoin(F.broadcast(tot))
+            .filter(F.col("cum_before") + F.col("c") >= F.ceil(F.col("n") / 2.0))
+            .agg(F.min("x").alias("m"), F.first("n").alias("n"))
+        )
+
+    med = lower_median(ev, "value")
+    dev = ev.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("value") - F.col("m")).alias("d"), "m", "n"
+    )
+    mad = lower_median(dev, "d").select(F.col("m").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.first("n").alias("n_values"),
+            F.first("m").alias("median"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT t[pos] AS tok
+      FROM (SELECT string_split(lower(text), ' ') AS t FROM documents),
+           unnest(generate_series(1, len(t))) AS u(pos)
+      WHERE length(t[pos]) > 0
+    ), cnts AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk
+      FROM cnts ORDER BY c DESC, tok ASC LIMIT 100
+    ), pts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(CASE WHEN rnk = 1 THEN c END) AS BIGINT) AS top_freq,
+             list(round(ln(rnk), 6) ORDER BY rnk) AS xs,
+             list(round(ln(c), 6) ORDER BY rnk) AS ys
+      FROM top
+    )
+    SELECT n AS n_terms, top_freq,
+           round((n * list_reduce(list_transform(generate_series(1, n),
+                     i -> xs[CAST(i AS INT)] * ys[CAST(i AS INT)]),
+                     (a, b) -> a + b)
+                  - list_reduce(xs, (a, b) -> a + b)
+                    * list_reduce(ys, (a, b) -> a + b))
+                 / (n * list_reduce(list_transform(xs, x -> x * x),
+                        (a, b) -> a + b)
+                    - list_reduce(xs, (a, b) -> a + b)
+                      * list_reduce(xs, (a, b) -> a + b)), 4) AS zipf_slope
+    FROM pts
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary — the classic
+    corpus-health diagnostic (natural text slopes near -1; template
+    spam and boilerplate bend the rank-frequency line): OLS slope of
+    ln(freq) on ln(rank) over the TOP-100 terms. The top-k plans as
+    TakeOrderedAndProject atop one token-count shuffle; everything
+    after is a <= 100-row metadata fold — ln values round to 6dp
+    BEFORE the rank-ordered folds (both engines then sum identical
+    doubles in identical order), slope rounds at 4dp. n_terms and the
+    top frequency ride along as exact BIGINTs."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: F.length(x) > 0)
+        ).alias("tok")
+    )
+    cnts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    top = cnts.orderBy(F.desc("c"), F.asc("tok")).limit(100)
+    # <= 100 rows from here down: pure metadata folds
+    pts = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("c").alias("top_freq"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct((-F.col("c")).alias("nc"), "tok"))),
+            lambda s: -s["nc"],
+        ).alias("cs"),
+    )
+    ln_rank = lambda i: F.round(F.log(i.cast("double")), 6)  # noqa: E731
+    ln_cnt = lambda c: F.round(F.log(c.cast("double")), 6)  # noqa: E731
+    idx = F.zip_with(
+        F.col("cs"),
+        F.sequence(F.lit(1), F.size("cs").cast("bigint")),
+        lambda c, i: F.struct(ln_rank(i).alias("x"), ln_cnt(c).alias("y")),
+    )
+    fold = lambda arr, f: F.aggregate(  # noqa: E731 — rank-ordered fold
+        arr, F.lit(0.0).cast("double"), f
+    )
+    sx = fold(idx, lambda a, s: a + s["x"])
+    sy = fold(idx, lambda a, s: a + s["y"])
+    sxy = fold(idx, lambda a, s: a + s["x"] * s["y"])
+    sxx = fold(idx, lambda a, s: a + s["x"] * s["x"])
+    n = F.col("n").cast("double")
+    return pts.select(
+        F.col("n").alias("n_terms"),
+        F.col("top_freq"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+    )
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

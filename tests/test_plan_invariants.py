@@ -262,6 +262,18 @@ CONTRACTS = [
     # EWMA: ONE user-grain shuffle; the time-ordered fold runs inside
     # the aggregate's sorted array — no window, no second exchange
     ("events_ewma_smooth", 1, 0, False, False),
+    # LPA step: undirected-dedup shuffle + (node,label) votes +
+    # node-grain argmax fold; labels derive map-only from neighbor
+    # ids (no label join), n/j tables broadcast
+    ("graph_label_propagation", 4, 2, False, False),
+    # MAD: TWO exact distributed lower medians (each = per-value agg
+    # + bucketed cumsum machinery + total fold) + the outlier count —
+    # the price of exactness, every exchange bounded or partial-
+    # combined; never a global sort
+    ("events_anomaly_mad", 14, 7, False, False),
+    # zipf: ONE token-count shuffle; top-100 plans as TakeOrdered and
+    # everything after is a <= 100-row metadata fold
+    ("text_zipf_fit", 1, 0, True, False),
 ]
 
 
