@@ -390,3 +390,28 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def doc_link_edges(docs: DataFrame, id_col: str = "doc_id") -> "tuple[DataFrame, DataFrame]":
+    """THE synthetic doc-link graph every graph query shares
+    (pagerank / triangle count / k-core / label propagation — and
+    their oracle CTEs, which replay the same formulas in SQL):
+    node u emits 1 + u % 3 directed edges to (u*131071 + j*524287)
+    % n for j in 1..3, self-loops dropped. Extracted so a recipe
+    tweak cannot silently fork the graph between queries (the four
+    Spark bodies previously carried verbatim copies). Returns
+    (directed edges as (src, dst), the 1-row total-count DataFrame) —
+    callers reuse the count for rank normalization."""
+    spark = docs.sparkSession
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
+    dst = (F.col(id_col) * 131071 + F.col("j") * 524287) % F.col("n")
+    edges = (
+        docs.select(id_col)
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(j))
+        .filter(F.col("j") <= 1 + F.col(id_col) % 3)
+        .select(F.col(id_col).alias("src"), dst.alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return edges, tot

@@ -8038,18 +8038,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_kmeans_train_distributed and dedup_clusters."""
     from dat_archive_map_reduce_spark.operators.graph import pagerank
 
+    from dat_archive_map_reduce_spark.operators.graph import doc_link_edges
+
     docs = _t(spark, sf_dir, "documents")
-    tot = docs.agg(F.count(F.lit(1)).alias("n"))
-    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
-    dst = (F.col("doc_id") * 131071 + F.col("j") * 524287) % F.col("n")
-    edges = (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(j))
-        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
-        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
-        .filter(F.col("dst") != F.col("src"))
-    )
+    edges, tot = doc_link_edges(docs)
     ranks = pagerank(docs.select("doc_id"), edges, node_col="doc_id")
     return ranks.crossJoin(F.broadcast(tot)).select(
         F.col("node").alias("doc_id"),
@@ -8396,18 +8388,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation-correctness proof."""
     from dat_archive_map_reduce_spark.operators.graph import triangle_counts
 
+    from dat_archive_map_reduce_spark.operators.graph import doc_link_edges
+
     docs = _t(spark, sf_dir, "documents")
-    tot = docs.agg(F.count(F.lit(1)).alias("n"))
-    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
-    dst = (F.col("doc_id") * 131071 + F.col("j") * 524287) % F.col("n")
-    edges = (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(j))
-        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
-        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
-        .filter(F.col("dst") != F.col("src"))
-    )
+    edges, tot = doc_link_edges(docs)
     return triangle_counts(edges)
 
 
@@ -9188,7 +9172,14 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     triage, and dashboard distributions. ONE partial-combined shuffle
     whose key cardinality is the bucket count (~10 here), map-side
     combine does all the work at any scale; bucket edges are exact
-    double division + floor, identical in both engines."""
+    double division + floor, identical in both engines.
+
+    avg_value rounds a shuffle-order-dependent double mean at 4dp —
+    a deliberate deviation from the ordered-fold recipe (r9 advice):
+    per-bucket means at these magnitudes sit ~1e11 quanta from any
+    5e-5 half-way boundary, so order drift (~1e-16 relative) cannot
+    flip the rounding; if this gate ever flakes, switch to the
+    ordered fold or widen the quantum."""
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(
@@ -9363,18 +9354,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical three peels as CTEs."""
     from dat_archive_map_reduce_spark.operators.graph import kcore_peel
 
+    from dat_archive_map_reduce_spark.operators.graph import doc_link_edges
+
     docs = _t(spark, sf_dir, "documents")
-    tot = docs.agg(F.count(F.lit(1)).alias("n"))
-    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
-    dst = (F.col("doc_id") * 131071 + F.col("j") * 524287) % F.col("n")
-    edges = (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(j))
-        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
-        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
-        .filter(F.col("dst") != F.col("src"))
-    )
+    edges, tot = doc_link_edges(docs)
     return kcore_peel(edges, k=3, rounds=3)
 
 
@@ -10474,18 +10457,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (node, label) aggregate, and the argmax folds per node via
     max(struct(votes, -label)) — one more node-grain aggregate, never
     a per-node window over the fact table."""
+    from dat_archive_map_reduce_spark.operators.graph import doc_link_edges
+
     docs = _t(spark, sf_dir, "documents")
-    tot = docs.agg(F.count(F.lit(1)).alias("n"))
-    j = spark.createDataFrame([(1,), (2,), (3,)], "j int")
-    dst = (F.col("doc_id") * 131071 + F.col("j") * 524287) % F.col("n")
-    raw = (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(j))
-        .filter(F.col("j") <= 1 + F.col("doc_id") % 3)
-        .select(F.col("doc_id").alias("src"), dst.alias("dst"))
-        .filter(F.col("dst") != F.col("src"))
-    )
+    raw, _tot = doc_link_edges(docs)
     edges = (
         raw.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .union(raw.select("dst", "src"))
@@ -10538,11 +10513,15 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
-    def lower_median(df: DataFrame, col: str):
-        """1-row DF (m): smallest value with cum count >= ceil(n/2)."""
+    def lower_median(df: DataFrame, col: str, tot: "DataFrame | None" = None):
+        """1-row DF (m, n): smallest value with cum count >= ceil(n/2).
+        Pass ``tot`` (1-row, column n) when the caller already knows
+        the total — the second median would otherwise re-aggregate an
+        events-sized table just to recount it."""
         vc = df.groupBy(F.col(col).alias("x")).agg(F.count(F.lit(1)).alias("c"))
         vr = exact_global_cumsum(vc, "x", "c", cumsum_col="cum_before")
-        tot = vc.agg(F.sum("c").alias("n"))
+        if tot is None:
+            tot = vc.agg(F.sum("c").alias("n"))
         return (
             vr.crossJoin(F.broadcast(tot))
             .filter(F.col("cum_before") + F.col("c") >= F.ceil(F.col("n") / 2.0))
@@ -10553,15 +10532,20 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.crossJoin(F.broadcast(med)).select(
         F.abs(F.col("value") - F.col("m")).alias("d"), "m", "n"
     )
-    mad = lower_median(dev, "d").select(F.col("m").alias("mad"))
+    mad = lower_median(dev, "d", tot=med.select("n")).select(
+        F.col("m").alias("mad")
+    )
+    # count/coalesce (not first(n)/bare sum): on an empty or all-NULL
+    # value column the oracle's count(*) forms return 0, not NULL
     return (
         dev.crossJoin(F.broadcast(mad))
         .agg(
-            F.first("n").alias("n_values"),
+            F.count(F.lit(1)).alias("n_values"),
             F.first("m").alias("median"),
             F.first("mad").alias("mad"),
-            F.sum(
-                F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)
+            F.coalesce(
+                F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)),
+                F.lit(0),
             ).cast("long").alias("n_outliers"),
         )
     )
@@ -10588,7 +10572,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM top
     )
     SELECT n AS n_terms, top_freq,
-           round((n * list_reduce(list_transform(generate_series(1, n),
+           CASE WHEN n * list_reduce(list_transform(xs, x -> x * x),
+                       (a, b) -> a + b)
+                     - list_reduce(xs, (a, b) -> a + b)
+                       * list_reduce(xs, (a, b) -> a + b) = 0 THEN NULL
+           ELSE round((n * list_reduce(list_transform(generate_series(1, n),
                      i -> xs[CAST(i AS INT)] * ys[CAST(i AS INT)]),
                      (a, b) -> a + b)
                   - list_reduce(xs, (a, b) -> a + b)
@@ -10596,7 +10584,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (n * list_reduce(list_transform(xs, x -> x * x),
                         (a, b) -> a + b)
                     - list_reduce(xs, (a, b) -> a + b)
-                      * list_reduce(xs, (a, b) -> a + b)), 4) AS zipf_slope
+                      * list_reduce(xs, (a, b) -> a + b)), 4)
+           END AS zipf_slope
     FROM pts
     """,
 )
@@ -10642,10 +10631,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = fold(idx, lambda a, s: a + s["x"] * s["y"])
     sxx = fold(idx, lambda a, s: a + s["x"] * s["x"])
     n = F.col("n").cast("double")
+    denom = n * sxx - sx * sx
+    # single-distinct-token corpus: denom is exactly 0 and ANSI mode
+    # would throw DIVIDE_BY_ZERO — a slope is undefined there, so NULL
     return pts.select(
         F.col("n").alias("n_terms"),
         F.col("top_freq"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias("zipf_slope"),
+        F.when(
+            denom != 0.0, F.round((n * sxy - sx * sy) / denom, 4)
+        ).alias("zipf_slope"),
     )
 
 
