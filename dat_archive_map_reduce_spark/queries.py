@@ -10369,49 +10369,6 @@ def table_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_ewma_smooth",
-    oracle="""
-    SELECT user_id,
-           CAST(count(*) AS BIGINT) AS n_events,
-           round(list_reduce(list(value ORDER BY ts, event_id),
-                 (s, x) -> 0.5 * x + 0.5 * s), 6) AS ewma
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user exponentially-weighted moving average of event values
-    (alpha = 0.5, a power of two — the multiply is exact) — the
-    online-smoothing primitive behind rate limiters and trend
-    features. Each user's events fold IN TIME ORDER (ts, event_id
-    tiebreak — a total order) inside one F.aggregate over the sorted
-    per-user array, so the float fold is order-deterministic and
-    replays bit-for-bit in DuckDB's list_reduce; the seed is the
-    user's FIRST value (the fold starts from element one), matching
-    pandas ewm(adjust=False). One groupBy(user) shuffle, no window.
-    6dp rounding is the standard cross-engine quantum (drift zero
-    here by construction, but the guard costs nothing)."""
-    ev = _t(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
-            ),
-            lambda s: s["value"],
-        ).alias("vals"),
-    )
-    ewma = F.aggregate(
-        F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
-        F.element_at("vals", 1),
-        lambda s, x: 0.5 * x + 0.5 * s,
-    )
-    return per_user.select(
-        "user_id", "n_events", F.round(ewma, 6).alias("ewma")
-    )
-
-
-@query(
     "graph_label_propagation",
     oracle="""
     WITH tot AS (SELECT count(*) AS n FROM documents),

@@ -259,9 +259,6 @@ CONTRACTS = [
     # 1-row audit aggregate broadcast into the assembly row; the FK
     # check's dim side broadcasts
     ("table_expectations", 7, 5, False, False),
-    # EWMA: ONE user-grain shuffle; the time-ordered fold runs inside
-    # the aggregate's sorted array — no window, no second exchange
-    ("events_ewma_smooth", 1, 0, False, False),
     # LPA step: undirected-dedup shuffle + (node,label) votes +
     # node-grain argmax fold; labels derive map-only from neighbor
     # ids (no label join), n/j tables broadcast
