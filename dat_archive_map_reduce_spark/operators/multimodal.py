@@ -1271,3 +1271,45 @@ def audio_near_pairs(media: DataFrame, max_distance: int = 4) -> DataFrame:
     return eager_release(
         simhash_near_pairs(sigs, max_distance=max_distance, bits=56), sigs
     )
+
+
+def write_perceptual_ppm_files(spark: SparkSession, n_base: int = 20) -> str:
+    """Materialize the perceptual corpus as REAL .ppm FILES on disk
+    (media_id in the filename) and return the directory — the
+    binaryFile-source ingestion fixture. Idempotent: a fixed path
+    keyed by n_base, rewritten in full on every call (same bytes, so
+    re-running a query sees identical content). At 100 TB this
+    directory is the object store and the write never happens here —
+    spark.read.format('binaryFile') is the entry point either way."""
+    import os
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"damr-binaryfile-corpus-{n_base}")
+    os.makedirs(d, exist_ok=True)
+    for mid, _kind, content, _meta in (
+        (r[0], r[1], r[2], r[3])
+        for r in perceptual_media_corpus(spark, n_base).collect()
+    ):
+        with open(os.path.join(d, f"media-{mid:04d}.ppm"), "wb") as f:
+            f.write(bytes(content))
+    return d
+
+
+def read_binaryfile_media(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest a directory of media files through Spark's built-in
+    ``binaryFile`` source — the REAL 100-TB multimodal entry point
+    (each file one row: path, length, content; the source supports
+    pathGlobFilter pruning and never decodes JVM-side). media_id
+    parses from the filename; kind is pinned 'image' for .ppm."""
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(path)
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"media-(\d+)\.ppm$", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+    )

@@ -468,6 +468,25 @@ class BucketedEntriesTable(VersionedTable):
             .parquet(*dirs)
         )
 
+    def compact(
+        self,
+        sort_cols: "list[str] | None" = None,
+        target_file_bytes: int = 128 << 20,
+        zorder: bool = False,
+    ) -> int:
+        """Bucket-preserving OPTIMIZE: rewrite every bucket of the
+        current snapshot sorted-within-bucket (``zorder`` is ignored —
+        the bucket dimension IS the clustering here). The inherited
+        flat compact would silently discard the bucket layout and
+        force the next merge into a full re-bucketing rewrite."""
+        cur = self._current()
+        if cur is None:
+            raise ValueError("cannot compact a table with no snapshots")
+        self.write_merged(
+            list(range(self.n_buckets)), self.read(), sort_cols=sort_cols
+        )
+        return self._current()
+
     # -- the merge write ------------------------------------------------
     def write_merged(
         self,

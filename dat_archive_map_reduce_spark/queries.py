@@ -10600,6 +10600,57 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_binaryfile_ingest",
+    oracle="""
+    WITH base AS (
+      SELECT b.b, v.v, 3 * b.b + v.v AS media_id,
+             list_reduce(list_transform(range(0, 64),
+               j -> (31 * b.b * b.b + 29 * b.b * j + 23 * j * j + 7) % 255),
+               (a, x) -> a + x) AS sum_v,
+             (31 * b.b * b.b + 7) % 255 AS v0
+      FROM range(0, 20) b(b), range(0, 3) v(v)
+    )
+    SELECT media_id, 'image' AS kind,
+           CAST(32 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(3072 AS BIGINT) AS n_vals,
+           CAST(48 * sum_v
+                + CASE WHEN v = 1 THEN 1536 ELSE 0 END
+                + CASE WHEN v = 2
+                       THEN 48 * ((v0 + 128) % 255 - v0) ELSE 0 END
+                AS BIGINT) AS val_sum,
+           CAST(CASE WHEN v = 2 THEN (v0 + 128) % 255 ELSE v0 END
+                AS INT) AS val_first,
+           CAST((31 * b * b + 29 * b * 63 + 23 * 63 * 63 + 7) % 255
+                + CASE WHEN v = 1 THEN 1 ELSE 0 END AS INT) AS val_last
+    FROM base
+    """,
+)
+def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL multimodal ingestion path end-to-end: a directory of
+    genuine .ppm FILES read through Spark's built-in ``binaryFile``
+    source (pathGlobFilter pruning, one row per file, content as an
+    opaque binary column — the 100-TB object-store entry point,
+    operators/multimodal.py::read_binaryfile_media) piped into the
+    same Arrow-batched real-decoder stats stage as
+    multimodal_real_decode. media_id parses from the filename. The
+    oracle re-derives every decoded stat from the perceptual corpus's
+    closed-form block values — variant 1 adds +1 on each of 512 odd
+    pixels x 3 channels (+1536 to the sum; pixel 0 is even, pixel
+    1023 is odd, so val_first is untouched and val_last gains 1),
+    variant 2 swaps block 0's value — so the hash proves file write,
+    binaryFile read, filename parse, PPM decode, and stats agree."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_media_stats,
+        read_binaryfile_media,
+        write_perceptual_ppm_files,
+    )
+
+    d = write_perceptual_ppm_files(spark, n_base=20)
+    return decode_media_stats(read_binaryfile_media(spark, d))
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

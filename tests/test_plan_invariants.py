@@ -272,6 +272,8 @@ CONTRACTS = [
     # zipf: ONE token-count shuffle; top-100 plans as TakeOrdered and
     # everything after is a <= 100-row metadata fold
     ("text_zipf_fit", 1, 0, True, False),
+    # binaryFile ingest: file scan -> Arrow decode, fully map-only
+    ("multimodal_binaryfile_ingest", 0, 0, False, False),
 ]
 
 

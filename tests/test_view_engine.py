@@ -432,3 +432,32 @@ def test_offsets_local_io_spark_interop(spark, tmp_path):
     # empty rewrite round-trips
     t.overwrite_rows([])
     assert t.read_rows() == [] and t.read().count() == 0
+
+
+def test_bucketed_compact_preserves_layout(spark, tmp_path):
+    """OPTIMIZE on a bucketed entries shard must keep the bucket
+    layout (the flat rewrite would force the next merge into a full
+    re-bucketing pass) and preserve the data."""
+    wh = str(tmp_path / "wh-compact")
+    db = MapReduce(spark, wh, entries_buckets=8)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://compact"
+    db.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(16)
+    ])
+    db.index(origin)
+    store = db._entries_table("single", origin)
+    before = {tuple(r) for r in store.read().collect()}
+    v = store.compact(sort_cols=["key_json"])
+    assert store._current() == v
+    assert store.current_is_bucketed()
+    assert {tuple(r) for r in store.read().collect()} == before
+    # and the next incremental merge stays incremental
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/3.json", "version": 2,
+         "content": json.dumps({"first": "k3x", "second": 3, "third": "t"})}
+    ])
+    db.index(origin)
+    assert db.get("single", "k3") is None and db.get("single", "k3x") is not None
