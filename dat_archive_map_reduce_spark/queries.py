@@ -10651,6 +10651,150 @@ def multimodal_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_stats(read_binaryfile_media(spark, d))
 
 
+@query(
+    "sketch_kmv_set_algebra",
+    oracle="""
+    WITH ta AS (
+      SELECT DISTINCT md5(sh) AS h
+      FROM (SELECT unnest(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+            FROM (SELECT string_split(lower(text), ' ') AS t
+                  FROM documents WHERE lang = 'en'))
+    ), tb AS (
+      SELECT DISTINCT md5(sh) AS h
+      FROM (SELECT unnest(list_transform(
+                     generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+            FROM (SELECT string_split(lower(text), ' ') AS t
+                  FROM documents WHERE lang = 'es'))
+    ), ka AS (SELECT h FROM ta ORDER BY h LIMIT 256),
+    kb AS (SELECT h FROM tb ORDER BY h LIMIT 256),
+    ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+           ORDER BY h LIMIT 256),
+    est AS (
+      SELECT s, max(h) AS kth, count(*) AS n FROM (
+        SELECT 'a' AS s, h FROM ka
+        UNION ALL SELECT 'b', h FROM kb
+        UNION ALL SELECT 'u', h FROM ku
+      ) GROUP BY s
+    ), ev AS (
+      SELECT s, CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+                ELSE round((256 - 1) / list_reduce(
+                       list_transform(range(1, 14), i ->
+                         (strpos('0123456789abcdef',
+                                 substr(kth, CAST(i AS INT), 1)) - 1)
+                         * power(16.0, -i)),
+                       (a, b) -> a + b), 4) END AS est,
+             n
+      FROM est
+    ), inter AS (
+      SELECT CAST(count(*) AS BIGINT) AS both_cnt
+      FROM ku
+      WHERE EXISTS (SELECT 1 FROM ka WHERE ka.h = ku.h)
+        AND EXISTS (SELECT 1 FROM kb WHERE kb.h = ku.h)
+    )
+    SELECT (SELECT est FROM ev WHERE s = 'a') AS est_a,
+           (SELECT est FROM ev WHERE s = 'b') AS est_b,
+           (SELECT est FROM ev WHERE s = 'u') AS est_union,
+           both_cnt,
+           round(CAST(both_cnt AS DOUBLE)
+                 / (SELECT n FROM ev WHERE s = 'u'), 6) AS jaccard_rho,
+           round(CAST(both_cnt AS DOUBLE)
+                 / (SELECT n FROM ev WHERE s = 'u')
+                 * (SELECT est FROM ev WHERE s = 'u'), 4) AS est_intersection
+    FROM inter
+    """,
+)
+def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-SKETCH SET ALGEBRA (Beyer 2007 KMV / theta-sketch
+    shape) — the 100-TB way to answer |A|, |B|, |A union B|,
+    |A intersect B| over token vocabularies WITHOUT holding either
+    set: k-minimum-values sketches of md5-hashed tokens (A = English docs'
+    3-gram shingle set, B = Spanish — thousands of distinct values, so
+    the sketches saturate and the (k-1)/f estimator branch is live). Union sketch = bottom-k of the
+    two sketches' union (the mergeability that makes KMV work across
+    partitions, shards, and days); intersection via the rho estimator
+    — every union-sketch member below BOTH kth values is testable
+    from the sketches alone (x <= kth(A u B) <= kth(A)), so
+    rho = |K n K_A n K_B| / k and |A n B| ~ rho * |A u B|.
+
+    Everything is md5-hex order + fixed nibble folds, so estimates
+    replay bit-for-bit in SQL (the approx_distinct_portable recipe).
+    Scale shape: two tokenize+distinct fact shuffles feed two
+    TakeOrderedAndProject(k) sketches — k strings reach the driver
+    side of the plan, never a vocabulary; all algebra is <= 3k-row
+    metadata. Exactness pytest pins the estimates within 15% of the
+    true counts at sf0.01."""
+    k = 256
+    d = _t(spark, sf_dir, "documents")
+
+    def kmin(lang: str) -> DataFrame:
+        t = F.split(F.lower("text"), " ")
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
+        )
+        shingles = d.filter(F.col("lang") == lang).select(
+            F.explode(sh).alias("sh")
+        )
+        return (
+            shingles.select(F.md5("sh").alias("h")).distinct().orderBy("h").limit(k)
+        )
+
+    ka = kmin("en").persist()
+    kb = kmin("es").persist()
+    ku = ka.union(kb).distinct().orderBy("h").limit(k).persist()
+
+    frac = F.expr(
+        """
+        aggregate(
+          transform(sequence(1, 13), i ->
+            CAST(instr('0123456789abcdef', substr(kth, CAST(i AS INT), 1)) - 1
+                 AS DOUBLE) * power(16.0, -i)),
+          CAST(0.0 AS DOUBLE), (a, b) -> a + b)
+        """
+    )
+
+    def est(sk: DataFrame, name: str) -> DataFrame:
+        agg = sk.agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n"))
+        return agg.select(
+            F.when(F.col("n") < k, F.col("n").cast("double"))
+            .otherwise(F.round((k - 1) / frac, 4))
+            .alias(name),
+            F.col("n").alias(f"n_{name[-1]}"),
+        )
+
+    both = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+    )
+    out = (
+        both.crossJoin(F.broadcast(est(ka, "est_a").select("est_a")))
+        .crossJoin(F.broadcast(est(kb, "est_b").select("est_b")))
+        .crossJoin(F.broadcast(est(ku, "est_u")))
+        .select(
+            "est_a",
+            "est_b",
+            F.col("est_u").alias("est_union"),
+            "both_cnt",
+            F.round(F.col("both_cnt") / F.col("n_u"), 6).alias("jaccard_rho"),
+            F.round(
+                F.col("both_cnt") / F.col("n_u") * F.col("est_u"), 4
+            ).alias("est_intersection"),
+        )
+    )
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(out, ka, kb, ku)
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

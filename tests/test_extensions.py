@@ -3016,3 +3016,32 @@ def test_audio_fingerprint_polarity_invariance(spark):
     for b in range(6):
         assert (3 * b, 3 * b + 1) in pairs and (3 * b, 3 * b + 2) in pairs
     assert all(a // 3 == b // 3 for a, b in pairs)
+
+
+def test_kmv_set_algebra_estimates_near_exact(spark):
+    """KMV sketch algebra must land near the exact set sizes (k=256
+    -> ~6% std error; assert within 20%) — proves the estimator
+    branch is live, not just oracle-consistent."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    row = QUERIES["sketch_kmv_set_algebra"](spark, sf).first()
+    d = spark.read.parquet(sf + "/documents.parquet")
+
+    def exact(langs):
+        t = F.split(F.lower("text"), " ")
+        sh = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.element_at(t, i),
+                                  F.element_at(t, i + 1), F.element_at(t, i + 2)),
+        )
+        return (
+            d.filter(F.col("lang").isin(*langs))
+            .select(F.explode(sh).alias("s")).distinct().count()
+        )
+
+    ea, eb, eu = exact(["en"]), exact(["es"]), exact(["en", "es"])
+    for est, true in [(row["est_a"], ea), (row["est_b"], eb),
+                      (row["est_union"], eu),
+                      (row["est_intersection"], ea + eb - eu)]:
+        assert abs(est - true) / true < 0.20, (est, true)

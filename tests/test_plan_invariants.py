@@ -274,6 +274,10 @@ CONTRACTS = [
     ("text_zipf_fit", 1, 0, True, False),
     # binaryFile ingest: file scan -> Arrow decode, fully map-only
     ("multimodal_binaryfile_ingest", 0, 0, False, False),
+    # KMV set algebra: two tokenize+distinct fact shuffles feed
+    # TakeOrdered(k) sketches; lang filters push to the scan; all
+    # sketch algebra is broadcast <= 3k-row metadata
+    ("sketch_kmv_set_algebra", 2, 3, True, True),
 ]
 
 
