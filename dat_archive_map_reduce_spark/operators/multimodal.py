@@ -1290,8 +1290,14 @@ def write_perceptual_ppm_files(spark: SparkSession, n_base: int = 20) -> str:
         (r[0], r[1], r[2], r[3])
         for r in perceptual_media_corpus(spark, n_base).collect()
     ):
-        with open(os.path.join(d, f"media-{mid:04d}.ppm"), "wb") as f:
+        # write-to-temp + atomic rename: a concurrent session's
+        # binaryFile scan must never see a half-written .ppm (the
+        # directory is shared across sessions by design)
+        dest = os.path.join(d, f"media-{mid:04d}.ppm")
+        tmp = dest + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(bytes(content))
+        os.replace(tmp, dest)
     return d
 
 

@@ -1530,11 +1530,20 @@ def mmr_select_step(
     # sid == query_id slot of the fan-out); candidates exclude S but
     # not the query unless it was selected
     sel_ids = sorted({int(query_id)} | {int(s) for s in selected_ids})
-    sel = corpus.filter(F.col(id_col).isin(sel_ids)).select(
+    # NULL-embedding rows are dropped on BOTH sides (a dirty row must
+    # not poison every candidate's max-aggregate, and a NULL candidate
+    # has no rankable score); zero-norm vectors still yield NULL
+    # cosine rows, documented below
+    sel = corpus.filter(
+        F.col(id_col).isin(sel_ids) & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("sid"),
         F.col(vec_col).cast("array<double>").alias("sv"),
     )
-    cand = corpus.filter(~F.col(id_col).isin([int(s) for s in selected_ids])).select(
+    cand = corpus.filter(
+        ~F.col(id_col).isin([int(s) for s in selected_ids])
+        & F.col(vec_col).isNotNull()
+    ).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).cast("array<double>").alias("cv"),
     )
@@ -1560,15 +1569,18 @@ def mmr_select_step(
         )
     )
     # precondition check in the data path (not a separate column, so
-    # Catalyst can't prune it): query_id absent from the corpus — or
-    # present with a NULL embedding — leaves rel NULL for EVERY
-    # candidate, which would silently degrade the ranking to the id
-    # tiebreak. Fail loudly instead.
+    # Catalyst can't prune it): with NULL embeddings filtered above,
+    # a NULL rel means query_id is absent from the corpus (or its
+    # embedding is NULL), or this candidate/query vector is zero-norm
+    # (cosine divides by 0) — either way the row has no rankable
+    # score, and letting it through would silently degrade the
+    # ranking to the id tiebreak. Fail loudly instead.
     rel_checked = F.when(F.col("rel").isNotNull(), F.col("rel")).otherwise(
         F.raise_error(
             F.lit(
-                f"mmr_select_step: query_id {int(query_id)} has no non-null "
-                f"{vec_col} row in the corpus"
+                f"mmr_select_step: no rankable relevance for some candidate "
+                f"— query_id {int(query_id)} is missing / NULL-embedded, or "
+                f"a vector is zero-norm (cosine undefined)"
             )
         )
     )
@@ -1805,7 +1817,10 @@ def quantize_embeddings_int8(
     aggregate to the d-row min/max table, folded to a single
     broadcast row; quantization is a map-only zip over the broadcast
     arrays — no per-row shuffle at any corpus size."""
-    e = df.select(
+    # NULL embeddings are dropped, matching the oracle's unnest join
+    # (a NULL vector has no codes; emitting an all-NULL checksum row
+    # would diverge from any SQL replay)
+    e = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     )
     stats = (

@@ -10731,15 +10731,21 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kmin(lang: str) -> DataFrame:
         t = F.split(F.lower("text"), " ")
-        sh = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(t, i),
-                F.element_at(t, i + 1),
-                F.element_at(t, i + 2),
+        # sequence(1, n) DESCENDS when n < 1 (docs under 3 tokens) and
+        # element_at(t, 0) throws — emit an empty shingle list instead,
+        # like the oracle's generate_series(1, len-2)
+        sh = F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i),
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                ),
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
         shingles = d.filter(F.col("lang") == lang).select(
             F.explode(sh).alias("sh")
         )

@@ -3030,11 +3030,14 @@ def test_kmv_set_algebra_estimates_near_exact(spark):
 
     def exact(langs):
         t = F.split(F.lower("text"), " ")
-        sh = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.element_at(t, i),
-                                  F.element_at(t, i + 1), F.element_at(t, i + 2)),
-        )
+        sh = F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(t, i),
+                                      F.element_at(t, i + 1), F.element_at(t, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
         return (
             d.filter(F.col("lang").isin(*langs))
             .select(F.explode(sh).alias("s")).distinct().count()

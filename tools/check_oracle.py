@@ -88,6 +88,8 @@ def main() -> None:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_oracle.py [sf_dir] [--json OUT] [query ...]")
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
