@@ -10801,6 +10801,124 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eager_release(out, ka, kb, ku)
 
 
+@query(
+    "approx_distinct_hll_portable",
+    oracle="""
+    WITH hs AS (
+      SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem
+    ), parts AS (
+      SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b,
+             length(regexp_extract(substr(h, 3, 15), '^0*')) AS z,
+             substr(h, 3, 15) AS rest
+      FROM hs
+    ), rho AS (
+      SELECT b,
+             CASE WHEN z = 15 THEN 61
+                  ELSE 4 * z + 1 +
+                    CASE WHEN strpos('0123456789abcdef',
+                                     substr(rest, CAST(z + 1 AS INT), 1)) - 1 >= 8
+                              THEN 0
+                         WHEN strpos('0123456789abcdef',
+                                     substr(rest, CAST(z + 1 AS INT), 1)) - 1 >= 4
+                              THEN 1
+                         WHEN strpos('0123456789abcdef',
+                                     substr(rest, CAST(z + 1 AS INT), 1)) - 1 >= 2
+                              THEN 2
+                         ELSE 3 END
+             END AS r
+      FROM parts
+    ), regs AS (
+      SELECT b, max(r) AS m FROM rho GROUP BY b
+    ), fold AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_regs,
+             CAST(sum(m * (b + 1)) AS BIGINT) AS reg_checksum,
+             list_reduce(list(power(2.0, -m) ORDER BY b),
+                         (a, x) -> a + x) AS nonempty_sum
+      FROM regs
+    ), est AS (
+      SELECT n_regs, reg_checksum,
+             (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+               / (nonempty_sum + (256 - n_regs)) AS e_raw,
+             256 - n_regs AS v
+      FROM fold
+    )
+    SELECT n_regs, reg_checksum,
+           round(CASE WHEN e_raw <= 640 AND v > 0
+                      THEN 256 * ln(CAST(256 AS DOUBLE) / v)
+                      ELSE e_raw END, 4) AS hll_estimate
+    FROM est
+    """,
+)
+def approx_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count (Flajolet 2007) built PORTABLY on
+    md5 — the industry-standard sketch's actual register math, not an
+    engine's opaque binary: bucket = first 8 hash bits (m = 256
+    registers), rho = leading-zero count of the next 60 bits + 1
+    (leading zeros via regexp '^0*' on the hex + a 4-case nibble
+    table — integer-exact in both engines), estimate = alpha_m * m^2
+    / sum(2^-M_b) with the small-range linear-counting branch. The
+    2^-M fold runs in REGISTER ORDER on a <= 256-row metadata list
+    (sum of powers of two is order-sensitive past 53 bits of
+    mantissa, so both engines must fold identically — they do, by
+    construction), empty registers contribute an exact integer count.
+    reg_checksum = sum(M_b * (b+1)) pins every register BIGINT-exact,
+    so the gate proves the full sketch, not just the scalar.
+
+    The m=256 sibling of approx_distinct_portable's KMV: HLL is what
+    production systems actually merge (fixed 256-byte state per
+    group vs KMV's k strings); the register table here is the
+    mergeable state (max per register — any union of sketches is
+    elementwise max). Scale: one map-side-combined distinct + one
+    256-key register aggregate; the fold is metadata."""
+    l = _t(spark, sf_dir, "lineitem")
+    h = F.md5(F.col("l_partkey").cast("string"))
+    nib = lambda s, i: F.instr(F.lit("0123456789abcdef"), F.substring(s, i, 1)) - 1  # noqa: E731
+    hs = l.select(h.alias("h")).distinct()
+    rest = F.substring("h", 3, 15)
+    z = F.length(F.regexp_extract(rest, "^0*", 0))
+    nv = F.instr(
+        F.lit("0123456789abcdef"), F.substring(rest, (z + 1).cast("int"), 1)
+    ) - 1
+    intra = (
+        F.when(nv >= 8, 0).when(nv >= 4, 1).when(nv >= 2, 2).otherwise(3)
+    )
+    rho = F.when(z == 15, 61).otherwise(4 * z + 1 + intra)
+    regs = (
+        hs.select((nib("h", 1) * 16 + nib("h", 2)).alias("b"), rho.alias("r"))
+        .groupBy("b")
+        .agg(F.max("r").alias("m"))
+    )
+    fold = regs.agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.col("m") * (F.col("b") + 1)).cast("long").alias("reg_checksum"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "m"))),
+                lambda s: F.pow(F.lit(2.0), -s["m"]),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        ).alias("nonempty_sum"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / 256)
+    e_raw = F.lit(alpha * 256 * 256) / (
+        F.col("nonempty_sum") + (256 - F.col("n_regs"))
+    )
+    v = 256 - F.col("n_regs")
+    return fold.select(
+        "n_regs",
+        "reg_checksum",
+        F.round(
+            F.when(
+                (e_raw <= 640) & (v > 0),
+                F.lit(256.0) * F.log(F.lit(256.0) / v),
+            ).otherwise(e_raw),
+            4,
+        ).alias("hll_estimate"),
+    )
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

@@ -3048,3 +3048,18 @@ def test_kmv_set_algebra_estimates_near_exact(spark):
                       (row["est_union"], eu),
                       (row["est_intersection"], ea + eb - eu)]:
         assert abs(est - true) / true < 0.20, (est, true)
+
+
+def test_hll_portable_estimate_near_exact(spark):
+    """Portable HLL (m=256) must estimate within ~3 std errors (20%)
+    of the exact distinct count at both gate SFs — proves the
+    register math is a real HLL, not just oracle-consistent."""
+    from dat_archive_map_reduce_spark.queries import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        row = QUERIES["approx_distinct_hll_portable"](spark, sf).first()
+        exact = (
+            spark.read.parquet(sf + "/lineitem.parquet")
+            .select("l_partkey").distinct().count()
+        )
+        assert abs(row["hll_estimate"] - exact) / exact < 0.20

@@ -278,6 +278,9 @@ CONTRACTS = [
     # TakeOrdered(k) sketches; lang filters push to the scan; all
     # sketch algebra is broadcast <= 3k-row metadata
     ("sketch_kmv_set_algebra", 2, 3, True, True),
+    # portable HLL: map-side-combined distinct + the 256-key register
+    # aggregate; the 2^-M fold is a <= 256-row metadata list
+    ("approx_distinct_hll_portable", 2, 0, False, False),
 ]
 
 

@@ -461,3 +461,35 @@ def test_bucketed_compact_preserves_layout(spark, tmp_path):
     ])
     db.index(origin)
     assert db.get("single", "k3") is None and db.get("single", "k3x") is not None
+
+
+def test_vacuum_safe_with_hardlinked_snapshots(spark, tmp_path):
+    """Vacuuming a superseded snapshot whose data files are hardlinked
+    into the current one must leave the current snapshot fully
+    readable (same inode, two directory entries — removing one
+    directory tree only drops link count)."""
+    wh = str(tmp_path / "wh-vac")
+    db = MapReduce(spark, wh, entries_buckets=8)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://vac"
+    db.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(24)
+    ])
+    db.index(origin)
+    # three single-file drips -> three more snapshots, each hardlink-
+    # reusing most buckets from its predecessor
+    for v in (2, 3, 4):
+        db.append_changes([
+            {"origin": origin, "pathname": "/docs/0.json", "version": v,
+             "content": json.dumps({"first": f"k0v{v}", "second": 0, "third": "t"})}
+        ])
+        db.index(origin)
+    store = db._entries_table("single", origin)
+    assert len(store.versions()) >= 4
+    removed = db.vacuum(keep_last=1)
+    assert any(removed.values())
+    assert store.read().count() == 24
+    assert db.get("single", "k0v4") is not None
+    assert db.get("single", "k1")["value"] == [f"{origin}/docs/1.json"]
