@@ -10919,6 +10919,75 @@ def approx_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_max_concurrency",
+    oracle="""
+    WITH spans AS (
+      SELECT epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL AND value > 0
+    ), bounds AS (
+      SELECT s * 2 + 1 AS k, 1 AS delta FROM spans
+      UNION ALL
+      SELECT e * 2, -1 FROM spans
+    ), per_key AS (
+      SELECT k, sum(delta) AS d FROM bounds GROUP BY k
+    ), run AS (
+      SELECT k, sum(d) OVER (ORDER BY k) AS cum FROM per_key
+    )
+    SELECT CAST((SELECT count(*) FROM spans) AS BIGINT) AS n_spans,
+           CAST(max(cum) AS BIGINT) AS max_concurrent,
+           CAST(min(k) FILTER (WHERE cum = (SELECT max(cum) FROM run)) // 2
+                AS BIGINT) AS peak_at_us
+    FROM run
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency over event spans (the +1/-1 boundary sweep —
+    capacity planning's core query: max simultaneously-open sessions,
+    connections, or jobs). Span = [ts, ts + value seconds) with
+    end-closes-before-start-opens at equal instants (end keys are
+    even, start keys odd: key = 2*us + is_start). Deltas aggregate
+    per unique key FIRST (one partial-combined shuffle — ordering
+    among identical deltas is then irrelevant), the running sum is
+    the bucketed exact_global_cumsum (never a single-partition
+    window over the boundary table), and peak value + earliest peak
+    instant fall out of one final fold. All integer micros — no
+    rounding quantum anywhere."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    # integer micros end-to-end: a double round-trip through epoch
+    # seconds loses ulps vs DuckDB's epoch_us; and floor() the
+    # duration (Spark CAST truncates where DuckDB CAST rounds)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    spans = ev.select(
+        us.alias("s"),
+        (us + F.floor(F.col("value") * 1e6).cast("long")).alias("e"),
+    )
+    bounds = spans.select((F.col("s") * 2 + 1).alias("k"), F.lit(1).alias("delta")).union(
+        spans.select(F.col("e") * 2, F.lit(-1))
+    )
+    per_key = bounds.groupBy("k").agg(F.sum("delta").alias("d"))
+    run = exact_global_cumsum(per_key, "k", "d", cumsum_col="cum_before").select(
+        "k", (F.col("cum_before") + F.col("d")).alias("cum")
+    )
+    n_spans = spans.agg(F.count(F.lit(1)).alias("n_spans"))
+    peak = run.agg(F.max("cum").alias("mx"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .filter(F.col("cum") == F.col("mx"))
+        .agg(
+            F.first(F.col("mx")).cast("long").alias("max_concurrent"),
+            F.floor(F.min("k") / 2).cast("long").alias("peak_at_us"),
+        )
+        .crossJoin(F.broadcast(n_spans))
+        .select("n_spans", "max_concurrent", "peak_at_us")
+    )
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

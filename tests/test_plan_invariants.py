@@ -281,6 +281,9 @@ CONTRACTS = [
     # portable HLL: map-side-combined distinct + the 256-key register
     # aggregate; the 2^-M fold is a <= 256-row metadata list
     ("approx_distinct_hll_portable", 2, 0, False, False),
+    # concurrency sweep: boundary-key agg + bucketed cumsum machinery
+    # + two 1-row broadcast folds; value>0 filter pushes to the scan
+    ("events_max_concurrency", 7, 3, False, True),
 ]
 
 
