@@ -10988,6 +10988,150 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_ab_proportions",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM assign GROUP BY arm
+    ), wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN conv END) AS c0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN conv END) AS c1
+      FROM arms
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1, 6)
+             AS lift,
+           CASE WHEN (CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) IN (0, 1)
+                THEN NULL
+                ELSE round((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)),
+                 4) END AS z_stat
+    FROM wide
+    """,
+)
+def events_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — experiment analysis' core readout:
+    users hash-split into arms (user_id % 2; in production the bucket
+    of a salted hash), conversion = any 'purchase' event, pooled
+    standard error. Counts are integer-exact; lift and z fold through
+    ONE fixed double expression per engine (identical op order, so
+    identical bits) and round at 6/4dp. Scale shape: one user-grain
+    conversion rollup (partial-combined), a 2-row arm aggregate, and
+    a 1-row pivot — the fact table is touched once."""
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", F.col("user_id") % 2)
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pp * (1 - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    # pooled rate 0 or 1 (tiny slices where everyone or no one
+    # converts) makes se exactly 0 — z is undefined there, NULL in
+    # both engines instead of an ANSI divide-by-zero
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0 - p1, 6).alias("lift"),
+        F.when(~pp.isin(0.0, 1.0), F.round((p0 - p1) / se, 4)).alias("z_stat"),
+    )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), runs AS (
+      SELECT user_id,
+             list(CAST(epoch(CAST(d AS TIMESTAMP)) // 86400 AS BIGINT)
+                  ORDER BY d) AS ds
+      FROM days GROUP BY user_id
+    ), folded AS (
+      SELECT user_id, len(ds) AS active_days,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+               (acc, x) -> (
+                 greatest(acc // 17179869184,
+                          CASE WHEN x = acc % 131072 + 1
+                               THEN (acc // 131072) % 131072 + 1
+                               ELSE 1 END) * 131072
+                 + CASE WHEN x = acc % 131072 + 1
+                        THEN (acc // 131072) % 131072 + 1
+                        ELSE 1 END
+               ) * 131072 + x) AS st
+      FROM runs
+    )
+    SELECT user_id, CAST(active_days AS BIGINT) AS active_days,
+           CAST(st // 17179869184 AS BIGINT) AS longest_streak
+    FROM folded
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands classic, folded instead of windowed: each user's
+    DISTINCT active day-numbers sort into one array (bounded by the
+    calendar, not the event count) and a single integer fold carries
+    (best, current, last_day) packed into one BIGINT
+    (best*2^34 + cur*2^17 + last; day-numbers < 2^17 until year
+    2328, streaks bounded by days). POWER-OF-TWO packing is
+    load-bearing on the Spark side: the fold's Column API has no
+    integer division, and floor(acc / 10^5) on a double quotient can
+    land one ulp below an exact integer — dividing by 2^k only
+    shifts the exponent, so floor is exact for any acc < 2^53. All
+    values non-negative, so DuckDB's floor-div agrees — no window,
+    no rounding, ONE user-grain shuffle. The sentinel seed
+    0 can never look like yesterday (day 1 = 1970-01-02 predates any
+    event)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day")
+    ).distinct()
+    runs = days.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.col("day").cast("long"))).alias("ds")
+    )
+    P, Q = 1 << 17, 1 << 34
+    cur_next = lambda acc, x: F.when(  # noqa: E731
+        x == acc % P + 1, F.floor(acc / P) % P + 1
+    ).otherwise(F.lit(1).cast("long"))
+    st = F.aggregate(
+        F.col("ds"),
+        F.lit(0).cast("long"),
+        lambda acc, x: (
+            F.greatest(F.floor(acc / Q).cast("long"), cur_next(acc, x)) * P
+            + cur_next(acc, x)
+        ) * P + x,
+    )
+    return runs.select(
+        "user_id",
+        F.size("ds").cast("long").alias("active_days"),
+        F.floor(st / Q).cast("long").alias("longest_streak"),
+    )
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

@@ -284,6 +284,13 @@ CONTRACTS = [
     # concurrency sweep: boundary-key agg + bucketed cumsum machinery
     # + two 1-row broadcast folds; value>0 filter pushes to the scan
     ("events_max_concurrency", 7, 3, False, True),
+    # A/B z-test: user-grain conversion rollup + 2-row arm agg +
+    # 1-row pivot — the fact table is touched once
+    ("events_ab_proportions", 3, 0, False, False),
+    # streaks: distinct (user, day) + ONE user-grain fold shuffle;
+    # the gaps-and-islands logic is a packed-integer array fold,
+    # never a per-user window over raw events
+    ("events_longest_streak", 2, 0, False, False),
 ]
 
 
