@@ -11132,6 +11132,93 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_psi_drift",
+    oracle="""
+    WITH span AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+      FROM events WHERE value IS NOT NULL
+    ), tagged AS (
+      SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+             CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS half
+      FROM events, span WHERE value IS NOT NULL
+    ), counts AS (
+      SELECT bucket,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n2
+      FROM tagged GROUP BY bucket
+    ), tot AS (
+      SELECT sum(n1) AS t1, sum(n2) AS t2, count(*) AS b FROM counts
+    ), probs AS (
+      SELECT bucket,
+             CAST(n1 + 1 AS DOUBLE) / (t1 + b) AS p1,
+             CAST(n2 + 1 AS DOUBLE) / (t2 + b) AS p2
+      FROM counts, tot
+    )
+    SELECT CAST((SELECT b FROM tot) AS BIGINT) AS n_buckets,
+           round(list_reduce(
+             list((p1 - p2) * round(ln(p1 / p2), 6) ORDER BY bucket),
+             (a, x) -> a + x), 4) AS psi
+    FROM probs
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of the value distribution — the standard drift alarm on a
+    feature/score column (PSI < 0.1 stable, > 0.25 shifted). Halves
+    split at the integer-micros midpoint (min+max)//2; buckets are
+    the equi-width-50 histogram grid; +1 Laplace smoothing keeps
+    ln() finite on buckets one half lacks.
+
+    Cross-engine float discipline: counts/totals are integer-exact,
+    p ratios are one fixed double expression, each bucket's ln rounds
+    to 6dp BEFORE the bucket-ordered fold (libm ulp wash), PSI rounds
+    at 4dp. Scale shape: one 2-column fact aggregate at bucket grain
+    (the midpoint rides in as a 1-row broadcast), then a <=
+    bucket-count metadata fold."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = ev.agg(
+        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("mid")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(span))
+        .select(
+            F.floor(F.col("value") / 50.0).cast("long").alias("bucket"),
+            F.when(us < F.col("mid"), 0).otherwise(1).alias("half"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n2"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n1").alias("t1"), F.sum("n2").alias("t2"), F.count(F.lit(1)).alias("b")
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        ((F.col("n1") + 1).cast("double") / (F.col("t1") + F.col("b"))).alias("p1"),
+        ((F.col("n2") + 1).cast("double") / (F.col("t2") + F.col("b"))).alias("p2"),
+        F.col("b"),
+    )
+    term = (F.col("p1") - F.col("p2")) * F.round(
+        F.log(F.col("p1") / F.col("p2")), 6
+    )
+    folded = probs.agg(
+        F.first("b").cast("long").alias("n_buckets"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", term.alias("t")))),
+                lambda s: s["t"],
+            ),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        ).alias("raw"),
+    )
+    return folded.select("n_buckets", F.round("raw", 4).alias("psi"))
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

@@ -291,6 +291,9 @@ CONTRACTS = [
     # the gaps-and-islands logic is a packed-integer array fold,
     # never a per-user window over raw events
     ("events_longest_streak", 2, 0, False, False),
+    # PSI drift: midpoint fold broadcast into ONE bucket-grain fact
+    # aggregate, totals broadcast back, <= bucket-count metadata fold
+    ("events_psi_drift", 4, 2, False, False),
 ]
 
 
