@@ -10470,12 +10470,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
 
-    def lower_median(df: DataFrame, col: str, tot: "DataFrame | None" = None):
-        """1-row DF (m, n): smallest value with cum count >= ceil(n/2).
-        Pass ``tot`` (1-row, column n) when the caller already knows
-        the total — the second median would otherwise re-aggregate an
-        events-sized table just to recount it."""
-        vc = df.groupBy(F.col(col).alias("x")).agg(F.count(F.lit(1)).alias("c"))
+    def lower_median_counts(vc: DataFrame, tot: "DataFrame | None" = None):
+        """1-row DF (m, n) from a PRE-COUNTED (x, c) table: smallest x
+        with cumulative count >= ceil(n/2)."""
         vr = exact_global_cumsum(vc, "x", "c", cumsum_col="cum_before")
         if tot is None:
             tot = vc.agg(F.sum("c").alias("n"))
@@ -10485,23 +10482,32 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("x").alias("m"), F.first("n").alias("n"))
         )
 
-    med = lower_median(ev, "value")
-    dev = ev.crossJoin(F.broadcast(med)).select(
-        F.abs(F.col("value") - F.col("m")).alias("d"), "m", "n"
+    # the FACT table is touched exactly once (this groupBy); the MAD
+    # median and the outlier count both derive from the per-value
+    # count table, which is distinct-value grain — the previous
+    # formulation re-scanned the events-sized deviation table for the
+    # second median (r10 bench: 4.2s -> this shape)
+    vc = ev.groupBy(F.col("value").alias("x")).agg(F.count(F.lit(1)).alias("c"))
+    med = lower_median_counts(vc)
+    dc = (
+        vc.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(F.col("x") - F.col("m")).alias("x"))
+        .agg(F.sum("c").alias("c"))
     )
-    mad = lower_median(dev, "d", tot=med.select("n")).select(
+    mad = lower_median_counts(dc, tot=med.select("n")).select(
         F.col("m").alias("mad")
     )
-    # count/coalesce (not first(n)/bare sum): on an empty or all-NULL
-    # value column the oracle's count(*) forms return 0, not NULL
+    # sums/coalesce (not bare first): on an empty or all-NULL value
+    # column the oracle's count(*) forms return 0, not NULL
     return (
-        dev.crossJoin(F.broadcast(mad))
+        dc.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
         .agg(
-            F.count(F.lit(1)).alias("n_values"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_values"),
             F.first("m").alias("median"),
             F.first("mad").alias("mad"),
             F.coalesce(
-                F.sum(F.when(F.col("d") > 3 * F.col("mad"), 1).otherwise(0)),
+                F.sum(F.when(F.col("x") > 3 * F.col("mad"), F.col("c")).otherwise(0)),
                 F.lit(0),
             ).cast("long").alias("n_outliers"),
         )

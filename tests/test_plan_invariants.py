@@ -263,11 +263,10 @@ CONTRACTS = [
     # node-grain argmax fold; labels derive map-only from neighbor
     # ids (no label join), n/j tables broadcast
     ("graph_label_propagation", 4, 2, False, False),
-    # MAD: TWO exact distributed lower medians (per-value agg +
-    # bucketed cumsum machinery each; the second REUSES the first's
-    # total instead of recounting) + the outlier count — the price of
-    # exactness, every exchange bounded or partial-combined; never a
-    # global sort
+    # MAD: the FACT table is scanned once (per-value counts); both
+    # medians, the deviation regroup, and the outlier count run at
+    # distinct-value grain through the bucketed cumsum machinery —
+    # the price of exactness, never a global sort
     ("events_anomaly_mad", 13, 6, False, False),
     # zipf: ONE token-count shuffle; top-100 plans as TakeOrdered and
     # everything after is a <= 100-row metadata fold
