@@ -455,3 +455,102 @@ def test_cdc_chunks_partition_tokens_exactly(spark, word_ids):
     assert [tuple(x) for x in out1] == [tuple(x) for x in out2]
     assert sum(c["len"] for c in out1) == len(word_ids)
     assert all(c["len"] >= 1 for c in out1)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=19000, max_value=19060), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_streak_fold_matches_brute_force(spark, days):
+    """The packed-integer streak fold equals the obvious python scan
+    for any multiset of day numbers (duplicates collapse, gaps reset,
+    singletons count 1)."""
+    import json as _json
+
+    from dat_archive_map_reduce_spark.queries import QUERIES  # noqa: F401
+    from pyspark.sql import functions as F
+
+    uniq = sorted(set(days))
+    best = cur = 1
+    for a, b in zip(uniq, uniq[1:]):
+        cur = cur + 1 if b == a + 1 else 1
+        best = max(best, cur)
+    df = spark.createDataFrame([(d,) for d in days], "day long")
+    runs = df.groupBy().agg(
+        F.array_sort(F.collect_set(F.col("day"))).alias("ds")
+    )
+    P, Q = 1 << 17, 1 << 34
+    cur_next = lambda acc, x: F.when(  # noqa: E731
+        x == acc % P + 1, F.floor(acc / P) % P + 1
+    ).otherwise(F.lit(1).cast("long"))
+    st_ = F.aggregate(
+        F.col("ds"),
+        F.lit(0).cast("long"),
+        lambda acc, x: (
+            F.greatest(F.floor(acc / Q).cast("long"), cur_next(acc, x)) * P
+            + cur_next(acc, x)
+        ) * P + x,
+    )
+    got = runs.select(F.floor(st_ / Q).cast("long").alias("s")).first()["s"]
+    assert got == best, (days, got, best)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # start
+            st.integers(min_value=1, max_value=20),  # duration
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_concurrency_sweep_matches_brute_force(spark, spans):
+    """The +1/-1 boundary sweep's peak equals the brute-force count of
+    open half-open intervals [s, e) at every start instant."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+    from pyspark.sql import functions as F
+
+    ivals = [(s, s + d) for s, d in spans]
+    brute = max(sum(1 for s, e in ivals if s <= t < e) for t, _ in ivals)
+    df = spark.createDataFrame(ivals, "s long, e long")
+    bounds = df.select((F.col("s") * 2 + 1).alias("k"), F.lit(1).alias("delta")).union(
+        df.select(F.col("e") * 2, F.lit(-1))
+    )
+    per_key = bounds.groupBy("k").agg(F.sum("delta").alias("d"))
+    run = exact_global_cumsum(per_key, "k", "d", cumsum_col="cb")
+    got = run.agg(F.max(F.col("cb") + F.col("d"))).first()[0]
+    assert got == brute, (ivals, got, brute)
+
+
+def test_dhash_single_block_edit_flips_at_most_two_bits(spark):
+    """dHash locality: editing ONE grid cell can flip at most its two
+    horizontal comparisons — the property that makes the pigeonhole
+    join's distance threshold meaningful for local edits."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators import multimodal as MM
+
+    rng_vals = (7 * np.arange(64, dtype=np.int64) ** 2 + 13) % 251
+    base = np.repeat(np.repeat(rng_vals.reshape(8, 8), 4, 0), 4, 1)
+
+    def dhash_of(img):
+        rgb = np.repeat(img.reshape(-1), 3).astype(np.uint8)
+        content = MM.encode_ppm(32, 32, rgb)
+        df = spark.createDataFrame(
+            [(0, "image", bytearray(content), None)], MM.MEDIA_SCHEMA
+        )
+        return MM.image_dhash(df).first()["dhash"]
+
+    h0 = dhash_of(base)
+    for cell in [(0, 0), (3, 4), (7, 7), (2, 6)]:
+        img = base.copy()
+        r, c = cell
+        img[4 * r : 4 * r + 4, 4 * c : 4 * c + 4] = (
+            base[4 * r, 4 * c] + 97
+        ) % 251
+        d = bin(dhash_of(img) ^ h0).count("1")
+        assert d <= 2, (cell, d)
