@@ -11225,6 +11225,204 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select("n_buckets", F.round("raw", 4).alias("psi"))
 
 
+@query(
+    "events_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), dense AS (
+      SELECT gs.d AS day, coalesce(daily.n, 0) AS n
+      FROM (SELECT unnest(generate_series(
+              (SELECT min(day) FROM daily),
+              (SELECT max(day) FROM daily))) AS d) gs
+      LEFT JOIN daily ON daily.day = gs.d
+    ), ser AS (
+      SELECT list(n ORDER BY day) AS xs FROM dense
+    ), moments AS (
+      SELECT len(xs) AS n_days, k.k AS lag,
+             len(xs) - k.k AS n,
+             CAST(list_reduce(list_transform(range(1, len(xs) - k.k + 1),
+               i -> xs[CAST(i + k.k AS INT)]), (a, b) -> a + b) AS BIGINT) AS sa,
+             CAST(list_reduce(list_transform(range(1, len(xs) - k.k + 1),
+               i -> xs[CAST(i AS INT)]), (a, b) -> a + b) AS BIGINT) AS sb,
+             CAST(list_reduce(list_transform(range(1, len(xs) - k.k + 1),
+               i -> xs[CAST(i + k.k AS INT)] * xs[CAST(i AS INT)]),
+               (a, b) -> a + b) AS BIGINT) AS sab,
+             CAST(list_reduce(list_transform(range(1, len(xs) - k.k + 1),
+               i -> xs[CAST(i + k.k AS INT)] * xs[CAST(i + k.k AS INT)]),
+               (a, b) -> a + b) AS BIGINT) AS saa,
+             CAST(list_reduce(list_transform(range(1, len(xs) - k.k + 1),
+               i -> xs[CAST(i AS INT)] * xs[CAST(i AS INT)]),
+               (a, b) -> a + b) AS BIGINT) AS sbb
+      FROM ser, (SELECT unnest([1, 7]) AS k) k
+    ), rs AS (
+      SELECT n_days, lag,
+             round(CAST(n * sab - sa * sb AS DOUBLE)
+                   / sqrt(CAST((n * saa - sa * sa) * (n * sbb - sb * sb)
+                          AS DOUBLE)), 4) AS r
+      FROM moments
+    )
+    SELECT CAST(max(n_days) AS BIGINT) AS n_days,
+           max(CASE WHEN lag = 1 THEN r END) AS r_lag1,
+           max(CASE WHEN lag = 7 THEN r END) AS r_lag7
+    FROM rs
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 / lag-7 Pearson autocorrelation of the DAILY event count
+    series — the seasonality diagnostic behind anomaly baselines and
+    forecast models (high r_lag7 = weekly cycle). The day grid is
+    DENSIFIED (missing days count 0 — skipping them would splice
+    non-adjacent days together), the series is calendar-bounded
+    metadata after ONE fact rollup, and each correlation folds
+    integer sums (counts and their products are BIGINT-exact; only
+    the final r divides and rounds at 4dp). Pairwise moments use the
+    lag-present slice on both sides, the textbook r on (x_t, x_{t-k})
+    pairs."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    # <= calendar-span rows: metadata grid from here down
+    grid = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = grid.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    rows = dense.agg(
+        F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
+    )
+    series = F.transform(F.col("xs"), lambda s: s["n"])
+
+    def pearson(lag: int):
+        x = series
+        k = F.size(x) - lag
+        pairs = F.zip_with(
+            F.slice(x, lag + 1, k),  # x_t for t >= lag
+            F.slice(x, 1, k),  # x_{t-lag}
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        fold = lambda f: F.aggregate(  # noqa: E731 — ordered integer fold
+            pairs, F.lit(0).cast("long"), f
+        )
+        n = k.cast("long")
+        sa = fold(lambda acc, p: acc + p["a"])
+        sb = fold(lambda acc, p: acc + p["b"])
+        sab = fold(lambda acc, p: acc + p["a"] * p["b"])
+        saa = fold(lambda acc, p: acc + p["a"] * p["a"])
+        sbb = fold(lambda acc, p: acc + p["b"] * p["b"])
+        num = (n * sab - sa * sb).cast("double")
+        den = F.sqrt(
+            ((n * saa - sa * sa) * (n * sbb - sb * sb)).cast("double")
+        )
+        return F.round(num / den, 4)
+
+    return rows.select(
+        F.size("xs").cast("long").alias("n_days"),
+        pearson(1).alias("r_lag1"),
+        pearson(7).alias("r_lag7"),
+    )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n_orders AS (
+      SELECT CAST(count(DISTINCT o) AS BIGINT) AS total FROM items
+    ), item_n AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p
+    ), scored AS (
+      SELECT pa, pb, n_ab, ia.n AS n_a, ib.n AS n_b,
+             round(CAST(n_ab AS DOUBLE) / total, 6) AS support,
+             round(CAST(n_ab AS DOUBLE) / ia.n, 6) AS confidence,
+             round(CAST(total AS DOUBLE) * n_ab / (ia.n * ib.n), 4) AS lift
+      FROM pairs
+      JOIN item_n ia ON ia.p = pairs.pa
+      JOIN item_n ib ON ib.p = pairs.pb
+      CROSS JOIN n_orders
+      WHERE n_ab >= 2
+    )
+    SELECT * FROM scored
+    ORDER BY lift DESC, pa, pb LIMIT 20
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items — the
+    support / confidence / lift readout behind recommendations and
+    co-purchase analysis. Pair generation NEVER self-joins the fact
+    table: items collect per order (baskets are small by nature —
+    the per-order set is bounded by order size, ~7 here), pairs
+    explode MAP-SIDE from each basket array (i < j), and one
+    (a, b) rollup counts them — the same inverted-index discipline
+    as the dedup pair pipelines. Item marginals broadcast back onto
+    the surviving pairs (min co-count 2); ranking on the 4dp-rounded
+    lift with (pa, pb) tiebreak plans as TakeOrderedAndProject.
+    Counts are BIGINT-exact; each ratio is one fixed double division
+    both engines evaluate identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("o").alias("total"))
+    item_n = items.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    baskets = items.groupBy("o").agg(F.array_sort(F.collect_list("p")).alias("ps"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.filter(
+                F.transform(
+                    F.col("ps"),
+                    lambda b, j: F.when(
+                        j > i, F.struct(a.alias("pa"), b.alias("pb"))
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("ab"))
+        .groupBy(F.col("ab.pa").alias("pa"), F.col("ab.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(item_n.select(F.col("p").alias("pa"), F.col("n").alias("n_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(item_n.select(F.col("p").alias("pb"), F.col("n").alias("n_b"))),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa", "pb", "n_ab", "n_a", "n_b",
+            F.round(F.col("n_ab").cast("double") / F.col("total"), 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("total").cast("double") * F.col("n_ab")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "pa", "pb").limit(20)
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

@@ -293,6 +293,13 @@ CONTRACTS = [
     # PSI drift: midpoint fold broadcast into ONE bucket-grain fact
     # aggregate, totals broadcast back, <= bucket-count metadata fold
     ("events_psi_drift", 4, 2, False, False),
+    # autocorrelation: ONE daily fact rollup; the densified series and
+    # both correlations are calendar-bounded metadata folds
+    ("events_autocorrelation", 2, 1, False, False),
+    # market basket: distinct + per-order basket rollup + (a,b) pair
+    # count (pairs explode MAP-SIDE from basket arrays — never a fact
+    # self-join), item marginals broadcast back, TakeOrdered on lift
+    ("basket_association_rules", 7, 2, True, False),
 ]
 
 
