@@ -10168,9 +10168,14 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar uint8 quantization of the embedding table
+    """PER-DIMENSION affine uint8 quantization of the embedding table
     (operators/similarity.py::quantize_embeddings_int8) — the FAISS
-    SQ8 serving compression. Per vector: three BIGINT code checksums
+    SQ8 serving compression. Deliberately distinct from the r2
+    ``emb_quantize_int8`` (PER-VECTOR symmetric max|x|/127 scaling, a
+    pure map): this one calibrates per-dimension [min, max] ranges
+    over the WHOLE corpus — a different quantizer (asymmetric, range-
+    adaptive per feature) and a different distributed shape (a d-row
+    stats aggregate folded to one broadcast row ahead of the map). Per vector: three BIGINT code checksums
     (plain / position-weighted / squared ordered folds), so the hash
     proves every quantized code with NO float rounding quantum in the
     output — min/max stats are exact, the affine map is one fixed
