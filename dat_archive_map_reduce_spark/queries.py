@@ -11176,7 +11176,12 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and second time
     halves of the value distribution — the standard drift alarm on a
-    feature/score column (PSI < 0.1 stable, > 0.25 shifted). Halves
+    feature/score column (PSI < 0.1 stable, > 0.25 shifted). The
+    drift-family sibling of ``corpus_source_drift`` on a different
+    axis and statistic: that one is KL(source || corpus) over token
+    buckets (composition drift BETWEEN SOURCES); this is the
+    symmetric (p1-p2)ln(p1/p2) index over a numeric feature's
+    histogram ACROSS TIME. Halves
     split at the integer-micros midpoint (min+max)//2; buckets are
     the equi-width-50 histogram grid; +1 Laplace smoothing keeps
     ln() finite on buckets one half lacks.
