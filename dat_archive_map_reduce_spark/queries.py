@@ -11433,6 +11433,111 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("lift"), "pa", "pb").limit(20)
 
 
+@query(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH span AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+    ), per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events, span GROUP BY user_id
+    ), pooled AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM per_user
+    ), arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_arm,
+             CAST(sum(x) AS BIGINT) AS sx_arm,
+             CAST(sum(y) AS BIGINT) AS sy_arm
+      FROM per_user GROUP BY arm
+    ), theta AS (
+      SELECT n, sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx) AS th
+      FROM pooled WHERE n * sxx - sx * sx <> 0
+    )
+    SELECT arm, n_arm,
+           round(CAST(sy_arm AS DOUBLE) / n_arm, 6) AS y_mean,
+           round(CAST(sy_arm AS DOUBLE) / n_arm
+                 - th * (CAST(sx_arm AS DOUBLE) / n_arm
+                         - CAST(sx AS DOUBLE) / n), 6) AS y_cuped,
+           round(th, 6) AS theta
+    FROM arms, theta
+    ORDER BY arm
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng 2013 — the industry-standard
+    experiment-sensitivity technique): adjust each arm's post-period
+    metric by the pooled pre-period covariate, theta = cov(X, Y) /
+    var(X), so pre-existing user differences stop inflating the
+    comparison. Periods split at the integer-micros midpoint; X/Y are
+    pre/post event COUNTS per user — deliberately integer, so every
+    moment (n, Sx, Sy, Sxy, Sxx, per-arm sums) is BIGINT-exact and
+    ORDER-INDEPENDENT at any scale (a double covariate would need an
+    ordered fold that can't scale past a collectable array). Only
+    theta and the adjusted means divide, through one fixed double
+    expression per engine, rounded at 6dp. Empty-variance corpora
+    (everyone identical pre-period) drop the theta row — adjusted
+    means are undefined there. Scale shape: ONE user-grain fact
+    rollup, then 1-row pooled moments and a 2-row arm table,
+    broadcast-crossed."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = ev.agg(F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("mid"))
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.col("mid"), 1).otherwise(0)).alias("x"),
+            F.sum(F.when(us >= F.col("mid"), 1).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    theta = pooled.filter(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0
+    ).select(
+        "n",
+        "sx",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x").alias("sx_arm"),
+        F.sum("y").alias("sy_arm"),
+    )
+    y_mean = F.col("sy_arm").cast("double") / F.col("n_arm")
+    x_mean = F.col("sx_arm").cast("double") / F.col("n_arm")
+    x_pool = F.col("sx").cast("double") / F.col("n")
+    return (
+        arms.crossJoin(F.broadcast(theta))
+        .select(
+            "arm",
+            "n_arm",
+            F.round(y_mean, 6).alias("y_mean"),
+            F.round(y_mean - F.col("th") * (x_mean - x_pool), 6).alias("y_cuped"),
+            F.round("th", 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )
+
+
 NO_ORACLE_TWINS: "dict[str, str]" = {
     "ann_ivf_topk": "ann_ivf_portable_topk",
     "approx_distinct": "approx_distinct_portable",

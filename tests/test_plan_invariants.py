@@ -300,6 +300,9 @@ CONTRACTS = [
     # count (pairs explode MAP-SIDE from basket arrays — never a fact
     # self-join), item marginals broadcast back, TakeOrdered on lift
     ("basket_association_rules", 7, 2, True, False),
+    # CUPED: midpoint broadcast into ONE user-grain fact rollup; the
+    # pooled moments and 2-row arm table are broadcast metadata
+    ("events_cuped_adjustment", 5, 2, False, False),
 ]
 
 
