@@ -273,3 +273,55 @@ def skyline_2d(
         )
         .drop("_m_gt", "_m_eq")
     )
+
+
+def longest_streak_expr(ds_col):
+    """(longest, packed-state) from a SORTED ascending array of
+    distinct day numbers: one integer fold carrying (best, cur,
+    last_day) packed as best*2^34 + cur*2^17 + last. POWER-OF-TWO
+    fields are load-bearing: the Column API's only division is double
+    division, and floor(x / 10^k) can land one ulp under an exact
+    integer, while /2^k only shifts the exponent (exact for any
+    packed value < 2^53; day numbers stay < 2^17 until 2328).
+    Returns the longest-streak Column. Shared by the
+    events_longest_streak query and its brute-force property test so
+    a fold change cannot drift between them."""
+    P, Q = 1 << 17, 1 << 34
+    cur_next = lambda acc, x: F.when(  # noqa: E731
+        x == acc % P + 1, F.floor(acc / P) % P + 1
+    ).otherwise(F.lit(1).cast("long"))
+    st = F.aggregate(
+        ds_col,
+        F.lit(0).cast("long"),
+        lambda acc, x: (
+            F.greatest(F.floor(acc / Q).cast("long"), cur_next(acc, x)) * P
+            + cur_next(acc, x)
+        ) * P + x,
+    )
+    return F.floor(st / Q).cast("long")
+
+
+def peak_concurrency(spans: DataFrame, s_col: str = "s", e_col: str = "e") -> DataFrame:
+    """1-row (max_concurrent, peak_at) from half-open integer spans
+    [s, e): the +1/-1 boundary sweep with end-closes-before-start
+    (end keys even, start keys odd), per-key delta aggregation FIRST
+    (ordering among identical deltas is then irrelevant), then the
+    bucketed distributed running sum — never a single-partition
+    window over the boundary table. Shared by events_max_concurrency
+    and its brute-force property test."""
+    bounds = spans.select(
+        (F.col(s_col) * 2 + 1).alias("k"), F.lit(1).alias("delta")
+    ).union(spans.select(F.col(e_col) * 2, F.lit(-1)))
+    per_key = bounds.groupBy("k").agg(F.sum("delta").alias("d"))
+    run = exact_global_cumsum(per_key, "k", "d", cumsum_col="cum_before").select(
+        "k", (F.col("cum_before") + F.col("d")).alias("cum")
+    )
+    peak = run.agg(F.max("cum").alias("mx"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .filter(F.col("cum") == F.col("mx"))
+        .agg(
+            F.first(F.col("mx")).cast("long").alias("max_concurrent"),
+            F.floor(F.min("k") / 2).cast("long").alias("peak_at"),
+        )
+    )

@@ -10885,7 +10885,11 @@ def approx_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     h = F.md5(F.col("l_partkey").cast("string"))
     nib = lambda s, i: F.instr(F.lit("0123456789abcdef"), F.substring(s, i, 1)) - 1  # noqa: E731
-    hs = l.select(h.alias("h")).distinct()
+    # distinct on the 8-byte key FIRST, md5 after: the corpus-sized
+    # exchange carries longs, not 32-char hex strings (~5x less
+    # shuffle volume; md5 is a pure function of the key, so the
+    # register set is identical)
+    hs = l.select("l_partkey").distinct().select(h.alias("h"))
     rest = F.substring("h", 3, 15)
     z = F.length(F.regexp_extract(rest, "^0*", 0))
     nv = F.instr(
@@ -10936,7 +10940,8 @@ def approx_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH spans AS (
       SELECT epoch_us(ts) AS s,
              epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
-      FROM events WHERE value IS NOT NULL AND value > 0
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND value > 0
     ), bounds AS (
       SELECT s * 2 + 1 AS k, 1 AS delta FROM spans
       UNION ALL
@@ -10965,10 +10970,12 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over the boundary table), and peak value + earliest peak
     instant fall out of one final fold. All integer micros — no
     rounding quantum anywhere."""
-    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+    from dat_archive_map_reduce_spark.operators.ranking import peak_concurrency
 
+    # ts non-null too: a NULL boundary key would violate
+    # exact_global_cumsum's non-null order-column contract
     ev = _t(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & (F.col("value") > 0)
+        F.col("ts").isNotNull() & F.col("value").isNotNull() & (F.col("value") > 0)
     )
     # integer micros end-to-end: a double round-trip through epoch
     # seconds loses ulps vs DuckDB's epoch_us; and floor() the
@@ -10978,22 +10985,10 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         us.alias("s"),
         (us + F.floor(F.col("value") * 1e6).cast("long")).alias("e"),
     )
-    bounds = spans.select((F.col("s") * 2 + 1).alias("k"), F.lit(1).alias("delta")).union(
-        spans.select(F.col("e") * 2, F.lit(-1))
-    )
-    per_key = bounds.groupBy("k").agg(F.sum("delta").alias("d"))
-    run = exact_global_cumsum(per_key, "k", "d", cumsum_col="cum_before").select(
-        "k", (F.col("cum_before") + F.col("d")).alias("cum")
-    )
     n_spans = spans.agg(F.count(F.lit(1)).alias("n_spans"))
-    peak = run.agg(F.max("cum").alias("mx"))
     return (
-        run.crossJoin(F.broadcast(peak))
-        .filter(F.col("cum") == F.col("mx"))
-        .agg(
-            F.first(F.col("mx")).cast("long").alias("max_concurrent"),
-            F.floor(F.min("k") / 2).cast("long").alias("peak_at_us"),
-        )
+        peak_concurrency(spans, "s", "e")
+        .withColumnRenamed("peak_at", "peak_at_us")
         .crossJoin(F.broadcast(n_spans))
         .select("n_spans", "max_concurrent", "peak_at_us")
     )
@@ -11077,6 +11072,7 @@ def events_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH days AS (
       SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE ts IS NOT NULL
     ), runs AS (
       SELECT user_id,
              list(CAST(epoch(CAST(d AS TIMESTAMP)) // 86400 AS BIGINT)
@@ -11117,29 +11113,22 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rounding, ONE user-grain shuffle. The sentinel seed
     0 can never look like yesterday (day 1 = 1970-01-02 predates any
     event)."""
-    ev = _t(spark, sf_dir, "events")
+    from dat_archive_map_reduce_spark.operators.ranking import longest_streak_expr
+
+    # ts non-null on BOTH sides: Spark's collect_list would silently
+    # drop a NULL day while DuckDB's list() keeps it and NULL-poisons
+    # the fold — the engines would diverge on legal data
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     days = ev.select(
         "user_id", F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias("day")
     ).distinct()
     runs = days.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.col("day").cast("long"))).alias("ds")
     )
-    P, Q = 1 << 17, 1 << 34
-    cur_next = lambda acc, x: F.when(  # noqa: E731
-        x == acc % P + 1, F.floor(acc / P) % P + 1
-    ).otherwise(F.lit(1).cast("long"))
-    st = F.aggregate(
-        F.col("ds"),
-        F.lit(0).cast("long"),
-        lambda acc, x: (
-            F.greatest(F.floor(acc / Q).cast("long"), cur_next(acc, x)) * P
-            + cur_next(acc, x)
-        ) * P + x,
-    )
     return runs.select(
         "user_id",
         F.size("ds").cast("long").alias("active_days"),
-        F.floor(st / Q).cast("long").alias("longest_streak"),
+        longest_streak_expr(F.col("ds")).alias("longest_streak"),
     )
 
 
@@ -11222,7 +11211,8 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.log(F.col("p1") / F.col("p2")), 6
     )
     folded = probs.agg(
-        F.first("b").cast("long").alias("n_buckets"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.coalesce(F.first("b"), F.lit(0)).cast("long").alias("n_buckets"),
         F.aggregate(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("bucket", term.alias("t")))),
@@ -11232,7 +11222,13 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ).alias("raw"),
     )
-    return folded.select("n_buckets", F.round("raw", 4).alias("psi"))
+    # empty/all-NULL value column: match the oracle's (0, NULL) —
+    # an unguarded empty fold would claim psi = 0.0 (perfect
+    # stability) on NO data
+    return folded.select(
+        "n_buckets",
+        F.when(F.col("cnt") > 0, F.round("raw", 4)).alias("psi"),
+    )
 
 
 @query(
@@ -11268,17 +11264,20 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> xs[CAST(i AS INT)] * xs[CAST(i AS INT)]),
                (a, b) -> a + b) AS BIGINT) AS sbb
       FROM ser, (SELECT unnest([1, 7]) AS k) k
+      WHERE len(xs) > k.k
     ), rs AS (
       SELECT n_days, lag,
-             round(CAST(n * sab - sa * sb AS DOUBLE)
-                   / sqrt(CAST((n * saa - sa * sa) * (n * sbb - sb * sb)
-                          AS DOUBLE)), 4) AS r
+             CASE WHEN (n * saa - sa * sa) = 0 OR (n * sbb - sb * sb) = 0
+                  THEN NULL
+             ELSE round(CAST(n * sab - sa * sb AS DOUBLE)
+                   / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                          * CAST(n * sbb - sb * sb AS DOUBLE)), 4)
+             END AS r
       FROM moments
     )
-    SELECT CAST(max(n_days) AS BIGINT) AS n_days,
-           max(CASE WHEN lag = 1 THEN r END) AS r_lag1,
-           max(CASE WHEN lag = 7 THEN r END) AS r_lag7
-    FROM rs
+    SELECT CAST((SELECT len(xs) FROM ser) AS BIGINT) AS n_days,
+           (SELECT max(CASE WHEN lag = 1 THEN r END) FROM rs) AS r_lag1,
+           (SELECT max(CASE WHEN lag = 7 THEN r END) FROM rs) AS r_lag7
     """,
 )
 def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11313,7 +11312,9 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pearson(lag: int):
         x = series
-        k = F.size(x) - lag
+        # greatest(.., 0): slice throws on negative length; the outer
+        # WHEN below NULLs the result for spans shorter than the lag
+        k = F.greatest(F.size(x) - lag, F.lit(0))
         pairs = F.zip_with(
             F.slice(x, lag + 1, k),  # x_t for t >= lag
             F.slice(x, 1, k),  # x_{t-lag}
@@ -11329,10 +11330,16 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         saa = fold(lambda acc, p: acc + p["a"] * p["a"])
         sbb = fold(lambda acc, p: acc + p["b"] * p["b"])
         num = (n * sab - sa * sb).cast("double")
+        # cast EACH variance factor before multiplying: the product of
+        # two BIGINT second moments overflows int64 at a year of
+        # high-volume days (ANSI ArithmeticException on valid data)
         den = F.sqrt(
-            ((n * saa - sa * sa) * (n * sbb - sb * sb)).cast("double")
+            (n * saa - sa * sa).cast("double")
+            * (n * sbb - sb * sb).cast("double")
         )
-        return F.round(num / den, 4)
+        return F.when(
+            (F.size(x) > lag) & (den != 0.0), F.round(num / den, 4)
+        )
 
     return rows.select(
         F.size("xs").cast("long").alias("n_days"),
@@ -11458,8 +11465,10 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM per_user GROUP BY arm
     ), theta AS (
       SELECT n, sx, sy,
-             CAST(n * sxy - sx * sy AS DOUBLE)
-               / (n * sxx - sx * sx) AS th
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS th
       FROM pooled WHERE n * sxx - sx * sx <> 0
     )
     SELECT arm, n_arm,
@@ -11513,8 +11522,17 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sx",
         (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            # each product term cast individually: n*sxy with
+            # billions of users x large counts would overflow the
+            # BIGINT product under ANSI before the cast
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
         ).alias("th"),
     )
     arms = per_user.groupBy("arm").agg(

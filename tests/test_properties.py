@@ -467,10 +467,9 @@ def test_streak_fold_matches_brute_force(spark, days):
     """The packed-integer streak fold equals the obvious python scan
     for any multiset of day numbers (duplicates collapse, gaps reset,
     singletons count 1)."""
-    import json as _json
-
-    from dat_archive_map_reduce_spark.queries import QUERIES  # noqa: F401
     from pyspark.sql import functions as F
+
+    from dat_archive_map_reduce_spark.operators.ranking import longest_streak_expr
 
     uniq = sorted(set(days))
     best = cur = 1
@@ -481,19 +480,9 @@ def test_streak_fold_matches_brute_force(spark, days):
     runs = df.groupBy().agg(
         F.array_sort(F.collect_set(F.col("day"))).alias("ds")
     )
-    P, Q = 1 << 17, 1 << 34
-    cur_next = lambda acc, x: F.when(  # noqa: E731
-        x == acc % P + 1, F.floor(acc / P) % P + 1
-    ).otherwise(F.lit(1).cast("long"))
-    st_ = F.aggregate(
-        F.col("ds"),
-        F.lit(0).cast("long"),
-        lambda acc, x: (
-            F.greatest(F.floor(acc / Q).cast("long"), cur_next(acc, x)) * P
-            + cur_next(acc, x)
-        ) * P + x,
-    )
-    got = runs.select(F.floor(st_ / Q).cast("long").alias("s")).first()["s"]
+    # the PRODUCTION fold (shared with events_longest_streak), not a
+    # private copy — a fold regression must fail here
+    got = runs.select(longest_streak_expr(F.col("ds")).alias("s")).first()["s"]
     assert got == best, (days, got, best)
 
 
@@ -511,19 +500,17 @@ def test_streak_fold_matches_brute_force(spark, days):
 def test_concurrency_sweep_matches_brute_force(spark, spans):
     """The +1/-1 boundary sweep's peak equals the brute-force count of
     open half-open intervals [s, e) at every start instant."""
-    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
-    from pyspark.sql import functions as F
+    from dat_archive_map_reduce_spark.operators.ranking import peak_concurrency
 
     ivals = [(s, s + d) for s, d in spans]
     brute = max(sum(1 for s, e in ivals if s <= t < e) for t, _ in ivals)
     df = spark.createDataFrame(ivals, "s long, e long")
-    bounds = df.select((F.col("s") * 2 + 1).alias("k"), F.lit(1).alias("delta")).union(
-        df.select(F.col("e") * 2, F.lit(-1))
-    )
-    per_key = bounds.groupBy("k").agg(F.sum("delta").alias("d"))
-    run = exact_global_cumsum(per_key, "k", "d", cumsum_col="cb")
-    got = run.agg(F.max(F.col("cb") + F.col("d"))).first()[0]
-    assert got == brute, (ivals, got, brute)
+    # the PRODUCTION sweep (shared with events_max_concurrency)
+    row = peak_concurrency(df, "s", "e").first()
+    assert row["max_concurrent"] == brute, (ivals, row, brute)
+    # the reported peak instant really reaches the peak
+    t = row["peak_at"]
+    assert sum(1 for s, e in ivals if s <= t < e) == brute
 
 
 def test_dhash_single_block_edit_flips_at_most_two_bits(spark):
