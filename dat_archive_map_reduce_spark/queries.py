@@ -2477,7 +2477,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), s AS (
       SELECT l_returnflag, l_extendedprice,
              row_number() OVER (PARTITION BY l_returnflag
-                                ORDER BY hk) AS rn
+                                ORDER BY hk, l_extendedprice) AS rn
       FROM h
     )
     SELECT l_returnflag,
@@ -2500,7 +2500,14 @@ def agg_percentiles_sampled_portable(spark: SparkSession, sf_dir: str) -> DataFr
     is a pure row function any SQL engine replays exactly, so the
     estimate is hash-gated bit-for-bit. Error is O(1/sqrt(k)) ~ 3% at
     k=1024 — the trade every production quantile sketch makes, here
-    with cross-engine determinism on top.
+    with cross-engine determinism on top. The selection order is
+    (hk, price), NOT hk alone: the synthetic lineitem has duplicate
+    (orderkey, linenumber) rows at sf0.1, so duplicate hks exist and
+    a bare ORDER BY hk row_number would break k-boundary ties
+    nondeterministically on the oracle side (caught by the r10 sf0.1
+    spot-gate — the first flake the above-gate-SF check was built to
+    catch); rows tied on BOTH keys carry identical prices, so
+    whichever wins, the kept multiset is identical.
 
     The merge is run explicitly two-phase (local min-k per (group,
     input partition), then min-k of the local winners) — a per-group
