@@ -277,9 +277,11 @@ CONTRACTS = [
     # TakeOrdered(k) sketches; lang filters push to the scan; all
     # sketch algebra is broadcast <= 3k-row metadata
     ("sketch_kmv_set_algebra", 2, 3, True, True),
-    # portable HLL: map-side-combined distinct + the 256-key register
-    # aggregate; the 2^-M fold is a <= 256-row metadata list
-    ("approx_distinct_hll_portable", 2, 0, False, False),
+    # portable HLL: map-side-combined distinct on the NARROW 8-byte
+    # key (md5 maps after — 5x less shuffle volume than hashing
+    # first, at the cost of one extra exchange) + the 256-key
+    # register aggregate; the 2^-M fold is a <= 256-row metadata list
+    ("approx_distinct_hll_portable", 3, 0, False, False),
     # concurrency sweep: boundary-key agg + bucketed cumsum machinery
     # + two 1-row broadcast folds; value>0 filter pushes to the scan
     ("events_max_concurrency", 7, 3, False, True),
