@@ -493,3 +493,77 @@ def test_vacuum_safe_with_hardlinked_snapshots(spark, tmp_path):
     assert store.read().count() == 24
     assert db.get("single", "k0v4") is not None
     assert db.get("single", "k1")["value"] == [f"{origin}/docs/1.json"]
+
+
+def test_orphan_snapshot_dir_is_ignored_and_overwritten(spark, tmp_path):
+    """Crash-safety: a writer that died AFTER writing its snapshot
+    directory but BEFORE flipping the manifest leaves an orphan
+    vNNNNNNNN dir. Readers must keep serving the manifest's snapshot,
+    and the NEXT merge (which targets the same version number) must
+    overwrite the orphan and converge."""
+    import os
+
+    wh = str(tmp_path / "wh-orphan")
+    db = MapReduce(spark, wh, entries_buckets=8)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://orphan"
+    db.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(8)
+    ])
+    db.index(origin)
+    store = db._entries_table("single", origin)
+    cur = store._current()
+    # simulate the dead writer: orphan dir at cur+1 with garbage layout
+    orphan = store._snapshot_dir(cur + 1)
+    os.makedirs(os.path.join(orphan, "_b=0"), exist_ok=True)
+    with open(os.path.join(orphan, "_b=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    # reader still serves the manifest's snapshot
+    assert store._current() == cur
+    assert db.get("single", "k3") is not None
+    # the next merge targets cur+1, overwrites the orphan, and the
+    # retract-then-add semantics hold
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/3.json", "version": 2,
+         "content": json.dumps({"first": "k3new", "second": 3, "third": "t"})}
+    ])
+    db.index(origin)
+    assert store._current() == cur + 1
+    assert db.get("single", "k3") is None
+    assert db.get("single", "k3new") is not None
+    assert store.read().count() == 8
+
+
+def test_reopen_with_different_bucket_count_stays_correct(spark, tmp_path):
+    """The shard pins its bucket count at creation (_buckets.json); an
+    engine reopened with a DIFFERENT entries_buckets must keep using
+    the pinned count — caller-precomputed bucket ids from the new
+    engine config are recomputed against the shard's N (a stale id
+    set would hardlink a bucket that needed retraction)."""
+    wh = str(tmp_path / "wh-repin")
+    db1 = MapReduce(spark, wh, entries_buckets=8)
+    db1.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://repin"
+    db1.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(12)
+    ])
+    db1.index(origin)
+    db1.close()
+
+    db2 = MapReduce(spark, wh, entries_buckets=32)  # different config
+    db2.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    store = db2._entries_table("single", origin)
+    assert store.n_buckets == 8  # pinned, not 32
+    db2.append_changes([
+        {"origin": origin, "pathname": "/docs/5.json", "version": 2,
+         "content": json.dumps({"first": "k5new", "second": 5, "third": "t"})}
+    ])
+    db2.index(origin)
+    assert db2.get("single", "k5") is None
+    assert db2.get("single", "k5new") is not None
+    assert store.read().count() == 12
+    assert store.current_is_bucketed()
