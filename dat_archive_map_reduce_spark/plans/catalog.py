@@ -328,6 +328,14 @@ class VersionedTable:
         )
         v = (self._current() or 0) + 1
         d = self._snapshot_dir(v)
+        # overwrite-clears-dest, like Spark's mode('overwrite') and
+        # write_merged: a crash-orphaned dir at this version (e.g. a
+        # legacy Spark overwrite() that died before the pointer flip)
+        # must not leak its stale part files into read_rows()'s glob
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d, exist_ok=True)
         pq.write_table(table, f"{d}/part-00000.parquet")
         self._set_current(v)
@@ -422,8 +430,18 @@ class BucketedEntriesTable(VersionedTable):
         if v is None:
             return True  # nothing on disk: the next write buckets it
         d = self._snapshot_dir(v)
-        names = os.listdir(d) if os.path.isdir(d) else []
-        return all(n.startswith(("_b=", "_", ".")) for n in names)
+        if not os.path.isdir(d):
+            # pointer set but directory gone (external deletion /
+            # corruption): raising here matches read()'s explicit
+            # time-travel error — silently treating it as bucketed
+            # would make the next merge commit a snapshot holding
+            # ONLY the batch's rows (silent data loss)
+            raise FileNotFoundError(
+                f"current snapshot v{v} of {self.root} is missing from "
+                f"disk (available: {self.versions()}) — externally "
+                f"deleted or corrupted; refusing to merge against it"
+            )
+        return all(n.startswith(("_b=", "_", ".")) for n in os.listdir(d))
 
     # -- reads ---------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:

@@ -10092,8 +10092,9 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_pos, n_neg,
            CAST(two_rank_sum - n_pos * (n_pos + 1) AS BIGINT) AS u2,
-           round(CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
-                 / (2.0 * n_pos * n_neg), 6) AS auc
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             round(CAST(two_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+                   / (2.0 * n_pos * n_neg), 6) END AS auc
     FROM agg
     """,
 )
@@ -10143,8 +10144,12 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_pos.cast("long").alias("n_pos"),
         n_neg.cast("long").alias("n_neg"),
         u2.alias("u2"),
-        F.round(
-            u2.cast("double") / (2.0 * n_pos * n_neg), 6
+        # single-class corpus (n_pos or n_neg = 0): AUC is undefined —
+        # NULL in both engines, never Inf/NaN (the z-test/zipf-slope
+        # degenerate-guard convention)
+        F.when(
+            (n_pos > 0) & (n_neg > 0),
+            F.round(u2.cast("double") / (2.0 * n_pos * n_neg), 6),
         ).alias("auc"),
     )
 
@@ -11391,8 +11396,10 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-order set is bounded by order size, ~7 here), pairs
     explode MAP-SIDE from each basket array (i < j), and one
     (a, b) rollup counts them — the same inverted-index discipline
-    as the dedup pair pipelines. Item marginals broadcast back onto
-    the surviving pairs (min co-count 2); ranking on the 4dp-rounded
+    as the dedup pair pipelines. Item marginals join back onto the
+    surviving pairs (min co-count 2) with NO broadcast hint — the
+    item dimension is unbounded, so AQE decides (broadcast at these
+    SFs, shuffle join past the threshold); ranking on the 4dp-rounded
     lift with (pa, pb) tiebreak plans as TakeOrderedAndProject.
     Counts are BIGINT-exact; each ratio is one fixed double division
     both engines evaluate identically."""
@@ -11423,13 +11430,19 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
     )
+    # item marginals join back UNHINTED: the item dimension is
+    # unbounded (tens of millions of parts at 100x), so a forced
+    # F.broadcast would override AQE's size check and risk OOM; AQE
+    # still picks broadcast-hash at bench SFs (plan pinned in
+    # tests/test_plan_invariants.py) and degrades to shuffle join
+    # when the dimension outgrows the threshold
     scored = (
         pairs.join(
-            F.broadcast(item_n.select(F.col("p").alias("pa"), F.col("n").alias("n_a"))),
+            item_n.select(F.col("p").alias("pa"), F.col("n").alias("n_a")),
             "pa",
         )
         .join(
-            F.broadcast(item_n.select(F.col("p").alias("pb"), F.col("n").alias("n_b"))),
+            item_n.select(F.col("p").alias("pb"), F.col("n").alias("n_b")),
             "pb",
         )
         .crossJoin(F.broadcast(n_orders))

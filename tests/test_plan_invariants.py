@@ -354,3 +354,44 @@ def test_q2_filters_fact_before_aggregate(spark):
         "no join below the unit_cost aggregate — the part filter is "
         "running above the full-fact aggregation again"
     )
+
+
+# Every F.broadcast() call in the package FORCES a broadcast — it
+# overrides AQE's size check, so it is only legitimate on inputs with
+# a structural row bound (1-row aggregates, <= k-row top-k/metadata
+# tables, <= bucket-count offset tables, broadcast codebooks with a
+# pinned sample cap). An unbounded dimension must stay unhinted and
+# let AQE decide (the r10 basket_association_rules lesson). This pin
+# makes adding a forced broadcast a CONSCIOUS act: update the count
+# here only after checking the new site's input is bounded.
+FORCED_BROADCAST_SITES = {
+    "queries.py": 79,
+    "operators/dedup.py": 2,
+    "operators/text.py": 14,
+    "operators/graph.py": 5,
+    "operators/ranking.py": 4,
+    "operators/similarity.py": 14,
+    "engine.py": 4,
+}
+
+
+def test_no_new_unaudited_forced_broadcasts():
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "dat_archive_map_reduce_spark")
+    actual = {}
+    for dirpath, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            with open(path) as fh:
+                n = fh.read().count("F.broadcast(")
+            if n:
+                rel = os.path.relpath(path, pkg)
+                actual[rel] = n
+    assert actual == FORCED_BROADCAST_SITES, (
+        "forced-broadcast site counts changed — audit each new/moved "
+        "F.broadcast() for a structural row bound (never an unbounded "
+        f"dimension), then update FORCED_BROADCAST_SITES: {actual}"
+    )

@@ -567,3 +567,58 @@ def test_reopen_with_different_bucket_count_stays_correct(spark, tmp_path):
     assert db2.get("single", "k5new") is not None
     assert store.read().count() == 12
     assert store.current_is_bucketed()
+
+
+def test_overwrite_rows_clears_orphaned_snapshot_dir(spark, tmp_path):
+    """A crash-orphaned snapshot directory at the next version (a
+    legacy Spark overwrite() that died before the pointer flip) must
+    not leak its stale part files into the new driver-local snapshot:
+    overwrite_rows clears the destination like every other overwrite
+    path (r10 advisory)."""
+    import os
+
+    from dat_archive_map_reduce_spark.plans.catalog import (
+        OFFSETS_SCHEMA,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "offs"), OFFSETS_SCHEMA)
+    t.overwrite_rows([("v1", "dat://a", 1)])  # current = v1
+    # orphan: a dir at the NEXT version with a stale parquet file,
+    # pointer still at v1 (simulates a crashed Spark overwrite)
+    orphan = t._snapshot_dir(2)
+    t.overwrite(spark.createDataFrame([("stale", "dat://zzz", 99)], OFFSETS_SCHEMA))
+    t._set_current(1)  # roll the pointer back: v2 is now an orphan
+    assert os.path.isdir(orphan)
+    t.overwrite_rows([("v1", "dat://a", 5)])
+    assert t.read_rows() == [("v1", "dat://a", 5)]  # no stale merge
+    assert t.read().count() == 1
+
+
+def test_current_is_bucketed_raises_on_missing_snapshot_dir(spark, tmp_path):
+    """Pointer set but snapshot directory externally deleted: the
+    merge path must fail loudly, not treat the table as empty and
+    commit a snapshot holding only the batch's rows (silent data
+    loss — r10 advisory)."""
+    import shutil
+
+    wh = str(tmp_path / "wh-missing")
+    db = MapReduce(spark, wh, entries_buckets=4)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://missing"
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/1.json", "version": 1,
+         "content": json.dumps({"first": "k1", "second": 1, "third": "t"})}
+    ])
+    db.index(origin)
+    store = db._entries_table("single", origin)
+    shutil.rmtree(store._snapshot_dir(store._current()))
+    with pytest.raises(FileNotFoundError, match="missing from disk"):
+        store.current_is_bucketed()
+    # and an index() over new changes surfaces it instead of wiping
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/2.json", "version": 2,
+         "content": json.dumps({"first": "k2", "second": 2, "third": "t"})}
+    ])
+    with pytest.raises(Exception):
+        db.index(origin)
