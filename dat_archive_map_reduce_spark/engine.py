@@ -653,6 +653,7 @@ class MapReduce:
         on_batch=None,
         vacuum_every: int | None = None,
         vacuum_keep: int = 2,
+        changelog_expire_every: int | None = None,
     ):
         """Start (once) the continuous view-maintenance stream over the
         changelog (reference watch mode, lib/indexer.js:67-87). Returns
@@ -671,6 +672,7 @@ class MapReduce:
             on_batch=on_batch,
             vacuum_every=vacuum_every,
             vacuum_keep=vacuum_keep,
+            changelog_expire_every=changelog_expire_every,
         )
 
     def vacuum(self, keep_last: int = 2) -> "dict[str, list[int]]":
@@ -698,6 +700,118 @@ class MapReduce:
             removed = t.vacuum(keep_last=keep_last)
             if removed:
                 out[t.root] = removed
+        return out
+
+    def changelog_floors(self) -> "dict[str, int]":
+        """Per-origin expiry floor: the min last_version across ALL
+        defined views (0 — nothing expirable — when any view has not
+        yet indexed the origin, so a late-defined view keeps full
+        replay until it catches up). Rows at or below the floor have
+        been applied by every view."""
+        per_origin: "dict[str, dict[str, int]]" = {}
+        for v, o, lv in self.offsets.read_rows():
+            per_origin.setdefault(o, {})[v] = lv
+        return {
+            o: (
+                min(m[v] for v in self.views)
+                if set(self.views) and set(self.views) <= set(m)
+                else 0
+            )
+            for o, m in per_origin.items()
+        }
+
+    def expire_changelog(self) -> "dict[str, dict[str, int]]":
+        """Changelog retention (log compaction): for every origin whose
+        expiry floor > 0, rewrite its partition keeping
+
+            rows with version > floor   (not yet seen by every view)
+          ∪ the latest-wins winner per pathname at or below the floor
+
+        — the Kafka-compaction shape. The winners keep their ORIGINAL
+        version numbers, so the rewrite is semantically invisible:
+        existing views filter version > start and never re-read them;
+        a view defined LATER indexes from 0 and reconstructs each
+        file's current state from the winners (batch index() applies
+        latest_wins over the full range anyway, so compacted and full
+        history produce identical entries — pinned by test). Dat's
+        history is append-only by design, but the changelog is OUR
+        storage: a year of watch mode must not mean a year of raw CDC
+        on disk; this mirrors what vacuum() does for snapshots.
+
+        Refuses to run under an active watch stream (the file source
+        could have listed a file this is about to delete); use
+        ``watch_views(changelog_expire_every=N)`` for the in-stream
+        cadence, which runs at the batch boundary where no listing is
+        in flight. Requires the origin-partitioned log layout (a
+        legacy flat warehouse cannot file-swap per origin).
+
+        Returns {origin: {files_removed, files_added, rows_expired}}.
+        """
+        for q in self._active_streams:
+            if q.isActive:
+                raise RuntimeError(
+                    "expire_changelog under an active watch stream is "
+                    "unsafe (in-flight file listings); stop the stream "
+                    "or use watch_views(changelog_expire_every=...)"
+                )
+        return self._expire_changelog_unsafe()
+
+    def _expire_changelog_unsafe(self) -> "dict[str, dict[str, int]]":
+        if not self.changelog.partition_by:
+            raise RuntimeError(
+                "changelog expiry needs the origin-partitioned log "
+                "layout; this warehouse predates partitioning (flat "
+                "files) — rebuild it to enable retention"
+            )
+        out: "dict[str, dict[str, int]]" = {}
+        for origin, floor in sorted(self.changelog_floors().items()):
+            if floor <= 0:
+                continue
+            # fresh read() per origin: the file index pins at DataFrame
+            # creation, and the previous iteration's swap just changed
+            # the directory under it
+            part = self.changelog.read().filter(F.col("origin") == origin)
+            winners = latest_wins(part.filter(F.col("version") <= floor))
+            kept = part.filter(F.col("version") > floor).unionByName(winners)
+            # one count pair per expired origin (maintenance cadence,
+            # not the hot path): how many raw CDC rows compacted away
+            n_before = part.count()
+            n_kept = kept.count()
+            if n_kept == n_before:
+                continue  # nothing to reclaim; skip the rewrite
+            stats = self.changelog.swap_origin_files(origin, kept)
+            stats["rows_expired"] = n_before - n_kept
+            out[origin] = stats
+        return out
+
+    def rebucket_entries(
+        self,
+        new_n: int,
+        views: "Sequence[str] | None" = None,
+        origins: "Sequence[str] | None" = None,
+    ) -> "dict[str, int]":
+        """Migrate entries shards to a ``new_n``-bucket layout
+        (BucketedEntriesTable.rebucket): the maintenance op for a hot
+        origin whose shard has outgrown its bucket count — per-bucket
+        size is shard/N, so without this, merge IO on a growing
+        origin creeps back toward O(shard). One full copy-on-write
+        rewrite per shard (crash leaves the old layout current);
+        merges afterwards are incremental against the new layout, and
+        bucket ids are recomputed per-shard automatically when a
+        shard's pinned N differs from the engine default. Returns
+        {shard root: new version}. Use
+        ``_entries_table(view, origin).bucket_stats()`` to pick
+        candidates."""
+        out: "dict[str, int]" = {}
+        for name in views if views is not None else list(self.views):
+            for origin in origins if origins is not None else sorted(
+                self._known_origins()
+            ):
+                t = self._entries_table(name, origin)
+                if t.exists():
+                    out[t.root] = t.rebucket(
+                        new_n, sort_cols=["key_json", "file_url", "emit_seq"]
+                    )
         return out
 
     def close(self) -> None:

@@ -378,6 +378,21 @@ class BucketedEntriesTable(VersionedTable):
     path whether the previous snapshot supports per-bucket reuse (a
     flat snapshot forces one full re-bucketing rewrite, after which
     merges are incremental again).
+
+    Bucket-count evolution: membership math depends on N, so N is
+    pinned PER SNAPSHOT — every bucketed snapshot carries a
+    ``_bucketmeta.json`` with its own layout count, written into the
+    snapshot directory BEFORE the pointer flip (the flip stays the
+    atomic commit; a crashed migration leaves the old snapshot, and
+    its old N, current). ``n_buckets`` resolves the CURRENT
+    snapshot's count (legacy snapshots without per-snapshot meta fall
+    back to the table-level ``_buckets.json`` pin). ``rebucket(n)``
+    migrates to a new count in one full rewrite — the escape hatch
+    for a hot origin whose per-bucket size (shard/N) has grown until
+    merge IO creeps back toward O(shard) — and ``compact()``
+    auto-doubles N past ``auto_rebucket_bytes`` mean bucket size,
+    since the OPTIMIZE rewrite visits every bucket anyway (the
+    migration is free there).
     """
 
     def __init__(
@@ -394,17 +409,48 @@ class BucketedEntriesTable(VersionedTable):
         try:
             with open(meta_path) as f:
                 meta = json.load(f)
-            self.n_buckets = int(meta["n"])
+            self._default_n = int(meta["n"])
             self.bucket_col = meta["col"]
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
-            # first open wins and pins the layout for the table's
-            # lifetime — a later reopen with a different n would
-            # compute wrong bucket membership for existing snapshots
-            self.n_buckets = int(n_buckets)
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"n": self.n_buckets, "col": self.bucket_col}, f)
-            os.replace(tmp, meta_path)
+            # first open pins the table-level DEFAULT layout; a later
+            # reopen with a different n keeps the pin (wrong bucket
+            # membership otherwise). rebucket() is the one sanctioned
+            # way to change N — it re-pins both the new snapshot's
+            # meta and this default.
+            self._default_n = int(n_buckets)
+            self._write_default_n()
+
+    def _write_default_n(self) -> None:
+        meta_path = f"{self.root}/_buckets.json"
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n": self._default_n, "col": self.bucket_col}, f)
+        os.replace(tmp, meta_path)
+
+    @property
+    def n_buckets(self) -> int:
+        """Bucket count of the CURRENT snapshot's layout (per-snapshot
+        ``_bucketmeta.json``; legacy snapshots and empty tables fall
+        back to the table-level pin)."""
+        v = self._current()
+        if v is not None:
+            n = self._snapshot_n(v)
+            if n is not None:
+                return n
+        return self._default_n
+
+    def _snapshot_n(self, v: int) -> "int | None":
+        try:
+            with open(f"{self._snapshot_dir(v)}/_bucketmeta.json") as f:
+                return int(json.load(f)["n"])
+        except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
+            return None
+
+    def _write_snapshot_meta(self, dest: str, n: int) -> None:
+        # inside the snapshot dir, BEFORE the pointer flip: the flip
+        # commits data + layout meta together
+        with open(f"{dest}/_bucketmeta.json", "w") as f:
+            json.dump({"n": int(n)}, f)
 
     # -- bucket math --------------------------------------------------
     def bucket_expr(self, col: str | None = None):
@@ -486,20 +532,110 @@ class BucketedEntriesTable(VersionedTable):
             .parquet(*dirs)
         )
 
+    def bucket_stats(self) -> "dict[int, int]":
+        """Per-bucket on-disk bytes of the current snapshot (driver
+        os.walk — metadata-sized). The operational signal for when to
+        rebucket: mean bucket size is shard/N and grows with the
+        origin."""
+        v = self._current()
+        out: "dict[int, int]" = {}
+        if v is None or not self.current_is_bucketed():
+            return out
+        for b in range(self.n_buckets):
+            d = self._bucket_dir(v, b)
+            if not os.path.isdir(d):
+                continue
+            size = 0
+            for dirpath, _dirs, files in os.walk(d):
+                size += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in files
+                )
+            out[b] = size
+        return out
+
+    def rebucket(self, new_n: int, sort_cols: "list[str] | None" = None) -> int:
+        """Migrate the table to a ``new_n``-bucket layout in ONE full
+        rewrite (the N->2N split the delta-proportional design needs
+        once a hot origin outgrows its bucket count — per-bucket size
+        is shard/N, so merge IO creeps back toward O(shard) without
+        this). Copy-on-write like every mutation: the new snapshot is
+        fully written (data + its own ``_bucketmeta.json``) before the
+        pointer flips, so a mid-migration crash leaves the old layout
+        current and correct; the superseded snapshot still serves
+        time travel under its own count. Merges after the flip are
+        incremental against the NEW layout. Returns the new version."""
+        if int(new_n) < 1:
+            raise ValueError(f"new_n must be >= 1, got {new_n}")
+        if self._current() is None:
+            # nothing materialized: just re-pin the default for the
+            # first write
+            self._default_n = int(new_n)
+            self._write_default_n()
+            return 0
+        v = self._write_bucketed(self.read(), int(new_n), sort_cols)
+        # re-pin the table default AFTER the flip (reads resolve the
+        # snapshot meta first, so a crash between flip and re-pin
+        # stays consistent)
+        self._default_n = int(new_n)
+        self._write_default_n()
+        return v
+
+    def _write_bucketed(
+        self, df: DataFrame, n: int, sort_cols: "list[str] | None"
+    ) -> int:
+        """Write ``df`` as a full new snapshot bucketed at ``n`` —
+        data, then per-snapshot layout meta, then the pointer flip
+        (the atomic commit)."""
+        cur = self._current()
+        v = (cur or 0) + 1
+        dest = self._snapshot_dir(v)
+        w = df.withColumn(
+            "_b",
+            F.pmod(
+                F.crc32(F.col(self.bucket_col).cast("string")), F.lit(int(n))
+            ).cast("int"),
+        )
+        w = w.repartition(max(1, int(n)), "_b")
+        if sort_cols:
+            w = w.sortWithinPartitions("_b", *sort_cols)
+        w.write.mode("overwrite").partitionBy("_b").parquet(dest)
+        self._write_snapshot_meta(dest, n)
+        self._set_current(v)
+        return v
+
     def compact(
         self,
         sort_cols: "list[str] | None" = None,
         target_file_bytes: int = 128 << 20,
         zorder: bool = False,
+        auto_rebucket_bytes: "int | None" = None,
     ) -> int:
         """Bucket-preserving OPTIMIZE: rewrite every bucket of the
         current snapshot sorted-within-bucket (``zorder`` is ignored —
         the bucket dimension IS the clustering here). The inherited
         flat compact would silently discard the bucket layout and
-        force the next merge into a full re-bucketing rewrite."""
+        force the next merge into a full re-bucketing rewrite.
+
+        ``auto_rebucket_bytes``: since OPTIMIZE rewrites every bucket
+        anyway, bucket-count evolution is FREE here — when the mean
+        bucket size exceeds the threshold, the rewrite lands at a
+        doubled (power-of-two multiple) count that brings the mean
+        back under it, keeping merge IO delta-proportional as the
+        origin grows."""
         cur = self._current()
         if cur is None:
             raise ValueError("cannot compact a table with no snapshots")
+        n = self.n_buckets
+        if auto_rebucket_bytes:
+            sizes = self.bucket_stats()
+            total = sum(sizes.values())
+            while total / n > auto_rebucket_bytes:
+                n *= 2
+        if n != self.n_buckets:
+            v = self._write_bucketed(self.read(), n, sort_cols)
+            self._default_n = n
+            self._write_default_n()
+            return v
         self.write_merged(
             list(range(self.n_buckets)), self.read(), sort_cols=sort_cols
         )
@@ -521,6 +657,7 @@ class BucketedEntriesTable(VersionedTable):
         caller must pass the FULL table as touched_df with all ids —
         one re-bucketing rewrite, incremental afterwards."""
         cur = self._current()
+        n = self.n_buckets  # the CURRENT snapshot's layout count
         v = (cur or 0) + 1
         dest = self._snapshot_dir(v)
         os.makedirs(dest, exist_ok=True)
@@ -534,12 +671,13 @@ class BucketedEntriesTable(VersionedTable):
         w.write.mode("overwrite").partitionBy("_b").parquet(dest)
         if cur is not None and self.current_is_bucketed():
             touched = set(touched_ids)
-            for b in range(self.n_buckets):
+            for b in range(n):
                 if b in touched:
                     continue
                 src = self._bucket_dir(cur, b)
                 if os.path.isdir(src):
                     _link_tree(src, self._bucket_dir(v, b))
+        self._write_snapshot_meta(dest, n)
         self._set_current(v)
 
 
@@ -622,6 +760,75 @@ class AppendOnlyLog:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(self.root)
+
+    # -- retention ----------------------------------------------------
+    def partition_dir(self, value: str) -> "str | None":
+        """Directory of one partition value (first partition column),
+        or None if absent. Spark URL-escapes partition values into
+        directory names (``dat://a`` -> ``dat%3A%2F%2Fa``); matching
+        by unquoting avoids reimplementing its escape table."""
+        if not self.partition_by:
+            return None
+        from urllib.parse import unquote
+
+        prefix = self.partition_by[0] + "="
+        for name in os.listdir(self.root):
+            if name.startswith(prefix) and unquote(name[len(prefix):]) == value:
+                return os.path.join(self.root, name)
+        return None
+
+    def data_files(self, part_dir: str) -> "list[str]":
+        """Parquet data files under one partition directory."""
+        out = []
+        for dirpath, _dirs, files in os.walk(part_dir):
+            out.extend(
+                os.path.join(dirpath, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return sorted(out)
+
+    def swap_origin_files(self, value: str, kept: DataFrame) -> "dict[str, int]":
+        """Replace one partition's data files with ``kept``'s rows —
+        the log-compaction commit. Protocol (add-copies-then-delete,
+        each step crash-tolerant):
+
+          1. write ``kept`` (WITHOUT the partition column — hive
+             layout keeps it in the directory name) to a ``_``-hidden
+             staging dir Spark readers ignore,
+          2. os.rename the staged files into the partition directory
+             (same filesystem — the staging dir lives inside the log),
+          3. delete the old data files.
+
+        A crash after any prefix of these steps leaves only DUPLICATE
+        rows in the log, never missing ones — and every consumer goes
+        through latest_wins (row_number over version desc), which
+        collapses exact duplicates, so a half-done swap is read-safe
+        and the next expiry pass cleans it up."""
+        import shutil
+        import uuid
+
+        part_dir = self.partition_dir(value)
+        if part_dir is None:
+            return {"files_removed": 0, "files_added": 0}
+        old = self.data_files(part_dir)
+        staging = os.path.join(self.root, "_expire_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        kept.drop(*self.partition_by).write.mode("overwrite").parquet(staging)
+        tag = uuid.uuid4().hex[:8]
+        added = 0
+        for i, p in enumerate(self.data_files(staging)):
+            os.rename(
+                p, os.path.join(part_dir, f"compacted-{tag}-{i:05d}.parquet")
+            )
+            added += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        for p in old:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        return {"files_removed": len(old), "files_added": added}
 
 
 OFFSETS_SCHEMA = T.StructType(

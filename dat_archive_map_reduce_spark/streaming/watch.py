@@ -40,6 +40,7 @@ def watch(
     on_batch: Callable[[int, int], None] | None = None,
     vacuum_every: int | None = None,
     vacuum_keep: int = 2,
+    changelog_expire_every: int | None = None,
 ):
     """Start continuous maintenance of all defined views.
 
@@ -57,6 +58,16 @@ def watch(
     snapshot (full time travel, and no risk of deleting a snapshot
     directory out from under a concurrent long-running read — opt in
     with a keep_last sized to the longest concurrent reader).
+
+    ``changelog_expire_every``: every N processed batches, compact
+    the changelog itself (engine._expire_changelog_unsafe — rows at
+    or below every view's offset collapse to one latest-wins winner
+    per file). Safe HERE because it runs at the batch boundary, after
+    the batch's merges committed and before the source's next file
+    listing. The compacted copies are new files the stream will
+    re-deliver once; re-applying them is a retract-then-add no-op
+    (idempotent merge), so pick a cadence that amortizes that one
+    wasted re-merge — hundreds of batches, not every few.
     """
     spark = engine.spark
     # The changelog is an AppendOnlyLog: ONE stable directory for the
@@ -183,10 +194,15 @@ def watch(
                 engine._emit(
                     "indexes-updated", origin=origin, version=per_origin[origin]
                 )
-            if vacuum_every is not None:
+            if vacuum_every is not None or changelog_expire_every is not None:
                 batch_counter[0] += 1
-                if batch_counter[0] % vacuum_every == 0:
+                if vacuum_every is not None and batch_counter[0] % vacuum_every == 0:
                     engine.vacuum(keep_last=vacuum_keep)
+                if (
+                    changelog_expire_every is not None
+                    and batch_counter[0] % changelog_expire_every == 0
+                ):
+                    engine._expire_changelog_unsafe()
             if on_batch is not None:
                 on_batch(batch_id, len(origins))
         finally:

@@ -826,3 +826,33 @@ def test_streaming_cms_equals_batch_sketch_exactly(spark, tmp_path):
     for (r, _b), _c in streamed.items():
         per_row[r] = per_row.get(r, 0) + 1
     assert all(v <= 256 for v in per_row.values())
+
+
+def test_watch_changelog_expiry_cadence(spark, tmp_path):
+    """In-stream changelog retention: with changelog_expire_every=1,
+    repeated drains compact each origin's raw CDC down to latest-wins
+    winners + unprocessed tail, while the maintained state stays
+    identical and later drains converge (the compacted copies are
+    re-delivered once and re-apply as idempotent merges)."""
+    db = MapReduce(spark, str(tmp_path / "wh"))
+    db.define("multi", path="/multi/*.json", map=map_first, key_schema=["string"])
+    db.define("multi-reduced", path="/multi/*.json", map=map_origin_one,
+              reduce="count", key_schema=["string"])
+    for version in range(1, 5):  # four drains = four merge cycles
+        db.append_changes(rows_for(0, version=version, suffix=f"v{version}"))
+        q = W.watch(db, changelog_expire_every=1)
+        q.awaitTermination()
+    # raw CDC: 4 generations x 3 files = 12 rows appended; retention
+    # holds the log at (winners per live file) + at most one
+    # re-delivered compaction's worth of duplicates
+    n_log = db.changelog.read().count()
+    assert n_log <= 6, f"changelog kept {n_log} rows after expiry"
+    # state identical to an uncompacted replay
+    assert db.get("multi", "first0v4") is not None
+    assert db.get("multi", "first0v3") is None
+    assert db.get("multi-reduced", "dat://w0") == {"key": "dat://w0", "value": 2}
+    # and a fresh late view over the compacted log still reconstructs
+    db.define("late", path="/multi/*.json", map=map_first, key_schema=["string"])
+    db.index("dat://w0")
+    assert {r["key"] for r in db.list("late")} == {r["key"] for r in db.list("multi")}
+    db.close()

@@ -622,3 +622,311 @@ def test_current_is_bucketed_raises_on_missing_snapshot_dir(spark, tmp_path):
     ])
     with pytest.raises(Exception):
         db.index(origin)
+
+
+def _bucket_membership_ok(store):
+    """Every parquet file in _b=K holds only rows whose
+    crc32(file_url) % n == K — the layout invariant all merge and
+    migration paths must preserve."""
+    import os
+    import zlib
+
+    v = store._current()
+    n = store.n_buckets
+    for b in range(n):
+        d = store._bucket_dir(v, b)
+        if not os.path.isdir(d):
+            continue
+        rows = store.spark.read.schema(store.schema).parquet(d).collect()
+        for r in rows:
+            assert zlib.crc32(r["file_url"].encode()) % n == b
+    return True
+
+
+def test_rebucket_migration(spark, tmp_path):
+    """N->2N bucket-count evolution (r10 verdict #1): rebucket()
+    preserves every row and query result, re-pins the layout in the
+    NEW snapshot's own meta, keeps old snapshots time-travelable
+    under their old count, and merges after the migration are
+    incremental against the NEW layout (hardlink proof)."""
+    import os
+    import zlib
+
+    wh = str(tmp_path / "wh-rebucket")
+    db = MapReduce(spark, wh, entries_buckets=4)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://grow"
+    db.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(32)
+    ])
+    db.index(origin)
+    store = db._entries_table("single", origin)
+    v1 = store._current()
+    before = {tuple(r) for r in store.read().collect()}
+    assert store.n_buckets == 4
+
+    got = db.rebucket_entries(8, views=["single"], origins=[origin])
+    assert got == {store.root: v1 + 1}
+    assert store.n_buckets == 8
+    assert {tuple(r) for r in store.read().collect()} == before
+    assert _bucket_membership_ok(store)
+    # old snapshot still time-travels under its old layout
+    assert store.read(v1).count() == 32
+    # a fresh handle (new engine open) resolves the NEW count from
+    # the snapshot meta, not the constructor default
+    db2 = MapReduce(spark, wh, entries_buckets=4)
+    db2.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    store2 = db2._entries_table("single", origin)
+    assert store2.n_buckets == 8
+
+    # merges after the migration: incremental against the NEW layout
+    v2 = store._current()
+
+    def inodes(v):
+        out = {}
+        for b in range(8):
+            d = store._bucket_dir(v, b)
+            if os.path.isdir(d):
+                out[b] = {
+                    nm: os.stat(os.path.join(d, nm)).st_ino
+                    for nm in os.listdir(d) if nm.endswith(".parquet")
+                }
+        return out
+
+    pre = inodes(v2)
+    url = f"{origin}/docs/7.json"
+    hot = zlib.crc32(url.encode()) % 8
+    db2.append_changes([
+        {"origin": origin, "pathname": "/docs/7.json", "version": 2,
+         "content": json.dumps({"first": "k7x", "second": 7, "third": "t"})}
+    ])
+    db2.index(origin)
+    post = inodes(store._current())
+    for b, files in pre.items():
+        if b == hot:
+            assert not (set(files.values()) & set(post.get(b, {}).values()))
+        else:
+            assert post[b] == files  # hardlinked, not rewritten
+    assert db2.get("single", "k7") is None
+    assert db2.get("single", "k7x")["value"] == [url]
+    assert _bucket_membership_ok(store)
+
+
+def test_rebucket_crash_leaves_old_layout_current(spark, tmp_path):
+    """A mid-migration crash (new snapshot dir partially written, no
+    pointer flip) must leave the old snapshot AND its old bucket count
+    current; the next merge overwrites the orphan and stays correct."""
+    import os
+
+    wh = str(tmp_path / "wh-rebucket-crash")
+    db = MapReduce(spark, wh, entries_buckets=4)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://crash"
+    db.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(8)
+    ])
+    db.index(origin)
+    store = db._entries_table("single", origin)
+    v1 = store._current()
+    # simulate the crash: orphan dir at v1+1 with a stale meta claiming
+    # a DIFFERENT count, pointer never flipped
+    orphan = store._snapshot_dir(v1 + 1)
+    os.makedirs(orphan, exist_ok=True)
+    store._write_snapshot_meta(orphan, 64)
+    assert store._current() == v1
+    assert store.n_buckets == 4  # resolved from the CURRENT snapshot
+    # next merge commits v1+1 over the orphan, correctly
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/2.json", "version": 2,
+         "content": json.dumps({"first": "k2x", "second": 2, "third": "t"})}
+    ])
+    db.index(origin)
+    assert store._current() == v1 + 1
+    assert store.n_buckets == 4
+    assert db.get("single", "k2") is None and db.get("single", "k2x") is not None
+    assert store.read().count() == 8
+    assert _bucket_membership_ok(store)
+
+
+def test_compact_auto_rebucket(spark, tmp_path):
+    """OPTIMIZE visits every bucket anyway, so bucket-count evolution
+    there is free: past the mean-bucket-size threshold, compact lands
+    at a doubled count that brings the mean back under it."""
+    wh = str(tmp_path / "wh-auto")
+    db = MapReduce(spark, wh, entries_buckets=2)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://auto"
+    db.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t" * 50})}
+        for i in range(24)
+    ])
+    db.index(origin)
+    store = db._entries_table("single", origin)
+    before = {tuple(r) for r in store.read().collect()}
+    sizes = store.bucket_stats()
+    assert sizes and sum(sizes.values()) > 0
+    # threshold far below the current mean -> at least one doubling
+    thresh = max(1, sum(sizes.values()) // 8)
+    pre_mean = sum(sizes.values()) / store.n_buckets
+    store.compact(sort_cols=["key_json"], auto_rebucket_bytes=thresh)
+    assert store.n_buckets >= 4  # doubled at least once from 2
+    # mean bucket size dropped (absolute bounds don't hold at toy
+    # scale — parquet footer overhead dominates tiny files)
+    assert sum(store.bucket_stats().values()) / store.n_buckets < pre_mean
+    assert {tuple(r) for r in store.read().collect()} == before
+    assert _bucket_membership_ok(store)
+    # and under a generous threshold compact stays at the same count
+    n = store.n_buckets
+    store.compact(sort_cols=["key_json"], auto_rebucket_bytes=1 << 30)
+    assert store.n_buckets == n
+
+
+def map_pair(content, meta, emit):
+    rec = json.loads(content)
+    emit(rec["first"], rec["second"])
+
+
+def test_changelog_expiry_compaction(spark, tmp_path):
+    """Changelog retention (r10 verdict #3): rows at or below every
+    view's offset collapse to one latest-wins winner per file. The
+    rewrite must be invisible to existing views AND to a view defined
+    later (winners carry original versions, so a from-zero index over
+    the compacted log reconstructs the identical state as full
+    history), while actually shrinking the log."""
+    wh = str(tmp_path / "wh-expire")
+    db = MapReduce(spark, wh, entries_buckets=4)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://retain"
+    # 3 update generations for 6 files -> 18 raw CDC rows, plus one
+    # deleted file whose tombstone must survive compaction semantics
+    for v in (1, 2, 3):
+        db.append_changes([
+            {"origin": origin, "pathname": f"/docs/{i}.json", "version": v,
+             "content": json.dumps({"first": f"k{i}v{v}", "second": i, "third": "t"})}
+            for i in range(6)
+        ])
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/0.json", "version": 4, "type": "del",
+         "content": None}
+    ])
+    db.index(origin)
+    state_before = db.list("single")
+    assert db.changelog_floors() == {origin: 4}
+
+    n_raw = db.changelog.read().count()
+    stats = db.expire_changelog()
+    assert stats[origin]["rows_expired"] > 0
+    assert stats[origin]["files_removed"] > 0
+    n_compact = db.changelog.read().count()
+    # 6 winners survive (5 puts + 1 del tombstone), 19 raw rows before
+    assert n_raw == 19 and n_compact == 6
+    # existing view: state untouched, and new updates still apply
+    assert db.list("single") == state_before
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/1.json", "version": 5,
+         "content": json.dumps({"first": "k1v5", "second": 1, "third": "t"})}
+    ])
+    db.index(origin)
+    assert db.get("single", "k1v3") is None
+    assert db.get("single", "k1v5") is not None
+    # current_version preserved by the winners' original versions
+    assert db.current_version(origin) == 5
+
+    # a view defined AFTER expiry indexes from zero and converges to
+    # the same state as the pre-existing view (compaction invisible)
+    db.define("late", path="/docs/*.json", map=map_first, key_schema=["string"])
+    db.index(origin)
+    got = {(r["key"], tuple(r["value"])) for r in db.list("late")}
+    want = {(r["key"], tuple(r["value"])) for r in db.list("single")}
+    assert got == want
+
+
+def test_changelog_expiry_floor_guards(spark, tmp_path):
+    """Floors: an origin is expirable only when EVERY defined view has
+    indexed it (a late-defined view that has not caught up pins the
+    floor at 0); expiry under an active stream refuses loudly."""
+    wh = str(tmp_path / "wh-floor")
+    db = MapReduce(spark, wh, entries_buckets=4)
+    db.define("a", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://floored"
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/1.json", "version": 1,
+         "content": json.dumps({"first": "k1", "second": 1, "third": "t"})}
+    ])
+    db.index(origin)
+    assert db.changelog_floors() == {origin: 1}
+    # new view defined, not yet indexed -> floor drops to 0, expiry no-op
+    db.define("b", path="/docs/*.json", map=map_first, key_schema=["string"])
+    assert db.changelog_floors() == {origin: 0}
+    assert db.expire_changelog() == {}
+    # after the late view catches up the floor returns
+    db.index(origin)
+    assert db.changelog_floors() == {origin: 1}
+    # active stream -> loud refusal
+    q = db.watch_views()  # continuous 500 ms trigger
+    try:
+        assert q.isActive
+        with pytest.raises(RuntimeError, match="active watch stream"):
+            db.expire_changelog()
+    finally:
+        db.close()
+
+
+def test_changelog_expiry_crash_duplicates_harmless(spark, tmp_path):
+    """The swap protocol's crash window leaves duplicate rows (copies
+    added, originals not yet deleted). Every consumer goes through
+    latest_wins, so the duplicated log must produce the identical
+    view state and a later expiry pass cleans it up."""
+    wh = str(tmp_path / "wh-dup")
+    db = MapReduce(spark, wh, entries_buckets=4)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://dup"
+    for v in (1, 2):
+        db.append_changes([
+            {"origin": origin, "pathname": f"/docs/{i}.json", "version": v,
+             "content": json.dumps({"first": f"k{i}v{v}", "second": i, "third": "t"})}
+            for i in range(3)
+        ])
+    db.index(origin)
+    state = db.list("single")
+    # simulate the crash: stage + rename the compacted copies but
+    # KEEP the originals (steps 1-2 of the protocol, no step 3)
+    from pyspark.sql import functions as F
+
+    part = db.changelog.read().filter(F.col("origin") == origin)
+    from dat_archive_map_reduce_spark.sources.files import latest_wins as _lw
+
+    kept = part.filter(F.col("version") > 2).unionByName(
+        _lw(part.filter(F.col("version") <= 2))
+    )
+    part_dir = db.changelog.partition_dir(origin)
+    old_files = set(db.changelog.data_files(part_dir))
+    db.changelog.swap_origin_files(origin, kept)
+    # re-add "crash survivors": duplicate winner rows next to the copies
+    db.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 2,
+         "content": json.dumps({"first": f"k{i}v2", "second": i, "third": "t"})}
+        for i in range(3)
+    ])
+    assert db.changelog.read().count() > 3  # duplicates present
+    # a fresh engine replaying the duplicated log converges identically
+    db2 = MapReduce(spark, wh + "2", entries_buckets=4)
+    db2.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    rows = db.changelog.read().collect()
+    db2.append_changes([
+        {"origin": r["origin"], "pathname": r["pathname"], "version": r["version"],
+         "type": r["type"], "content": r["content"]}
+        for r in rows
+    ])
+    db2.index(origin)
+    assert db2.list("single") == state
+    # and the next expiry pass removes the duplicates
+    db.expire_changelog()
+    assert db.changelog.read().count() == 3
+    assert db.list("single") == state
+    del old_files
