@@ -508,12 +508,51 @@ class MapReduce:
         buckets = {r["origin"]: sorted(r["bs"]) for r in rows}
         return updates, counts, buckets
 
+    def _probe_batch(
+        self, batch_df: DataFrame, path_groups: "dict[tuple, object]"
+    ) -> "tuple[dict[str, int], dict[tuple, dict[str, int]], dict[tuple, dict[str, list[int]]]]":
+        """ONE aggregation job over a micro-batch computing everything
+        the maintenance cycle needs driver-side: per-origin target
+        version, plus — per distinct view path-group — the compacted
+        update count per origin (distinct pathnames; latest_wins keeps
+        exactly one row per path) and the touched entries-bucket ids
+        (bounded: <= entries_buckets values per origin). Replaces the
+        r10 two-job probe (per-origin max, then per-group
+        count/bucket agg on the cached compaction) with a single
+        partial-combined groupBy — one fewer job wave per batch, and
+        the compaction caches can now fill lazily on their first real
+        consumer (the map stage) instead of a dedicated count job."""
+        from dat_archive_map_reduce_spark.sources.files import glob_to_regex
+
+        aggs = [F.max("version").alias("target")]
+        keys = list(path_groups)
+        for i, pk in enumerate(keys):
+            pred = F.col("pathname").rlike(glob_to_regex(path_groups[pk]))
+            aggs.append(
+                F.count_distinct(F.when(pred, F.col("pathname"))).alias(f"n_{i}")
+            )
+            aggs.append(
+                F.collect_set(F.when(pred, self._url_bucket_expr())).alias(f"bs_{i}")
+            )
+        rows = batch_df.groupBy("origin").agg(*aggs).collect()
+        targets = {r["origin"]: (r["target"] or 0) for r in rows}
+        counts: "dict[tuple, dict[str, int]]" = {pk: {} for pk in keys}
+        buckets: "dict[tuple, dict[str, list[int]]]" = {pk: {} for pk in keys}
+        for i, pk in enumerate(keys):
+            for r in rows:
+                n = r[f"n_{i}"]
+                if n:
+                    counts[pk][r["origin"]] = n
+                    buckets[pk][r["origin"]] = sorted(r[f"bs_{i}"])
+        return targets, counts, buckets
+
     def _apply_view_batch(
         self,
         vdef: ViewDefinition,
         log: DataFrame,
         origin_starts: "dict[str, int]",
         prepared: "tuple[DataFrame, dict[str, int], dict[str, list[int]]] | None" = None,
+        mapped: "DataFrame | None" = None,
     ) -> "dict[str, int]":
         """Watch-path merge for ONE view over a multi-origin
         micro-batch, paying each per-batch cost once instead of once
@@ -526,6 +565,11 @@ class MapReduce:
         identical state as per-origin _apply_updates cycles — the
         entries shards and the reduced merge see the same rows, only
         batched. Returns {origin: n file updates applied}.
+
+        ``mapped``: caller-owned, already-materialized map output over
+        ``prepared``'s updates — views sharing (path, map, key schema)
+        pay the Python map stage ONCE per batch (watch groups them);
+        the caller unpersists it.
         """
         if not origin_starts:
             return {}
@@ -536,15 +580,23 @@ class MapReduce:
         try:
             if not counts:
                 return {}
-            new_entries = run_map(
-                updates.filter(F.col("type") == "put"), vdef.map, vdef.key_types()
-            ).cache()
+            owns_map = mapped is None
+            new_entries = (
+                run_map(
+                    updates.filter(F.col("type") == "put"),
+                    vdef.map,
+                    vdef.key_types(),
+                ).cache()
+                if owns_map
+                else mapped
+            )
             affected_parts = [new_entries.select("key_json")]
             try:
                 # materialize the mapped batch ONCE up front so the
                 # concurrent shard writes below all read the cache
                 # instead of racing to compute the Python stage
-                new_entries.count()
+                if owns_map:
+                    new_entries.count()
 
                 def _write_shard(origin: str) -> DataFrame:
                     return self._merge_entry_shard(
@@ -582,7 +634,8 @@ class MapReduce:
                     keys.unpersist()
                 return counts
             finally:
-                new_entries.unpersist()
+                if owns_map:
+                    new_entries.unpersist()
         finally:
             if owns:
                 updates.unpersist()

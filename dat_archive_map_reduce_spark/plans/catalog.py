@@ -755,11 +755,27 @@ class AppendOnlyLog:
     def read(self) -> DataFrame:
         return self.spark.read.schema(self.schema).parquet(self.root)
 
-    def append(self, df: DataFrame) -> None:
-        w = df.write.mode("append")
+    def append(self, df: DataFrame, max_records_per_file: int = 1 << 20) -> None:
+        w = df
         if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        w.parquet(self.root)
+            # co-locate each partition value into ONE write task: an
+            # unrepartitioned append fans out into (tasks x values)
+            # tiny files — a 32-partition 8k-row batch wrote 128 —
+            # and every downstream scan, stream micro-batch, and
+            # catch-up index() pays a task per file forever (the
+            # watch path's dominant fixed cost in the r10 profile).
+            # maxRecordsPerFile re-splits a genuinely large append
+            # inside the task, so file sizes stay bounded; per-append
+            # per-origin volume is micro-batch-sized by construction,
+            # which is why one write task per origin is the right
+            # parallelism here.
+            w = df.repartition(*[F.col(c) for c in self.partition_by])
+        wr = w.write.mode("append").option(
+            "maxRecordsPerFile", str(int(max_records_per_file))
+        )
+        if self.partition_by:
+            wr = wr.partitionBy(*self.partition_by)
+        wr.parquet(self.root)
 
     # -- retention ----------------------------------------------------
     def partition_dir(self, value: str) -> "str | None":

@@ -62,6 +62,19 @@ def get_spark(app_name: str = "dat_archive_map_reduce_spark") -> SparkSession:
         # window-hash stages) onto 1-2 cores. 64 KiB keeps those at full
         # parallelism; at 100 TB shuffle sizes this floor never binds.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # let AQE re-partition CACHED plans too: the watch path caches
+        # the micro-batch's compacted updates and mapped entries, and
+        # without this flag a cached plan pins its pre-AQE partition
+        # count (here shuffle.partitions + scan splits), so every
+        # downstream per-view/per-origin job pays ~36 task launches to
+        # read a few thousand rows — the dominant fixed per-batch cost
+        # in the r11 maintain profile. With it, small batches coalesce
+        # to a handful of cached partitions while large backfills keep
+        # full parallelism (exactly the adaptive behavior the
+        # fixed+marginal cost model wants).
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "true")
     )

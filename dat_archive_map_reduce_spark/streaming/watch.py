@@ -31,7 +31,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dat_archive_map_reduce_spark.sources.files import FILES_SCHEMA
+from dat_archive_map_reduce_spark.operators.map_reduce import run_map
+from dat_archive_map_reduce_spark.sources.files import (
+    FILES_SCHEMA,
+    glob_filter,
+    latest_wins,
+)
 
 
 def watch(
@@ -94,12 +99,21 @@ def watch(
         # retraction a one-shard rewrite.
         batch_df = batch_df.persist()
         try:
-            per_origin = {
-                r["origin"]: r["target"] or 0
-                for r in batch_df.groupBy("origin")
-                .agg(F.max("version").alias("target"))
-                .collect()
-            }
+            # ONE probe job: per-origin targets + per-path-group
+            # compacted counts and touched bucket ids (engine
+            # _probe_batch) — the r10 flow paid a second job per
+            # distinct (glob, offsets) for the counts
+            path_groups: dict = {}
+            for vdef in engine.views.values():
+                pk = (
+                    tuple(vdef.path)
+                    if isinstance(vdef.path, (list, tuple))
+                    else (vdef.path,)
+                )
+                path_groups.setdefault(pk, vdef.path)
+            per_origin, g_counts, g_buckets = engine._probe_batch(
+                batch_df, path_groups
+            )
             origins = sorted(per_origin)
             for origin in origins:
                 engine._indexed_origins.add(origin)
@@ -131,8 +145,9 @@ def watch(
             # newest version. Views watching the SAME glob share one
             # compaction per batch. start=-1 admits version-0 rows
             # (directory-corpus imports use version=0 puts).
-            plan = []  # (name, vdef, origin_starts, shared-key)
-            shared: dict = {}
+            plan = []  # (name, vdef, origin_starts, path-key, map-key)
+            shared: dict = {}  # path-key -> (cached updates, counts, buckets)
+            mapped: dict = {}  # (path-key, map fn, key schema) -> cached entries
             for name, vdef in engine.views.items():
                 origin_starts = {origin: -1 for origin in origins}
                 for origin in origins:
@@ -142,19 +157,39 @@ def watch(
                     )
                     if target > offsets.get((name, origin), 0):
                         offset_updates.append((name, origin, target))
-                key = None
+                pk = mk = None
                 if origin_starts:
-                    path_key = (
+                    pk = (
                         tuple(vdef.path)
                         if isinstance(vdef.path, (list, tuple))
                         else (vdef.path,)
                     )
-                    key = (path_key, tuple(sorted(origin_starts.items())))
-                    if key not in shared:
-                        shared[key] = engine._prepare_view_updates(
-                            vdef.path, batch_df, origin_starts
+                    if pk not in shared:
+                        # compacted updates: CACHED but not counted —
+                        # the probe already sized the batch, so the
+                        # cache fills on its first real consumer (the
+                        # map stage below)
+                        shared[pk] = (
+                            latest_wins(glob_filter(batch_df, vdef.path)).cache(),
+                            g_counts[pk],
+                            g_buckets[pk],
                         )
-                plan.append((name, vdef, origin_starts, key))
+                    # views sharing (path, map fn, key schema) share ONE
+                    # Python map stage per batch (the mapped+reduced
+                    # twin-view pattern halves the dominant per-batch
+                    # Python cost)
+                    mk = (pk, vdef.map, tuple(vdef.key_schema))
+                    if mk not in mapped and g_counts[pk]:
+                        mapped[mk] = run_map(
+                            shared[pk][0].filter(F.col("type") == "put"),
+                            vdef.map,
+                            vdef.key_types(),
+                        ).cache()
+                plan.append((name, vdef, origin_starts, pk, mk))
+            # materialize each shared map output ONCE before the
+            # concurrent view applies race to read it
+            for df in mapped.values():
+                df.count()
             # Pass 2: apply views CONCURRENTLY — each view's entries
             # shards and reduced table are disjoint storage, so the
             # merges run as parallel Spark jobs and a multi-view
@@ -168,20 +203,30 @@ def watch(
                         list(
                             pool.map(
                                 lambda t: engine._apply_view_batch(
-                                    t[1], batch_df, t[2], prepared=shared[t[3]]
+                                    t[1],
+                                    batch_df,
+                                    t[2],
+                                    prepared=shared[t[3]],
+                                    mapped=mapped.get(t[4]),
                                 ),
                                 todo,
                             )
                         )
                 elif todo:
-                    name, vdef, origin_starts, key = todo[0]
+                    name, vdef, origin_starts, pk, mk = todo[0]
                     engine._apply_view_batch(
-                        vdef, batch_df, origin_starts, prepared=shared[key]
+                        vdef,
+                        batch_df,
+                        origin_starts,
+                        prepared=shared[pk],
+                        mapped=mapped.get(mk),
                     )
             finally:
+                for df in mapped.values():
+                    df.unpersist()
                 for upd, *_ in shared.values():
                     upd.unpersist()
-            for name, _, _, _ in plan:
+            for name, *_ in plan:
                 for origin in origins:
                     engine._emit(
                         "archive-indexed",

@@ -125,19 +125,22 @@ def test_watch_same_version_files_span_batches(spark, tmp_path):
     db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
     db.define("vr", path="/d/*.json", map=map_origin_one,
               reduce="count", key_schema=["string"])
-    n = 0
-    # one part file per non-empty partition per append; write enough
-    # appends to exceed the 64-file trigger cap at any parallelism
-    per_append = spark.sparkContext.defaultParallelism
-    for chunk in range(64 // per_append + 1):
-        db.append_changes([
-            {"origin": "dat://big", "pathname": f"/d/{chunk}-{i}.json",
-             "version": 1,
-             "content": json.dumps({"first": f"k{chunk}-{i}", "second": i,
+    # the changelog writer coalesces appends to ~one file per origin
+    # (small-file discipline), so force the many-tiny-files shape this
+    # test needs directly: max_records_per_file=1 -> one file per row,
+    # exceeding the 64-file trigger cap in one append
+    from dat_archive_map_reduce_spark.sources.files import changelog_from_rows
+
+    n = 72
+    db.changelog.append(
+        changelog_from_rows(spark, [
+            {"origin": "dat://big", "pathname": f"/d/{i}.json", "version": 1,
+             "content": json.dumps({"first": f"k{i}", "second": i,
                                     "third": "x"})}
-            for i in range(per_append)
-        ])
-        n += per_append
+            for i in range(n)
+        ]),
+        max_records_per_file=1,
+    )
     batches = []
     q = W.watch(db, on_batch=lambda bid, nn: batches.append(bid))
     q.awaitTermination()
