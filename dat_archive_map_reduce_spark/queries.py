@@ -11592,6 +11592,559 @@ NO_ORACLE_TWINS: "dict[str, str]" = {
 }
 
 
+# =====================================================================
+# R11 additions: FastSS edit-distance vocab dedup, HITS step, CUSUM
+# changepoint, weekday seasonality, Theil-Sen trend, Matryoshka
+# prefix-recall
+# =====================================================================
+
+@query(
+    "dedup_editdistance_fastss",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT t.tok AS w
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE length(t.tok) BETWEEN 3 AND 24
+    ), vars AS (
+      SELECT w, w AS v FROM toks
+      UNION ALL
+      SELECT w, substr(w, 1, CAST(i AS INT) - 1)
+                || substr(w, CAST(i AS INT) + 1, length(w)) AS v
+      FROM toks, unnest(range(1, length(w) + 1)) AS r(i)
+    ), pairs AS (
+      SELECT DISTINCT a.w AS w1, b.w AS w2
+      FROM vars a JOIN vars b USING (v)
+      WHERE a.w < b.w
+    )
+    SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+    FROM pairs
+    WHERE levenshtein(w1, w2) <= 1
+    ORDER BY w1, w2
+    """,
+)
+def dedup_editdistance_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance vocabulary dedup via the FastSS / SymSpell
+    deletion neighborhood (Bocek 2007; the spell-correction /
+    typo-clustering primitive): two words are candidates iff they
+    share a single-character-deletion variant (or one IS the other's
+    variant), which is a complete cover for Levenshtein distance 1 —
+    so the verify filter has nothing to recall-lose, and the oracle
+    proves it by regenerating the neighborhood exhaustively in SQL.
+    The edit-distance complement of the token-set dedups (Jaccard /
+    MinHash operate on word sets; this operates on CHARACTERS within
+    words).
+
+    Scale shape: the inverted-index discipline again — candidates
+    come from a (variant -> word) equi-join over the DISTINCT
+    vocabulary (corpus-sublinear; deletion variants are <= len+1 rows
+    per vocab word, bounded by the 24-char cap), never an all-pairs
+    comparison; the final Levenshtein check runs only on candidate
+    pairs. Both engines share the unit-cost Levenshtein definition
+    (no transpositions), so the verify is bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter((F.length("w") >= 3) & (F.length("w") <= 24))
+        .distinct()
+    )
+    n = F.length("w")
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.col("w").substr(F.lit(1), i - F.lit(1)),
+            F.col("w").substr(i + F.lit(1), n),
+        ),
+    )
+    variants = toks.select(
+        "w", F.explode(F.array_union(F.array(F.col("w")), dels)).alias("v")
+    )
+    va = variants.select("v", F.col("w").alias("w1"))
+    vb = variants.select("v", F.col("w").alias("w2"))
+    pairs = (
+        va.join(vb, "v")
+        .filter(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+    )
+    return (
+        pairs.filter(F.levenshtein("w1", "w2") <= 1)
+        .select(
+            "w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist")
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+@query(
+    "graph_hits_step",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    e AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 131071 + j.j * 524287) % t.n AS dst
+      FROM documents d CROSS JOIN tot t,
+           (SELECT unnest([1, 2, 3]) AS j) j
+      WHERE j.j <= 1 + d.doc_id % 3
+        AND (d.doc_id * 131071 + j.j * 524287) % t.n <> d.doc_id
+    ),
+    auth AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS auth
+             FROM e GROUP BY 1),
+    hub AS (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS hub
+            FROM e JOIN auth a ON a.node = e.dst GROUP BY 1)
+    SELECT d.doc_id AS node,
+           CAST(coalesce(auth.auth, 0) AS BIGINT) AS auth,
+           CAST(coalesce(hub.hub, 0) AS BIGINT) AS hub
+    FROM documents d
+    LEFT JOIN auth ON auth.node = d.doc_id
+    LEFT JOIN hub ON hub.node = d.doc_id
+    """,
+)
+def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS power-iteration step (Kleinberg 1999 hubs &
+    authorities) over the shared synthetic doc-link graph
+    (operators/graph.py::doc_link_edges): from the all-ones start,
+    auth_1(v) = in-degree(v) and hub_1(u) = sum of auth_1 over u's
+    out-neighbors — the mutually-recursive UNNORMALIZED update, kept
+    ALL-INTEGER so the gate needs no quantization anywhere (the
+    label-propagation precedent; the iterated algorithm adds the
+    L2-normalization this single proof step omits, quantized like
+    pagerank's per-round 9dp). A genuinely different recursion from
+    pagerank: rank flows along IN-links with damping there; here hub
+    and authority scores reinforce each other across link direction.
+
+    Scale shape: two partial-combined edge-grain aggregates (in-degree,
+    then one src rollup after an (edge join auth) at dst grain) and
+    two node-grain left joins — no windows, no driver state, the BSP
+    step shape every graph op here shares."""
+    from dat_archive_map_reduce_spark.operators.graph import doc_link_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    edges, _tot = doc_link_edges(docs)
+    auth = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("auth")
+    )
+    hub = (
+        edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("auth").cast("long").alias("hub"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+        )
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), span AS (
+      SELECT min(day) AS lo, max(day) AS hi, sum(n) AS t,
+             max(day) - min(day) + 1 AS d
+      FROM daily
+    ), dense AS (
+      SELECT gs.dd AS day, coalesce(daily.n, 0) AS n, span.t, span.d
+      FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS dd) gs
+      CROSS JOIN span
+      LEFT JOIN daily ON daily.day = gs.dd
+    ), sk AS (
+      SELECT day, d, sum(d * n - t) OVER (ORDER BY day) AS s
+      FROM dense
+    )
+    SELECT CAST((SELECT count(*) FROM dense) AS BIGINT) AS n_days,
+           CAST(day AS BIGINT) AS cp_day,
+           CAST(s AS BIGINT) AS s_scaled,
+           round(CAST(s AS DOUBLE) / d, 4) AS cusum_peak
+    FROM sk ORDER BY abs(s) DESC, day LIMIT 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-count series
+    (Page 1954): S_k = sum over days <= k of (n_i - mean), peaking at
+    the day where the level shifts — the classic drift LOCALIZER
+    (psi/KL say THAT a distribution moved; CUSUM says WHEN). Gap days
+    count as zero (dense calendar).
+
+    Integer-exact throughout: S_k is computed scaled by D (the span
+    length) as sum(D*n_i - T), a BIGINT both engines agree on
+    bit-for-bit — the telescoped total is exactly 0 — and only the
+    final reported peak divides by D (one double division, 4dp). The
+    changepoint is argmax |S_k| with the earliest day breaking ties
+    (max over (|s|, -day) structs, never a sort).
+
+    Scale shape: ONE day-grain fact rollup; the dense calendar, the
+    bucketed exact cumsum (exact_global_cumsum — no single-partition
+    window), and the argmax fold are all calendar-bounded metadata."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = daily.agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
+        F.sum("n").alias("t"),
+        (F.max("day") - F.min("day") + 1).alias("d"),
+    )
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+            "t",
+            "d",
+        )
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            "d",
+            (F.col("d") * F.coalesce(F.col("n"), F.lit(0)) - F.col("t")).alias(
+                "term"
+            ),
+        )
+    )
+    c = exact_global_cumsum(dense, "day", "term", cumsum_col="sprev")
+    sk = c.select("day", "d", (F.col("sprev") + F.col("term")).alias("s"))
+    agg = sk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.min("d").alias("dd"),
+        F.max(
+            F.struct(
+                F.abs("s").alias("a"), (-F.col("day")).alias("nd"), F.col("s").alias("s")
+            )
+        ).alias("b"),
+    )
+    return agg.select(
+        "n_days",
+        (-F.col("b.nd")).cast("long").alias("cp_day"),
+        F.col("b.s").cast("long").alias("s_scaled"),
+        F.round(F.col("b.s").cast("double") / F.col("dd"), 4).alias("cusum_peak"),
+    )
+
+
+@query(
+    "events_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), span AS (
+      SELECT min(day) AS lo, max(day) AS hi, sum(n) AS t,
+             max(day) - min(day) + 1 AS d
+      FROM daily
+    ), dense AS (
+      SELECT gs.dd AS day, coalesce(daily.n, 0) AS n, span.t, span.d
+      FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS dd) gs
+      CROSS JOIN span
+      LEFT JOIN daily ON daily.day = gs.dd
+    )
+    SELECT CAST((day + 3) % 7 AS BIGINT) AS dow,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(n) * max(d) AS DOUBLE)
+                 / (count(*) * max(t)), 4) AS seasonal_index
+    FROM dense
+    GROUP BY 1
+    """,
+)
+def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of event volume — the
+    multiplicative seasonality profile (index 1.0 = an average day;
+    retail's \"weekend lift\" readout) that a forecasting or
+    anomaly-detection pipeline divides out before trend analysis; the
+    calendar-axis sibling of events_autocorrelation's r_lag7 (that
+    one detects weekly periodicity, this one MEASURES its shape).
+
+    Day-of-week is pure epoch-day arithmetic, (day + 3) % 7 with
+    0 = Monday — never each engine's builtin (Spark's dayofweek is
+    1=Sunday, DuckDB's is 0=Sunday: a guaranteed off-by-one trap).
+    Gap days count as zero-event days of their weekday (dense
+    calendar), so the index is (sum_dow / days_dow) / (T / D),
+    computed as one exact-integer cross-multiplied ratio
+    (sum_dow * D) / (days_dow * T) — a single double division, 4dp.
+
+    Scale shape: ONE day-grain fact rollup, then a <= 7-row
+    metadata aggregate over the dense calendar."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = daily.agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
+        F.sum("n").alias("t"),
+        (F.max("day") - F.min("day") + 1).alias("d"),
+    )
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+            "t",
+            "d",
+        )
+        .join(daily, "day", "left")
+        .select("day", "t", "d", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    return (
+        dense.groupBy(((F.col("day") + 3) % 7).cast("long").alias("dow"))
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                (F.sum("n") * F.max("d")).cast("double")
+                / (F.count(F.lit(1)) * F.max("t")),
+                4,
+            ).alias("seasonal_index"),
+        )
+    )
+
+
+@query(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), span AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), dense AS (
+      SELECT gs.dd AS day, coalesce(daily.n, 0) AS n
+      FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS dd) gs
+      LEFT JOIN daily ON daily.day = gs.dd
+    ), ser AS (
+      SELECT list(n ORDER BY day) AS xs FROM dense
+    ), slopes AS (
+      SELECT len(xs) AS n_days,
+             list_sort(flatten(list_transform(range(1, len(xs)), i ->
+               list_transform(range(i + 1, len(xs) + 1), j ->
+                 CAST(xs[CAST(j AS INT)] - xs[CAST(i AS INT)] AS DOUBLE)
+                 / (j - i))))) AS sl
+      FROM ser
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           CAST(len(sl) AS BIGINT) AS n_pairs,
+           CASE WHEN len(sl) >= 1
+                THEN round(sl[CAST((len(sl) + 1) // 2 AS INT)], 6) END
+             AS sen_slope
+    FROM slopes
+    """,
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend estimator on the daily event-count series: the
+    median of all pairwise slopes (n_j - n_i) / (j - i) — the robust
+    (29%-breakdown) alternative to OLS trend that one outlier day
+    cannot drag, standard in volume-monitoring dashboards; the
+    robust-statistics sibling of events_anomaly_mad (median-based
+    location there, median-based SLOPE here) and the robust
+    counterpart of text_zipf_fit's OLS.
+
+    Determinism: every slope is one double division of exact
+    integers (identical IEEE ops both engines), the pair set is
+    enumerated in the same (i, j) index order, sorted ascending, and
+    the lower median (element (m+1)//2) is picked positionally —
+    equal doubles are interchangeable, so sort-tie order cannot
+    matter; 6dp rounds only the reported slope. Single-day series
+    yield NULL (degenerate-guard convention).
+
+    Scale shape: ONE day-grain fact rollup; the dense calendar,
+    pair enumeration (O(D^2) with D = calendar span in days — a
+    bounded-metadata quadratic, like the autocorrelation moments),
+    and the sort-select all fold inside one 1-row aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+        .join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    ser = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))), lambda s: s["n"]
+        ).alias("xs")
+    )
+    m = F.size("xs")
+    slopes = F.array_sort(
+        F.flatten(
+            F.transform(
+                F.col("xs"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("xs"), i + F.lit(2), m),
+                    lambda b, j: (b - a).cast("double") / (j + F.lit(1)).cast("double"),
+                ),
+            )
+        )
+    )
+    out = ser.select(
+        m.cast("long").alias("n_days"),
+        F.size(slopes).cast("long").alias("n_pairs"),
+        slopes.alias("sl"),
+    )
+    k = F.floor((F.size("sl") + 1) / 2).cast("int")
+    return out.select(
+        "n_days",
+        "n_pairs",
+        F.when(
+            F.size("sl") >= 1, F.round(F.element_at(F.col("sl"), k), 6)
+        ).alias("sen_slope"),
+    )
+
+
+@query(
+    "emb_matryoshka_prefix_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+    ), c AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), ks AS (SELECT unnest([8, 16, 64]) AS k),
+    scored AS (
+      SELECT ks.k, q.qid, c.cid,
+             round(
+               list_reduce(list_transform(range(1, ks.k + 1),
+                 i -> cv[CAST(i AS INT)] * qv[CAST(i AS INT)]),
+                 (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(range(1, ks.k + 1),
+                    i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)]),
+                    (a, b) -> a + b))
+                  * sqrt(list_reduce(list_transform(range(1, ks.k + 1),
+                      i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)]),
+                      (a, b) -> a + b))), 4) AS cos
+      FROM q, c, ks WHERE c.cid <> q.qid
+    ), top AS (
+      SELECT k, qid, cid AS top1 FROM (
+        SELECT k, qid, cid,
+               row_number() OVER (PARTITION BY k, qid
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM scored) t WHERE rn = 1
+    ), ref AS (SELECT qid, top1 AS r FROM top WHERE k = 64)
+    SELECT CAST(top.k AS INT) AS prefix_dim,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN top.top1 = ref.r THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_top1_match,
+           round(sum(CASE WHEN top.top1 = ref.r THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS recall_at_1
+    FROM top JOIN ref USING (qid)
+    GROUP BY 1
+    """,
+)
+def emb_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension evaluation (Kusupati 2022
+    MRL; the truncate-the-embedding serving trick): for prefix widths
+    8/16/64, find each query's top-1 cosine neighbor using only the
+    first k dimensions and report recall@1 against the full-width
+    (64) reference — the measurement a pipeline runs before deciding
+    how many dimensions its ANN index actually needs. Complements the
+    compression family (JL projection / int8 / PQ quantize) with the
+    DIMENSION-TRUNCATION axis none of them covers.
+
+    Determinism: dot/norm folds run in ascending index order over the
+    SLICED arrays on both engines (the emb_cosine_topk fold recipe);
+    ranking compares the 4dp-rounded cosine with id tiebreak, so both
+    engines rank on the grid they agree on; recall is a ratio of
+    exact integers, one double division.
+
+    Scale shape: the batched-serving pattern — the 8-query table and
+    the 3 widths ride one broadcast fan-out over the corpus (map-only
+    scoring), then ONE (width, query) partial-combined argmax
+    aggregate; the recall join touches 3 x |queries| metadata rows.
+    Zero-norm prefixes are filtered explicitly (cosine undefined)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    ks = spark.createDataFrame([(8,), (16,), (64,)], "k int")
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+
+    cs = F.slice("cv", F.lit(1), F.col("k"))
+    qs = F.slice("qv", F.lit(1), F.col("k"))
+    fan = (
+        c.crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("cid") != F.col("qid"))
+        .select(
+            "k",
+            "qid",
+            "cid",
+            _dot(cs, qs).alias("dot"),
+            F.sqrt(_dot(cs, cs)).alias("nc"),
+            F.sqrt(_dot(qs, qs)).alias("nq"),
+        )
+        .filter((F.col("nc") > 0) & (F.col("nq") > 0))
+    )
+    top = (
+        fan.select(
+            "k",
+            "qid",
+            "cid",
+            F.round(F.col("dot") / (F.col("nc") * F.col("nq")), 4).alias("cos"),
+        )
+        .groupBy("k", "qid")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))).alias("b"))
+        .select("k", "qid", (-F.col("b.nc")).alias("top1"))
+    )
+    ref = top.filter(F.col("k") == 64).select("qid", F.col("top1").alias("r"))
+    return (
+        top.join(ref, "qid")
+        .groupBy(F.col("k").cast("int").alias("prefix_dim"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(F.when(F.col("top1") == F.col("r"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_top1_match"),
+            F.round(
+                F.sum(F.when(F.col("top1") == F.col("r"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("recall_at_1"),
+        )
+    )
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

@@ -930,3 +930,58 @@ def test_changelog_expiry_crash_duplicates_harmless(spark, tmp_path):
     assert db.changelog.read().count() == 3
     assert db.list("single") == state
     del old_files
+
+
+def test_vacuum_vs_lazy_merge_plan(spark, tmp_path):
+    """read_buckets' "resolves NOW" contract meets vacuum (r10 verdict
+    #8): a lazy plan pinned to the then-current snapshot must survive
+    BOTH a later pointer flip and a keep_last>=2 vacuum running
+    between plan construction and materialization — that floor (keep
+    current + previous) is exactly what makes the watch cadence safe,
+    since every in-batch lazy plan references at worst the previous
+    snapshot. keep_last=1 documents the sharp edge: the pinned paths
+    are deleted and materialization fails loudly rather than
+    returning wrong rows."""
+    wh = str(tmp_path / "wh-vac-lazy")
+    db = MapReduce(spark, wh, entries_buckets=4)
+    db.define("single", path="/docs/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://vac"
+    db.append_changes([
+        {"origin": origin, "pathname": f"/docs/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(12)
+    ])
+    db.index(origin)
+    store = db._entries_table("single", origin)
+
+    # lazy plan pinned to the CURRENT snapshot's bucket paths
+    lazy = store.read_buckets(list(range(store.n_buckets)))
+    pinned_version = store._current()
+    # a merge flips the pointer past it...
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/3.json", "version": 2,
+         "content": json.dumps({"first": "k3x", "second": 3, "third": "t"})}
+    ])
+    db.index(origin)
+    assert store._current() == pinned_version + 1
+    # ...and a keep_last=2 vacuum runs BEFORE materialization: the
+    # pinned (now-previous) snapshot must survive, so the lazy plan
+    # still reads the exact pre-merge rows
+    db.vacuum(keep_last=2)
+    assert pinned_version in store.versions()
+    rows = {r["key_json"] for r in lazy.select("key_json").collect()}
+    assert '"k3"' in rows and '"k3x"' not in rows  # pre-merge content
+
+    # sharp edge, documented: keep_last=1 deletes the pinned paths and
+    # a STILL-LAZY plan must fail loudly, never silently return wrong
+    lazy2 = store.read_buckets(list(range(store.n_buckets)))
+    v2 = store._current()
+    db.append_changes([
+        {"origin": origin, "pathname": "/docs/5.json", "version": 3,
+         "content": json.dumps({"first": "k5x", "second": 5, "third": "t"})}
+    ])
+    db.index(origin)
+    db.vacuum(keep_last=1)
+    assert v2 not in store.versions()
+    with pytest.raises(Exception):
+        lazy2.select("key_json").collect()
