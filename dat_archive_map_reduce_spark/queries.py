@@ -12145,6 +12145,369 @@ def emb_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_word_pmi",
+    oracle="""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, t.tok AS w
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE length(t.tok) BETWEEN 3 AND 24
+    ), nd AS (SELECT count(DISTINCT doc_id) AS n FROM dw),
+    vocab AS (
+      SELECT w, df FROM (
+        SELECT w, CAST(count(*) AS BIGINT) AS df,
+               row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM dw GROUP BY w) v
+      WHERE rn <= 32
+    ), dv AS (
+      SELECT dw.doc_id, dw.w, vocab.df FROM dw JOIN vocab USING (w)
+    ), co AS (
+      SELECT a.w AS wa, b.w AS wb, a.df AS na, b.df AS nb,
+             CAST(count(*) AS BIGINT) AS nab
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT wa, wb, nab, na, nb,
+           round(ln(CAST(nab * n AS DOUBLE) / (na * nb)), 6) AS pmi
+    FROM co, nd
+    WHERE nab >= 5
+    ORDER BY round(ln(CAST(nab * n AS DOUBLE) / (na * nb)), 6) DESC, wa, wb
+    LIMIT 20
+    """,
+)
+def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs co-occurring in
+    documents — PMI = ln(P(a,b) / (P(a)P(b))) over document-level
+    presence (Church & Hanks 1990), the collocation / topic-pair
+    statistic behind phrase mining and embedding objectives. Top-20
+    pairs by PMI with a co-occurrence floor of 5 (rare-pair PMI is
+    noise by construction).
+
+    Scale shape: the basket/inverted-index discipline with a BOUNDED
+    dimension — co-occurrence counts come from a doc-keyed self-join
+    of the (doc, word) table RESTRICTED to the top-32 document-
+    frequency vocabulary (deterministic df-desc/word tiebreak), so
+    the per-doc fan-out is <= C(32,2) whatever the corpus size; never
+    an unrestricted word-pair explosion. Counts and the N*nab / na*nb
+    ratio are BIGINT-exact; one ln per surviving pair rounds at 6dp
+    (the psi/zipf libm recipe); ranking on the rounded PMI with
+    (wa, wb) tiebreak plans as TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .filter((F.length("w") >= 3) & (F.length("w") <= 24))
+        .distinct()
+    )
+    nd = dw.agg(F.count_distinct("doc_id").alias("n"))
+    vocab = (
+        dw.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), "w")
+        .limit(32)
+    )
+    dv = dw.join(F.broadcast(vocab), "w")  # vocab is <= 32 rows by cap
+    a = dv.select("doc_id", F.col("w").alias("wa"), F.col("df").alias("na"))
+    b = dv.select("doc_id", F.col("w").alias("wb"), F.col("df").alias("nb"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("nab"))
+        .filter(F.col("nab") >= 5)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("nab") * F.col("n")).cast("double")
+            / (F.col("na") * F.col("nb"))
+        ),
+        6,
+    )
+    return (
+        co.crossJoin(F.broadcast(nd))
+        .select("wa", "wb", "nab", "na", "nb", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "wa", "wb")
+        .limit(20)
+    )
+
+
+@query(
+    "text_heaps_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS w
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE length(t.tok) BETWEEN 3 AND 24
+    ), nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    cps AS (SELECT unnest([1, 2, 4, 8]) AS k),
+    pts AS (
+      SELECT k,
+             CAST(count(CASE WHEN doc_id < (n * k) // 8 THEN 1 END)
+                  AS BIGINT) AS n_tok,
+             CAST(count(DISTINCT CASE WHEN doc_id < (n * k) // 8 THEN w END)
+                  AS BIGINT) AS v
+      FROM toks, nd, cps GROUP BY k, n
+    ), lp AS (
+      SELECT k, n_tok, v,
+             round(ln(CAST(n_tok AS DOUBLE)), 6) AS lx,
+             round(ln(CAST(v AS DOUBLE)), 6) AS ly
+      FROM pts WHERE n_tok > 0 AND v > 0
+    ), fit AS (
+      SELECT count(*) AS m, sum(lx) AS sx, sum(ly) AS sy,
+             sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+      FROM lp
+    )
+    SELECT CAST(m AS BIGINT) AS n_points,
+           CASE WHEN m >= 2 AND (m * sxx - sx * sx) <> 0 THEN
+             round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) END
+             AS heaps_beta,
+           CASE WHEN m >= 2 AND (m * sxx - sx * sx) <> 0 THEN
+             round(exp((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx))
+                        * sx) / m), 4) END
+             AS heaps_k
+    FROM fit
+    """,
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V = K * n^beta (Heaps 1978):
+    distinct vocabulary V against cumulative token count n at four
+    corpus checkpoints (the first 1/8, 1/4, 1/2, and all of the
+    docs by id), OLS in log-log space — the standard projection for
+    "how big does the tokenizer vocabulary get at 100x the corpus".
+    The growth-curve sibling of text_zipf_fit (rank-frequency shape
+    there, vocabulary-size trajectory here; natural language sits
+    near beta ~0.5, duplicate-heavy corpora sag lower).
+
+    Determinism: checkpoint membership is integer arithmetic on
+    doc_id (< N*k/8); token/vocab counts per checkpoint come from ONE
+    Expand-based multi-distinct pass (the table_profile shape — four
+    conditional count-distincts, no four scans); ln of exact counts
+    rounds at 6dp before the 4-point OLS (the zipf recipe), slope and
+    K at 4dp; degenerate spans NULL out.
+
+    Scale shape: one tokenized corpus scan into the Expand aggregate;
+    everything after is a 4-row metadata fold."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .filter((F.length("w") >= 3) & (F.length("w") <= 24))
+    )
+    nd = docs.agg((F.max("doc_id") + 1).alias("n"))
+    t = toks.crossJoin(F.broadcast(nd))
+    pts_aggs = []
+    for k in (1, 2, 4, 8):
+        inside = F.col("doc_id") < F.floor(F.col("n") * k / 8)
+        pts_aggs.append(
+            F.count(F.when(inside, 1)).cast("long").alias(f"n_tok_{k}")
+        )
+        pts_aggs.append(
+            F.count_distinct(F.when(inside, F.col("w"))).cast("long").alias(f"v_{k}")
+        )
+    wide = t.groupBy().agg(*pts_aggs)
+    # unpivot the 4 checkpoints into (k, n_tok, v) metadata rows
+    pts = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.col(f"n_tok_{k}").alias("n_tok"),
+                        F.col(f"v_{k}").alias("v"),
+                    )
+                    for k in (1, 2, 4, 8)
+                ]
+            )
+        ).alias("p")
+    ).select("p.k", "p.n_tok", "p.v")
+    lp = pts.filter((F.col("n_tok") > 0) & (F.col("v") > 0)).select(
+        F.round(F.log(F.col("n_tok").cast("double")), 6).alias("lx"),
+        F.round(F.log(F.col("v").cast("double")), 6).alias("ly"),
+    )
+    fit = lp.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    ok = (F.col("m") >= 2) & (den != 0)
+    return fit.select(
+        F.col("m").cast("long").alias("n_points"),
+        F.when(ok, F.round(slope, 4)).alias("heaps_beta"),
+        F.when(
+            ok,
+            F.round(
+                F.exp((F.col("sy") - slope * F.col("sx")) / F.col("m")), 4
+            ),
+        ).alias("heaps_k"),
+    )
+
+
+@query(
+    "events_benford_digits",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(floor(value) AS BIGINT) AS n
+      FROM events WHERE value IS NOT NULL AND value >= 1
+    ), digits AS (
+      SELECT CAST(n // CAST(power(10, length(CAST(n AS VARCHAR)) - 1)
+                            AS BIGINT) AS BIGINT) AS digit
+      FROM vals
+    ), obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY 1
+    ), tot AS (SELECT sum(n_obs) AS t FROM obs),
+    grid AS (SELECT unnest(range(1, 10)) AS digit)
+    SELECT CAST(grid.digit AS BIGINT) AS digit,
+           CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+           round(ln(1.0 + 1.0 / grid.digit) / ln(10.0), 6) AS expected_p,
+           round(CAST(coalesce(obs.n_obs, 0) AS DOUBLE) / tot.t, 6)
+             AS observed_p
+    FROM grid LEFT JOIN obs ON obs.digit = grid.digit CROSS JOIN tot
+    ORDER BY 1
+    """,
+)
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of the value column — the
+    fraud / data-fabrication screen (naturally-occurring magnitudes
+    follow P(d) = log10(1 + 1/d); fabricated or truncated data
+    doesn't). Reports observed vs expected probability for each
+    leading digit 1-9, zero-filled over the full digit grid.
+
+    Determinism: the leading digit comes from INTEGER arithmetic —
+    n // 10^(len(str(n)) - 1) over the floored value — never
+    floor(log10(x)), whose libm result one ulp below an exact power
+    of 10 would misclassify a boundary value differently per engine;
+    10^k is double-exact through k=22, so the cast-to-BIGINT divisor
+    is exact. Expected probabilities are one ln ratio rounded at 6dp
+    (the shared libm recipe); observed = exact count / exact total.
+
+    Scale shape: one map-side digit projection + a <= 9-key
+    partial-combined aggregate; the grid join is 9 metadata rows."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 1)
+    )
+    n = F.floor("value").cast("long")
+    digit = F.floor(
+        n / F.pow(F.lit(10.0), F.length(n.cast("string")) - 1).cast("long")
+    ).cast("long")
+    obs = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").alias("t"))
+    grid = obs.sparkSession.range(1, 10).select(F.col("id").alias("digit"))
+    return (
+        grid.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.round(
+                F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6
+            ).alias("expected_p"),
+            F.round(
+                F.coalesce("n_obs", F.lit(0)).cast("double") / F.col("t"), 6
+            ).alias("observed_p"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH span AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+    ), per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CAST(sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events, span GROUP BY 1, 2
+    ), cells AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM per_user GROUP BY 1
+    )
+    SELECT max(CASE WHEN arm = 0 THEN n END) AS n_control,
+           max(CASE WHEN arm = 1 THEN n END) AS n_treat,
+           round(max(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) / n END), 6)
+             AS pre_control,
+           round(max(CASE WHEN arm = 1 THEN CAST(sx AS DOUBLE) / n END), 6)
+             AS pre_treat,
+           round(max(CASE WHEN arm = 0 THEN CAST(sy AS DOUBLE) / n END), 6)
+             AS post_control,
+           round(max(CASE WHEN arm = 1 THEN CAST(sy AS DOUBLE) / n END), 6)
+             AS post_treat,
+           round((max(CASE WHEN arm = 1 THEN CAST(sy AS DOUBLE) / n END)
+                  - max(CASE WHEN arm = 1 THEN CAST(sx AS DOUBLE) / n END))
+                 - (max(CASE WHEN arm = 0 THEN CAST(sy AS DOUBLE) / n END)
+                    - max(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) / n END)),
+                 6) AS did
+    FROM cells
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (the parallel-trends causal
+    workhorse): the treatment arm's pre-to-post change minus the
+    control arm's, did = (post_t - pre_t) - (post_c - pre_c), over
+    per-user event counts with arms user_id % 2 and periods split at
+    the integer-micros midpoint. A DIFFERENT estimator from
+    events_cuped_adjustment on the same pre/post rollup machinery
+    (cross-referenced there): CUPED regresses the post metric on the
+    pre covariate to shrink variance WITHIN the experiment window;
+    DiD differences out time-invariant arm-level confounding — the
+    quasi-experimental readout when assignment wasn't randomized.
+
+    Determinism: every cell is (BIGINT user-event sum) / (BIGINT user
+    count) — four exact ratios and one subtraction chain, 6dp.
+    Scale shape: ONE user-grain fact rollup (the CUPED shuffle), then
+    a 2-row arm aggregate pivoted to one metadata row."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = ev.agg(F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("mid"))
+    per_user = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(us < F.col("mid"), 1).otherwise(0)).alias("x"),
+            F.sum(F.when(us >= F.col("mid"), 1).otherwise(0)).alias("y"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    cells = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    mean_x = F.col("sx").cast("double") / F.col("n")
+    mean_y = F.col("sy").cast("double") / F.col("n")
+    cell = lambda arm, expr: F.max(F.when(F.col("arm") == arm, expr))  # noqa: E731
+    return cells.agg(
+        cell(0, F.col("n")).alias("n_control"),
+        cell(1, F.col("n")).alias("n_treat"),
+        F.round(cell(0, mean_x), 6).alias("pre_control"),
+        F.round(cell(1, mean_x), 6).alias("pre_treat"),
+        F.round(cell(0, mean_y), 6).alias("post_control"),
+        F.round(cell(1, mean_y), 6).alias("post_treat"),
+        F.round(
+            (cell(1, mean_y) - cell(1, mean_x))
+            - (cell(0, mean_y) - cell(0, mean_x)),
+            6,
+        ).alias("did"),
+    )
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

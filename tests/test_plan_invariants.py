@@ -365,7 +365,12 @@ def test_q2_filters_fact_before_aggregate(spark):
 # makes adding a forced broadcast a CONSCIOUS act: update the count
 # here only after checking the new site's input is bounded.
 FORCED_BROADCAST_SITES = {
-    "queries.py": 79,
+    # 86 = r10's 79 + emb_matryoshka_prefix_recall's two (an 8-row
+    # query table, a 3-row width table) + text_word_pmi's two (<=32-row
+    # capped vocabulary, 1-row doc count) + one 1-row aggregate each in
+    # text_heaps_fit / events_benford_digits / events_diff_in_diff —
+    # all with structural row bounds
+    "queries.py": 86,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
