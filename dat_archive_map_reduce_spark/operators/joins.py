@@ -228,24 +228,30 @@ def range_join_binned(
     if bin_seconds is None:
         bin_seconds = max(upper_seconds - lower_seconds, 1)
 
-    l_epoch = F.unix_timestamp(F.col(left_ts))
-    lo = l_epoch + F.lit(lower_seconds)
-    hi = l_epoch + F.lit(upper_seconds)
+    # integer MICROSECONDS end-to-end: unix_timestamp() truncates to
+    # seconds, which silently drops sub-second pairs at the strict
+    # lower bound (an anchor and a follower inside the same second
+    # compare 26 > 26 and vanish — caught by the first full-registry
+    # sf0.1 gate, where same-second event pairs first appear)
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+    l_epoch = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    lo = l_epoch + F.lit(int(lower_seconds) * 1_000_000)
+    hi = l_epoch + F.lit(int(upper_seconds) * 1_000_000)
     l_bins = left.select(
         *[F.col(c).alias(f"l_{c}") for c in left.columns],
         lo.alias("_lo"),
         hi.alias("_hi"),
         F.explode(
             F.sequence(
-                F.floor(lo / bin_seconds).cast("long"),
-                F.floor(hi / bin_seconds).cast("long"),
+                F.floor(lo / bin_us).cast("long"),
+                F.floor(hi / bin_us).cast("long"),
             )
         ).alias("_bin"),
     )
     r_bins = right.select(
         *[F.col(c).alias(f"r_{c}") for c in right.columns],
-        F.unix_timestamp(F.col(right_ts)).alias("_rts"),
-    ).withColumn("_bin", F.floor(F.col("_rts") / bin_seconds).cast("long"))
+        F.unix_micros(F.col(right_ts).cast("timestamp")).alias("_rts"),
+    ).withColumn("_bin", F.floor(F.col("_rts") / bin_us).cast("long"))
 
     # equi-condition on (keys..., bin) so the hash/SMJ shuffle
     # partitions on the full compound key, not the bin alone

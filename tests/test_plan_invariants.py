@@ -369,8 +369,9 @@ FORCED_BROADCAST_SITES = {
     # query table, a 3-row width table) + text_word_pmi's two (<=32-row
     # capped vocabulary, 1-row doc count) + one 1-row aggregate each in
     # text_heaps_fit / events_benford_digits / events_diff_in_diff —
-    # all with structural row bounds
-    "queries.py": 86,
+    # all with structural row bounds. 87 = + text_kneser_ney_bigram's
+    # 1-row bigram-type-count aggregate (the vocab-scalar shape)
+    "queries.py": 87,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
