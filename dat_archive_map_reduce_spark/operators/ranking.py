@@ -154,9 +154,9 @@ def exact_global_ntile(
 def exact_global_cumsum(
     df: DataFrame,
     order_col: str,
-    value_col: str,
+    value_col: "str | Sequence[str]",
     *,
-    cumsum_col: str = "cumsum_before",
+    cumsum_col: "str | Sequence[str]" = "cumsum_before",
     num_buckets: int | None = None,
     quantile_err: float = 0.001,
 ) -> DataFrame:
@@ -167,21 +167,40 @@ def exact_global_cumsum(
     ``order_col`` must be numeric, non-null, and unique (a total
     order) for the prefix to be well-defined.
 
+    ``value_col``/``cumsum_col`` also take matching LISTS of columns:
+    all prefixes then share ONE range-bounds pass, one per-bucket sum
+    aggregate, and one in-bucket window sort (eval_pr_auc needs the
+    positive and total prefixes together — chaining two single-column
+    calls would repeat the whole bucketing machinery per column).
+
     This is the primitive behind concat-and-chunk sequence packing:
     the running token count IS each document's start offset in the
     concatenated training stream.
     """
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    out_cols = [cumsum_col] if isinstance(cumsum_col, str) else list(cumsum_col)
+    if len(value_cols) != len(out_cols):
+        raise ValueError(
+            f"value_col/cumsum_col length mismatch: {value_cols} vs {out_cols}"
+        )
     bounds = _range_bounds(df, order_col, num_buckets, quantile_err)
     tagged = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
 
-    sums = tagged.groupBy(_BUCKET).agg(F.sum(value_col).alias(_CNT))
+    sums = tagged.groupBy(_BUCKET).agg(
+        *[F.sum(vc).alias(f"{_CNT}{i}") for i, vc in enumerate(value_cols)]
+    )
     w_meta = Window.partitionBy(F.lit(0)).orderBy(_BUCKET)
     offsets = sums.select(
         _BUCKET,
-        F.coalesce(
-            F.sum(_CNT).over(w_meta.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ).alias(_OFF),
+        *[
+            F.coalesce(
+                F.sum(f"{_CNT}{i}").over(
+                    w_meta.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias(f"{_OFF}{i}")
+            for i in range(len(value_cols))
+        ],
     )
 
     w_in = (
@@ -189,14 +208,13 @@ def exact_global_cumsum(
         .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
-        tagged.join(F.broadcast(offsets), _BUCKET)
-        .withColumn(
-            cumsum_col,
-            F.coalesce(F.sum(value_col).over(w_in), F.lit(0)) + F.col(_OFF),
+    out = tagged.join(F.broadcast(offsets), _BUCKET)
+    for i, (vc, oc) in enumerate(zip(value_cols, out_cols)):
+        out = out.withColumn(
+            oc,
+            F.coalesce(F.sum(vc).over(w_in), F.lit(0)) + F.col(f"{_OFF}{i}"),
         )
-        .drop(_BUCKET, _OFF)
-    )
+    return out.drop(_BUCKET, *[f"{_OFF}{i}" for i in range(len(value_cols))])
 
 
 def skyline_2d(

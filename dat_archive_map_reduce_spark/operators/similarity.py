@@ -1759,40 +1759,48 @@ def kcenter_select(
     precedent: inherent to greedy iteration, bounded by k).
     """
     spark = embeddings_df.sparkSession
+    # persist the projected/cast input for the k-1 rounds: every
+    # round re-scans the full table for its distance pass, and
+    # without the cache each scan repays parquet read + f32->f64
+    # cast (7 redundant scans at k=8 — measured ~2.5x the query's
+    # whole steady time at sf0.1)
     e = embeddings_df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    first = e.filter(F.col("vid") == start_id).first()
-    if first is None:
-        raise ValueError(
-            f"kcenter_select start_id={start_id} not present in "
-            f"{id_col} — pass an existing row id"
-        )
-    chosen: "list[tuple[int, int, float]]" = [(0, int(first["vid"]), 0.0)]
-    vecs = [list(first["v"])]
-    for r in range(1, k):
-        cents = spark.createDataFrame(
-            [(j, vecs[j]) for j in range(len(vecs))],
-            "cid int, centroid array<double>",
-        )
-        far = (
-            nearest_centroid_join(e, cents, id_col="vid", vec_col="v")
-            .orderBy(F.desc("mindist"), F.asc("vid"))
-            .select(
-                "vid", "v", "mindist", F.round("mindist", 6).alias("radius_sq")
+    ).persist()
+    try:
+        first = e.filter(F.col("vid") == start_id).first()
+        if first is None:
+            raise ValueError(
+                f"kcenter_select start_id={start_id} not present in "
+                f"{id_col} — pass an existing row id"
             )
-            .first()
-        )
-        # stop on the UNROUNDED distance: near-duplicate points within
-        # the 6dp reporting quantum must not abort selection early
-        if float(far["mindist"]) == 0.0:
-            # every remaining point coincides with a chosen one: the
-            # dataset has fewer than k distinct points — stop instead
-            # of padding the coreset with duplicate prototypes
-            break
-        chosen.append((r, int(far["vid"]), float(far["radius_sq"])))
-        vecs.append(list(far["v"]))
-    return chosen
+        chosen: "list[tuple[int, int, float]]" = [(0, int(first["vid"]), 0.0)]
+        vecs = [list(first["v"])]
+        for r in range(1, k):
+            cents = spark.createDataFrame(
+                [(j, vecs[j]) for j in range(len(vecs))],
+                "cid int, centroid array<double>",
+            )
+            far = (
+                nearest_centroid_join(e, cents, id_col="vid", vec_col="v")
+                .orderBy(F.desc("mindist"), F.asc("vid"))
+                .select(
+                    "vid", "v", "mindist", F.round("mindist", 6).alias("radius_sq")
+                )
+                .first()
+            )
+            # stop on the UNROUNDED distance: near-duplicate points within
+            # the 6dp reporting quantum must not abort selection early
+            if float(far["mindist"]) == 0.0:
+                # every remaining point coincides with a chosen one: the
+                # dataset has fewer than k distinct points — stop instead
+                # of padding the coreset with duplicate prototypes
+                break
+            chosen.append((r, int(far["vid"]), float(far["radius_sq"])))
+            vecs.append(list(far["v"]))
+        return chosen
+    finally:
+        e.unpersist()
 
 
 def quantize_embeddings_int8(

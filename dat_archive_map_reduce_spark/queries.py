@@ -12914,10 +12914,12 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     AP ratio divides and rounds (6dp). Zero-positive corpora yield
     NULL (degenerate-guard convention).
 
-    Scale shape: one partial-combined groupBy(score), then TWO
-    chained bucketed prefix passes (exact_global_cumsum on the
-    positive and total counts — metadata-sized windows only, never
-    a single-partition rank), and a one-row fold."""
+    Scale shape: one partial-combined groupBy(score), then ONE
+    bucketed prefix pass carrying BOTH running sums (positive and
+    total counts share the range bounds, bucket aggregate, and
+    in-bucket sort — exact_global_cumsum's multi-column form;
+    metadata-sized windows only, never a single-partition rank),
+    and a one-row fold."""
     from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
 
     e = _t(spark, sf_dir, "embeddings").filter(
@@ -12933,10 +12935,10 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neg_score", -F.col("score"))
     )
     ranked = exact_global_cumsum(
-        per_score, "neg_score", "p", cumsum_col="cum_p_before"
-    )
-    ranked = exact_global_cumsum(
-        ranked, "neg_score", "c", cumsum_col="cum_c_before"
+        per_score,
+        "neg_score",
+        ["p", "c"],
+        cumsum_col=["cum_p_before", "cum_c_before"],
     )
     tp = F.col("cum_p_before") + F.col("p")
     tot = F.col("cum_c_before") + F.col("c")
