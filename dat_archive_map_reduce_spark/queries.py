@@ -13297,6 +13297,208 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_lorenz_gini",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x, user_id) AS i,
+             count(*) OVER () AS n,
+             sum(x) OVER () AS t
+      FROM pu
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_users,
+           CAST(max(t) AS BIGINT) AS total_events,
+           CAST(sum((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
+           CASE WHEN max(n) > 0 AND max(t) > 0 THEN
+             floor(CAST(sum((2 * i - n - 1) * x) AS DOUBLE)
+                   / (max(n) * max(t)) * 1000000 + 0.5) / 1000000
+           END AS gini
+    FROM r
+    """,
+)
+def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume (the Lorenz-curve
+    inequality index): G = sum_i (2i - n - 1) x_(i) / (n * T) over
+    ascending-sorted per-user counts — the concentration readout
+    every usage dashboard wants ("do 1% of users generate 90% of
+    events?"), and the distribution-shape sibling of
+    events_rfm_segments' percentile cuts. Tie order among equal
+    counts cannot change the value (equal x across a tie block
+    contribute the same total for any within-block permutation), but
+    ranks still tie-break on user_id so the plan is deterministic
+    row-wise.
+
+    Integer-exact: ranks come from exact_global_rank (bucketed, never
+    a single-partition fact window), the weighted sum folds BIGINTs
+    (gini_num is the bit-exact check column), and only the final
+    ratio divides — floor-form 6dp (gini_num/(n*T) can terminate).
+
+    Scale shape: ONE user-grain fact rollup, the bucketed rank
+    machinery's metadata windows, one 1-row fold."""
+    from dat_archive_map_reduce_spark.operators.ranking import exact_global_rank
+
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    ranked = exact_global_rank(
+        pu, "x", tie_breakers=(F.col("user_id").asc(),), pos_col="i"
+    )
+    n = F.max("__gr_total")
+    t = F.sum("x")
+    gnum = F.sum((2 * F.col("i") - F.col("__gr_total") - 1) * F.col("x"))
+    return ranked.agg(
+        n.cast("long").alias("n_users"),
+        t.cast("long").alias("total_events"),
+        gnum.cast("long").alias("gini_num"),
+        F.when(
+            (n > 0) & (t > 0),
+            F.floor(gnum.cast("double") / (n * t) * 1000000 + 0.5) / 1000000,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             min(CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                 AS BIGINT)) AS f,
+             max(CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                 AS BIGINT)) AS l
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ), mx AS (
+      SELECT max(l) AS m, CAST(count(*) AS BIGINT) AS nu FROM pu
+    ), pu2 AS (
+      SELECT l - f AS t_u,
+             CASE WHEN l <= m - 1 THEN 1 ELSE 0 END AS dead, nu
+      FROM pu CROSS JOIN mx
+    ), dg AS (
+      SELECT t_u AS t, CAST(count(*) AS BIGINT) AS c_all,
+             CAST(sum(dead) AS BIGINT) AS c_dead, max(nu) AS nu
+      FROM pu2 GROUP BY t_u
+    ), risk AS (
+      SELECT t, c_all, c_dead,
+             nu - coalesce(sum(c_all) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM dg
+    ), km AS (
+      SELECT t, n_risk, c_dead,
+             CASE WHEN c_dead < n_risk THEN
+               CAST(round(1000000 * ln(1 - CAST(c_dead AS DOUBLE) / n_risk))
+                    AS BIGINT) ELSE CAST(0 AS BIGINT) END AS term,
+             max(CASE WHEN c_dead >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t) AS hit_zero
+      FROM risk WHERE c_dead > 0
+    )
+    SELECT t AS span_days, CAST(n_risk AS BIGINT) AS n_at_risk,
+           c_dead AS n_deaths,
+           CASE WHEN hit_zero = 1 THEN CAST(0.0 AS DOUBLE) ELSE
+             floor(exp(CAST(sum(term) OVER (ORDER BY t) AS DOUBLE)
+                       / 1000000.0) * 10000 + 0.5) / 10000
+           END AS s_cum
+    FROM km
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user activity spans: each
+    user's observed lifetime is last_day - first_day, a "death" is a
+    user whose last event precedes the corpus's final observed day
+    (churned before observation ended), final-day users are
+    right-CENSORED (still alive when observation stopped) — the retention-analytics estimator that
+    handles censoring correctly where a naive churn rate cannot.
+    S(t) = prod over death times t' <= t of (1 - d_t'/n_t'), with
+    censored users counted in the at-risk denominator up to their
+    span. The curve row set is one row per distinct death time.
+
+    Determinism: each factor's ln(1 - d/n) pre-rounds to an integer
+    MICRO-log (the PSI/zipf 6dp-ln recipe — ln of a generic rational
+    never terminates, so round() is safe there), the cumulative sum
+    is a BIGINT window fold, and exp + floor-form 4dp only at report
+    time. A time where every at-risk user dies (d = n, ln 0) pins
+    the curve to exactly 0.0 from that row on via the hit_zero flag
+    — never an Inf/NaN in either engine.
+
+    Scale shape: ONE user-grain fact rollup, a 1-row (max_day,
+    n_users) broadcast, one span-grain rollup — then all windows run
+    over the span-grain table, whose row count is calendar-bounded
+    (<= observed span in days), the theil_sen metadata contract."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    pu = ev.select("user_id", day.alias("day")).groupBy("user_id").agg(
+        F.min("day").alias("f"), F.max("day").alias("l")
+    )
+    mx = pu.agg(
+        F.max("l").alias("m"), F.count(F.lit(1)).cast("long").alias("nu")
+    )
+    pu2 = pu.crossJoin(F.broadcast(mx)).select(
+        (F.col("l") - F.col("f")).alias("t_u"),
+        F.when(F.col("l") <= F.col("m") - 1, 1).otherwise(0).alias("dead"),
+        "nu",
+    )
+    dg = pu2.groupBy(F.col("t_u").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum("dead").cast("long").alias("c_dead"),
+        F.max("nu").alias("nu"),
+    )
+    # span-grain windows: <= observed-span-in-days rows regardless of
+    # corpus size (calendar-bounded metadata, the ranking-offsets
+    # convention), so the single partition carries dozens of rows
+    w = Window.partitionBy(F.lit(0)).orderBy("t")
+    risk = dg.select(
+        "t",
+        "c_all",
+        "c_dead",
+        (
+            F.col("nu")
+            - F.coalesce(
+                F.sum("c_all").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).alias("n_risk"),
+    )
+    km = risk.filter(F.col("c_dead") > 0).select(
+        "t",
+        "n_risk",
+        "c_dead",
+        F.when(
+            F.col("c_dead") < F.col("n_risk"),
+            F.round(
+                1000000
+                * F.log(1 - F.col("c_dead").cast("double") / F.col("n_risk"))
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("term"),
+        F.max(
+            F.when(F.col("c_dead") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("hit_zero"),
+    )
+    return km.select(
+        F.col("t").alias("span_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("c_dead").alias("n_deaths"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.exp(F.sum("term").over(w).cast("double") / 1000000.0)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        )
+        .alias("s_cum"),
+    )
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

@@ -370,8 +370,9 @@ FORCED_BROADCAST_SITES = {
     # capped vocabulary, 1-row doc count) + one 1-row aggregate each in
     # text_heaps_fit / events_benford_digits / events_diff_in_diff —
     # all with structural row bounds. 87 = + text_kneser_ney_bigram's
-    # 1-row bigram-type-count aggregate (the vocab-scalar shape)
-    "queries.py": 87,
+    # 1-row bigram-type-count aggregate (the vocab-scalar shape);
+    # 88 = + events_survival_km's 1-row (max_day, n_users) aggregate
+    "queries.py": 88,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
