@@ -475,39 +475,6 @@ class MapReduce:
         affected_keys.unpersist()
         return n_updates
 
-    def _prepare_view_updates(
-        self,
-        path,
-        log: DataFrame,
-        origin_starts: "dict[str, int]",
-    ) -> "tuple[DataFrame, dict[str, int], dict[str, list[int]]]":
-        """Latest-wins-compacted, CACHED updates plus per-origin counts
-        AND touched entries-bucket ids for one glob over a multi-origin
-        micro-batch. Shareable across every view watching the same
-        glob at the same offsets (watch groups them), so the
-        compaction window and the count job run once per distinct
-        (glob, offsets) per batch, not once per view — and the bucket
-        ids ride in the SAME aggregation (bounded: <= entries_buckets
-        values per origin), so the per-origin shard merges need no
-        probe jobs of their own. Caller unpersists the returned
-        DataFrame."""
-        cond = None
-        for origin, start in origin_starts.items():
-            c = (F.col("origin") == origin) & (F.col("version") > F.lit(start))
-            cond = c if cond is None else cond | c
-        updates = latest_wins(glob_filter(log, path).filter(cond)).cache()
-        rows = (
-            updates.groupBy("origin")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set(self._url_bucket_expr()).alias("bs"),
-            )
-            .collect()
-        )
-        counts = {r["origin"]: r["n"] for r in rows}
-        buckets = {r["origin"]: sorted(r["bs"]) for r in rows}
-        return updates, counts, buckets
-
     def _probe_batch(
         self, batch_df: DataFrame, path_groups: "dict[tuple, object]"
     ) -> "tuple[dict[str, int], dict[tuple, dict[str, int]], dict[tuple, dict[str, list[int]]]]":
@@ -551,7 +518,7 @@ class MapReduce:
         vdef: ViewDefinition,
         log: DataFrame,
         origin_starts: "dict[str, int]",
-        prepared: "tuple[DataFrame, dict[str, int], dict[str, list[int]]] | None" = None,
+        prepared: "tuple[DataFrame, dict[str, int], dict[str, list[int]]]",
         mapped: "DataFrame | None" = None,
     ) -> "dict[str, int]":
         """Watch-path merge for ONE view over a multi-origin
@@ -566,6 +533,13 @@ class MapReduce:
         entries shards and the reduced merge see the same rows, only
         batched. Returns {origin: n file updates applied}.
 
+        ``prepared``: caller-owned (cached updates, per-origin counts,
+        touched bucket ids) from engine._probe_batch + the shared
+        compaction — watch builds it once per distinct glob per batch
+        and unpersists it (there is deliberately NO build-it-yourself
+        fallback: a second probe implementation here would drift from
+        the live one).
+
         ``mapped``: caller-owned, already-materialized map output over
         ``prepared``'s updates — views sharing (path, map, key schema)
         pay the Python map stage ONCE per batch (watch groups them);
@@ -573,72 +547,65 @@ class MapReduce:
         """
         if not origin_starts:
             return {}
-        owns = prepared is None
-        if owns:
-            prepared = self._prepare_view_updates(vdef.path, log, origin_starts)
         updates, counts, buckets = prepared
+        if not counts:
+            return {}
+        owns_map = mapped is None
+        new_entries = (
+            run_map(
+                updates.filter(F.col("type") == "put"),
+                vdef.map,
+                vdef.key_types(),
+            ).cache()
+            if owns_map
+            else mapped
+        )
+        affected_parts = [new_entries.select("key_json")]
         try:
-            if not counts:
-                return {}
-            owns_map = mapped is None
-            new_entries = (
-                run_map(
-                    updates.filter(F.col("type") == "put"),
-                    vdef.map,
-                    vdef.key_types(),
-                ).cache()
-                if owns_map
-                else mapped
-            )
-            affected_parts = [new_entries.select("key_json")]
-            try:
-                # materialize the mapped batch ONCE up front so the
-                # concurrent shard writes below all read the cache
-                # instead of racing to compute the Python stage
-                if owns_map:
-                    new_entries.count()
+            # materialize the mapped batch ONCE up front so the
+            # concurrent shard writes below all read the cache
+            # instead of racing to compute the Python stage
+            if owns_map:
+                new_entries.count()
 
-                def _write_shard(origin: str) -> DataFrame:
-                    return self._merge_entry_shard(
-                        vdef,
-                        origin,
-                        updates.filter(F.col("origin") == origin),
-                        new_entries.filter(F.col("origin") == origin),
-                        bucket_ids=buckets.get(origin),
-                    )
+            def _write_shard(origin: str) -> DataFrame:
+                return self._merge_entry_shard(
+                    vdef,
+                    origin,
+                    updates.filter(F.col("origin") == origin),
+                    new_entries.filter(F.col("origin") == origin),
+                    bucket_ids=buckets.get(origin),
+                )
 
-                # shard writes touch DISJOINT origin directories, so
-                # they run as concurrent Spark jobs (thread-per-origin)
-                # — wall clock for N small writes is ~the slowest one,
-                # not the sum; on a cluster this is also what keeps a
-                # many-source batch from serializing on the driver
-                if len(counts) > 1:
-                    from concurrent.futures import ThreadPoolExecutor
+            # shard writes touch DISJOINT origin directories, so
+            # they run as concurrent Spark jobs (thread-per-origin)
+            # — wall clock for N small writes is ~the slowest one,
+            # not the sum; on a cluster this is also what keeps a
+            # many-source batch from serializing on the driver
+            if len(counts) > 1:
+                from concurrent.futures import ThreadPoolExecutor
 
-                    with ThreadPoolExecutor(
-                        max_workers=min(len(counts), 8)
-                    ) as pool:
-                        affected_parts.extend(
-                            pool.map(_write_shard, sorted(counts))
-                        )
-                else:
+                with ThreadPoolExecutor(
+                    max_workers=min(len(counts), 8)
+                ) as pool:
                     affected_parts.extend(
-                        _write_shard(o) for o in sorted(counts)
+                        pool.map(_write_shard, sorted(counts))
                     )
-                if vdef.reduce is not None:
-                    keys = affected_parts[0]
-                    for p in affected_parts[1:]:
-                        keys = keys.union(p)
-                    keys = keys.distinct().cache()
-                    self._reaggregate(vdef, keys)
-                    keys.unpersist()
-                return counts
-            finally:
-                if owns_map:
-                    new_entries.unpersist()
+            else:
+                affected_parts.extend(
+                    _write_shard(o) for o in sorted(counts)
+                )
+            if vdef.reduce is not None:
+                keys = affected_parts[0]
+                for p in affected_parts[1:]:
+                    keys = keys.union(p)
+                keys = keys.distinct().cache()
+                self._reaggregate(vdef, keys)
+                keys.unpersist()
+            return counts
         finally:
-            if owns:
-                updates.unpersist()
+            if owns_map:
+                new_entries.unpersist()
 
     def _reaggregate(self, vdef: ViewDefinition, affected_keys: DataFrame) -> None:
         """Re-fold only affected keys, merge into the reduced table.
@@ -792,11 +759,14 @@ class MapReduce:
         on disk; this mirrors what vacuum() does for snapshots.
 
         Refuses to run under an active watch stream (the file source
-        could have listed a file this is about to delete); use
+        could have listed a file this is about to delete, and THIS
+        engine cannot know the stream's read options); use
         ``watch_views(changelog_expire_every=N)`` for the in-stream
-        cadence, which runs at the batch boundary where no listing is
-        in flight. Requires the origin-partitioned log layout (a
-        legacy flat warehouse cannot file-swap per origin).
+        cadence — safe there because the watch stream reads with
+        ignoreMissingFiles and the deleted files' surviving rows are
+        re-delivered via the compacted copies. Requires the
+        origin-partitioned log layout (a legacy flat warehouse cannot
+        file-swap per origin).
 
         Returns {origin: {files_removed, files_added, rows_expired}}.
         """

@@ -56,6 +56,46 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _dense_daily_counts(
+    spark: SparkSession, sf_dir: str, with_totals: bool = False
+) -> DataFrame:
+    """THE daily -> span -> dense-calendar scaffold every time-series
+    query shares (CUSUM / weekday seasonality / Theil-Sen /
+    Mann-Kendall / Holt — their oracle CTEs replay the same shape in
+    SQL): one day-grain rollup of events (epoch-day arithmetic, NULL
+    ts dropped), then explode(sequence(lo, hi)) left-joined back so
+    gap days count as zero-event days. Returns (day, n) — plus the
+    span totals (t = total events, d = span length in days) when
+    ``with_totals`` so single-pass consumers need no second
+    aggregate. Extracted so a densify tweak (the ts-null filter, the
+    epoch-day convention) cannot silently fork between the five
+    queries (the doc_link_edges lesson)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    aggs = [F.min("day").alias("lo"), F.max("day").alias("hi")]
+    extra: "list[str]" = []
+    if with_totals:
+        aggs += [
+            F.sum("n").alias("t"),
+            (F.max("day") - F.min("day") + 1).alias("d"),
+        ]
+        extra = ["t", "d"]
+    span = daily.agg(*aggs)
+    return (
+        span.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+            *extra,
+        )
+        .join(daily, "day", "left")
+        .select("day", *extra, F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+
+
 def _money_sum(term: F.Column, scale: int = 2) -> F.Column:
     """Order-independent money aggregate: sum exact DECIMAL(23,4) terms,
     round half-up IN DECIMAL, output double.
@@ -10042,6 +10082,17 @@ _REVERIFY_SINCE: "dict[str, int]" = {
     "q2_min_cost_supplier": 11,
     "graph_pagerank": 11,
     "join_range_interval": 11,
+    # r11 review pass: five more terminating-ratio report columns
+    # moved to the portable floor-form, benford's digit moved to true
+    # integer DIV, and the matryoshka oracle gained the Spark side's
+    # zero-norm guard — boundary semantics changed, so prior driver
+    # greens no longer vouch
+    "events_theil_sen_trend": 11,
+    "events_weekday_seasonality": 11,
+    "events_cusum_changepoint": 11,
+    "events_diff_in_diff": 11,
+    "events_benford_digits": 11,
+    "emb_matryoshka_prefix_recall": 11,
 }
 
 @query(
@@ -11797,7 +11848,8 @@ def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((SELECT count(*) FROM dense) AS BIGINT) AS n_days,
            CAST(day AS BIGINT) AS cp_day,
            CAST(s AS BIGINT) AS s_scaled,
-           round(CAST(s AS DOUBLE) / d, 4) AS cusum_peak
+           floor(CAST(s AS DOUBLE) / d * 10000 + 0.5) / 10000
+             AS cusum_peak
     FROM sk ORDER BY abs(s) DESC, day LIMIT 1
     """,
 )
@@ -11820,33 +11872,10 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), and the argmax fold are all calendar-bounded metadata."""
     from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    daily = ev.select(day.alias("day")).groupBy("day").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    span = daily.agg(
-        F.min("day").alias("lo"),
-        F.max("day").alias("hi"),
-        F.sum("n").alias("t"),
-        (F.max("day") - F.min("day") + 1).alias("d"),
-    )
-    dense = (
-        span.select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
-            "t",
-            "d",
-        )
-        .join(daily, "day", "left")
-        .select(
-            "day",
-            "d",
-            (F.col("d") * F.coalesce(F.col("n"), F.lit(0)) - F.col("t")).alias(
-                "term"
-            ),
-        )
+    dense = _dense_daily_counts(spark, sf_dir, with_totals=True).select(
+        "day",
+        "d",
+        (F.col("d") * F.col("n") - F.col("t")).alias("term"),
     )
     c = exact_global_cumsum(dense, "day", "term", cumsum_col="sprev")
     sk = c.select("day", "d", (F.col("sprev") + F.col("term")).alias("s"))
@@ -11863,7 +11892,12 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         (-F.col("b.nd")).cast("long").alias("cp_day"),
         F.col("b.s").cast("long").alias("s_scaled"),
-        F.round(F.col("b.s").cast("double") / F.col("dd"), 4).alias("cusum_peak"),
+        # floor-form: s/d is a BIGINT ratio that terminates when the
+        # reduced d is 2^a*5^b (the q2/pagerank round() split)
+        (
+            F.floor(F.col("b.s").cast("double") / F.col("dd") * 10000 + 0.5)
+            / 10000
+        ).alias("cusum_peak"),
     )
 
 
@@ -11889,8 +11923,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST((day + 3) % 7 AS BIGINT) AS dow,
            CAST(sum(n) AS BIGINT) AS n_events,
            CAST(count(*) AS BIGINT) AS n_days,
-           round(CAST(sum(n) * max(d) AS DOUBLE)
-                 / (count(*) * max(t)), 4) AS seasonal_index
+           floor(CAST(sum(n) * max(d) AS DOUBLE)
+                 / (count(*) * max(t)) * 10000 + 0.5) / 10000
+             AS seasonal_index
     FROM dense
     GROUP BY 1
     """,
@@ -11913,37 +11948,23 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE day-grain fact rollup, then a <= 7-row
     metadata aggregate over the dense calendar."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    daily = ev.select(day.alias("day")).groupBy("day").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    span = daily.agg(
-        F.min("day").alias("lo"),
-        F.max("day").alias("hi"),
-        F.sum("n").alias("t"),
-        (F.max("day") - F.min("day") + 1).alias("d"),
-    )
-    dense = (
-        span.select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
-            "t",
-            "d",
-        )
-        .join(daily, "day", "left")
-        .select("day", "t", "d", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
-    )
+    dense = _dense_daily_counts(spark, sf_dir, with_totals=True)
     return (
         dense.groupBy(((F.col("day") + 3) % 7).cast("long").alias("dow"))
         .agg(
             F.sum("n").cast("long").alias("n_events"),
             F.count(F.lit(1)).cast("long").alias("n_days"),
-            F.round(
-                (F.sum("n") * F.max("d")).cast("double")
-                / (F.count(F.lit(1)) * F.max("t")),
-                4,
+            # floor-form: the cross-multiplied integer ratio
+            # terminates when the reduced denominator is 2^a*5^b
+            # (the q2/pagerank round() split)
+            (
+                F.floor(
+                    (F.sum("n") * F.max("d")).cast("double")
+                    / (F.count(F.lit(1)) * F.max("t"))
+                    * 10000
+                    + 0.5
+                )
+                / 10000
             ).alias("seasonal_index"),
         )
     )
@@ -11977,7 +11998,8 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n_days AS BIGINT) AS n_days,
            CAST(len(sl) AS BIGINT) AS n_pairs,
            CASE WHEN len(sl) >= 1
-                THEN round(sl[CAST((len(sl) + 1) // 2 AS INT)], 6) END
+                THEN floor(sl[CAST((len(sl) + 1) // 2 AS INT)]
+                           * 1000000 + 0.5) / 1000000 END
              AS sen_slope
     FROM slopes
     """,
@@ -12003,21 +12025,7 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair enumeration (O(D^2) with D = calendar span in days — a
     bounded-metadata quadratic, like the autocorrelation moments),
     and the sort-select all fold inside one 1-row aggregate."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    daily = ev.select(day.alias("day")).groupBy("day").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    dense = (
-        span.select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
-        )
-        .join(daily, "day", "left")
-        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
-    )
+    dense = _dense_daily_counts(spark, sf_dir)
     ser = dense.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "n"))), lambda s: s["n"]
@@ -12044,8 +12052,13 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_days",
         "n_pairs",
+        # floor-form: a pairwise slope is (count diff)/(day gap) and
+        # terminates when the reduced gap is 2^a*5^b (the q2/pagerank
+        # round() split; a 640-day gap with odd numerator ALWAYS ends
+        # on a half-way 7th decimal)
         F.when(
-            F.size("sl") >= 1, F.round(F.element_at(F.col("sl"), k), 6)
+            F.size("sl") >= 1,
+            F.floor(F.element_at(F.col("sl"), k) * 1000000 + 0.5) / 1000000,
         ).alias("sen_slope"),
     )
 
@@ -12060,19 +12073,24 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings WHERE embedding IS NOT NULL
     ), ks AS (SELECT unnest([8, 16, 64]) AS k),
-    scored AS (
+    raw AS (
       SELECT ks.k, q.qid, c.cid,
-             round(
-               list_reduce(list_transform(range(1, ks.k + 1),
-                 i -> cv[CAST(i AS INT)] * qv[CAST(i AS INT)]),
-                 (a, b) -> a + b)
-               / (sqrt(list_reduce(list_transform(range(1, ks.k + 1),
-                    i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)]),
-                    (a, b) -> a + b))
-                  * sqrt(list_reduce(list_transform(range(1, ks.k + 1),
-                      i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)]),
-                      (a, b) -> a + b))), 4) AS cos
+             list_reduce(list_transform(range(1, ks.k + 1),
+               i -> cv[CAST(i AS INT)] * qv[CAST(i AS INT)]),
+               (a, b) -> a + b) AS dot,
+             sqrt(list_reduce(list_transform(range(1, ks.k + 1),
+                  i -> cv[CAST(i AS INT)] * cv[CAST(i AS INT)]),
+                  (a, b) -> a + b)) AS nc,
+             sqrt(list_reduce(list_transform(range(1, ks.k + 1),
+                  i -> qv[CAST(i AS INT)] * qv[CAST(i AS INT)]),
+                  (a, b) -> a + b)) AS nq
       FROM q, c, ks WHERE c.cid <> q.qid
+    ), scored AS (
+      -- zero-norm prefixes filtered EXACTLY like the Spark side
+      -- (cosine undefined; an unguarded 0/0 NaN would sort above
+      -- every real cosine under ORDER BY cos DESC)
+      SELECT k, qid, cid, round(dot / (nc * nq), 4) AS cos
+      FROM raw WHERE nc > 0 AND nq > 0
     ), top AS (
       SELECT k, qid, cid AS top1 FROM (
         SELECT k, qid, cid,
@@ -12406,8 +12424,8 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(grid.digit AS BIGINT) AS digit,
            CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
            round(ln(1.0 + 1.0 / grid.digit) / ln(10.0), 6) AS expected_p,
-           round(CAST(coalesce(obs.n_obs, 0) AS DOUBLE) / tot.t, 6)
-             AS observed_p
+           floor(CAST(coalesce(obs.n_obs, 0) AS DOUBLE) / tot.t
+                 * 1000000 + 0.5) / 1000000 AS observed_p
     FROM grid LEFT JOIN obs ON obs.digit = grid.digit CROSS JOIN tot
     ORDER BY 1
     """,
@@ -12433,11 +12451,21 @@ def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull() & (F.col("value") >= 1)
     )
     n = F.floor("value").cast("long")
-    digit = F.floor(
-        n / F.pow(F.lit(10.0), F.length(n.cast("string")) - 1).cast("long")
-    ).cast("long")
-    obs = ev.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).cast("long").alias("n_obs")
+    # TRUE integer division (DIV), mirroring the oracle's `//`: the
+    # earlier n / divisor was Spark DOUBLE division, which rounds n
+    # to 53 bits first — a >= 2^53 value near a power-of-10 boundary
+    # (1.9999999999999998e16 -> 2e16) would flip its leading digit
+    # relative to the exact BIGINT path
+    digit = F.expr(
+        "CAST(n AS BIGINT) DIV "
+        "CAST(power(10, length(CAST(CAST(n AS BIGINT) AS STRING)) - 1) "
+        "AS BIGINT)"
+    )
+    obs = (
+        ev.select(n.alias("n"))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
     tot = obs.agg(F.sum("n_obs").alias("t"))
     grid = obs.sparkSession.range(1, 10).select(F.col("id").alias("digit"))
@@ -12450,8 +12478,17 @@ def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6
             ).alias("expected_p"),
-            F.round(
-                F.coalesce("n_obs", F.lit(0)).cast("double") / F.col("t"), 6
+            # floor-form: count/total terminates when the total is
+            # 2^a*5^b (the q2/pagerank round() split); expected_p is
+            # post-ln and cannot terminate, so round() stays
+            (
+                F.floor(
+                    F.coalesce("n_obs", F.lit(0)).cast("double")
+                    / F.col("t")
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000
             ).alias("observed_p"),
         )
         .orderBy("digit")
@@ -12477,19 +12514,19 @@ def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT max(CASE WHEN arm = 0 THEN n END) AS n_control,
            max(CASE WHEN arm = 1 THEN n END) AS n_treat,
-           round(max(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) / n END), 6)
-             AS pre_control,
-           round(max(CASE WHEN arm = 1 THEN CAST(sx AS DOUBLE) / n END), 6)
-             AS pre_treat,
-           round(max(CASE WHEN arm = 0 THEN CAST(sy AS DOUBLE) / n END), 6)
-             AS post_control,
-           round(max(CASE WHEN arm = 1 THEN CAST(sy AS DOUBLE) / n END), 6)
-             AS post_treat,
-           round((max(CASE WHEN arm = 1 THEN CAST(sy AS DOUBLE) / n END)
+           floor(max(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) / n END)
+                 * 1000000 + 0.5) / 1000000 AS pre_control,
+           floor(max(CASE WHEN arm = 1 THEN CAST(sx AS DOUBLE) / n END)
+                 * 1000000 + 0.5) / 1000000 AS pre_treat,
+           floor(max(CASE WHEN arm = 0 THEN CAST(sy AS DOUBLE) / n END)
+                 * 1000000 + 0.5) / 1000000 AS post_control,
+           floor(max(CASE WHEN arm = 1 THEN CAST(sy AS DOUBLE) / n END)
+                 * 1000000 + 0.5) / 1000000 AS post_treat,
+           floor(((max(CASE WHEN arm = 1 THEN CAST(sy AS DOUBLE) / n END)
                   - max(CASE WHEN arm = 1 THEN CAST(sx AS DOUBLE) / n END))
                  - (max(CASE WHEN arm = 0 THEN CAST(sy AS DOUBLE) / n END)
-                    - max(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) / n END)),
-                 6) AS did
+                    - max(CASE WHEN arm = 0 THEN CAST(sx AS DOUBLE) / n END)))
+                 * 1000000 + 0.5) / 1000000 AS did
     FROM cells
     """,
 )
@@ -12529,17 +12566,23 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_x = F.col("sx").cast("double") / F.col("n")
     mean_y = F.col("sy").cast("double") / F.col("n")
     cell = lambda arm, expr: F.max(F.when(F.col("arm") == arm, expr))  # noqa: E731
+    # floor-form, not F.round: each cell is (BIGINT sum)/(BIGINT user
+    # count), which TERMINATES whenever the reduced denominator is
+    # 2^a*5^b — exactly the half-way-digit shape where Spark's
+    # decimal-string round and DuckDB's binary round split (the
+    # q2/pagerank sf0.1 lesson)
+    six = F.lit(1000000)
+    ff = lambda c: F.floor(c * six + 0.5) / six  # noqa: E731
     return cells.agg(
         cell(0, F.col("n")).alias("n_control"),
         cell(1, F.col("n")).alias("n_treat"),
-        F.round(cell(0, mean_x), 6).alias("pre_control"),
-        F.round(cell(1, mean_x), 6).alias("pre_treat"),
-        F.round(cell(0, mean_y), 6).alias("post_control"),
-        F.round(cell(1, mean_y), 6).alias("post_treat"),
-        F.round(
+        ff(cell(0, mean_x)).alias("pre_control"),
+        ff(cell(1, mean_x)).alias("pre_treat"),
+        ff(cell(0, mean_y)).alias("post_control"),
+        ff(cell(1, mean_y)).alias("post_treat"),
+        ff(
             (cell(1, mean_y) - cell(1, mean_x))
-            - (cell(0, mean_y) - cell(0, mean_x)),
-            6,
+            - (cell(0, mean_y) - cell(0, mean_x))
         ).alias("did"),
     )
 
@@ -12613,21 +12656,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(D^2) sign-pair fold (D = calendar-span days — bounded
     metadata, the theil_sen pair-fold shape), and the tie fold all
     run inside one 1-row aggregate."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    daily = ev.select(day.alias("day")).groupBy("day").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    dense = (
-        span.select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
-        )
-        .join(daily, "day", "left")
-        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
-    )
+    dense = _dense_daily_counts(spark, sf_dir)
     ser = dense.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "n"))), lambda s: s["n"]
@@ -13240,21 +13269,7 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE day-grain fact rollup; the fold runs inside one
     1-row aggregate over the calendar-bounded series (the theil_sen
     contract) — state is 2 doubles however long the history."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    day = F.datediff(
-        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-    ).cast("long")
-    daily = ev.select(day.alias("day")).groupBy("day").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    dense = (
-        span.select(
-            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
-        )
-        .join(daily, "day", "left")
-        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
-    )
+    dense = _dense_daily_counts(spark, sf_dir)
     ser = dense.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("day", "n"))),

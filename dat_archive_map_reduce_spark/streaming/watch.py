@@ -67,12 +67,17 @@ def watch(
     ``changelog_expire_every``: every N processed batches, compact
     the changelog itself (engine._expire_changelog_unsafe — rows at
     or below every view's offset collapse to one latest-wins winner
-    per file). Safe HERE because it runs at the batch boundary, after
-    the batch's merges committed and before the source's next file
-    listing. The compacted copies are new files the stream will
-    re-deliver once; re-applying them is a retract-then-add no-op
-    (idempotent merge), so pick a cadence that amortizes that one
-    wasted re-merge — hundreds of batches, not every few.
+    per file). Safe here for TWO reasons: it runs at the batch
+    boundary after the batch's merges committed, and the stream reads
+    with ignoreMissingFiles — under the 64-file trigger cap the
+    source can be holding a listed-but-undelivered backlog whose
+    files the expiry deletes (their surviving rows ride the new
+    compacted files, which the source picks up next listing), so a
+    batch-boundary alone is NOT a no-listing-in-flight guarantee.
+    The compacted copies are new files the stream will re-deliver
+    once; re-applying them is a retract-then-add no-op (idempotent
+    merge), so pick a cadence that amortizes that one wasted
+    re-merge — hundreds of batches, not every few.
     """
     spark = engine.spark
     # The changelog is an AppendOnlyLog: ONE stable directory for the
@@ -82,6 +87,16 @@ def watch(
     stream = (
         spark.readStream.schema(FILES_SCHEMA)
         .option("maxFilesPerTrigger", 64)
+        # the engine is the changelog's only writer, and its two
+        # retention ops (in-stream expiry below, rebucket-free
+        # compaction) DELETE files whose surviving content they
+        # rewrote as new files the source will pick up; with the
+        # 64-file trigger cap the source can hold a listed-but-
+        # undelivered backlog across batches, so a mid-backlog
+        # expiry would otherwise kill the stream with
+        # FileNotFoundException on a file whose rows are already
+        # re-delivered elsewhere
+        .option("ignoreMissingFiles", "true")
         .parquet(engine.changelog.root)
     )
     # local counter, not batch_id: checkpointed batch ids keep rising
@@ -99,12 +114,19 @@ def watch(
         # retraction a one-shard rewrite.
         batch_df = batch_df.persist()
         try:
+            # snapshot the view registry ONCE per batch: the probe's
+            # path_groups and the plan loop below must see the same
+            # set — a view define()d concurrently between the two
+            # iterations would otherwise KeyError at g_counts[pk]
+            # (or RuntimeError mid-iteration) and kill the stream;
+            # with the snapshot a late view simply joins next batch
+            views_snapshot = list(engine.views.items())
             # ONE probe job: per-origin targets + per-path-group
             # compacted counts and touched bucket ids (engine
             # _probe_batch) — the r10 flow paid a second job per
             # distinct (glob, offsets) for the counts
             path_groups: dict = {}
-            for vdef in engine.views.values():
+            for _name, vdef in views_snapshot:
                 pk = (
                     tuple(vdef.path)
                     if isinstance(vdef.path, (list, tuple))
@@ -148,7 +170,7 @@ def watch(
             plan = []  # (name, vdef, origin_starts, path-key, map-key)
             shared: dict = {}  # path-key -> (cached updates, counts, buckets)
             mapped: dict = {}  # (path-key, map fn, key schema) -> cached entries
-            for name, vdef in engine.views.items():
+            for name, vdef in views_snapshot:
                 origin_starts = {origin: -1 for origin in origins}
                 for origin in origins:
                     target = per_origin[origin]
@@ -187,9 +209,18 @@ def watch(
                         ).cache()
                 plan.append((name, vdef, origin_starts, pk, mk))
             # materialize each shared map output ONCE before the
-            # concurrent view applies race to read it
-            for df in mapped.values():
-                df.count()
+            # concurrent view applies race to read it — concurrently:
+            # sequential counts would serialize the dominant Python
+            # map cost and make a multi-group batch's wall the SUM of
+            # its map stages instead of the max (the r10 pool shape)
+            if len(mapped) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(len(mapped), 4)) as mp:
+                    list(mp.map(lambda df: df.count(), mapped.values()))
+            else:
+                for df in mapped.values():
+                    df.count()
             # Pass 2: apply views CONCURRENTLY — each view's entries
             # shards and reduced table are disjoint storage, so the
             # merges run as parallel Spark jobs and a multi-view
