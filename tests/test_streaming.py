@@ -859,3 +859,42 @@ def test_watch_changelog_expiry_cadence(spark, tmp_path):
     db.index("dat://w0")
     assert {r["key"] for r in db.list("late")} == {r["key"] for r in db.list("multi")}
     db.close()
+
+
+def test_watch_expiry_survives_listed_backlog(spark, tmp_path):
+    """An in-stream expiry must not kill the stream when the file
+    source holds a listed-but-undelivered backlog: with >64 changelog
+    files in one availableNow drain (maxFilesPerTrigger=64 -> multiple
+    batches over ONE up-front listing) and changelog_expire_every=1,
+    the expiry after batch 1 rewrites the origin partition and DELETES
+    files batch 2 has already listed. ignoreMissingFiles on the stream
+    read keeps the drain alive; the deleted files' surviving rows ride
+    the compacted copies, which the next drain re-applies idempotently
+    — final state must equal the plain batch index of the same log."""
+    db = MapReduce(spark, str(tmp_path / "wh-backlog"))
+    db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://backlog"
+    rec = lambda k, v: json.dumps({"first": k, "second": v, "third": "t"})
+    # 80 separate appends -> >= 80 parquet files in one origin
+    # partition, guaranteeing a second 64-capped micro-batch whose
+    # files the post-batch-1 expiry deletes from under the listing
+    for v in range(1, 81):
+        db.append_changes([
+            {"origin": origin, "pathname": f"/d/{v % 7}.json", "version": v,
+             "content": rec(f"k{v % 7}-v{v}", v)}
+        ])
+    q = W.watch(db, changelog_expire_every=1)
+    q.awaitTermination()  # would raise FileNotFoundException pre-fix
+    # second drain re-applies the re-delivered compacted copies
+    q2 = W.watch(db, changelog_expire_every=1)
+    q2.awaitTermination()
+    # latest-wins state: each of the 7 paths holds its highest version
+    expect = {}
+    for v in range(1, 81):
+        expect[v % 7] = f"k{v % 7}-v{v}"
+    got = {r["key"]: r for r in db.list("v")}
+    assert set(got) == set(expect.values())
+    # and the log actually shrank to winners + at most one
+    # re-delivered compaction generation
+    assert db.changelog.read().count() <= 14
+    db.close()
