@@ -13514,6 +13514,266 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "eval_calibration_ece",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), mm AS (
+      SELECT min(score) AS lo, max(score) AS hi FROM s
+    ), binned AS (
+      SELECT CASE WHEN hi = lo THEN 0 ELSE
+               least(CAST(floor((score - lo) / (hi - lo) * 10) AS BIGINT), 9)
+             END AS bin,
+             pos,
+             CAST(round(1000000000.0 * score) AS BIGINT) AS score_nanos
+      FROM s CROSS JOIN mm
+    ), bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(score_nanos) AS BIGINT) AS conf_nanos
+      FROM binned GROUP BY bin
+    )
+    SELECT bin, n, n_pos,
+           floor(CAST(n_pos AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+             AS acc,
+           floor(CAST(conf_nanos AS DOUBLE) / 1000000000.0 / n
+                 * 1000000 + 0.5) / 1000000 AS conf
+    FROM bins
+    """,
+)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability table (the per-bin half of Expected
+    Calibration Error, Naeini 2015): scores bucketed into 10
+    equal-width bins over the observed [min, max] range, each bin
+    reporting empirical accuracy vs mean confidence — the quality-
+    classifier health check that ROC-AUC (rank-only) and AP
+    (precision-weighted) cannot give: a model can rank perfectly and
+    still be wildly over-confident. ECE itself is
+    sum_b n_b/N * |acc_b - conf_b| over these rows; the decomposed
+    table is the useful dashboard artifact (which bins drift).
+
+    Determinism: bin edges come from one (min, max) broadcast row
+    (exact doubles); the bin index is one identical double
+    expression floored (least(...) catches score == hi). Each
+    score pre-rounds to integer NANOS so per-bin confidence sums
+    are BIGINTs (order-independent — a raw double sum over a bin
+    would be shuffle-order-dependent); acc and conf report
+    floor-form 6dp (both are terminating-decimal ratios).
+
+    Scale shape: one 1-row min/max aggregate broadcast, one map-side
+    bin projection, ONE partial-combined <= 10-key rollup."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    s = e.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = s.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            )
+        )
+        .alias("bin"),
+        "pos",
+        F.round(F.lit(1000000000.0) * F.col("score")).cast("long").alias(
+            "score_nanos"
+        ),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("score_nanos").cast("long").alias("conf_nanos"),
+    )
+    return bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        (
+            F.floor(F.col("n_pos").cast("double") / F.col("n") * 1000000 + 0.5)
+            / 1000000
+        ).alias("acc"),
+        (
+            F.floor(
+                F.col("conf_nanos").cast("double")
+                / 1000000000.0
+                / F.col("n")
+                * 1000000
+                + 0.5
+            )
+            / 1000000
+        ).alias("conf"),
+    )
+
+
+@query(
+    "eval_brier_decomposition",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), mm AS (
+      SELECT min(score) AS lo, max(score) AS hi FROM s
+    ), binned AS (
+      SELECT CASE WHEN hi = lo THEN 0 ELSE
+               least(CAST(floor((score - lo) / (hi - lo) * 10) AS BIGINT), 9)
+             END AS bin,
+             pos,
+             CAST(round(1000000000.0 * score) AS BIGINT) AS sn,
+             CAST(round(1000000000.0 * (score - pos) * (score - pos))
+                  AS BIGINT) AS sqn
+      FROM s CROSS JOIN mm
+    ), bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS np,
+             CAST(sum(sn) AS BIGINT) AS sn,
+             CAST(sum(sqn) AS BIGINT) AS sqn
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(np) AS BIGINT) AS npos,
+             CAST(sum(sqn) AS BIGINT) AS sq FROM bins
+    ), parts AS (
+      SELECT
+        CAST(round(1000000000.0
+          * (CAST(sn AS DOUBLE) / 1000000000.0 / n
+             - CAST(np AS DOUBLE) / n)
+          * (CAST(sn AS DOUBLE) / 1000000000.0 / n
+             - CAST(np AS DOUBLE) / n) * n) AS BIGINT) AS rel_n,
+        CAST(round(1000000000.0
+          * (CAST(np AS DOUBLE) / n - CAST(tot.npos AS DOUBLE) / tot.nn)
+          * (CAST(np AS DOUBLE) / n - CAST(tot.npos AS DOUBLE) / tot.nn)
+          * n) AS BIGINT) AS res_n
+      FROM bins CROSS JOIN tot
+    )
+    SELECT tot.nn AS n_rows,
+           floor(CAST(tot.sq AS DOUBLE) / 1000000000.0 / tot.nn
+                 * 1000000 + 0.5) / 1000000 AS brier,
+           floor(CAST(sum(rel_n) AS DOUBLE) / 1000000000.0 / tot.nn
+                 * 1000000 + 0.5) / 1000000 AS reliability,
+           floor(CAST(sum(res_n) AS DOUBLE) / 1000000000.0 / tot.nn
+                 * 1000000 + 0.5) / 1000000 AS resolution,
+           floor(CAST(tot.npos AS DOUBLE) / tot.nn
+                 * (1 - CAST(tot.npos AS DOUBLE) / tot.nn)
+                 * 1000000 + 0.5) / 1000000 AS uncertainty
+    FROM parts CROSS JOIN tot
+    GROUP BY tot.nn, tot.sq, tot.npos
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973) 3-way decomposition over
+    the same 10 equal-width score bins as eval_calibration_ece:
+    brier = mean (score - outcome)^2, and per-bin
+    reliability (how far each bin's confidence sits from its
+    accuracy — lower is better-calibrated), resolution (how far bin
+    accuracies spread from the base rate — higher is more
+    discriminating), uncertainty (base_rate * (1 - base_rate), the
+    data's irreducible floor) with brier ~ REL - RES + UNC up to the
+    binning residual. Completes the eval family's third axis:
+    ROC-AUC ranks, AP weights precision, Brier scores PROBABILITY
+    quality.
+
+    Determinism: squared errors and per-bin confidence sums
+    pre-round to integer nanos (BIGINT folds, order-independent);
+    the per-bin REL/RES terms are identical double expressions of
+    those integers, re-scaled to nanos and summed as BIGINTs; all
+    four report columns are floor-form 6dp.
+
+    Scale shape: the ECE plan — 1-row min/max broadcast, map-side
+    projection, one <= 10-key rollup, then metadata-only folds."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    s = e.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    nano = F.lit(1000000000.0)
+    binned = s.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            )
+        )
+        .alias("bin"),
+        "pos",
+        F.round(nano * F.col("score")).cast("long").alias("sn"),
+        F.round(
+            nano
+            * (F.col("score") - F.col("pos"))
+            * (F.col("score") - F.col("pos"))
+        )
+        .cast("long")
+        .alias("sqn"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("np"),
+        F.sum("sn").cast("long").alias("sn"),
+        F.sum("sqn").cast("long").alias("sqn"),
+    )
+    tot = bins.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("np").cast("long").alias("npos"),
+        F.sum("sqn").cast("long").alias("sq"),
+    )
+    conf_minus_acc = (
+        F.col("sn").cast("double") / nano / F.col("n")
+        - F.col("np").cast("double") / F.col("n")
+    )
+    acc_minus_base = (
+        F.col("np").cast("double") / F.col("n")
+        - F.col("npos").cast("double") / F.col("nn")
+    )
+    parts = bins.crossJoin(F.broadcast(tot)).select(
+        F.round(nano * conf_minus_acc * conf_minus_acc * F.col("n"))
+        .cast("long")
+        .alias("rel_n"),
+        F.round(nano * acc_minus_base * acc_minus_base * F.col("n"))
+        .cast("long")
+        .alias("res_n"),
+        "nn",
+        "npos",
+        "sq",
+    )
+    ff6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    return parts.groupBy("nn", "sq", "npos").agg(
+        F.sum("rel_n").alias("rel_sum"), F.sum("res_n").alias("res_sum")
+    ).select(
+        F.col("nn").alias("n_rows"),
+        ff6(F.col("sq").cast("double") / nano / F.col("nn")).alias("brier"),
+        ff6(F.col("rel_sum").cast("double") / nano / F.col("nn")).alias(
+            "reliability"
+        ),
+        ff6(F.col("res_sum").cast("double") / nano / F.col("nn")).alias(
+            "resolution"
+        ),
+        ff6(
+            F.col("npos").cast("double")
+            / F.col("nn")
+            * (1 - F.col("npos").cast("double") / F.col("nn"))
+        ).alias("uncertainty"),
+    )
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

@@ -371,8 +371,10 @@ FORCED_BROADCAST_SITES = {
     # text_heaps_fit / events_benford_digits / events_diff_in_diff —
     # all with structural row bounds. 87 = + text_kneser_ney_bigram's
     # 1-row bigram-type-count aggregate (the vocab-scalar shape);
-    # 88 = + events_survival_km's 1-row (max_day, n_users) aggregate
-    "queries.py": 88,
+    # 88 = + events_survival_km's 1-row (max_day, n_users) aggregate;
+    # 91 = + the calibration pair's 1-row min/max broadcasts (ECE,
+    # Brier) and Brier's 1-row totals broadcast
+    "queries.py": 91,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,

@@ -168,3 +168,48 @@ def test_attribution_position_credit_sums_to_conversions(spark, events_pdf):
         if len(pre):
             n_paths += 1
     assert abs(total_credit - n_paths) < 1e-3 * max(n_paths, 1)
+
+
+def test_calibration_and_brier_match_python(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = emb[emb["embedding"].notna() & emb["label"].notna()]
+    score = emb["embedding"].map(lambda v: float(v[0])).values
+    pos = (emb["label"].values == 0).astype(int)
+    lo, hi = score.min(), score.max()
+    bins = np.minimum(((score - lo) / (hi - lo) * 10).astype(int), 9)
+    rows = {
+        r["bin"]: r
+        for r in QUERIES["eval_calibration_ece"](spark, SF).collect()
+    }
+    for b in np.unique(bins):
+        m = bins == b
+        assert rows[int(b)]["n"] == int(m.sum())
+        assert rows[int(b)]["n_pos"] == int(pos[m].sum())
+        assert abs(rows[int(b)]["acc"] - pos[m].mean()) < 1e-5
+        # conf folds nano-rounded scores; tolerance covers the quantum
+        assert abs(rows[int(b)]["conf"] - score[m].mean()) < 1e-5
+    # Murphy identity: brier == REL - RES + UNC up to the binning
+    # residual (within-bin confidence variance) and the nano quantum
+    d = QUERIES["eval_brier_decomposition"](spark, SF).collect()[0]
+    brier = ((score - pos) ** 2).mean()
+    assert abs(d["brier"] - brier) < 1e-5
+    base = pos.mean()
+    assert abs(d["uncertainty"] - base * (1 - base)) < 1e-5
+    rel = sum(
+        (score[bins == b].mean() - pos[bins == b].mean()) ** 2
+        * (bins == b).sum()
+        for b in np.unique(bins)
+    ) / len(score)
+    res = sum(
+        (pos[bins == b].mean() - base) ** 2 * (bins == b).sum()
+        for b in np.unique(bins)
+    ) / len(score)
+    assert abs(d["reliability"] - rel) < 1e-5
+    assert abs(d["resolution"] - res) < 1e-5
+    # the decomposition identity holds up to within-bin score variance
+    wbv = sum(
+        ((score[bins == b] - score[bins == b].mean()) ** 2).sum()
+        for b in np.unique(bins)
+    ) / len(score)
+    assert abs((d["reliability"] - d["resolution"] + d["uncertainty"] + wbv)
+               - brier) < 1e-3
