@@ -868,6 +868,259 @@ def bmp_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
     )
 
 
+def _gif_lzw_encode(indexes: "np.ndarray", min_code_size: int) -> bytes:
+    """Real GIF LZW compressor (variable-width codes, LSB-first bit
+    packing, CLEAR emitted up front and whenever the table hits 4096
+    — the spec's reset discipline)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: "list[tuple[int, int]]" = []  # (code, width)
+    width = min_code_size + 1
+    table: "dict[bytes, int]" = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    out_bits.append((clear, width))
+    w = b""
+    for px in indexes.tolist():
+        c = bytes([px])
+        if w + c in table:
+            w += c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            out_bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    # LSB-first bit packing into 255-byte-max sub-blocks
+    acc = n_acc = 0
+    payload = bytearray()
+    for code, wd in out_bits:
+        acc |= code << n_acc
+        n_acc += wd
+        while n_acc >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            n_acc -= 8
+    if n_acc:
+        payload.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return bytes(blocks)
+
+
+def encode_gif(width: int, height: int, indexes: "np.ndarray", palette: "np.ndarray") -> bytes:
+    """Real single-frame GIF89a: logical screen descriptor, global
+    color table (padded to a power of two), image descriptor, and a
+    genuine LZW-compressed index stream (variable-width codes,
+    LSB-first packing, CLEAR/EOI discipline). ``palette`` is
+    (n, 3) uint8 RGB; ``indexes`` is h*w palette indexes in raster
+    order."""
+    pal = np.asarray(palette, dtype=np.uint8)
+    idx = np.asarray(indexes, dtype=np.uint8).reshape(-1)
+    if idx.size != width * height:
+        raise ValueError(f"need {width * height} indexes, got {idx.size}")
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("index out of palette range")
+    bits = max(2, int(len(pal) - 1).bit_length())
+    full = 1 << bits
+    table = np.zeros((full, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    mcs = bits
+    out.append(mcs)
+    out += _gif_lzw_encode(idx, mcs)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(content: bytes) -> "tuple[int, int, np.ndarray]":
+    """Decode a single-frame non-interlaced GIF87a/89a: header +
+    logical screen descriptor walk, global/local color table, a REAL
+    LZW decompressor (variable-width codes growing 3..12 bits,
+    LSB-first bit order, CLEAR table resets, EOI, the cScSc
+    first-entry corner case), and palette expansion to flat RGB
+    raster pixels — the decode_ppm payload contract. Extensions
+    (graphic control, comment, application) are walked and skipped
+    per the sub-block grammar. Interlaced frames and animations
+    (a second image descriptor) raise ValueError, the codec-family
+    convention for genuinely-unsupported variants."""
+    buf = bytes(content)
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream (bad signature)")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    def _skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(buf):
+                raise ValueError("truncated GIF sub-blocks")
+            ln = buf[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    frame = None
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos = _skip_subblocks(pos + 1)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+        if frame is not None:
+            raise ValueError("animated (multi-frame) GIF not supported")
+        if pos + 9 > len(buf):
+            raise ValueError("truncated GIF image descriptor")
+        left, top, w, h, iflags = struct.unpack("<HHHHB", buf[pos : pos + 9])
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            ct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = buf[pos]
+        pos += 1
+        if not 2 <= mcs <= 8:
+            raise ValueError(f"bad GIF LZW min code size {mcs}")
+        # collect the LZW payload from the sub-block chain
+        data = bytearray()
+        p = pos
+        while True:
+            if p >= len(buf):
+                raise ValueError("truncated GIF data sub-blocks")
+            ln = buf[p]
+            p += 1
+            if ln == 0:
+                break
+            if p + ln > len(buf):
+                raise ValueError("truncated GIF data sub-blocks")
+            data += buf[p : p + ln]
+            p += ln
+        pos = p
+        # LZW decode, LSB-first
+        clear = 1 << mcs
+        eoi = clear + 1
+        width_bits = mcs + 1
+        dictionary: "list[bytes]" = [bytes([i]) for i in range(clear)] + [b"", b""]
+        out = bytearray()
+        acc = n_acc = 0
+        prev: "bytes | None" = None
+        di = 0
+        done = False
+        while not done:
+            while n_acc < width_bits:
+                if di >= len(data):
+                    raise ValueError("truncated GIF LZW stream (no EOI)")
+                acc |= data[di] << n_acc
+                n_acc += 8
+                di += 1
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            n_acc -= width_bits
+            if code == clear:
+                dictionary = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width_bits = mcs + 1
+                prev = None
+                continue
+            if code == eoi:
+                done = True
+                continue
+            if code < len(dictionary):
+                entry = dictionary[code]
+                if prev is not None:
+                    dictionary.append(prev + entry[:1])
+            elif code == len(dictionary) and prev is not None:
+                entry = prev + prev[:1]  # the cScSc corner case
+                dictionary.append(entry)
+            else:
+                raise ValueError(f"corrupt GIF LZW code {code}")
+            out += entry
+            prev = entry
+            if len(dictionary) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        if len(out) != w * h:
+            raise ValueError(
+                f"GIF LZW decoded {len(out)} pixels, expected {w * h}"
+            )
+        idx = np.frombuffer(bytes(out), dtype=np.uint8)
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("GIF index outside color table")
+        frame = (w, h, ct[idx].reshape(-1).copy())
+    if frame is None:
+        raise ValueError("GIF contains no image frame")
+    return frame
+
+
+def gif_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Corpus of REAL single-frame GIFs whose decoded pixels are
+    md5-re-derivable by a SQL oracle (the png/bmp recipe, this time
+    through LZW + a color PALETTE — the indirection the other
+    codecs lack):
+
+      b(k)  = byte k of md5(str(i))
+      w = 8 + b(0) % 24, h = 8 + b(1) % 24
+      index[j] = (i * 7 + 3 * j) % 256       (j raster order)
+      palette[k] = (k, (k + 85) % 256, (k + 170) % 256)
+
+    so decoded pixel j expands to (idx, (idx+85)%256, (idx+170)%256)
+    with idx = (i*7 + 3*j) % 256 — a hash match proves the LZW
+    bitstream walk, the table-reset discipline, AND the palette
+    lookup. Index sequences hit every 256 palette entries and
+    compress through real growing-width codes (not a degenerate
+    all-CLEAR stream)."""
+    import hashlib
+
+    pal = np.stack(
+        [
+            np.arange(256, dtype=np.int64) % 256,
+            (np.arange(256, dtype=np.int64) + 85) % 256,
+            (np.arange(256, dtype=np.int64) + 170) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    rows = []
+    for i in range(n):
+        hb = hashlib.md5(str(i).encode()).digest()
+        w = 8 + hb[0] % 24
+        h = 8 + hb[1] % 24
+        idx = (np.int64(i) * 7 + 3 * np.arange(w * h, dtype=np.int64)) % 256
+        content = encode_gif(w, h, idx.astype(np.uint8), pal)
+        rows.append((i, "image", bytearray(content), (w, h, None, None)))
+    n_slices = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
 def _decode_header(content: bytes) -> tuple[int, int, int]:
     """Format dispatch for the metadata decode: synth headers, real
     binary PPM, real 8-bit PNG (CRC-checked IHDR walk), real
@@ -1043,6 +1296,9 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     width, height, sr = w, h, None
                 elif head == b"BM":
                     w, h, vals = decode_bmp(content)
+                    width, height, sr = w, h, None
+                elif bytes(content[:4]) == b"GIF8":
+                    w, h, vals = decode_gif(content)
                     width, height, sr = w, h, None
                 else:
                     raise NotImplementedError("real formats only")

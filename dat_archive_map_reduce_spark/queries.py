@@ -13774,6 +13774,60 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_gif_decode",
+    oracle="""
+    WITH m AS (
+      SELECT i, md5(CAST(i AS VARCHAR)) AS h FROM range(0, 24) t(i)
+    ), b AS (
+      SELECT i,
+        16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+        16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
+      FROM m
+    ), dims AS (
+      SELECT i, 8 + b0 % 24 AS w, 8 + b1 % 24 AS ht FROM b
+    )
+    SELECT i AS media_id, 'image' AS kind,
+           CAST(w AS INT) AS width,
+           CAST(ht AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(w * ht * 3 AS BIGINT) AS n_vals,
+           CAST(list_reduce(list_transform(range(0, w * ht),
+                  j -> (i * 7 + 3 * j) % 256
+                       + ((i * 7 + 3 * j) % 256 + 85) % 256
+                       + ((i * 7 + 3 * j) % 256 + 170) % 256),
+                (a, x) -> a + x) AS BIGINT) AS val_sum,
+           CAST((i * 7) % 256 AS INT) AS val_first,
+           CAST(((i * 7 + 3 * (w * ht - 1)) % 256 + 170) % 256 AS INT)
+             AS val_last
+    FROM dims
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF path: a corpus of genuine single-frame GIF89a streams
+    (logical screen descriptor, global color table, and a REAL LZW
+    bitstream — variable-width codes growing 3..12 bits, LSB-first
+    bit packing, CLEAR table resets, EOI, the cScSc corner case)
+    built and parsed by the pure-numpy codec in
+    operators/multimodal.py, decoded end-to-end in Arrow batches.
+    GIF adds the axis the other five real decoders lack: a COLOR
+    PALETTE indirection (decoded pixels are table lookups, so a
+    hash match proves the LZW walk AND the palette expansion) over
+    an entropy-coded bitstream (PPM/BMP are raw, PNG is
+    filter+deflate, JPEG is DCT). Index sequences sweep all 256
+    palette entries, so the compressor exercises genuine
+    growing-width codes. Interlaced frames and animations raise
+    ValueError — documented variants, not silent misdecodes."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_media_stats,
+        gif_media_corpus,
+    )
+
+    return decode_media_stats(gif_media_corpus(spark, n=24))
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

@@ -3132,3 +3132,65 @@ def test_bmp_codec_rejects_corruption_and_unsupported():
     struct.pack_into("<I", bad, 14, 12)
     with _pytest.raises(ValueError, match="OS/2"):
         decode_bmp(bytes(bad))
+
+
+def test_gif_codec_roundtrip_and_lzw_resets():
+    """GIF is lossless at the index level: encode -> decode expands
+    indexes through the palette bit-exactly, including a stream long
+    and repetitive enough to force 4096-entry LZW table resets, and
+    across palette sizes down to the 2-bit minimum code width."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.int64).astype(np.uint8)
+    for w, h in ((8, 5), (31, 17), (32, 32)):
+        idx = rng.integers(0, 256, w * h, dtype=np.int64).astype(np.uint8)
+        w2, h2, rgb = decode_gif(encode_gif(w, h, idx, pal))
+        assert (w2, h2) == (w, h)
+        assert np.array_equal(rgb, pal[idx].reshape(-1))
+    # repetitive 15876-pixel stream -> multiple CLEAR resets
+    idx = np.tile(np.arange(7, dtype=np.uint8), 3000)[: 126 * 126]
+    _, _, rgb = decode_gif(encode_gif(126, 126, idx, pal[:8]))
+    assert np.array_equal(rgb, pal[:8][idx].reshape(-1))
+    # 4-entry palette: min code size clamps to 2
+    idx = rng.integers(0, 4, 50, dtype=np.int64).astype(np.uint8)
+    _, _, rgb = decode_gif(encode_gif(10, 5, idx, pal[:4]))
+    assert np.array_equal(rgb, pal[:4][idx].reshape(-1))
+
+
+def test_gif_codec_rejects_corruption_and_unsupported():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.arange(256 * 3, dtype=np.int64).reshape(256, 3) % 256
+    idx = np.arange(40, dtype=np.int64) % 256
+    good = encode_gif(8, 5, idx.astype(np.uint8), pal.astype(np.uint8))
+    assert decode_gif(good)[0:2] == (8, 5)
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF" + good[7:])
+    with _pytest.raises(ValueError):
+        decode_gif(good[:-10])  # truncated LZW / missing trailer
+    # interlace flag on the image descriptor (offset: 6+7 header+LSD
+    # + 768 GCT + 9-byte descriptor; flags byte is its last byte)
+    bad = bytearray(good)
+    desc = 13 + 768
+    assert bad[desc] == 0x2C
+    bad[desc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(bad))
+    # second image descriptor = animation -> rejected
+    frame = good[desc:-1]  # descriptor through data blocks, no trailer
+    with _pytest.raises(ValueError, match="multi-frame"):
+        decode_gif(good[:-1] + frame + b"\x3b")
