@@ -927,12 +927,19 @@ def encode_gif(width: int, height: int, indexes: "np.ndarray", palette: "np.ndar
     LSB-first packing, CLEAR/EOI discipline). ``palette`` is
     (n, 3) uint8 RGB; ``indexes`` is h*w palette indexes in raster
     order."""
-    pal = np.asarray(palette, dtype=np.uint8)
-    idx = np.asarray(indexes, dtype=np.uint8).reshape(-1)
-    if idx.size != width * height:
-        raise ValueError(f"need {width * height} indexes, got {idx.size}")
-    if idx.max(initial=0) >= len(pal):
+    raw = np.asarray(palette)
+    if len(raw) > 256:
+        raise ValueError(f"GIF palette holds at most 256 colors, got {len(raw)}")
+    pal = raw.astype(np.uint8)
+    # validate BEFORE the uint8 cast: casting first would silently
+    # wrap an out-of-range index (300 -> 44) into a wrong-but-valid
+    # pixel instead of raising
+    raw_idx = np.asarray(indexes).reshape(-1)
+    if raw_idx.size != width * height:
+        raise ValueError(f"need {width * height} indexes, got {raw_idx.size}")
+    if raw_idx.size and (raw_idx.min() < 0 or raw_idx.max() >= len(pal)):
         raise ValueError("index out of palette range")
+    idx = raw_idx.astype(np.uint8)
     bits = max(2, int(len(pal) - 1).bit_length())
     full = 1 << bits
     table = np.zeros((full, 3), dtype=np.uint8)
@@ -1000,6 +1007,14 @@ def decode_gif(content: bytes) -> "tuple[int, int, np.ndarray]":
         pos += 9
         if iflags & 0x40:
             raise ValueError("interlaced GIF not supported")
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            # an offset / sub-canvas frame (optimized-GIF shape) needs
+            # canvas compositing; returning frame-only pixels would
+            # silently misreport width/height vs every other tool
+            raise ValueError(
+                f"GIF frame {w}x{h}@({left},{top}) does not cover the "
+                f"{sw}x{sh} canvas — compositing not supported"
+            )
         ct = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)

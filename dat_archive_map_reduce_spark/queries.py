@@ -96,6 +96,86 @@ def _dense_daily_counts(
     )
 
 
+def _ffloor(col: F.Column, dp: int) -> F.Column:
+    """THE engine-portable rounding: floor(x * 10^dp + 0.5) / 10^dp —
+    the identical IEEE op sequence in Spark and DuckDB, where round()
+    is NOT portable for terminating decimals (Spark rounds the
+    shortest decimal string via BigDecimal.valueOf, DuckDB the exact
+    binary value, splitting one final digit apart on half-way values
+    like 1209.21375 — the r11 sf0.1 gate find). Mirror the same
+    floor(... * 10^dp + 0.5) / 10^dp text in the oracle SQL. Safe for
+    signed inputs (both engines agree; exact negative halves round
+    toward +inf consistently) and cannot produce IEEE -0.0."""
+    q = 10 ** dp
+    return F.floor(col * q + 0.5) / q
+
+
+# Shared 10-bin calibration scaffold (eval_calibration_ece /
+# eval_brier_decomposition — the _dense_daily_counts lesson applied
+# to the eval family): score = embedding[0], positive = label==0,
+# equal-width bins over the observed [min, max] range, and the
+# nano-scaled integer folds that keep per-bin sums
+# shuffle-order-independent. The SQL half is the same scaffold as a
+# WITH-prefix both oracles compose.
+_CAL_BIN_SQL = """
+    WITH s AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS score,
+             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ), mm AS (
+      SELECT min(score) AS lo, max(score) AS hi FROM s
+    ), binned AS (
+      SELECT CASE WHEN hi = lo THEN 0 ELSE
+               least(CAST(floor((score - lo) / (hi - lo) * 10) AS BIGINT), 9)
+             END AS bin,
+             pos,
+             CAST(round(1000000000.0 * score) AS BIGINT) AS sn,
+             CAST(round(1000000000.0 * (score - pos) * (score - pos))
+                  AS BIGINT) AS sqn
+      FROM s CROSS JOIN mm
+    )"""
+
+
+def _calibration_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark half of _CAL_BIN_SQL: rows (bin, pos, sn, sqn) with
+    sn = round(1e9 * score) and sqn = round(1e9 * (score - pos)^2) as
+    BIGINTs; bin edges come from one broadcast (min, max) row and the
+    bin index is one identical double expression floored (least(...)
+    catches score == hi; a degenerate hi == lo corpus maps to bin 0)."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    s = e.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
+    )
+    mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    nano = F.lit(1000000000.0)
+    return s.crossJoin(F.broadcast(mm)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 10
+                ).cast("long"),
+                F.lit(9).cast("long"),
+            )
+        )
+        .alias("bin"),
+        "pos",
+        F.round(nano * F.col("score")).cast("long").alias("sn"),
+        F.round(
+            nano
+            * (F.col("score") - F.col("pos"))
+            * (F.col("score") - F.col("pos"))
+        )
+        .cast("long")
+        .alias("sqn"),
+    )
+
+
 def _money_sum(term: F.Column, scale: int = 2) -> F.Column:
     """Order-independent money aggregate: sum exact DECIMAL(23,4) terms,
     round half-up IN DECIMAL, output double.
@@ -4228,9 +4308,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor(x*1e4 + 0.5)/1e4 is the same IEEE op sequence in
             # both engines; unit_cost > 0 so floor+0.5 is plain
             # HALF_UP. Mirrored in the oracle SQL.
-            (
-                F.floor(F.col("c.unit_cost") * 10000 + 0.5) / 10000
-            ).alias("unit_cost"),
+            _ffloor(F.col("c.unit_cost"), 4).alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
         .limit(100)
@@ -8110,9 +8188,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequence in both engines. Mirrored in the oracle SQL.
     return ranks.crossJoin(F.broadcast(tot)).select(
         F.col("node").alias("doc_id"),
-        (
-            F.floor(F.col("rank") * F.col("n") * 10000 + 0.5) / 10000
-        ).alias("rank_norm"),
+        _ffloor(F.col("rank") * F.col("n"), 4).alias("rank_norm"),
     )
 
 
@@ -11385,20 +11461,10 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final r divides and rounds at 4dp). Pairwise moments use the
     lag-present slice on both sides, the textbook r on (x_t, x_{t-k})
     pairs."""
-    ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
-        .cast("long")
-        .alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-    # <= calendar-span rows: metadata grid from here down
-    grid = span.select(
-        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
-    )
-    dense = grid.join(daily, "day", "left").select(
-        "day", F.coalesce("n", F.lit(0)).alias("n")
-    )
+    # shared densify scaffold (the NULL-ts filter there is equivalent
+    # to this query's previous NULL-day-falls-out-of-the-grid-join
+    # behavior; <= calendar-span rows after the one fact rollup)
+    dense = _dense_daily_counts(spark, sf_dir)
     rows = dense.agg(
         F.array_sort(F.collect_list(F.struct("day", "n"))).alias("xs")
     )
@@ -11894,10 +11960,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.s").cast("long").alias("s_scaled"),
         # floor-form: s/d is a BIGINT ratio that terminates when the
         # reduced d is 2^a*5^b (the q2/pagerank round() split)
-        (
-            F.floor(F.col("b.s").cast("double") / F.col("dd") * 10000 + 0.5)
-            / 10000
-        ).alias("cusum_peak"),
+        _ffloor(F.col("b.s").cast("double") / F.col("dd"), 4).alias(
+            "cusum_peak"
+        ),
     )
 
 
@@ -11957,14 +12022,10 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor-form: the cross-multiplied integer ratio
             # terminates when the reduced denominator is 2^a*5^b
             # (the q2/pagerank round() split)
-            (
-                F.floor(
-                    (F.sum("n") * F.max("d")).cast("double")
-                    / (F.count(F.lit(1)) * F.max("t"))
-                    * 10000
-                    + 0.5
-                )
-                / 10000
+            _ffloor(
+                (F.sum("n") * F.max("d")).cast("double")
+                / (F.count(F.lit(1)) * F.max("t")),
+                4,
             ).alias("seasonal_index"),
         )
     )
@@ -12057,8 +12118,7 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round() split; a 640-day gap with odd numerator ALWAYS ends
         # on a half-way 7th decimal)
         F.when(
-            F.size("sl") >= 1,
-            F.floor(F.element_at(F.col("sl"), k) * 1000000 + 0.5) / 1000000,
+            F.size("sl") >= 1, _ffloor(F.element_at(F.col("sl"), k), 6)
         ).alias("sen_slope"),
     )
 
@@ -12481,14 +12541,8 @@ def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor-form: count/total terminates when the total is
             # 2^a*5^b (the q2/pagerank round() split); expected_p is
             # post-ln and cannot terminate, so round() stays
-            (
-                F.floor(
-                    F.coalesce("n_obs", F.lit(0)).cast("double")
-                    / F.col("t")
-                    * 1000000
-                    + 0.5
-                )
-                / 1000000
+            _ffloor(
+                F.coalesce("n_obs", F.lit(0)).cast("double") / F.col("t"), 6
             ).alias("observed_p"),
         )
         .orderBy("digit")
@@ -12571,8 +12625,7 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2^a*5^b — exactly the half-way-digit shape where Spark's
     # decimal-string round and DuckDB's binary round split (the
     # q2/pagerank sf0.1 lesson)
-    six = F.lit(1000000)
-    ff = lambda c: F.floor(c * six + 0.5) / six  # noqa: E731
+    ff = lambda c: _ffloor(c, 6)  # noqa: E731
     return cells.agg(
         cell(0, F.col("n")).alias("n_control"),
         cell(1, F.col("n")).alias("n_treat"),
@@ -12815,14 +12868,8 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 9dp, so 4dp half-way digits genuinely occur and the
             # engines' round() implementations split there (the
             # q2/pagerank sf0.1 lesson applied at birth)
-            (
-                F.floor(
-                    F.sum("credit_nanos").cast("double")
-                    / 1000000000.0
-                    * 10000
-                    + 0.5
-                )
-                / 10000
+            _ffloor(
+                F.sum("credit_nanos").cast("double") / 1000000000.0, 4
             ).alias("credit"),
         )
     )
@@ -12983,12 +13030,9 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor-form, not F.round (the q2/pagerank sf0.1 lesson):
             # sum(nanos)/1e9/n_pos terminates whenever n_pos is
             # 2^a * 5^b, so 6dp half-way digits can occur
-            F.floor(
-                F.sum("nanos").cast("double") / 1000000000.0 / n_pos
-                * 1000000
-                + 0.5
-            )
-            / 1000000,
+            _ffloor(
+                F.sum("nanos").cast("double") / 1000000000.0 / n_pos, 6
+            ),
         ).alias("avg_precision"),
     )
 
@@ -13301,14 +13345,11 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a DYADIC rational (finite binary = finite decimal), so 6dp
     # half-way digits genuinely occur and the engines' round()
     # implementations split there (the q2/pagerank sf0.1 lesson)
-    six = F.lit(1000000)
     return fitted.select(
         "n_days",
-        (F.floor(F.col("st.l") * six + 0.5) / six).alias("level"),
-        (F.floor(F.col("st.b") * six + 0.5) / six).alias("trend"),
-        (
-            F.floor((F.col("st.l") + 7 * F.col("st.b")) * six + 0.5) / six
-        ).alias("forecast_7"),
+        _ffloor(F.col("st.l"), 6).alias("level"),
+        _ffloor(F.col("st.b"), 6).alias("trend"),
+        _ffloor(F.col("st.l") + 7 * F.col("st.b"), 6).alias("forecast_7"),
     )
 
 
@@ -13370,7 +13411,7 @@ def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         gnum.cast("long").alias("gini_num"),
         F.when(
             (n > 0) & (t > 0),
-            F.floor(gnum.cast("double") / (n * t) * 1000000 + 0.5) / 1000000,
+            _ffloor(gnum.cast("double") / (n * t), 6),
         ).alias("gini"),
     )
 
@@ -13503,12 +13544,9 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_dead").alias("n_deaths"),
         F.when(F.col("hit_zero") == 1, F.lit(0.0))
         .otherwise(
-            F.floor(
-                F.exp(F.sum("term").over(w).cast("double") / 1000000.0)
-                * 10000
-                + 0.5
+            _ffloor(
+                F.exp(F.sum("term").over(w).cast("double") / 1000000.0), 4
             )
-            / 10000
         )
         .alias("s_cum"),
     )
@@ -13516,24 +13554,11 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "eval_calibration_ece",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(embedding[1] AS DOUBLE) AS score,
-             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
-      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
-    ), mm AS (
-      SELECT min(score) AS lo, max(score) AS hi FROM s
-    ), binned AS (
-      SELECT CASE WHEN hi = lo THEN 0 ELSE
-               least(CAST(floor((score - lo) / (hi - lo) * 10) AS BIGINT), 9)
-             END AS bin,
-             pos,
-             CAST(round(1000000000.0 * score) AS BIGINT) AS score_nanos
-      FROM s CROSS JOIN mm
-    ), bins AS (
+    oracle=_CAL_BIN_SQL
+    + """, bins AS (
       SELECT bin, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(pos) AS BIGINT) AS n_pos,
-             CAST(sum(score_nanos) AS BIGINT) AS conf_nanos
+             CAST(sum(sn) AS BIGINT) AS conf_nanos
       FROM binned GROUP BY bin
     )
     SELECT bin, n, n_pos,
@@ -13565,77 +13590,26 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one 1-row min/max aggregate broadcast, one map-side
     bin projection, ONE partial-combined <= 10-key rollup."""
-    e = _t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & F.col("label").isNotNull()
-    )
-    s = e.select(
-        F.element_at("embedding", 1).cast("double").alias("score"),
-        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
-    )
-    mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
-    binned = s.crossJoin(F.broadcast(mm)).select(
-        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
-        .otherwise(
-            F.least(
-                F.floor(
-                    (F.col("score") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo"))
-                    * 10
-                ).cast("long"),
-                F.lit(9).cast("long"),
-            )
-        )
-        .alias("bin"),
-        "pos",
-        F.round(F.lit(1000000000.0) * F.col("score")).cast("long").alias(
-            "score_nanos"
-        ),
-    )
-    bins = binned.groupBy("bin").agg(
+    bins = _calibration_binned(spark, sf_dir).groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pos").cast("long").alias("n_pos"),
-        F.sum("score_nanos").cast("long").alias("conf_nanos"),
+        F.sum("sn").cast("long").alias("conf_nanos"),
     )
     return bins.select(
         "bin",
         "n",
         "n_pos",
-        (
-            F.floor(F.col("n_pos").cast("double") / F.col("n") * 1000000 + 0.5)
-            / 1000000
-        ).alias("acc"),
-        (
-            F.floor(
-                F.col("conf_nanos").cast("double")
-                / 1000000000.0
-                / F.col("n")
-                * 1000000
-                + 0.5
-            )
-            / 1000000
+        _ffloor(F.col("n_pos").cast("double") / F.col("n"), 6).alias("acc"),
+        _ffloor(
+            F.col("conf_nanos").cast("double") / 1000000000.0 / F.col("n"), 6
         ).alias("conf"),
     )
 
 
 @query(
     "eval_brier_decomposition",
-    oracle="""
-    WITH s AS (
-      SELECT CAST(embedding[1] AS DOUBLE) AS score,
-             CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
-      FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
-    ), mm AS (
-      SELECT min(score) AS lo, max(score) AS hi FROM s
-    ), binned AS (
-      SELECT CASE WHEN hi = lo THEN 0 ELSE
-               least(CAST(floor((score - lo) / (hi - lo) * 10) AS BIGINT), 9)
-             END AS bin,
-             pos,
-             CAST(round(1000000000.0 * score) AS BIGINT) AS sn,
-             CAST(round(1000000000.0 * (score - pos) * (score - pos))
-                  AS BIGINT) AS sqn
-      FROM s CROSS JOIN mm
-    ), bins AS (
+    oracle=_CAL_BIN_SQL
+    + """, bins AS (
       SELECT bin, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(pos) AS BIGINT) AS np,
              CAST(sum(sn) AS BIGINT) AS sn,
@@ -13692,39 +13666,8 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the ECE plan — 1-row min/max broadcast, map-side
     projection, one <= 10-key rollup, then metadata-only folds."""
-    e = _t(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull() & F.col("label").isNotNull()
-    )
-    s = e.select(
-        F.element_at("embedding", 1).cast("double").alias("score"),
-        F.when(F.col("label") == 0, 1).otherwise(0).alias("pos"),
-    )
-    mm = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
     nano = F.lit(1000000000.0)
-    binned = s.crossJoin(F.broadcast(mm)).select(
-        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
-        .otherwise(
-            F.least(
-                F.floor(
-                    (F.col("score") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo"))
-                    * 10
-                ).cast("long"),
-                F.lit(9).cast("long"),
-            )
-        )
-        .alias("bin"),
-        "pos",
-        F.round(nano * F.col("score")).cast("long").alias("sn"),
-        F.round(
-            nano
-            * (F.col("score") - F.col("pos"))
-            * (F.col("score") - F.col("pos"))
-        )
-        .cast("long")
-        .alias("sqn"),
-    )
-    bins = binned.groupBy("bin").agg(
+    bins = _calibration_binned(spark, sf_dir).groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("pos").cast("long").alias("np"),
         F.sum("sn").cast("long").alias("sn"),
@@ -13754,7 +13697,7 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "npos",
         "sq",
     )
-    ff6 = lambda c: F.floor(c * 1000000 + 0.5) / 1000000  # noqa: E731
+    ff6 = lambda c: _ffloor(c, 6)  # noqa: E731
     return parts.groupBy("nn", "sq", "npos").agg(
         F.sum("rel_n").alias("rel_sum"), F.sum("res_n").alias("res_sum")
     ).select(

@@ -208,24 +208,29 @@ def watch(
                             vdef.key_types(),
                         ).cache()
                 plan.append((name, vdef, origin_starts, pk, mk))
-            # materialize each shared map output ONCE before the
-            # concurrent view applies race to read it — concurrently:
-            # sequential counts would serialize the dominant Python
-            # map cost and make a multi-group batch's wall the SUM of
-            # its map stages instead of the max (the r10 pool shape)
-            if len(mapped) > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=min(len(mapped), 4)) as mp:
-                    list(mp.map(lambda df: df.count(), mapped.values()))
-            else:
-                for df in mapped.values():
-                    df.count()
             # Pass 2: apply views CONCURRENTLY — each view's entries
             # shards and reduced table are disjoint storage, so the
             # merges run as parallel Spark jobs and a multi-view
             # engine's batch wall is ~the slowest view, not the sum.
+            # The materialization counts run INSIDE this try: they are
+            # the first place a user map fn can raise, and an escape
+            # before the finally would leak the pinned caches on every
+            # foreachBatch retry of a persistently-failing stream.
             try:
+                # materialize each shared map output ONCE before the
+                # concurrent view applies race to read it —
+                # concurrently: sequential counts would serialize the
+                # dominant Python map cost and make a multi-group
+                # batch's wall the SUM of its map stages instead of
+                # the max (the r10 pool shape)
+                if len(mapped) > 1:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=min(len(mapped), 4)) as mp:
+                        list(mp.map(lambda df: df.count(), mapped.values()))
+                else:
+                    for df in mapped.values():
+                        df.count()
                 todo = [t for t in plan if t[2]]
                 if len(todo) > 1:
                     from concurrent.futures import ThreadPoolExecutor
