@@ -13771,6 +13771,118 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_stats(gif_media_corpus(spark, n=24))
 
 
+@query(
+    "graph_link_prediction_jaccard",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    e0 AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 131071 + j.j * 524287) % t.n AS dst
+      FROM documents d CROSS JOIN tot t,
+           (SELECT unnest([1, 2, 3]) AS j) j
+      WHERE j.j <= 1 + d.doc_id % 3
+        AND (d.doc_id * 131071 + j.j * 524287) % t.n <> d.doc_id
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0
+    ),
+    adj AS (
+      SELECT u AS x, v AS y FROM und
+      UNION ALL
+      SELECT v AS x, u AS y FROM und
+    ),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+    wedge AS (
+      SELECT a.x AS u, b.y AS w, CAST(count(*) AS BIGINT) AS c
+      FROM adj a JOIN adj b ON a.y = b.x
+      WHERE a.x < b.y
+      GROUP BY a.x, b.y
+    ),
+    cand AS (
+      SELECT wedge.u, wedge.w, wedge.c
+      FROM wedge
+      LEFT JOIN und ON und.u = wedge.u AND und.v = wedge.w
+      WHERE und.u IS NULL
+    )
+    SELECT cand.u, cand.w, cand.c AS n_common,
+           CAST(du.d + dw.d - cand.c AS BIGINT) AS n_union,
+           floor(CAST(cand.c AS DOUBLE) / (du.d + dw.d - cand.c)
+                 * 10000 + 0.5) / 10000 AS jaccard
+    FROM cand JOIN deg du ON du.x = cand.u JOIN deg dw ON dw.x = cand.w
+    ORDER BY jaccard DESC, u, w LIMIT 20
+    """,
+)
+def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction (Liben-Nowell & Kleinberg
+    2003) over the shared doc-link graph, undirected: for every
+    non-adjacent pair at distance 2, score = |N(u) n N(w)| /
+    |N(u) u N(w)| — the classic "people you may know" primitive and
+    the missing LINK-PREDICTION axis of the graph family (pagerank
+    ranks nodes, CC/label-prop cluster, k-core peels, triangles/HITS
+    count structure, BFS measures distance; this one predicts
+    EDGES). Top-20 by (jaccard DESC, u, w) — fully tie-broken.
+
+    Candidate generation is the wedge join (adjacency self-join
+    through the common neighbor), never an all-pairs product: only
+    distance-2 pairs ever materialize, the same pigeonhole shape as
+    the triangle count (a pair with zero common neighbors has
+    Jaccard 0 and is structurally absent). Existing edges drop via
+    an anti join on the undirected edge set. All-integer counts;
+    the score is one _ffloor'd ratio (c/union terminates — the
+    portable-rounding rule).
+
+    Scale shape: adjacency = und + swap (map-side), one degree
+    rollup, ONE (u, w)-grain wedge aggregate (partial-combined),
+    an anti join + two degree joins on node keys, TakeOrdered(20)."""
+    from dat_archive_map_reduce_spark.operators.graph import doc_link_edges
+
+    d = _t(spark, sf_dir, "documents")
+    edges, _tot = doc_link_edges(d)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    wedge = (
+        a.join(b, F.col("a.y") == F.col("b.x"))
+        .filter(F.col("a.x") < F.col("b.y"))
+        .groupBy(F.col("a.x").alias("u"), F.col("b.y").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cand = wedge.join(
+        und,
+        (wedge["u"] == und["u"]) & (wedge["w"] == und["v"]),
+        "left_anti",
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("x").alias("w"), F.col("d").alias("dw"))
+    n_union = (F.col("du") + F.col("dw") - F.col("c")).cast("long")
+    return (
+        cand.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            F.col("c").alias("n_common"),
+            n_union.alias("n_union"),
+            _ffloor(
+                F.col("c").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("c")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "w")
+        .limit(20)
+    )
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

@@ -372,9 +372,10 @@ FORCED_BROADCAST_SITES = {
     # all with structural row bounds. 87 = + text_kneser_ney_bigram's
     # 1-row bigram-type-count aggregate (the vocab-scalar shape);
     # 88 = + events_survival_km's 1-row (max_day, n_users) aggregate;
-    # 91 = + the calibration pair's 1-row min/max broadcasts (ECE,
-    # Brier) and Brier's 1-row totals broadcast
-    "queries.py": 91,
+    # 90 = + the calibration pair's shared 1-row min/max broadcast
+    # (_calibration_binned — one site since the ECE/Brier scaffold
+    # dedup) and Brier's 1-row totals broadcast
+    "queries.py": 90,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
