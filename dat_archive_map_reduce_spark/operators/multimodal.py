@@ -820,6 +820,13 @@ def decode_bmp(content: bytes) -> "tuple[int, int, np.ndarray]":
         raise ValueError(f"only 24-bit BMP supported, got {bpp}-bit")
     if w <= 0 or h_raw == 0:
         raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    if pixel_off < 14 + hdr_size:
+        # bfOffBits pointing INSIDE the headers would decode header
+        # bytes as pixels — reject, the codec-family convention
+        raise ValueError(
+            f"BMP pixel offset {pixel_off} overlaps headers "
+            f"(expected >= {14 + hdr_size})"
+        )
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     stride = (w * 3 + 3) & ~3

@@ -10169,7 +10169,23 @@ _REVERIFY_SINCE: "dict[str, int]" = {
     "events_diff_in_diff": 11,
     "events_benford_digits": 11,
     "emb_matryoshka_prefix_recall": 11,
+    # r12 advisory close: the last two F.round report columns moved to
+    # the portable floor-form (p_kn and z_stat are terminating-ratio
+    # candidates) — half-way boundary semantics changed
+    "text_kneser_ney_bigram": 12,
+    "events_mann_kendall": 12,
 }
+
+# The round this code ships in — bumped at the START of each round
+# (round-close checklist step 0). _assert_reverify_discharged() uses
+# it to require that every _REVERIFY_SINCE marker from a PAST round
+# has been re-gated: the rotation puts marker-invalidated queries at
+# the front of the driver window, so by the next round's committed
+# CORRECTNESS_r{N}.json each one must carry a fresh green — a marker
+# still pending after its round closed means the changed semantics
+# were never re-verified at all, and the import fails loudly (the
+# NO_ORACLE_TWINS hygiene pattern, r11 verdict #6).
+_CURRENT_ROUND = 12
 
 @query(
     "dedup_image_dhash",
@@ -12675,14 +12691,14 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum
                 AS BIGINT) AS var18,
            CASE WHEN n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum > 0
-                THEN round(CASE
+                THEN floor((CASE
                   WHEN s_stat > 0 THEN (s_stat - 1)
                     / sqrt((n_days * (n_days - 1) * (2 * n_days + 5)
                             - tie_sum) / 18.0)
                   WHEN s_stat < 0 THEN (s_stat + 1)
                     / sqrt((n_days * (n_days - 1) * (2 * n_days + 5)
                             - tie_sum) / 18.0)
-                  ELSE 0.0 END, 6) END AS z_stat
+                  ELSE 0.0 END) * 1000000 + 0.5) / 1000000 END AS z_stat
     FROM stat
     """,
 )
@@ -12758,7 +12774,7 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var18",
         F.when(
             F.col("var18") > 0,
-            F.round(
+            _ffloor(
                 F.when(s > 0, (s - 1).cast("double") / sd)
                 .when(s < 0, (s + 1).cast("double") / sd)
                 .otherwise(F.lit(0.0)),
@@ -13128,8 +13144,9 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT b, CAST(count(*) AS BIGINT) AS n1p_b FROM cab GROUP BY b
     ), nbt AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM cab)
     SELECT a, b, cab, ca,
-           round((cab - 0.75) / ca
-                 + 0.75 * n1p_a / ca * (CAST(n1p_b AS DOUBLE) / nbt), 6)
+           floor(((cab - 0.75) / ca
+                  + 0.75 * n1p_a / ca * (CAST(n1p_b AS DOUBLE) / nbt))
+                 * 1000000 + 0.5) / 1000000
              AS p_kn
     FROM cab JOIN lefts USING (a) JOIN rights USING (b) CROSS JOIN nbt
     ORDER BY cab DESC, a, b LIMIT 20
@@ -13176,7 +13193,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n1p_b")
     )
     nbt = cab.agg(F.count(F.lit(1)).cast("long").alias("nbt"))
-    p_kn = F.round(
+    p_kn = _ffloor(
         (F.col("cab") - 0.75) / F.col("ca")
         + F.lit(0.75)
         * F.col("n1p_a")
@@ -14030,5 +14047,33 @@ def _reorder_registry() -> None:
     ORACLE = {n: ORACLE[n] for n in order if n in ORACLE}
 
 
+def _assert_reverify_discharged() -> None:
+    """Every _REVERIFY_SINCE marker from a round BEFORE the current
+    one must have a committed driver green at >= its marker round
+    (_driver_green_rounds already drops pre-marker greens, so `in
+    green` IS the discharge test). Markers born this round are
+    exempt — their driver row is written at this round's close."""
+    unknown = [n for n in _REVERIFY_SINCE if n not in QUERIES]
+    assert not unknown, f"_REVERIFY_SINCE names unknown queries: {unknown}"
+    future = {n: r for n, r in _REVERIFY_SINCE.items() if r > _CURRENT_ROUND}
+    assert not future, (
+        f"_REVERIFY_SINCE rounds beyond _CURRENT_ROUND={_CURRENT_ROUND}: "
+        f"{future} — bump _CURRENT_ROUND at round start"
+    )
+    green = _driver_green_rounds(_driver_rows_by_round())
+    pending = [
+        n
+        for n, r in _REVERIFY_SINCE.items()
+        if r < _CURRENT_ROUND and n not in green
+    ]
+    assert not pending, (
+        f"_REVERIFY_SINCE markers never re-gated after their round "
+        f"closed: {pending} — the changed semantics were never "
+        "re-verified by a driver green; run the full oracle gate and "
+        "check the rotation put them in the window"
+    )
+
+
 _assert_no_oracle_twins()
+_assert_reverify_discharged()
 _reorder_registry()

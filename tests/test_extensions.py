@@ -3132,6 +3132,12 @@ def test_bmp_codec_rejects_corruption_and_unsupported():
     struct.pack_into("<I", bad, 14, 12)
     with _pytest.raises(ValueError, match="OS/2"):
         decode_bmp(bytes(bad))
+    # bfOffBits pointing inside the headers rejected (offset 10) —
+    # would otherwise decode header bytes as pixels
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 10, 20)
+    with _pytest.raises(ValueError, match="overlaps headers"):
+        decode_bmp(bytes(bad))
 
 
 def test_gif_codec_roundtrip_and_lzw_resets():
