@@ -674,6 +674,8 @@ class MapReduce:
         vacuum_every: int | None = None,
         vacuum_keep: int = 2,
         changelog_expire_every: int | None = None,
+        rebucket_every: int | None = None,
+        rebucket_bytes: int = 64 << 20,
     ):
         """Start (once) the continuous view-maintenance stream over the
         changelog (reference watch mode, lib/indexer.js:67-87). Returns
@@ -693,6 +695,8 @@ class MapReduce:
             vacuum_every=vacuum_every,
             vacuum_keep=vacuum_keep,
             changelog_expire_every=changelog_expire_every,
+            rebucket_every=rebucket_every,
+            rebucket_bytes=rebucket_bytes,
         )
 
     def vacuum(self, keep_last: int = 2) -> "dict[str, list[int]]":
@@ -835,6 +839,46 @@ class MapReduce:
                     out[t.root] = t.rebucket(
                         new_n, sort_cols=["key_json", "file_url", "emit_seq"]
                     )
+        return out
+
+    def auto_rebucket_entries(
+        self,
+        threshold_bytes: int,
+        views: "Sequence[str] | None" = None,
+        origins: "Sequence[str] | None" = None,
+    ) -> "dict[str, tuple[int, int]]":
+        """Threshold-gated bucket-count evolution across entries
+        shards: for each shard whose MEAN bucket size (bytes / N, the
+        merge-IO unit) exceeds ``threshold_bytes``, migrate to the
+        doubled power-of-two multiple that brings the mean back under
+        — the ``compact(auto_rebucket_bytes=...)`` policy without the
+        full-OPTIMIZE rewrite of under-threshold shards. The probe is
+        a driver-side os.walk per shard, so a firing where nothing
+        crossed the threshold costs no Spark job at all — cheap
+        enough for the watch cadence (``watch_views(rebucket_every=
+        N)``), which is what makes a months-long stream on a hot
+        origin keep its merges delta-proportional WITHOUT an operator
+        ever stopping it to run compact()/rebucket_entries() by hand.
+        Returns {shard root: (old_n, new_n)} for migrated shards."""
+        out: "dict[str, tuple[int, int]]" = {}
+        for name in views if views is not None else list(self.views):
+            for origin in origins if origins is not None else sorted(
+                self._known_origins()
+            ):
+                t = self._entries_table(name, origin)
+                if not t.exists():
+                    continue
+                total = sum(t.bucket_stats().values())
+                n = t.n_buckets
+                new_n = n
+                while total / new_n > threshold_bytes:
+                    new_n *= 2
+                if new_n != n:
+                    t.rebucket(
+                        new_n,
+                        sort_cols=["key_json", "file_url", "emit_seq"],
+                    )
+                    out[t.root] = (n, new_n)
         return out
 
     def close(self) -> None:

@@ -46,6 +46,8 @@ def watch(
     vacuum_every: int | None = None,
     vacuum_keep: int = 2,
     changelog_expire_every: int | None = None,
+    rebucket_every: int | None = None,
+    rebucket_bytes: int = 64 << 20,
 ):
     """Start continuous maintenance of all defined views.
 
@@ -78,6 +80,18 @@ def watch(
     once; re-applying them is a retract-then-add no-op (idempotent
     merge), so pick a cadence that amortizes that one wasted
     re-merge — hundreds of batches, not every few.
+
+    ``rebucket_every``/``rebucket_bytes``: every N processed batches,
+    run engine.auto_rebucket_entries(rebucket_bytes) — entries shards
+    whose mean bucket size outgrew the threshold migrate to a doubled
+    bucket count, keeping merge IO delta-proportional as hot origins
+    grow, WITHOUT stopping the stream. Safe at the batch boundary:
+    the migration is a copy-on-write snapshot flip on a table the
+    stream itself never reads (the stream reads the changelog), and
+    it is serialized with the merges because both run inside
+    foreachBatch. A firing where nothing crossed the threshold is a
+    driver-side os.walk — no Spark job — so a tens-of-batches cadence
+    is fine (unlike changelog expiry's hundreds).
     """
     spark = engine.spark
     # The changelog is an AppendOnlyLog: ONE stable directory for the
@@ -275,8 +289,20 @@ def watch(
                 engine._emit(
                     "indexes-updated", origin=origin, version=per_origin[origin]
                 )
-            if vacuum_every is not None or changelog_expire_every is not None:
+            if (
+                vacuum_every is not None
+                or changelog_expire_every is not None
+                or rebucket_every is not None
+            ):
                 batch_counter[0] += 1
+                # rebucket BEFORE vacuum so the superseded
+                # pre-migration snapshot is trimmable in the same
+                # firing when both cadences coincide
+                if (
+                    rebucket_every is not None
+                    and batch_counter[0] % rebucket_every == 0
+                ):
+                    engine.auto_rebucket_entries(rebucket_bytes)
                 if vacuum_every is not None and batch_counter[0] % vacuum_every == 0:
                     engine.vacuum(keep_last=vacuum_keep)
                 if (

@@ -898,3 +898,160 @@ def test_watch_expiry_survives_listed_backlog(spark, tmp_path):
     # re-delivered compaction generation
     assert db.changelog.read().count() <= 14
     db.close()
+
+
+def test_watch_rebucket_cadence_mid_stream(spark, tmp_path):
+    """Auto-rebucket from the watch cadence (r11 verdict #2): a hot
+    origin crossing the mean-bucket-size threshold MID-STREAM (>64
+    changelog files -> multiple micro-batches in ONE availableNow
+    drain, rebucket_every=1 with a tiny threshold) doubles its
+    entries layout between batches without stopping the stream.
+    Afterwards: the layout invariant holds at the NEW count, the
+    state equals a plain batch index of the same log, and the next
+    merge is incremental against the NEW layout (untouched buckets
+    hardlink, the touched one rewrites)."""
+    import os
+    import zlib
+
+    from test_view_engine import _bucket_membership_ok
+
+    from dat_archive_map_reduce_spark.sources.files import changelog_from_rows
+
+    wh = str(tmp_path / "wh-rb")
+    db = MapReduce(spark, wh, entries_buckets=2)
+    db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    origin = "dat://hot"
+    n_files = 72  # > the 64-file trigger cap -> >= 2 micro-batches
+    db.changelog.append(
+        changelog_from_rows(spark, [
+            {"origin": origin, "pathname": f"/d/{i}.json", "version": 1,
+             "content": json.dumps(
+                 {"first": f"k{i}", "second": i, "third": "t" * 64})}
+            for i in range(n_files)
+        ]),
+        max_records_per_file=1,
+    )
+    batches = []
+    q = W.watch(db, on_batch=lambda bid, n: batches.append(bid),
+                rebucket_every=1, rebucket_bytes=1024)
+    q.awaitTermination()
+    assert len(batches) >= 2, "setup must span multiple micro-batches"
+    store = db._entries_table("v", origin)
+    n_new = store.n_buckets
+    assert n_new > 2, "threshold crossing must have doubled the layout"
+    assert n_new % 2 == 0
+    assert _bucket_membership_ok(store)
+    # converges to the batch-indexed twin state
+    db2 = MapReduce(spark, str(tmp_path / "wh-batch"), entries_buckets=2)
+    db2.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    db2.append_changes([
+        {"origin": origin, "pathname": f"/d/{i}.json", "version": 1,
+         "content": json.dumps(
+             {"first": f"k{i}", "second": i, "third": "t" * 64})}
+        for i in range(n_files)
+    ])
+    db2.index(origin)
+    assert db.list("v") == db2.list("v")
+    # merges after the mid-stream migration: incremental against the
+    # NEW layout (hardlink proof, the test_rebucket_migration shape)
+    v_pre = store._current()
+
+    def inodes(v):
+        out = {}
+        for b in range(n_new):
+            d = store._bucket_dir(v, b)
+            if os.path.isdir(d):
+                out[b] = {
+                    nm: os.stat(os.path.join(d, nm)).st_ino
+                    for nm in os.listdir(d) if nm.endswith(".parquet")
+                }
+        return out
+
+    pre = inodes(v_pre)
+    url = f"{origin}/d/7.json"
+    hot = zlib.crc32(url.encode()) % n_new
+    db.append_changes([
+        {"origin": origin, "pathname": "/d/7.json", "version": 2,
+         "content": json.dumps({"first": "k7x", "second": 7, "third": "t"})}
+    ])
+    q2 = W.watch(db)
+    q2.awaitTermination()
+    post = inodes(store._current())
+    for b, files in pre.items():
+        if b == hot:
+            assert not (set(files.values()) & set(post.get(b, {}).values()))
+        else:
+            assert post[b] == files, f"bucket {b} was rewritten, not hardlinked"
+    assert db.get("v", "k7") is None
+    assert db.get("v", "k7x") is not None
+    db.close()
+
+
+def test_watch_maintenance_composition_under_stream(spark, tmp_path):
+    """The three in-stream maintenance mutations COMPOSED (r11 verdict
+    #5): rebucket_every=1 x vacuum_every=1 x changelog_expire_every=1
+    all firing at every batch boundary of a multi-batch drain (>64
+    files -> a listed-but-undelivered backlog exists while expiry
+    deletes and rebucket flips snapshots), then a second drain over
+    the re-delivered compacted copies. Final state must equal a plain
+    batch index of the same updates, history must stay bounded, and
+    the layout invariant must hold at the evolved bucket count."""
+    import glob as g
+
+    from test_view_engine import _bucket_membership_ok
+
+    wh = str(tmp_path / "wh-compose")
+    db = MapReduce(spark, wh, entries_buckets=2)
+    db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    db.define("v-reduced", path="/d/*.json", map=map_origin_one,
+              reduce="count", key_schema=["string"])
+    origin = "dat://compose"
+    rec = lambda k, v: json.dumps(
+        {"first": k, "second": v, "third": "t" * 64})
+    # 80 separate appends -> >= 80 files in one origin partition:
+    # guarantees a second 64-capped micro-batch whose listed files
+    # the post-batch-1 expiry deletes and whose shard the rebucket
+    # migrates, all under the live stream
+    for v in range(1, 81):
+        db.append_changes([
+            {"origin": origin, "pathname": f"/d/{v % 7}.json", "version": v,
+             "content": rec(f"k{v % 7}-v{v}", v)}
+        ])
+    q = W.watch(db, vacuum_every=1, vacuum_keep=2,
+                changelog_expire_every=1,
+                rebucket_every=1, rebucket_bytes=1024)
+    q.awaitTermination()
+    q2 = W.watch(db, vacuum_every=1, vacuum_keep=2,
+                 changelog_expire_every=1,
+                 rebucket_every=1, rebucket_bytes=1024)
+    q2.awaitTermination()
+    # state: latest-wins per path, identical to the batch twin
+    db2 = MapReduce(spark, str(tmp_path / "wh-compose-batch"),
+                    entries_buckets=2)
+    db2.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    db2.define("v-reduced", path="/d/*.json", map=map_origin_one,
+               reduce="count", key_schema=["string"])
+    db2.append_changes([
+        {"origin": origin, "pathname": f"/d/{v % 7}.json", "version": v,
+         "content": rec(f"k{v % 7}-v{v}", v)}
+        for v in range(1, 81)
+    ])
+    db2.index(origin)
+    assert db.list("v") == db2.list("v")
+    assert db.list("v-reduced") == db2.list("v-reduced")
+    # layout evolved and stayed consistent
+    store = db._entries_table("v", origin)
+    assert store.n_buckets > 2
+    assert _bucket_membership_ok(store)
+    # history bounded by the vacuum cadence
+    for manifest in g.glob(str(tmp_path / "wh-compose" / "views" / "**" /
+                               "_manifest.json"), recursive=True):
+        import os
+        root = os.path.dirname(manifest)
+        versions = [d for d in os.listdir(root)
+                    if d.startswith("v") and d[1:].isdigit()]
+        assert len(versions) <= 2, f"{root} kept {sorted(versions)}"
+    # changelog shrank to winners + at most one re-delivered
+    # compaction generation
+    assert db.changelog.read().count() <= 14
+    db.close()
