@@ -53,6 +53,7 @@ from dat_archive_map_reduce_spark.plans.catalog import (
     AppendOnlyLog,
     BucketedEntriesTable,
     VersionedTable,
+    empty_df,
 )
 from dat_archive_map_reduce_spark.plans.view_def import ViewDefinition, validate_view_def
 from dat_archive_map_reduce_spark.sources.files import (
@@ -193,7 +194,7 @@ class MapReduce:
         origins = list(origins) if origins is not None else sorted(self._known_origins())
         dfs = [self._entries_table(view, o).read() for o in origins]
         if not dfs:
-            return self.spark.createDataFrame([], entries_schema(vdef.key_types()))
+            return empty_df(self.spark, entries_schema(vdef.key_types()))
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -418,6 +419,133 @@ class MapReduce:
         )
         return retracted_keys
 
+    def _merge_view_shards_onejob(
+        self,
+        vdef: ViewDefinition,
+        updates: DataFrame,
+        new_entries: DataFrame,
+        counts: "dict[str, int]",
+        buckets: "dict[str, list[int]]",
+    ) -> DataFrame:
+        """Multi-origin watch merge in ONE Spark write job (r11
+        verdict #3): the per-origin _merge_entry_shard loop launches
+        one write job per (view, origin) — at 4 origins x 2 views
+        that job fan-out IS the fixed per-batch cost floor the
+        maintain bench measures. Here every origin's surviving + new
+        rows are written together, partitioned by (origin index,
+        bucket id) into a temp dir under the warehouse, then
+        committed per shard driver-side: move the written bucket dirs
+        into each shard's new snapshot, hardlink untouched buckets,
+        flip pointers. Semantics are identical to the per-origin loop
+        — same retraction anti-join (file_url embeds its origin, so
+        one global anti-join retracts exactly per-origin: a url never
+        appears in another origin's shard), same bucket layout, same
+        crash contract (pointer flips remain the only commit; offsets
+        advance only after every flip, so a mid-commit crash
+        re-applies the batch idempotently, exactly like a crash
+        between two of the old per-origin writes). Caller must have
+        verified every shard is ELIGIBLE: absent, or a bucketed
+        current snapshot at the engine bucket count (a divergent
+        shard falls back to _merge_entry_shard, which recomputes its
+        ids). Returns the LAZY retracted-keys DataFrame (plans pinned
+        to pre-flip snapshot paths, the read_buckets contract)."""
+        import os
+        import shutil
+        import tempfile as _tf
+
+        from dat_archive_map_reduce_spark.plans.catalog import _link_tree
+
+        origins = sorted(counts)
+        tables = {o: self._entries_table(vdef.name, o) for o in origins}
+        n = self.entries_buckets
+        affected_urls = updates.select("url")
+        old_touched = tables[origins[0]].read_buckets(buckets[origins[0]])
+        for o in origins[1:]:
+            old_touched = old_touched.unionByName(
+                tables[o].read_buckets(buckets[o])
+            )
+        surviving = old_touched.join(
+            F.broadcast(affected_urls),
+            old_touched["file_url"] == affected_urls["url"],
+            "left_anti",
+        )
+        retracted_keys = old_touched.join(
+            F.broadcast(affected_urls),
+            old_touched["file_url"] == affected_urls["url"],
+            "left_semi",
+        ).select("key_json")
+        o_idx = {o: i for i, o in enumerate(origins)}
+        mapping = F.create_map(
+            *[F.lit(x) for o in origins for x in (o, o_idx[o])]
+        )
+        w = (
+            surviving.unionByName(new_entries)
+            .withColumn("_o", mapping[F.col("origin")].cast("int"))
+            .withColumn("_b", tables[origins[0]].bucket_expr("file_url"))
+        )
+        tmp = _tf.mkdtemp(prefix="_merge-onejob-", dir=self.warehouse)
+        try:
+            (
+                # no explicit partition count: a REPARTITION_BY_COL
+                # shuffle lets AQE size the write tasks to the DELTA
+                # (a drip batch coalesces to ~1 task, a backfill keeps
+                # full parallelism) — an explicit (origin x bucket)
+                # count pinned 64 near-empty tasks per batch, which
+                # WAS the fixed cost this one-job path exists to cut.
+                # Each (_o,_b) combo still hashes wholly into one
+                # task, so every bucket dir gets at most a handful of
+                # sorted files
+                w.repartition("_o", "_b")
+                .sortWithinPartitions(
+                    "_o", "_b", "key_json", "file_url", "emit_seq"
+                )
+                .write.mode("overwrite")
+                .partitionBy("_o", "_b")
+                .parquet(tmp)
+            )
+            for o in origins:
+                t = tables[o]
+                cur = t._current()
+                v = (cur or 0) + 1
+                dest = t._snapshot_dir(v)
+                if os.path.isdir(dest):
+                    # crash-orphaned dir at this version: clear it, the
+                    # overwrite-clears-dest convention of every writer
+                    shutil.rmtree(dest, ignore_errors=True)
+                os.makedirs(dest, exist_ok=True)
+                src_root = f"{tmp}/_o={o_idx[o]}"
+                if os.path.isdir(src_root):
+                    for bd in os.listdir(src_root):
+                        if bd.startswith("_b="):
+                            os.rename(f"{src_root}/{bd}", f"{dest}/{bd}")
+                # a touched bucket with no written dir is now EMPTY —
+                # correct, and why only UNtouched buckets hardlink
+                if cur is not None:
+                    touched = set(buckets[o])
+                    for b in range(n):
+                        if b in touched:
+                            continue
+                        src = t._bucket_dir(cur, b)
+                        if os.path.isdir(src):
+                            _link_tree(src, t._bucket_dir(v, b))
+                t._write_snapshot_meta(dest, n)
+                t._set_current(v)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return retracted_keys
+
+    def _onejob_eligible(self, view: str, origin: str) -> bool:
+        """A shard can join the one-job multi-origin write iff it is
+        absent (first index) or its current snapshot is bucketed at
+        the engine bucket count — the layout the job's (origin,
+        bucket) partitioning assumes. Flat legacy snapshots and
+        rebucketed shards (per-shard N != engine default) fall back
+        to _merge_entry_shard, which handles both."""
+        t = self._entries_table(view, origin)
+        return not t.exists() or (
+            t.current_is_bucketed() and t.n_buckets == self.entries_buckets
+        )
+
     def _apply_entry_updates(
         self, vdef: ViewDefinition, origin: str, updates: DataFrame
     ) -> "tuple[int, DataFrame | None]":
@@ -577,12 +705,25 @@ class MapReduce:
                     bucket_ids=buckets.get(origin),
                 )
 
-            # shard writes touch DISJOINT origin directories, so
-            # they run as concurrent Spark jobs (thread-per-origin)
-            # — wall clock for N small writes is ~the slowest one,
-            # not the sum; on a cluster this is also what keeps a
-            # many-source batch from serializing on the driver
-            if len(counts) > 1:
+            # multi-origin batches: ONE write job for all origins'
+            # shards (see _merge_view_shards_onejob) — the per-origin
+            # job fan-out was the dominant fixed per-batch cost.
+            # Single-origin batches (the steady-drip common case) and
+            # ineligible shards keep the per-origin merge; those
+            # writes touch DISJOINT origin directories, so they run
+            # as concurrent Spark jobs (thread-per-origin) — wall
+            # clock for N small writes is ~the slowest one, not the
+            # sum; on a cluster this is also what keeps a many-source
+            # batch from serializing on the driver
+            if len(counts) > 1 and all(
+                self._onejob_eligible(vdef.name, o) for o in counts
+            ):
+                affected_parts.append(
+                    self._merge_view_shards_onejob(
+                        vdef, updates, new_entries, counts, buckets
+                    )
+                )
+            elif len(counts) > 1:
                 from concurrent.futures import ThreadPoolExecutor
 
                 with ThreadPoolExecutor(

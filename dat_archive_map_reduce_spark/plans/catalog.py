@@ -28,6 +28,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def empty_df(spark: SparkSession, schema: T.StructType) -> DataFrame:
+    """Zero-partition empty DataFrame. ``createDataFrame([], schema)``
+    parallelizes over defaultParallelism (32 locally), so every union
+    with an absent table dragged 32 no-op tasks into the consuming
+    job — at 4 origins x 2 views that was ~128 empty tasks per
+    first-index watch batch, the dominant hidden fixed cost in the
+    r11 maintain profile. emptyRDD carries ZERO partitions."""
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, root: str, schema: T.StructType):
         self.spark = spark
@@ -79,7 +89,7 @@ class VersionedTable:
         """
         v = version if version is not None else self._current()
         if v is None:
-            return self.spark.createDataFrame([], self.schema)
+            return empty_df(self.spark, self.schema)
         if version is not None and not os.path.isdir(self._snapshot_dir(version)):
             raise FileNotFoundError(
                 f"snapshot v{version} of {self.root} not on disk "
@@ -266,7 +276,7 @@ class VersionedTable:
     def reset(self) -> None:
         """Logical wipe: point at a fresh empty snapshot (reference
         view reset, /root/reference/lib/util-level.js:26-35)."""
-        self.overwrite(self.spark.createDataFrame([], self.schema))
+        self.overwrite(empty_df(self.spark, self.schema))
 
     # -- driver-local metadata IO ------------------------------------
     # The offsets/sources tables are O(views x sources) rows of
@@ -496,7 +506,7 @@ class BucketedEntriesTable(VersionedTable):
         with a pinned schema skips inference entirely)."""
         v = version if version is not None else self._current()
         if v is None:
-            return self.spark.createDataFrame([], self.schema)
+            return empty_df(self.spark, self.schema)
         if version is not None and not os.path.isdir(self._snapshot_dir(version)):
             raise FileNotFoundError(
                 f"snapshot v{version} of {self.root} not on disk "
@@ -516,7 +526,7 @@ class BucketedEntriesTable(VersionedTable):
         snapshot when it predates bucketing (flat layout)."""
         v = self._current()
         if v is None:
-            return self.spark.createDataFrame([], self.schema)
+            return empty_df(self.spark, self.schema)
         if not self.current_is_bucketed():
             return self.read()
         dirs = [
@@ -525,7 +535,7 @@ class BucketedEntriesTable(VersionedTable):
             if os.path.isdir(self._bucket_dir(v, b))
         ]
         if not dirs:
-            return self.spark.createDataFrame([], self.schema)
+            return empty_df(self.spark, self.schema)
         return (
             self.spark.read.schema(self.schema)
             .option("recursiveFileLookup", "true")

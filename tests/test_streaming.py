@@ -1055,3 +1055,133 @@ def test_watch_maintenance_composition_under_stream(spark, tmp_path):
     # compaction generation
     assert db.changelog.read().count() <= 14
     db.close()
+
+
+def test_onejob_multi_origin_merge_semantics(spark, tmp_path):
+    """The one-job multi-origin watch merge (r11 verdict #3) must be
+    indistinguishable from the per-origin loop: retraction by put and
+    del across origins in ONE batch, untouched buckets hardlinked, a
+    fully-retracted bucket left EMPTY (not stale-hardlinked), and the
+    all-or-nothing fallback when any origin's shard carries a
+    divergent bucket count (post-rebucket). State is pinned against a
+    batch-indexed twin after every phase."""
+    import os
+    import zlib
+
+    from test_view_engine import _bucket_membership_ok
+
+    N = 4
+    origins = ["dat://a", "dat://b", "dat://c"]
+
+    def rec(k):
+        return json.dumps({"first": k, "second": 1, "third": "t"})
+
+    # pick b's victim pathname so its bucket holds ONLY that file's
+    # rows: b's three base files cover at most 3 of the 4 buckets, so
+    # a candidate landing in a free bucket always exists
+    import zlib as _z
+
+    base_buckets = {_z.crc32(f"dat://b/d/{j}.json".encode()) % N
+                    for j in range(3)}
+    solo = next(f"solo{i}" for i in range(100)
+                if _z.crc32(f"dat://b/d/solo{i}.json".encode()) % N
+                not in base_buckets)
+
+    def v1_rows():
+        rows = [
+            {"origin": o, "pathname": f"/d/{i}.json", "version": 1,
+             "content": rec(f"{o[-1]}k{i}")}
+            for o in origins for i in range(8) if not (o == "dat://b" and i > 2)
+        ]
+        rows.append({"origin": "dat://b", "pathname": f"/d/{solo}.json",
+                     "version": 1, "content": rec(f"bk{solo}")})
+        return rows
+
+    db = MapReduce(spark, str(tmp_path / "wh"), entries_buckets=N)
+    db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    dbb = MapReduce(spark, str(tmp_path / "wh-batch"), entries_buckets=N)
+    dbb.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+
+    # phase 1: multi-origin first index through the one-job path
+    db.append_changes(v1_rows())
+    W.watch_until_caught_up(db)
+    dbb.append_changes(v1_rows())
+    for o in origins:
+        dbb.index(o)
+    assert db.list("v") == dbb.list("v")
+    for o in origins:
+        assert _bucket_membership_ok(db._entries_table("v", o))
+
+    # phase 2: ONE batch rewriting a file in a, deleting b's solo
+    # file — its bucket holds ONLY that file's rows, so it must come
+    # out EMPTY, not hardlinked stale
+    url_of = lambda o, i: f"{o}/d/{i}.json"
+    b_of = lambda u: zlib.crc32(u.encode()) % N
+    victim = solo
+    upd = [
+        {"origin": "dat://a", "pathname": "/d/3.json", "version": 2,
+         "content": rec("ak3x")},
+        {"origin": "dat://b", "pathname": f"/d/{victim}.json",
+         "version": 2, "type": "del", "content": None},
+    ]
+    store_a = db._entries_table("v", "dat://a")
+    store_c = db._entries_table("v", "dat://c")
+    va, vc = store_a._current(), store_c._current()
+
+    def inodes(store, v):
+        out = {}
+        for b in range(N):
+            d = store._bucket_dir(v, b)
+            if os.path.isdir(d):
+                out[b] = {os.stat(f"{d}/{nm}").st_ino
+                          for nm in os.listdir(d) if nm.endswith(".parquet")}
+        return out
+
+    pre_a = inodes(store_a, va)
+    db.append_changes(upd)
+    W.watch_until_caught_up(db)
+    dbb.append_changes(upd)
+    dbb.index("dat://a")
+    dbb.index("dat://b")
+    assert db.list("v") == dbb.list("v")
+    assert db.get("v", "ak3") is None and db.get("v", "ak3x") is not None
+    assert db.get("v", f"bk{victim}") is None
+    # untouched origin c: no new snapshot at all
+    assert store_c._current() == vc
+    # origin a: only the hot bucket rewritten, others hardlinked
+    hot_a = b_of(url_of("dat://a", 3))
+    post_a = inodes(store_a, store_a._current())
+    for b, inos in pre_a.items():
+        if b == hot_a:
+            assert not (inos & post_a.get(b, set()))
+        else:
+            assert post_a[b] == inos
+    # origin b: the victim's bucket is now EMPTY in the new snapshot
+    store_b = db._entries_table("v", "dat://b")
+    vb = store_b._current()
+    victim_bucket_dir = store_b._bucket_dir(vb, b_of(url_of("dat://b", victim)))
+    pq = [f for f in os.listdir(victim_bucket_dir)
+          if f.endswith(".parquet")] if os.path.isdir(victim_bucket_dir) else []
+    assert not pq, "fully-retracted bucket must not carry stale rows"
+
+    # phase 3: rebucket a's shard to a DIVERGENT count -> the next
+    # multi-origin batch must fall back to the per-origin merge and
+    # still converge, keeping a's pinned count
+    db.rebucket_entries(8, views=["v"], origins=["dat://a"])
+    upd3 = [
+        {"origin": "dat://a", "pathname": "/d/5.json", "version": 3,
+         "content": rec("ak5x")},
+        {"origin": "dat://c", "pathname": "/d/2.json", "version": 3,
+         "content": rec("ck2x")},
+    ]
+    db.append_changes(upd3)
+    W.watch_until_caught_up(db)
+    dbb.append_changes(upd3)
+    dbb.index("dat://a")
+    dbb.index("dat://c")
+    assert db.list("v") == dbb.list("v")
+    assert db._entries_table("v", "dat://a").n_buckets == 8
+    assert _bucket_membership_ok(db._entries_table("v", "dat://a"))
+    assert _bucket_membership_ok(db._entries_table("v", "dat://c"))
+    db.close()
+    dbb.close()
