@@ -90,6 +90,7 @@ class MapReduce:
         warehouse: str,
         listeners: dict[str, list[Callable[..., None]]] | None = None,
         entries_buckets: int = 16,
+        changelog_hash_levels: int = 0,
     ):
         """``listeners`` registers callbacks before the warehouse opens
         (the reference attaches handlers before open(), index.js:34-60,
@@ -100,7 +101,15 @@ class MapReduce:
         only buckets containing changed files and hardlinks the rest,
         so merge IO is O(delta + touched/N of the shard), not
         O(shard). Applies to NEW shards; an existing shard keeps the
-        bucket count it was created with (pinned in _buckets.json)."""
+        bucket count it was created with (pinned in _buckets.json).
+
+        ``changelog_hash_levels``: 1 interposes a 256-way
+        origin_hash=xx/ directory level above origin= in the
+        changelog — the layout for warehouses tracking MILLIONS of
+        sources, where a flat origin= listing is the bottleneck
+        (AppendOnlyLog docstring). A property of the warehouse:
+        pinned on first write, adopted on reopen; an existing
+        single-level warehouse refuses the upgrade loudly."""
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.entries_buckets = int(entries_buckets)
@@ -123,6 +132,7 @@ class MapReduce:
                 # origin, which then prunes to one source's directory
                 # (PartitionFilters) instead of scanning the whole log
                 partition_by=("origin",),
+                hash_levels=changelog_hash_levels,
             )
             self.offsets = VersionedTable(spark, f"{self.warehouse}/offsets", OFFSETS_SCHEMA)
         except Exception as e:  # reference open-failed, index.js:57
@@ -211,8 +221,7 @@ class MapReduce:
 
     def current_version(self, origin: str) -> int:
         row = (
-            self.changelog.read()
-            .filter(F.col("origin") == origin)
+            self.changelog.read_origin(origin)
             .agg(F.max("version").alias("v"))
             .first()
         )
@@ -248,7 +257,7 @@ class MapReduce:
         if origin in self._missing_origins:
             self._missing_origins.discard(origin)
             self._emit("archive-found", origin=origin)
-        log = self.changelog.read().filter(F.col("origin") == origin)
+        log = self.changelog.read_origin(origin)
         offsets = {v: lv for v, o, lv in self.offsets.read_rows() if o == origin}
         any_work = False
         offset_updates: list[tuple[str, str, int]] = []
@@ -938,7 +947,7 @@ class MapReduce:
             # fresh read() per origin: the file index pins at DataFrame
             # creation, and the previous iteration's swap just changed
             # the directory under it
-            part = self.changelog.read().filter(F.col("origin") == origin)
+            part = self.changelog.read_origin(origin)
             winners = latest_wins(part.filter(F.col("version") <= floor))
             kept = part.filter(F.col("version") > floor).unionByName(winners)
             # one count pair per expired origin (maintenance cadence,

@@ -740,7 +740,25 @@ class AppendOnlyLog:
     directory structures" — bricking the warehouse. So on open, if
     flat data files are present, this log drops to unpartitioned
     (legacy) mode for its lifetime; only warehouses born partitioned
-    get partition pruning."""
+    get partition pruning.
+
+    TWO-LEVEL LAYOUT (``hash_levels=1``): at millions of sources a
+    single flat ``origin=...`` level turns every driver-side
+    partition listing (expiry floors, partition_dir) and filesystem
+    directory op into an O(origins) listdir of one huge directory.
+    ``hash_levels=1`` interposes a 256-way fan-out level —
+    ``origin_hash=xx/origin=.../`` with xx the first two hex chars
+    of md5(origin) — so any per-origin op lists 256 + origins/256
+    entries instead. Reader code is unchanged: per-origin reads
+    (``read_origin``) filter BOTH levels so PartitionFilters prune
+    through the hash level too, and whole-log reads re-select the
+    schema columns (Spark appends discovered partition columns not
+    in the user schema). The layout is a property of the WAREHOUSE,
+    pinned in ``_layout.json`` on first write and adopted on reopen
+    whatever the constructor argument; opening an existing
+    single-level log with ``hash_levels=1`` refuses loudly (an
+    in-place migration would leave a reader racing the rename —
+    rebuild via a fresh warehouse or keep the flat layout)."""
 
     def __init__(
         self,
@@ -748,11 +766,15 @@ class AppendOnlyLog:
         root: str,
         schema: T.StructType,
         partition_by: "tuple[str, ...]" = (),
+        hash_levels: int = 0,
     ):
         self.spark = spark
         self.root = root.rstrip("/")
         self.schema = schema
         self.partition_by = tuple(partition_by)
+        if int(hash_levels) not in (0, 1):
+            raise ValueError(f"hash_levels must be 0 or 1, got {hash_levels}")
+        self.hash_levels = int(hash_levels)
         os.makedirs(self.root, exist_ok=True)
         if self.partition_by and any(
             not name.startswith(("_", "."))
@@ -761,9 +783,105 @@ class AppendOnlyLog:
         ):
             # pre-partitioning layout on disk: stay flat forever
             self.partition_by = ()
+            self.hash_levels = 0
+            return
+        if not self.partition_by:
+            self.hash_levels = 0
+            return
+        stored = self._read_layout()
+        entries = os.listdir(self.root)
+        has_hashed = any(n.startswith(self._hash_col() + "=") for n in entries)
+        has_flat = any(
+            n.startswith(self.partition_by[0] + "=") for n in entries
+        )
+        if stored is not None:
+            if self.hash_levels > stored:
+                raise RuntimeError(
+                    f"changelog at {self.root} is pinned to the "
+                    f"hash_levels={stored} layout; opening it with "
+                    f"hash_levels={self.hash_levels} would interleave "
+                    "two directory structures (Spark rejects the mix) "
+                    "— keep the pinned layout for this warehouse, or "
+                    "rebuild it into a fresh warehouse to adopt the "
+                    "two-level layout"
+                )
+            self.hash_levels = stored
+        elif has_hashed:
+            self.hash_levels = 1
+        elif has_flat:
+            if self.hash_levels:
+                raise RuntimeError(
+                    f"changelog at {self.root} was written with the "
+                    f"single-level {self.partition_by[0]}= layout; "
+                    "opening it with hash_levels=1 would interleave "
+                    "two directory structures (Spark rejects the mix) "
+                    "— keep hash_levels=0 for this warehouse, or "
+                    "rebuild it into a fresh warehouse to adopt the "
+                    "two-level layout"
+                )
+            self.hash_levels = 0
+        if stored is None:
+            self._write_layout()
+
+    # -- two-level layout helpers --------------------------------------
+    def _hash_col(self) -> str:
+        return f"{self.partition_by[0]}_hash"
+
+    def _hash_of(self, value: str) -> str:
+        """Driver twin of the in-plan hash (md5 hex prefix — same
+        bytes Spark's F.md5 hashes on a UTF-8 string column)."""
+        import hashlib
+
+        return hashlib.md5(value.encode("utf-8")).hexdigest()[:2]
+
+    def _layout_path(self) -> str:
+        return f"{self.root}/_layout.json"
+
+    def _read_layout(self) -> "int | None":
+        try:
+            with open(self._layout_path()) as f:
+                return int(json.load(f)["hash_levels"])
+        except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
+            return None
+
+    def _write_layout(self) -> None:
+        tmp = self._layout_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"hash_levels": self.hash_levels}, f)
+        os.replace(tmp, self._layout_path())
 
     def read(self) -> DataFrame:
-        return self.spark.read.schema(self.schema).parquet(self.root)
+        df = self.spark.read.schema(self.schema).parquet(self.root)
+        if self.partition_by:
+            # Spark APPENDS discovered partition columns (the hash
+            # level isn't in the user schema at all, and declared
+            # partition columns get moved to the end) — re-select so
+            # every layout presents exactly the declared column order
+            df = df.select(*[f.name for f in self.schema.fields])
+        return df
+
+    def read_origin(self, value: str) -> DataFrame:
+        """One source's rows, with PartitionFilters pruning through
+        EVERY directory level (under hash_levels=1 the scan carries
+        both the origin_hash= and origin= predicates — at millions of
+        origins that is the difference between touching 1/256th of
+        the directory tree and all of it)."""
+        col = self.partition_by[0] if self.partition_by else "origin"
+        if not self.hash_levels:
+            return self.read().filter(F.col(col) == value)
+        ext = T.StructType(
+            list(self.schema.fields)
+            + [T.StructField(self._hash_col(), T.StringType())]
+        )
+        return (
+            self.spark.read.schema(ext)
+            .parquet(self.root)
+            .filter(
+                (F.col(self._hash_col()) == self._hash_of(value))
+                & (F.col(col) == value)
+            )
+            .select(*[f.name for f in self.schema.fields])
+        )
 
     def append(self, df: DataFrame, max_records_per_file: int = 1 << 20) -> None:
         w = df
@@ -780,11 +898,21 @@ class AppendOnlyLog:
             # which is why one write task per origin is the right
             # parallelism here.
             w = df.repartition(*[F.col(c) for c in self.partition_by])
+            if self.hash_levels:
+                # derived directory level only — partitionBy consumes
+                # it into the path, data files never store it
+                w = w.withColumn(
+                    self._hash_col(),
+                    F.substring(F.md5(F.col(self.partition_by[0])), 1, 2),
+                )
         wr = w.write.mode("append").option(
             "maxRecordsPerFile", str(int(max_records_per_file))
         )
         if self.partition_by:
-            wr = wr.partitionBy(*self.partition_by)
+            cols = (
+                (self._hash_col(),) if self.hash_levels else ()
+            ) + self.partition_by
+            wr = wr.partitionBy(*cols)
         wr.parquet(self.root)
 
     # -- retention ----------------------------------------------------
@@ -797,10 +925,17 @@ class AppendOnlyLog:
             return None
         from urllib.parse import unquote
 
+        base = self.root
+        if self.hash_levels:
+            base = os.path.join(
+                self.root, f"{self._hash_col()}={self._hash_of(value)}"
+            )
+            if not os.path.isdir(base):
+                return None
         prefix = self.partition_by[0] + "="
-        for name in os.listdir(self.root):
+        for name in os.listdir(base):
             if name.startswith(prefix) and unquote(name[len(prefix):]) == value:
-                return os.path.join(self.root, name)
+                return os.path.join(base, name)
         return None
 
     def data_files(self, part_dir: str) -> "list[str]":

@@ -112,6 +112,11 @@ def watch(
         # re-delivered elsewhere
         .option("ignoreMissingFiles", "true")
         .parquet(engine.changelog.root)
+        # normalize to exactly the changelog schema: under the
+        # two-level layout (hash_levels=1) Spark appends the
+        # discovered origin_hash partition column, which would leak
+        # into every downstream union/UDF column contract
+        .select(*[f.name for f in FILES_SCHEMA.fields])
     )
     # local counter, not batch_id: checkpointed batch ids keep rising
     # across restarts, which would skew the vacuum cadence

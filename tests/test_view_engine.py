@@ -985,3 +985,109 @@ def test_vacuum_vs_lazy_merge_plan(spark, tmp_path):
     assert v2 not in store.versions()
     with pytest.raises(Exception):
         lazy2.select("key_json").collect()
+
+
+def test_changelog_two_level_layout(spark, tmp_path):
+    """hash_levels=1 (r11 verdict #4): the changelog fans out as
+    origin_hash=xx/origin=.../ so driver-side per-origin ops list 256
+    + origins/256 directory entries instead of one flat million-entry
+    dir. Per-origin reads must prune through BOTH levels
+    (PartitionFilters carries origin_hash AND origin), engine state
+    must equal a flat-layout twin, reopening must adopt the pinned
+    layout whatever the constructor says, and retention (expiry's
+    partition-dir swap) must work against the nested layout."""
+    import hashlib
+    import os
+
+    wh = str(tmp_path / "wh-2lvl")
+    db = MapReduce(spark, wh, changelog_hash_levels=1)
+    db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    dbf = MapReduce(spark, str(tmp_path / "wh-flat"))
+    dbf.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    origins = [f"dat://two{i}" for i in range(3)]
+    for o in origins:
+        for db_ in (db, dbf):
+            db_.append_changes([
+                {"origin": o, "pathname": "/d/a.json", "version": 1,
+                 "content": json.dumps({"first": f"k-{o[-1]}", "second": 1,
+                                        "third": "t"})}
+            ])
+        db.index(o)
+        dbf.index(o)
+    # on-disk: two directory levels, hash = md5 hex prefix
+    top = sorted(d for d in os.listdir(db.changelog.root)
+                 if d.startswith("origin_hash="))
+    assert top, "expected origin_hash= directories"
+    h0 = hashlib.md5(origins[0].encode()).hexdigest()[:2]
+    assert f"origin_hash={h0}" in top
+    inner = os.listdir(os.path.join(db.changelog.root, f"origin_hash={h0}"))
+    assert any(d.startswith("origin=") for d in inner)
+    # per-origin scan prunes through BOTH levels
+    scan = db.changelog.read_origin(origins[0])
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "origin_hash" in pf and "origin#" in pf.replace("origin_hash", "")
+    assert scan.count() == 1
+    assert db.current_version(origins[0]) == 1
+    # engine state identical to the flat twin; no partition column leak
+    assert db.list("v") == dbf.list("v")
+    assert db.changelog.read().columns == dbf.changelog.read().columns
+    # reopen WITHOUT the kwarg: pinned layout adopted from _layout.json
+    db2 = MapReduce(spark, wh)
+    assert db2.changelog.hash_levels == 1
+    db2.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    db2.append_changes([
+        {"origin": origins[0], "pathname": "/d/a.json", "version": 2,
+         "content": json.dumps({"first": "k-new", "second": 2, "third": "t"})}
+    ])
+    db2.index(origins[0])
+    assert db2.get("v", "k-new") is not None
+    # retention against the nested layout: expiry compacts in place
+    got = db2.expire_changelog()
+    assert any(origins[0] in k for k in got), got
+    assert db2.changelog.read_origin(origins[0]).count() == 1
+    db2.index(origins[0])  # still consistent after the swap
+    assert db2.get("v", "k-new") is not None
+
+
+def test_changelog_flat_layout_refuses_hash_upgrade(spark, tmp_path):
+    """An existing single-level origin= warehouse must refuse
+    hash_levels=1 loudly (in-place migration would interleave two
+    directory structures under a live reader)."""
+    wh = str(tmp_path / "wh-noup")
+    db = MapReduce(spark, wh)
+    db.append_changes([
+        {"origin": "dat://x", "pathname": "/d/a.json", "version": 1,
+         "content": json.dumps({"first": "k", "second": 1, "third": "t"})}
+    ])
+    with pytest.raises(RuntimeError, match="hash_levels"):
+        MapReduce(spark, wh, changelog_hash_levels=1)
+    # and the pinned flat layout still opens fine without the flag
+    db2 = MapReduce(spark, wh)
+    assert db2.changelog.hash_levels == 0
+
+
+def test_watch_converges_under_two_level_layout(spark, tmp_path):
+    """Watch mode over the origin_hash= layout: the stream discovers
+    both directory levels, the partition-column leak is normalized
+    away, and the drained state equals a batch index."""
+    from dat_archive_map_reduce_spark.streaming import watch as W
+
+    db = MapReduce(spark, str(tmp_path / "wh-2s"), changelog_hash_levels=1)
+    db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    dbb = MapReduce(spark, str(tmp_path / "wh-2b"), changelog_hash_levels=1)
+    dbb.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    rows = [
+        {"origin": f"dat://s{i % 3}", "pathname": f"/d/{i}.json",
+         "version": 1,
+         "content": json.dumps({"first": f"k{i}", "second": i, "third": "t"})}
+        for i in range(12)
+    ]
+    db.append_changes(rows)
+    W.watch_until_caught_up(db)
+    dbb.append_changes(rows)
+    for o in {r["origin"] for r in rows}:
+        dbb.index(o)
+    assert db.list("v") == dbb.list("v")
+    db.close()
+    dbb.close()
