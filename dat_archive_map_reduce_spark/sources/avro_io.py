@@ -1,0 +1,538 @@
+"""Avro source/sink — the one remaining lakehouse ingest-edge format
+(Kafka Connect dumps, Debezium CDC archives, Sqoop-era exports).
+
+Spark treats Avro as an EXTERNAL module (the ``spark-avro`` package,
+bundled with most cluster distributions but not with the bare PyPI
+pyspark this environment runs). So, two paths, same API:
+
+- **Native path**: when ``format("avro")`` resolves (any real cluster
+  deployment), ``read_avro``/``write_avro`` delegate to it — full
+  schema coverage, splittable container blocks, codecs.
+- **Portable path** (this environment, and any bare-pyspark install):
+  a genuine pure-Python implementation of the Avro 1.11 object
+  container format (spec: container magic ``Obj\\x01``, file-metadata
+  map carrying the writer schema JSON + codec, 16-byte sync marker,
+  zigzag-varint block frames) over the repo's distributed-codec
+  pattern: reads are ``binaryFile`` scans decoded per-file inside
+  Arrow-batched ``mapInPandas`` (parallelism = file count, exactly
+  Avro's file-level split unit under the null codec), writes encode
+  one container per input partition inside ``mapInPandas`` and emit
+  only the written path (bounded driver traffic). Supported type
+  lattice — the tabular subset an ingest edge actually emits:
+  null / boolean / int / long / float / double / string / bytes,
+  date (logicalType=date) and timestamp-micros, and the nullable
+  union ``["null", T]``. Anything else (nested records, enums,
+  fixed, maps, arrays) is rejected with a loud ValueError, the codec
+  family's convention — NOT silently coerced.
+
+The binary encoding is independently pinned in tests against
+hand-computed byte sequences (zigzag varints, union indexes, sync
+framing), and the round trip is exercised through real Spark scans.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["read_avro", "write_avro", "encode_avro", "decode_avro"]
+
+_MAGIC = b"Obj\x01"
+
+# -- Spark <-> Avro schema mapping (tabular subset) --------------------
+
+_TO_AVRO = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.StringType(): "string",
+    T.BinaryType(): "bytes",
+}
+_FROM_AVRO = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def _avro_field_type(dt: T.DataType) -> Any:
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if dt in _TO_AVRO:
+        return _TO_AVRO[dt]
+    raise ValueError(
+        f"avro portable codec does not support Spark type {dt.simpleString()}"
+        " — supported: boolean/int/long/float/double/string/binary/date/"
+        "timestamp (deploy spark-avro for the full lattice)"
+    )
+
+
+def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
+    """Writer schema (an Avro ``record``) for a Spark StructType;
+    nullable fields become the ``["null", T]`` union."""
+    fields = []
+    for f in schema.fields:
+        ft: Any = _avro_field_type(f.dataType)
+        if f.nullable:
+            ft = ["null", ft]
+        fields.append({"name": f.name, "type": ft})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def spark_schema_of(avro_schema: dict) -> T.StructType:
+    """Inverse mapping — the reader-side contract of the same subset."""
+    if avro_schema.get("type") != "record":
+        raise ValueError(f"expected a record schema, got {avro_schema}")
+    out = []
+    for f in avro_schema["fields"]:
+        ft = f["type"]
+        nullable = False
+        if isinstance(ft, list):
+            branches = [b for b in ft if b != "null"]
+            if len(ft) != 2 or "null" not in ft or len(branches) != 1:
+                raise ValueError(
+                    f"only the [null, T] union is supported, got {ft}"
+                )
+            nullable = True
+            ft = branches[0]
+        if isinstance(ft, dict):
+            lt = ft.get("logicalType")
+            if lt == "date" and ft.get("type") == "int":
+                dt: T.DataType = T.DateType()
+            elif lt == "timestamp-micros" and ft.get("type") == "long":
+                dt = T.TimestampType()
+            else:
+                raise ValueError(f"unsupported avro type {ft}")
+        elif ft in _FROM_AVRO:
+            dt = _FROM_AVRO[ft]
+        else:
+            raise ValueError(f"unsupported avro type {ft!r}")
+        out.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(out)
+
+
+# -- primitive binary encoding (Avro spec §binary encoding) ------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(int(n)) & ((1 << 64) - 1)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def _read_long(buf) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        c = buf.read(1)
+        if not c:
+            raise ValueError("truncated avro varint")
+        b = c[0]
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return _unzigzag(acc)
+        shift += 7
+        if shift > 70:
+            raise ValueError("avro varint too long")
+
+
+def _encoder_for(ft: Any):
+    """Value encoder for one (non-union) Avro type."""
+    base = ft["type"] if isinstance(ft, dict) else ft
+    logical = ft.get("logicalType") if isinstance(ft, dict) else None
+    if base == "boolean":
+        return lambda buf, v: buf.write(b"\x01" if v else b"\x00")
+    if base in ("int", "long"):
+        if logical == "date":
+            import datetime
+
+            epoch = datetime.date(1970, 1, 1)
+            return lambda buf, v: _write_long(buf, (v - epoch).days)
+        if logical == "timestamp-micros":
+            import datetime
+
+            def _enc_ts(buf, v):
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                us = int(
+                    (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
+                )
+                # re-derive exactly (float seconds lose sub-us at far
+                # dates): integer math on the timedelta components
+                d = v - datetime.datetime(1970, 1, 1)
+                us = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+                _write_long(buf, us)
+
+            return _enc_ts
+        return _write_long
+    if base == "float":
+        return lambda buf, v: buf.write(struct.pack("<f", float(v)))
+    if base == "double":
+        return lambda buf, v: buf.write(struct.pack("<d", float(v)))
+    if base == "string":
+
+        def _enc_s(buf, v):
+            b = str(v).encode("utf-8")
+            _write_long(buf, len(b))
+            buf.write(b)
+
+        return _enc_s
+    if base == "bytes":
+
+        def _enc_b(buf, v):
+            b = bytes(v)
+            _write_long(buf, len(b))
+            buf.write(b)
+
+        return _enc_b
+    raise ValueError(f"unsupported avro type {ft!r}")
+
+
+def _decoder_for(ft: Any):
+    base = ft["type"] if isinstance(ft, dict) else ft
+    logical = ft.get("logicalType") if isinstance(ft, dict) else None
+    if base == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if base in ("int", "long"):
+        if logical == "date":
+            import datetime
+
+            epoch = datetime.date(1970, 1, 1)
+            return lambda buf: epoch + datetime.timedelta(days=_read_long(buf))
+        if logical == "timestamp-micros":
+            import datetime
+
+            epoch = datetime.datetime(1970, 1, 1)
+            return lambda buf: epoch + datetime.timedelta(
+                microseconds=_read_long(buf)
+            )
+        return _read_long
+    if base == "float":
+        return lambda buf: struct.unpack("<f", buf.read(4))[0]
+    if base == "double":
+        return lambda buf: struct.unpack("<d", buf.read(8))[0]
+    if base == "string":
+        return lambda buf: buf.read(_read_long(buf)).decode("utf-8")
+    if base == "bytes":
+        return lambda buf: buf.read(_read_long(buf))
+    raise ValueError(f"unsupported avro type {ft!r}")
+
+
+# -- container format ---------------------------------------------------
+
+
+def encode_avro(
+    rows: "list[tuple]",
+    schema: T.StructType,
+    codec: str = "null",
+    records_per_block: int = 4096,
+    sync: "bytes | None" = None,
+) -> bytes:
+    """Encode row tuples (schema field order) as ONE Avro object
+    container. ``sync`` defaults to a deterministic marker derived
+    from the schema + first block (reproducible outputs; the spec
+    only requires the 16 bytes to be consistent within the file)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    aschema = avro_schema_of(schema)
+    encs = []
+    for f in schema.fields:
+        ft = _avro_field_type(f.dataType)
+        enc = _encoder_for(ft)
+        if f.nullable:
+
+            def _nullable(buf, v, _enc=enc):
+                if v is None:
+                    _write_long(buf, 0)
+                else:
+                    _write_long(buf, 1)
+                    _enc(buf, v)
+
+            encs.append(_nullable)
+        else:
+
+            def _required(buf, v, _enc=enc, _n=f.name):
+                if v is None:
+                    raise ValueError(f"null in non-nullable field {_n}")
+                _enc(buf, v)
+
+            encs.append(_required)
+
+    schema_json = json.dumps(aschema, separators=(",", ":"))
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(
+            schema_json.encode() + str(len(rows)).encode()
+        ).digest()
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+
+    out = io.BytesIO()
+    out.write(_MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out.write(kb)
+        _write_long(out, len(v))
+        out.write(v)
+    _write_long(out, 0)  # end of metadata map
+    out.write(sync)
+    for i in range(0, max(len(rows), 1), records_per_block):
+        block_rows = rows[i : i + records_per_block]
+        if not block_rows and rows:
+            break
+        body = io.BytesIO()
+        for r in block_rows:
+            for enc, v in zip(encs, r):
+                enc(body, v)
+        data = body.getvalue()
+        if codec == "deflate":
+            data = zlib.compress(data)[2:-4]  # raw deflate per spec
+        if not block_rows:
+            continue  # zero rows: header-only container
+        _write_long(out, len(block_rows))
+        _write_long(out, len(data))
+        out.write(data)
+        out.write(sync)
+    return out.getvalue()
+
+
+def decode_avro(buf: bytes) -> "tuple[T.StructType, list[tuple]]":
+    """Decode one Avro object container into (Spark schema, row
+    tuples). Validates magic, codec, and every block's sync marker."""
+    f = io.BytesIO(bytes(buf))
+    if f.read(4) != _MAGIC:
+        raise ValueError("not an avro object container (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _read_long(f)
+        if n == 0:
+            break
+        if n < 0:  # negative block count form: size follows
+            n = -n
+            _read_long(f)
+        for _ in range(n):
+            k = f.read(_read_long(f)).decode()
+            meta[k] = f.read(_read_long(f))
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    aschema = json.loads(meta["avro.schema"].decode())
+    schema = spark_schema_of(aschema)
+    decs = []
+    for fld, af in zip(schema.fields, aschema["fields"]):
+        ft = af["type"]
+        if isinstance(ft, list):
+            inner = [b for b in ft if b != "null"][0]
+            dec = _decoder_for(inner)
+            # union order is the writer's: index of "null" may be 0 or 1
+            null_idx = ft.index("null")
+
+            def _nullable(buf, _dec=dec, _ni=null_idx):
+                idx = _read_long(buf)
+                return None if idx == _ni else _dec(buf)
+
+            decs.append(_nullable)
+        else:
+            decs.append(_decoder_for(ft))
+    sync = f.read(16)
+    if len(sync) != 16:
+        raise ValueError("truncated avro header sync marker")
+    rows: list[tuple] = []
+    while True:
+        head = f.read(1)
+        if not head:
+            break
+        f.seek(-1, os.SEEK_CUR)
+        n_rec = _read_long(f)
+        n_bytes = _read_long(f)
+        data = f.read(n_bytes)
+        if len(data) != n_bytes:
+            raise ValueError("truncated avro block")
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        b = io.BytesIO(data)
+        for _ in range(n_rec):
+            rows.append(tuple(dec(b) for dec in decs))
+        if f.read(16) != sync:
+            raise ValueError("avro block sync marker mismatch")
+    return schema, rows
+
+
+# -- Spark-level read/write ---------------------------------------------
+
+
+def _native_avro_available(spark: SparkSession) -> bool:
+    # Ask Spark's own provider resolution: classpath probing is not
+    # enough (bare pyspark ships stub avro CLASSES without the
+    # DataSourceRegister service entry, so Class.forName succeeds
+    # while format("avro") still throws "external data source
+    # module") — lookupDataSource is exactly the check the reader
+    # and writer will perform
+    try:
+        conf = spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", conf
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(
+    spark: SparkSession, path: str, glob: str = "*.avro"
+) -> DataFrame:
+    """Avro scan. Native ``format("avro")`` when the spark-avro
+    module is deployed; otherwise the portable path: the writer
+    schema is read from ONE file header driver-side (a bounded
+    metadata read), then every container decodes inside Arrow-batched
+    mapInPandas — parallelism = file count, which under the null
+    codec is Avro's real split unit anyway."""
+    if _native_avro_available(spark):
+        return spark.read.format("avro").load(path)
+    import glob as _g
+
+    candidates = sorted(
+        _g.glob(os.path.join(path, glob))
+        if os.path.isdir(path)
+        else _g.glob(path)
+    )
+    if not candidates:
+        raise FileNotFoundError(f"no avro files under {path!r} ({glob})")
+    with open(candidates[0], "rb") as fh:
+        schema, _ = decode_avro(fh.read())
+
+    def _decode_files(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        names = [f.name for f in schema.fields]
+        for pdf in batches:
+            for content in pdf["content"]:
+                _, rows = decode_avro(bytes(content))
+                yield pd.DataFrame(rows, columns=names)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path if os.path.isdir(path) else os.path.dirname(path))
+        .select("content")
+    )
+    return files.mapInPandas(_decode_files, schema=schema)
+
+
+def write_avro(
+    df: DataFrame, path: str, mode: str = "overwrite", codec: str = "null"
+) -> "list[str]":
+    """Avro sink. Native writer when deployed. Portable path: each
+    input partition encodes ONE container inside mapInPandas and
+    emits only its written file path (bounded rows to the driver) —
+    targets POSIX-visible storage, which is exactly the environment
+    that lacks the native module. Returns the written paths
+    (native path returns [])."""
+    if _native_avro_available(df.sparkSession):
+        df.write.mode(mode).format("avro").save(path)
+        return []
+    if mode not in ("overwrite", "error"):
+        raise ValueError(f"portable avro writer supports overwrite/error, got {mode!r}")
+    if os.path.isdir(path):
+        if mode == "error":
+            raise FileExistsError(path)
+        import shutil
+
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+    schema_ddl = schema.json()
+
+    def _encode_partition(batches: Iterator) -> Iterator:
+        import uuid
+
+        import pandas as pd
+
+        sch = T.StructType.fromJson(json.loads(schema_ddl))
+        rows: list[tuple] = []
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                rows.append(
+                    tuple(
+                        None if _is_na(v) else _coerce(v, f.dataType)
+                        for v, f in zip(r, sch.fields)
+                    )
+                )
+        if not rows:
+            yield pd.DataFrame({"path": []}).astype({"path": "string"})
+            return
+        out = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        with open(out, "wb") as fh:
+            fh.write(encode_avro(rows, sch, codec=codec))
+        yield pd.DataFrame({"path": [out]})
+
+    return [
+        r["path"]
+        for r in df.mapInPandas(
+            _encode_partition, schema="path string"
+        ).collect()
+    ]
+
+
+def _is_na(v) -> bool:
+    import pandas as pd
+
+    try:
+        return v is None or (pd.isna(v) if not isinstance(v, (list, tuple, bytes, bytearray)) else False)
+    except (TypeError, ValueError):
+        return False
+
+
+def _coerce(v, dt: T.DataType):
+    """Arrow/pandas scalar -> plain Python value for the encoder."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(dt, T.DateType) and isinstance(v, datetime.datetime):
+        return v.date()
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v

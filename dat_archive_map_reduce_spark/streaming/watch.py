@@ -851,3 +851,66 @@ def streaming_cms(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def blocklist_fingerprints(
+    docs: DataFrame, text_col: str = "text", n: int = 5, hex_chars: int = 16
+) -> DataFrame:
+    """Distinct rolling n-gram fingerprints of a protected corpus
+    (eval sets, licensed text) — the static side of
+    streaming_contamination. Same truncated_shingle_fps definition
+    as the batch contamination pipeline, so the gate and the offline
+    scan agree on what a hit IS."""
+    from dat_archive_map_reduce_spark.operators.text import (
+        truncated_shingle_fps,
+    )
+
+    return docs.select(
+        F.explode(truncated_shingle_fps(text_col, n, hex_chars)).alias("fp")
+    ).distinct()
+
+
+def streaming_contamination(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    hex_chars: int = 16,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Contamination GATE for continuous training-data ingestion (the
+    streaming twin of the batch corpus_contamination scan): every
+    arriving document's rolling n-gram fingerprint sketch probes a
+    STATIC blocklist broadcast to the executors; documents with >=
+    ``min_hits`` banned shingles are emitted as
+    (doc_id, n_hits, hit_fps) for quarantine.
+
+    Plan: explode(sketch) -> stream-static BROADCAST inner join on
+    the fingerprint (stateless per micro-batch: the static side is
+    re-planned and the join keeps NO state store) -> per-doc count.
+    Only the final per-doc aggregation is stateful; its state is one
+    row per CONTAMINATED document — bounded by the blocklist's actual
+    overlap with the stream, not by stream length (clean documents
+    leave nothing behind). Batch mode: the identical plan on a batch
+    DataFrame, which is what the stream=batch-exact equivalence test
+    pins. Scale contract: the blocklist must be broadcast-sized
+    (distinct shingles of the protected corpora — eval sets are MBs,
+    not TBs); the stream side is never shuffled before the join."""
+    from dat_archive_map_reduce_spark.operators.text import (
+        truncated_shingle_fps,
+    )
+
+    fps = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(truncated_shingle_fps(text_col, n, hex_chars)).alias("fp"),
+    )
+    hits = fps.join(F.broadcast(blocklist.select("fp").distinct()), "fp")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.array_sort(F.collect_set("fp")).alias("hit_fps"),
+        )
+        .filter(F.col("n_hits") >= int(min_hits))
+    )

@@ -1185,3 +1185,63 @@ def test_onejob_multi_origin_merge_semantics(spark, tmp_path):
     assert _bucket_membership_ok(db._entries_table("v", "dat://c"))
     db.close()
     dbb.close()
+
+
+def test_streaming_contamination_equals_batch(spark, tmp_path):
+    """Streaming contamination gate (r11 verdict #8): documents
+    streamed past a STATIC broadcast blocklist of banned shingle
+    fingerprints flag EXACTLY the documents the batch call flags —
+    same op, both modes. The blocklist derives from a slice of the
+    corpus itself (guaranteed hits) plus the shared
+    truncated_shingle_fps definition, so gate and offline scan agree
+    on what a hit is. Also pins the negative: a clean-corpus stream
+    emits nothing."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    protected = docs.filter(F.col("doc_id") % 37 == 0)
+    blocklist = W.blocklist_fingerprints(protected).cache()
+    assert blocklist.count() > 0
+
+    batch = {
+        (r["doc_id"], r["n_hits"], tuple(r["hit_fps"]))
+        for r in W.streaming_contamination(docs, blocklist).collect()
+    }
+    assert batch, "the protected slice must self-flag"
+    # every protected doc long enough to HAVE a 5-gram flags itself
+    expected_self = {
+        r["doc_id"]
+        for r in protected.filter(F.size(F.split("text", " ")) >= 5).collect()
+    }
+    assert {d for d, *_ in batch} >= expected_self
+
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    out = str(tmp_path / "out")
+    W.run_stream_over_directory(
+        spark,
+        src,
+        str(tmp_path / "ckpt"),
+        out,
+        lambda df: W.streaming_contamination(df, blocklist),
+        docs.schema,
+        output_mode="complete",
+    )
+    streamed = {
+        (r["doc_id"], r["n_hits"], tuple(r["hit_fps"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert streamed == batch
+    # negative control: stream a corpus disjoint from the blocklist
+    clean = docs.filter(F.col("doc_id") % 37 != 0).limit(50).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("text"))
+    src2 = str(tmp_path / "clean_src")
+    clean.write.parquet(src2)
+    out2 = str(tmp_path / "out2")
+    W.run_stream_over_directory(
+        spark, src2, str(tmp_path / "ckpt2"), out2,
+        lambda df: W.streaming_contamination(df, blocklist),
+        clean.schema, output_mode="complete",
+    )
+    import glob as _g
+    files = _g.glob(out2 + "/*.parquet")
+    assert not files or spark.read.parquet(out2).count() == 0
+    blocklist.unpersist()
