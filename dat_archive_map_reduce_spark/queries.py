@@ -13900,6 +13900,974 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "events_kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS u
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), ser AS (
+      SELECT list(n ORDER BY day) AS xs_n, list(u ORDER BY day) AS xs_u
+      FROM daily
+    ), stat AS (
+      SELECT CAST(len(xs_n) AS BIGINT) AS n_days,
+             CAST(list_sum(flatten(list_transform(range(1, len(xs_n)), i ->
+               list_transform(range(i + 1, len(xs_n) + 1), j ->
+                 CAST(sign(xs_n[CAST(j AS INT)] - xs_n[CAST(i AS INT)])
+                      * sign(xs_u[CAST(j AS INT)] - xs_u[CAST(i AS INT)])
+                      AS BIGINT))))) AS BIGINT) AS s_prod,
+             CAST(list_sum(flatten(list_transform(range(1, len(xs_n)), i ->
+               list_transform(range(i + 1, len(xs_n) + 1), j ->
+                 CAST(xs_n[CAST(j AS INT)] = xs_n[CAST(i AS INT)]
+                      AS BIGINT))))) AS BIGINT) AS tie_n,
+             CAST(list_sum(flatten(list_transform(range(1, len(xs_n)), i ->
+               list_transform(range(i + 1, len(xs_n) + 1), j ->
+                 CAST(xs_u[CAST(j AS INT)] = xs_u[CAST(i AS INT)]
+                      AS BIGINT))))) AS BIGINT) AS tie_u
+      FROM ser
+    )
+    SELECT n_days, s_prod, tie_n, tie_u,
+           CASE WHEN n_days * (n_days - 1) / 2 - tie_n > 0
+                 AND n_days * (n_days - 1) / 2 - tie_u > 0
+                THEN floor(s_prod
+                  / sqrt(CAST(n_days * (n_days - 1) / 2 - tie_n AS DOUBLE)
+                         * (n_days * (n_days - 1) / 2 - tie_u))
+                  * 1000000 + 0.5) / 1000000 END AS tau_b
+    FROM stat
+    """,
+)
+def events_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the daily event-count
+    series and the daily distinct-user series — the nonparametric
+    "do volume and audience move together" monitor (tau-b is the
+    tie-corrected form; with integer day-grain counts ties are the
+    NORM, so tau-a would systematically understate). Completes the
+    trend kit: Theil-Sen estimates a slope, Mann-Kendall tests one
+    series' monotonicity, tau-b CORRELATES two series.
+
+    Integer-exact: s_prod = sum over day pairs i<j of
+    sign(dn)*sign(du) (= concordant - discordant), tie_n/tie_u =
+    tied-pair counts per series, all BIGINT folds over the SAME
+    ordered series arrays both engines built; tau_b =
+    s_prod / sqrt((n0-tie_n)(n0-tie_u)) is ONE double expression of
+    four integers (6dp portable floor), NULL when either factor
+    degenerates (an all-tied series, the z-test guard convention).
+    Observed days only — gap days carry no audience signal, unlike
+    Mann-Kendall's dense calendar where a zero IS evidence.
+
+    Scale shape: ONE day-grain fact rollup (count + count_distinct,
+    partial-combined); the O(D^2) pair fold runs inside a 1-row
+    aggregate over the bounded day-grain arrays (D = observed days —
+    calendar-bounded metadata, the theil_sen/mann_kendall shape)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = (
+        F.col("ts").cast("date").cast("timestamp").cast("long") / 86400
+    ).cast("long")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("u"),
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "n", "u"))).alias("s")
+    ).select(
+        F.transform(F.col("s"), lambda x: x["n"]).alias("xs_n"),
+        F.transform(F.col("s"), lambda x: x["u"]).alias("xs_u"),
+    )
+    xs_n, xs_u = F.col("xs_n"), F.col("xs_u")
+    m = F.size(xs_n)
+    zero = F.lit(0).cast("long")
+
+    def pair_fold(term):
+        # sequence(1, 0) yields DESCENDING — guard short series
+        idx = F.when(m >= 2, F.sequence(F.lit(1), m - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.aggregate(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.sequence(i + 1, m),
+                        lambda j: term(i, j),
+                    ),
+                )
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+
+    s_prod = pair_fold(
+        lambda i, j: (
+            F.signum(F.element_at(xs_n, j) - F.element_at(xs_n, i))
+            * F.signum(F.element_at(xs_u, j) - F.element_at(xs_u, i))
+        ).cast("long")
+    )
+    tie_n = pair_fold(
+        lambda i, j: (
+            F.element_at(xs_n, j) == F.element_at(xs_n, i)
+        ).cast("long")
+    )
+    tie_u = pair_fold(
+        lambda i, j: (
+            F.element_at(xs_u, j) == F.element_at(xs_u, i)
+        ).cast("long")
+    )
+    stat = ser.select(
+        m.cast("long").alias("n_days"),
+        s_prod.alias("s_prod"),
+        tie_n.alias("tie_n"),
+        tie_u.alias("tie_u"),
+    )
+    n0 = F.col("n_days") * (F.col("n_days") - 1) / 2
+    fac_n = (n0 - F.col("tie_n")).cast("long")
+    fac_u = (n0 - F.col("tie_u")).cast("long")
+    return stat.select(
+        "n_days",
+        "s_prod",
+        "tie_n",
+        "tie_u",
+        F.when(
+            (fac_n > 0) & (fac_u > 0),
+            _ffloor(
+                F.col("s_prod")
+                / F.sqrt(fac_n.cast("double") * fac_u),
+                6,
+            ),
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "events_chi_square_weekday",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS wd,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), rows_m AS (
+      SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot FROM obs GROUP BY 1
+    ), cols_m AS (
+      SELECT wd, CAST(sum(o) AS BIGINT) AS c_tot FROM obs GROUP BY 1
+    ), tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    dense AS (
+      SELECT r.event_type, c.wd, r.r_tot, c.c_tot,
+             coalesce(obs.o, 0) AS o
+      FROM rows_m r CROSS JOIN cols_m c
+      LEFT JOIN obs ON obs.event_type = r.event_type AND obs.wd = c.wd
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           CAST((SELECT count(*) FROM rows_m) AS BIGINT) AS n_types,
+           CAST((SELECT count(*) FROM cols_m) AS BIGINT) AS n_days,
+           CAST(((SELECT count(*) FROM rows_m) - 1)
+                * ((SELECT count(*) FROM cols_m) - 1) AS BIGINT) AS dof,
+           floor(sum((o - CAST(r_tot AS DOUBLE) * c_tot / (SELECT n FROM tot))
+                     * (o - CAST(r_tot AS DOUBLE) * c_tot / (SELECT n FROM tot))
+                     / (CAST(r_tot AS DOUBLE) * c_tot / (SELECT n FROM tot)))
+                 * 1000000 + 0.5) / 1000000 AS chi2
+    FROM dense
+    """,
+)
+def events_chi_square_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the event_type x
+    weekday contingency table — "does traffic MIX shift by weekday"
+    (the complement of events_weekday_seasonality, which tracks
+    total VOLUME by weekday): chi2 = sum over DENSE cells of
+    (o - e)^2 / e with e = row_total * col_total / N. Dense matters:
+    a (type, weekday) cell with ZERO observations still contributes
+    e to the statistic — skipping absent cells is the classic
+    under-counting bug, so the grid is the cross join of the two
+    marginal tables, never the observed cells alone.
+
+    Determinism: every count is a BIGINT; e and the cell terms are
+    double expressions of three integers each, summed over a
+    BOUNDED grid (types x 7 — metadata-sized); chi2 reports at the
+    6dp portable floor, dof = (r-1)(c-1) integer-exact.
+
+    Scale shape: ONE (type, weekday)-grain fact rollup
+    (partial-combined), two metadata-grain marginal rollups, a
+    broadcast cross join of the two marginals (bounded dims) with a
+    left join back to the observed cells, one 1-row fold."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    obs = e.groupBy(
+        "event_type",
+        F.dayofweek(F.col("ts").cast("date")).cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows_m = obs.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("r_tot")
+    )
+    cols_m = obs.groupBy("wd").agg(F.sum("o").cast("long").alias("c_tot"))
+    dense = (
+        rows_m.crossJoin(F.broadcast(cols_m))
+        .join(obs, ["event_type", "wd"], "left")
+        .select(
+            "event_type",
+            "wd",
+            "r_tot",
+            "c_tot",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    ex = F.col("r_tot").cast("double") * F.col("c_tot") / F.col("n")
+    cell = (F.col("o") - ex) * (F.col("o") - ex) / ex
+    tot = dense.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct("wd").cast("long").alias("n_days"),
+    )
+    return (
+        dense.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("n_types").alias("n_types"),
+            F.first("n_days").alias("n_days"),
+            ((F.first("n_types") - 1) * (F.first("n_days") - 1))
+            .cast("long")
+            .alias("dof"),
+            _ffloor(F.sum(cell), 6).alias("chi2"),
+        )
+    )
+
+
+@query(
+    "events_ks_two_sample",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS c2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), cum AS (
+      SELECT value, c1, c2,
+             CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS f1,
+             CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS f2
+      FROM s
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM s
+    )
+    SELECT t.n1, t.n2,
+           CAST(max(abs(t.n2 * c.f1 - t.n1 * c.f2)) AS BIGINT) AS d_num,
+           floor(CAST(max(abs(t.n2 * c.f1 - t.n1 * c.f2)) AS DOUBLE)
+                 / (t.n1 * t.n2) * 1000000 + 0.5) / 1000000 AS ks_stat,
+           floor(CAST(max(abs(t.n2 * c.f1 - t.n1 * c.f2)) AS DOUBLE)
+                 / (t.n1 * t.n2)
+                 * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / (t.n1 + t.n2))
+                 * 1000000 + 0.5) / 1000000 AS ks_scaled
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the value
+    distributions of the 'click' and 'purchase' event types — the
+    distribution-shift detector that sees what a mean-based monitor
+    cannot (same mean, different shape). D = sup_v |F1(v) - F2(v)|.
+
+    Integer-exact sup: at every distinct value, the cross-multiplied
+    ECDF gap |n2*count1<=v - n1*count2<=v| is a BIGINT — the sup is
+    a max over integers, immune to FP CDF accumulation; only the
+    final ks_stat = D/(n1*n2) and the asymptotic ks_scaled =
+    sqrt(n1*n2/(n1+n2)) * ks divide (6dp portable floor).
+
+    Scale shape: ONE value-grain conditional rollup
+    (partial-combined), exact_global_cumsum's bucketed prefix for
+    both samples in ONE pass (metadata-grain windows only — never a
+    single-partition rank over the fact table), a 1-row totals
+    broadcast, and a 1-row max fold."""
+    from dat_archive_map_reduce_spark.operators.ranking import (
+        exact_global_cumsum,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    per_value = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
+    )
+    ranked = exact_global_cumsum(
+        per_value, "value", ["c1", "c2"], cumsum_col=["b1", "b2"]
+    )
+    tot = per_value.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    f1 = (F.col("b1") + F.col("c1")).cast("long")
+    f2 = (F.col("b2") + F.col("c2")).cast("long")
+    gap = F.abs(F.col("n2") * f1 - F.col("n1") * f2)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(gap).cast("long").alias("d_num"),
+            _ffloor(
+                F.max(gap).cast("double") / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("ks_stat"),
+            _ffloor(
+                F.max(gap).cast("double")
+                / (F.col("n1") * F.col("n2"))
+                * F.sqrt(
+                    F.col("n1").cast("double")
+                    * F.col("n2")
+                    / (F.col("n1") + F.col("n2"))
+                ),
+                6,
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+@query(
+    "events_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), cum AS (
+      SELECT value, c1, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS rank_start
+      FROM s
+    ), agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c - c1) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * rank_start + c + 1)) AS BIGINT) AS two_r1,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie_cube
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS u2,
+           tie_cube,
+           CASE WHEN n1 > 0 AND n2 > 0
+                 AND (CAST(n1 AS DOUBLE) * n2 / 12)
+                     * ((n1 + n2 + 1)
+                        - CAST(tie_cube AS DOUBLE)
+                          / ((n1 + n2) * (n1 + n2 - 1.0))) > 0
+                THEN floor(
+                  (CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / 2
+                   - CAST(n1 AS DOUBLE) * n2 / 2)
+                  / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+                         * ((n1 + n2 + 1)
+                            - CAST(tie_cube AS DOUBLE)
+                              / ((n1 + n2) * (n1 + n2 - 1.0))))
+                  * 1000000 + 0.5) / 1000000 END AS z_stat
+    FROM agg
+    """,
+)
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U z-test between the 'click' and 'purchase'
+    value samples — the nonparametric two-sample location test
+    (eval_roc_auc computes the same U as an effect SIZE; this adds
+    the significance axis: tie-corrected normal approximation,
+    sigma^2 = (n1 n2/12)((N+1) - sum(t^3-t)/(N(N-1))), no continuity
+    correction — documented, and mirrored exactly in the oracle).
+
+    Integer-exact: average ranks via the eval_roc_auc 2R trick
+    (c tied rows all take rank_start + (c+1)/2, so TWICE the rank
+    sum is a BIGINT), u2 = 2*U1 and the tie fold sum(t^3 - t) are
+    BIGINTs; z is ONE double expression of four integers (6dp
+    portable floor), NULL when a sample is empty or the tie-corrected
+    variance degenerates (all values identical).
+
+    Scale shape: ONE value-grain conditional rollup,
+    exact_global_cumsum's bucketed prefix (metadata-grain windows
+    only), one 1-row fold — the distributed-rank shape that never
+    single-partitions the fact table."""
+    from dat_archive_map_reduce_spark.operators.ranking import (
+        exact_global_cumsum,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    per_value = e.groupBy("value").agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    ranked = exact_global_cumsum(
+        per_value, "value", "c", cumsum_col="rank_start"
+    )
+    n1 = F.sum("c1").cast("long")
+    n2 = F.sum(F.col("c") - F.col("c1")).cast("long")
+    two_r1 = F.sum(
+        F.col("c1") * (2 * F.col("rank_start") + F.col("c") + 1)
+    ).cast("long")
+    tie_cube = F.sum(
+        F.col("c") * F.col("c") * F.col("c") - F.col("c")
+    ).cast("long")
+    agg = ranked.agg(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        (two_r1 - n1 * (n1 + 1)).cast("long").alias("u2"),
+        tie_cube.alias("tie_cube"),
+    )
+    nn1, nn2, u2c, tc = (
+        F.col("n1"),
+        F.col("n2"),
+        F.col("u2"),
+        F.col("tie_cube"),
+    )
+    var = (nn1.cast("double") * nn2 / 12) * (
+        (nn1 + nn2 + 1)
+        - tc.cast("double") / ((nn1 + nn2) * (nn1 + nn2 - 1.0))
+    )
+    z = (u2c.cast("double") / 2 - nn1.cast("double") * nn2 / 2) / F.sqrt(var)
+    return agg.select(
+        "n1",
+        "n2",
+        "u2",
+        "tie_cube",
+        F.when((nn1 > 0) & (nn2 > 0) & (var > 0), _ffloor(z, 6)).alias(
+            "z_stat"
+        ),
+    )
+
+
+@query(
+    "events_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), span AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ), dense AS (
+      SELECT gs.dd AS day, coalesce(daily.n, 0) AS n
+      FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS dd) gs
+      LEFT JOIN daily ON daily.day = gs.dd
+    ), ser AS (
+      SELECT list(n ORDER BY day) AS xs,
+             list_sort(list(n ORDER BY day)) AS srt
+      FROM dense
+    ), med AS (
+      SELECT xs,
+             srt[CAST((len(srt) + 1) // 2 AS INT)]
+               + srt[CAST(len(srt) // 2 + 1 AS INT)] AS med2
+      FROM ser
+    ), signs AS (
+      SELECT list_transform(
+               list_filter(xs, x -> 2 * x <> med2),
+               x -> CASE WHEN 2 * x > med2 THEN 1 ELSE -1 END) AS sg,
+             CAST(len(xs) AS BIGINT) AS n_days
+      FROM med
+    ), stat AS (
+      SELECT n_days,
+             CAST(len(list_filter(sg, x -> x = 1)) AS BIGINT) AS n_above,
+             CAST(len(list_filter(sg, x -> x = -1)) AS BIGINT) AS n_below,
+             CAST(CASE WHEN len(sg) = 0 THEN 0 ELSE 1
+               + list_sum(list_transform(range(2, len(sg) + 1), i ->
+                   CAST(sg[CAST(i AS INT)] <> sg[CAST(i AS INT) - 1]
+                        AS BIGINT))) END AS BIGINT) AS runs
+      FROM signs
+    )
+    SELECT n_days, n_above, n_below, runs,
+           CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+                THEN floor((runs
+                  - (2.0 * n_above * n_below / (n_above + n_below) + 1))
+                  / sqrt(2.0 * n_above * n_below
+                         * (2.0 * n_above * n_below - n_above - n_below)
+                         / ((n_above + n_below) * (n_above + n_below)
+                            * (n_above + n_below - 1.0)))
+                  * 1000000 + 0.5) / 1000000 END AS z_stat
+    FROM stat
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the dense daily event-count
+    series vs its median — "is the volume sequence RANDOM, or does
+    it clump" (trend tests miss oscillation; the runs count catches
+    both too-few runs = clumping and too-many = alternation). Days
+    equal to the median drop (the standard convention); the dense
+    calendar matters because a gap day IS evidence of clumping.
+
+    Integer-exact: the median comparison uses med2 = the SUM of the
+    two middle order statistics against 2*x (no .5 ever
+    materializes), the runs count and the above/below counts are
+    BIGINT folds over the SAME ordered sign sequence both engines
+    built; z = (R - mu)/sigma is ONE double expression of three
+    integers (6dp portable floor), NULL on a degenerate split
+    (everything on one side of the median).
+
+    Scale shape: ONE day-grain fact rollup; densify, sort, median,
+    sign filter, and the runs fold all run inside a 1-row aggregate
+    over the calendar-bounded series (the mann_kendall shape)."""
+    dense = _dense_daily_counts(spark, sf_dir)
+    ser = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "n"))),
+            lambda s: s["n"],
+        ).alias("xs")
+    ).select(F.col("xs"), F.array_sort("xs").alias("srt"))
+    m = F.size("srt")
+    med2 = F.element_at("srt", ((m + 1) / 2).cast("int")) + F.element_at(
+        "srt", (m / 2).cast("int") + 1
+    )
+    sg = F.transform(
+        F.filter(F.col("xs"), lambda x: 2 * x != med2),
+        lambda x: F.when(2 * x > med2, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    stat = ser.select(
+        F.size("xs").cast("long").alias("n_days"),
+        F.size(F.filter(sg, lambda x: x == 1)).cast("long").alias("n_above"),
+        F.size(F.filter(sg, lambda x: x == -1)).cast("long").alias("n_below"),
+        F.when(F.size(sg) == 0, F.lit(0).cast("long"))
+        .otherwise(
+            1
+            + F.aggregate(
+                F.when(
+                    F.size(sg) >= 2, F.sequence(F.lit(2), F.size(sg))
+                ).otherwise(F.array().cast("array<int>")),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + (F.element_at(sg, i) != F.element_at(sg, i - 1)).cast(
+                    "long"
+                ),
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    a, b, r = F.col("n_above"), F.col("n_below"), F.col("runs")
+    mu = 2.0 * a * b / (a + b) + 1
+    sig = F.sqrt(
+        2.0
+        * a
+        * b
+        * (2.0 * a * b - a - b)
+        / ((a + b) * (a + b) * (a + b - 1.0))
+    )
+    return stat.select(
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        F.when(
+            (a > 0) & (b > 0) & (a + b > 1), _ffloor((r - mu) / sig, 6)
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "text_dunning_llr",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS in_a,
+             t.tok AS w
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE length(t.tok) BETWEEN 3 AND 24
+    ), cnt AS (
+      SELECT w,
+             CAST(sum(in_a) AS BIGINT) AS a,
+             CAST(sum(1 - in_a) AS BIGINT) AS b
+      FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM cnt
+    )
+    SELECT w, a, b,
+           floor(2 * (CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE)
+                   / (CAST(ta AS DOUBLE) * (a + b) / (ta + tb)))
+                 ELSE 0 END
+               + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE)
+                   / (CAST(tb AS DOUBLE) * (a + b) / (ta + tb)))
+                 ELSE 0 END) * 1000000 + 0.5) / 1000000 AS llr
+    FROM cnt CROSS JOIN tot
+    ORDER BY llr DESC, w LIMIT 20
+    """,
+)
+def text_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio keyword extraction (Dunning 1993
+    — the surprise statistic corpus linguists use over raw counts,
+    because rare-but-concentrated terms beat merely-frequent ones):
+    split the corpus by the deterministic md5 doc_id hash (the
+    corpus_hash_split function, ~50/50 here), then for every term
+    compare its occurrence count a in split A vs b in split B
+    against the pooled expectation; LLR = 2*(a ln(a/Ea) + b ln(b/Eb))
+    with Ea = ta(a+b)/(ta+tb). Top-20 by (llr DESC, term) — the
+    terms whose usage most separates the two halves.
+
+    Determinism: a, b, ta, tb are BIGINTs; each llr is one double
+    expression of four integers (x ln x terms with a zero count
+    contribute 0 — the lim x->0 convention, mirrored as CASE in
+    both engines), 6dp portable floor, and the top-20 orders by the
+    FLOORED value so both engines rank identical keys.
+
+    Scale shape: one tokenize-explode map stage, ONE term-grain
+    conditional rollup (partial-combined), a 1-row totals broadcast,
+    TakeOrdered(20)."""
+    d = _t(spark, sf_dir, "documents")
+    in_a = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    ).cast("long")
+    toks = d.select(
+        in_a.alias("in_a"),
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).filter(F.length("w").between(3, 24))
+    cnt = toks.groupBy("w").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("b"),
+    )
+    tot = cnt.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    ab = F.col("a") + F.col("b")
+    ea = F.col("ta").cast("double") * ab / (F.col("ta") + F.col("tb"))
+    eb = F.col("tb").cast("double") * ab / (F.col("ta") + F.col("tb"))
+    llr = _ffloor(
+        2
+        * (
+            F.when(
+                F.col("a") > 0,
+                F.col("a") * F.log(F.col("a").cast("double") / ea),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("b") > 0,
+                F.col("b") * F.log(F.col("b").cast("double") / eb),
+            ).otherwise(F.lit(0.0))
+        ),
+        6,
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select("w", "a", "b", llr.alias("llr"))
+        .orderBy(F.desc("llr"), "w")
+        .limit(20)
+    )
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS in_a,
+             t.tok AS w
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+      WHERE length(t.tok) BETWEEN 3 AND 24
+    ), cnt AS (
+      SELECT w,
+             CAST(sum(in_a) AS BIGINT) AS a,
+             CAST(sum(1 - in_a) AS BIGINT) AS b
+      FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+      FROM cnt
+    )
+    SELECT ta, tb,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           floor(sum(
+             CASE WHEN a > 0 THEN 0.5 * (CAST(a AS DOUBLE) / ta)
+               * ln((CAST(a AS DOUBLE) / ta)
+                    / ((CAST(a AS DOUBLE) / ta + CAST(b AS DOUBLE) / tb)
+                       / 2)) ELSE 0 END
+           + CASE WHEN b > 0 THEN 0.5 * (CAST(b AS DOUBLE) / tb)
+               * ln((CAST(b AS DOUBLE) / tb)
+                    / ((CAST(a AS DOUBLE) / ta + CAST(b AS DOUBLE) / tb)
+                       / 2)) ELSE 0 END) * 1000000 + 0.5) / 1000000
+             AS jsd_nats
+    FROM cnt CROSS JOIN tot
+    GROUP BY ta, tb
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    the two md5-hash corpus halves — the bounded, symmetric
+    distribution-distance (KL blows up on single-sided terms; JSD's
+    mixture denominator keeps every term finite), the standard
+    corpus-drift score between a training mix and a new data batch.
+    A self-split is the calibration point: a homogeneous corpus
+    should score near zero, and rising JSD on a REAL new batch is
+    the drift alarm.
+
+    Determinism: a, b, ta, tb are BIGINTs; each term's contribution
+    is one double expression of four integers (zero-count sides
+    contribute 0, the x ln x convention); the corpus sum is a
+    distributed double fold (the diff_in_diff precedent) reported at
+    the 6dp portable floor.
+
+    Scale shape: one tokenize-explode map stage, ONE term-grain
+    conditional rollup (partial-combined), a 1-row totals broadcast,
+    one 1-row fold. Never materializes either distribution."""
+    d = _t(spark, sf_dir, "documents")
+    in_a = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    ).cast("long")
+    toks = d.select(
+        in_a.alias("in_a"),
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).filter(F.length("w").between(3, 24))
+    cnt = toks.groupBy("w").agg(
+        F.sum("in_a").cast("long").alias("a"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("b"),
+    )
+    tot = cnt.agg(
+        F.sum("a").cast("long").alias("ta"),
+        F.sum("b").cast("long").alias("tb"),
+    )
+    p = F.col("a").cast("double") / F.col("ta")
+    q = F.col("b").cast("double") / F.col("tb")
+    mmix = (p + q) / 2
+    term = F.when(F.col("a") > 0, 0.5 * p * F.log(p / mmix)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("b") > 0, 0.5 * q * F.log(q / mmix)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vocab"),
+            _ffloor(F.sum(term), 6).alias("jsd_nats"),
+        )
+    )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM documents),
+    e0 AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 131071 + j.j * 524287) % t.n AS dst
+      FROM documents d CROSS JOIN tot t,
+           (SELECT unnest([1, 2, 3]) AS j) j
+      WHERE j.j <= 1 + d.doc_id % 3
+        AND (d.doc_id * 131071 + j.j * 524287) % t.n <> d.doc_id
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0
+    ),
+    adj AS (
+      SELECT u AS x, v AS y FROM und
+      UNION ALL
+      SELECT v AS x, u AS y FROM und
+    ),
+    deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY x),
+    wedge AS (
+      SELECT a.x AS u, b.y AS w,
+             CAST(count(*) AS BIGINT) AS n_common,
+             sum(1.0 / ln(dz.d)) AS aa_raw
+      FROM adj a JOIN adj b ON a.y = b.x
+      JOIN deg dz ON dz.x = a.y
+      WHERE a.x < b.y
+      GROUP BY a.x, b.y
+    ),
+    cand AS (
+      SELECT wedge.u, wedge.w, wedge.n_common, wedge.aa_raw
+      FROM wedge
+      LEFT JOIN und ON und.u = wedge.u AND und.v = wedge.w
+      WHERE und.u IS NULL
+    )
+    SELECT u, w, n_common,
+           floor(aa_raw * 1000000 + 0.5) / 1000000 AS adamic_adar
+    FROM cand
+    ORDER BY adamic_adar DESC, u, w LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the shared doc-link graph —
+    the frequency-weighted refinement of
+    graph_link_prediction_jaccard: score(u, w) = sum over common
+    neighbors z of 1/ln(deg(z)), so a RARE mutual contact counts
+    more than a hub everyone shares (Adamic & Adar 2003). Top-20
+    non-adjacent distance-2 pairs by (score DESC, u, w).
+
+    Candidate generation is the same wedge join (never all-pairs);
+    the ONLY new plan element is the degree join on the wedge
+    CENTER, done BEFORE the (u, w) rollup so the weight folds in the
+    same partial-combined aggregate. deg(z) >= 2 structurally (z is
+    adjacent to both u and w, distinct by u < w), so ln(deg) > 0 —
+    no guard needed, documented instead. Per-pair weight sums are
+    bounded double folds (common-neighbor count), reported at the
+    6dp portable floor, and the top-20 orders by the FLOORED score.
+
+    Scale shape: adjacency = und + swap (map-side), one degree
+    rollup, the wedge self-join + center-degree join (AQE decides;
+    the degree side is an unbounded node dimension, never
+    force-broadcast), ONE (u, w)-grain rollup, an anti join,
+    TakeOrdered(20)."""
+    from dat_archive_map_reduce_spark.operators.graph import doc_link_edges
+
+    d = _t(spark, sf_dir, "documents")
+    edges, _tot = doc_link_edges(d)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    adj = und.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    ).unionByName(und.select(F.col("v").alias("x"), F.col("u").alias("y")))
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a, b = adj.alias("a"), adj.alias("b")
+    dz = deg.select(F.col("x").alias("z"), F.col("d").alias("dz"))
+    wedge = (
+        a.join(b, F.col("a.y") == F.col("b.x"))
+        .filter(F.col("a.x") < F.col("b.y"))
+        .join(dz, F.col("a.y") == F.col("z"))
+        .groupBy(F.col("a.x").alias("u"), F.col("b.y").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(1.0 / F.log(F.col("dz").cast("double"))).alias("aa_raw"),
+        )
+    )
+    cand = wedge.join(
+        und,
+        (wedge["u"] == und["u"]) & (wedge["w"] == und["v"]),
+        "left_anti",
+    )
+    return (
+        cand.select(
+            "u",
+            "w",
+            "n_common",
+            _ffloor(F.col("aa_raw"), 6).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), "u", "w")
+        .limit(20)
+    )
+
+
+@query(
+    "events_kruskal_wallis",
+    oracle="""
+    WITH vt AS (
+      SELECT value, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), v AS (
+      SELECT value, CAST(sum(cnt) AS BIGINT) AS c FROM vt GROUP BY 1
+    ), cum AS (
+      SELECT value, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS rank_start
+      FROM v
+    ), per_type AS (
+      SELECT vt.event_type,
+             CAST(sum(vt.cnt) AS BIGINT) AS n_j,
+             CAST(sum(vt.cnt * (2 * cum.rank_start + cum.c + 1))
+                  AS BIGINT) AS two_r_j
+      FROM vt JOIN cum ON vt.value = cum.value
+      GROUP BY 1
+    ), ties AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie_cube
+      FROM v
+    ), h AS (
+      SELECT t.n, t.tie_cube,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             3.0 / (t.n * (t.n + 1.0))
+               * sum(CAST(two_r_j AS DOUBLE) * two_r_j / n_j)
+               - 3 * (t.n + 1.0) AS h_raw
+      FROM per_type CROSS JOIN ties t
+      GROUP BY t.n, t.tie_cube
+    )
+    SELECT n, n_groups, tie_cube,
+           floor(h_raw * 1000000 + 0.5) / 1000000 AS h_stat,
+           CASE WHEN 1 - CAST(tie_cube AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n * n - n) > 0
+                THEN floor(h_raw / (1 - CAST(tie_cube AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n * n - n))
+                  * 1000000 + 0.5) / 1000000 END AS h_tie_corrected
+    FROM h
+    """,
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test — "do the k event types draw their
+    values from the same distribution" (the k-group generalization
+    of events_mann_whitney; rank-based, so one heavy-tailed type
+    cannot masquerade as a mean shift): H = 12/(N(N+1)) sum R_j^2 /
+    n_j - 3(N+1) with average ranks, plus the tie-corrected form
+    H / (1 - sum(t^3 - t)/(N^3 - N)).
+
+    Integer-exact core: per-type DOUBLED rank sums two_r_j (the
+    eval_roc_auc trick: c tied rows all take rank_start + (c+1)/2)
+    and the tie fold are BIGINTs; (2R)^2 would overflow BIGINT at
+    fact scale, so the squared term alone evaluates in double —
+    identically associated in both engines — and H reports at the
+    6dp portable floor, tie-corrected form NULL when every value is
+    identical (correction factor 0).
+
+    Scale shape: one (value, type)-grain rollup, one value-grain
+    rollup, exact_global_cumsum's bucketed prefix (metadata-grain
+    windows only), a value-key join back, one type-grain rollup
+    (bounded dim), a 1-row fold."""
+    from dat_archive_map_reduce_spark.operators.ranking import (
+        exact_global_cumsum,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vt = e.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    v = vt.groupBy("value").agg(F.sum("cnt").cast("long").alias("c"))
+    ranked = exact_global_cumsum(v, "value", "c", cumsum_col="rank_start")
+    per_type = (
+        vt.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_j"),
+            F.sum(
+                F.col("cnt") * (2 * F.col("rank_start") + F.col("c") + 1)
+            )
+            .cast("long")
+            .alias("two_r_j"),
+        )
+    )
+    ties = v.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_cube"),
+    )
+    nn = F.col("n")
+    h_raw = 3.0 / (nn * (nn + 1.0)) * F.sum(
+        F.col("two_r_j").cast("double") * F.col("two_r_j") / F.col("n_j")
+    ) - 3 * (nn + 1.0)
+    corr = 1 - F.col("tie_cube").cast("double") / (
+        nn.cast("double") * nn * nn - nn
+    )
+    return (
+        per_type.crossJoin(F.broadcast(ties))
+        .groupBy("n", "tie_cube")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            _ffloor(h_raw, 6).alias("h_stat"),
+            F.when(corr > 0, _ffloor(h_raw / corr, 6)).alias(
+                "h_tie_corrected"
+            ),
+        )
+        .select(
+            "n", "n_groups", "tie_cube", "h_stat", "h_tie_corrected"
+        )
+    )
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

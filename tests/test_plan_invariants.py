@@ -375,13 +375,22 @@ FORCED_BROADCAST_SITES = {
     # 90 = + the calibration pair's shared 1-row min/max broadcast
     # (_calibration_binned — one site since the ECE/Brier scaffold
     # dedup) and Brier's 1-row totals broadcast
-    "queries.py": 90,
+    # 96 = + r12's six 1-row/bounded aggregates: chi-square's weekday
+    # marginal (<= 7 rows) and totals, KS / Mann-Whitney-free / LLR /
+    # JSD 1-row totals, Kruskal-Wallis' 1-row (n, tie_cube)
+    "queries.py": 96,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
     "operators/ranking.py": 4,
     "operators/similarity.py": 14,
-    "engine.py": 4,
+    # 6 = the per-origin merge's two batch-bounded affected_urls
+    # broadcasts + the r12 one-job merge's identical pair (same
+    # micro-batch bound) + 2 pre-existing metadata sites
+    "engine.py": 6,
+    # streaming_contamination's blocklist — broadcast-sized BY
+    # CONTRACT (distinct shingles of protected corpora; documented)
+    "streaming/watch.py": 1,
 }
 
 
