@@ -416,17 +416,20 @@ class MapReduce:
             old_touched["file_url"] == affected_urls["url"],
             "left_anti",
         )
-        retracted_keys = old_touched.join(
+        # retracted ROWS (multiplicity preserved): distinct key_json
+        # consumers project+distinct; the count-delta re-aggregation
+        # needs the exact per-key retraction counts
+        retracted_rows = old_touched.join(
             F.broadcast(affected_urls),
             old_touched["file_url"] == affected_urls["url"],
             "left_semi",
-        ).select("key_json")
+        ).select("key", "key_json")
         ent_table.write_merged(
             bucket_ids,
             surviving.unionByName(new_entries),
             sort_cols=["key_json", "file_url", "emit_seq"],
         )
-        return retracted_keys
+        return retracted_rows
 
     def _merge_view_shards_onejob(
         self,
@@ -478,11 +481,11 @@ class MapReduce:
             old_touched["file_url"] == affected_urls["url"],
             "left_anti",
         )
-        retracted_keys = old_touched.join(
+        retracted_rows = old_touched.join(
             F.broadcast(affected_urls),
             old_touched["file_url"] == affected_urls["url"],
             "left_semi",
-        ).select("key_json")
+        ).select("key", "key_json")
         o_idx = {o: i for i, o in enumerate(origins)}
         mapping = F.create_map(
             *[F.lit(x) for o in origins for x in (o, o_idx[o])]
@@ -541,7 +544,7 @@ class MapReduce:
                 t._set_current(v)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        return retracted_keys
+        return retracted_rows
 
     def _onejob_eligible(self, view: str, origin: str) -> bool:
         """A shard can join the one-job multi-origin write iff it is
@@ -581,13 +584,16 @@ class MapReduce:
             new_entries = run_map(
                 updates.filter(F.col("type") == "put"), vdef.map, vdef.key_types()
             )
-            retracted_keys = self._merge_entry_shard(
+            retracted_rows = self._merge_entry_shard(
                 vdef, origin, updates, new_entries, bucket_ids=sorted(probe["bs"])
             )
             # keys touched now or before: the re-aggregation scope
             # (old keys ∪ new keys, lib/indexer.js:228,273-274)
             affected_keys = (
-                retracted_keys.union(new_entries.select("key_json")).distinct().cache()
+                retracted_rows.select("key_json")
+                .union(new_entries.select("key_json"))
+                .distinct()
+                .cache()
             )
             # fill the keys cache NOW, while ``updates`` is still
             # cached — materializing lazily after the finally below
@@ -657,6 +663,7 @@ class MapReduce:
         origin_starts: "dict[str, int]",
         prepared: "tuple[DataFrame, dict[str, int], dict[str, list[int]]]",
         mapped: "DataFrame | None" = None,
+        batch_token: "int | None" = None,
     ) -> "dict[str, int]":
         """Watch-path merge for ONE view over a multi-origin
         micro-batch, paying each per-batch cost once instead of once
@@ -681,6 +688,14 @@ class MapReduce:
         ``prepared``'s updates — views sharing (path, map, key schema)
         pay the Python map stage ONCE per batch (watch groups them);
         the caller unpersists it.
+
+        ``batch_token``: the stream's checkpointed batch id. When set
+        and the view's fold is ``count``, re-aggregation takes the
+        exact DELTA path (_reaggregate_count_delta) — committed
+        BEFORE any entries pointer flips, with the token in the
+        reduced manifest for exactly-once under replay. Without a
+        token (direct calls) the general refold path runs after the
+        merges, as before.
         """
         if not origin_starts:
             return {}
@@ -697,13 +712,28 @@ class MapReduce:
             if owns_map
             else mapped
         )
-        affected_parts = [new_entries.select("key_json")]
+        retr_parts: "list[DataFrame]" = []
+        count_delta = vdef.reduce == "count" and batch_token is not None
         try:
             # materialize the mapped batch ONCE up front so the
             # concurrent shard writes below all read the cache
             # instead of racing to compute the Python stage
             if owns_map:
                 new_entries.count()
+
+            if count_delta:
+                # REDUCED FIRST: the count delta derives from the
+                # PRE-merge shard state, so it must commit before any
+                # entries pointer flips — the ordering that makes the
+                # crash story exact (see _reaggregate_count_delta)
+                self._reaggregate_count_delta(
+                    vdef,
+                    new_entries,
+                    self._retracted_rows_premerge(
+                        vdef, updates, counts, buckets
+                    ),
+                    batch_token,
+                )
 
             def _write_shard(origin: str) -> DataFrame:
                 return self._merge_entry_shard(
@@ -727,7 +757,7 @@ class MapReduce:
             if len(counts) > 1 and all(
                 self._onejob_eligible(vdef.name, o) for o in counts
             ):
-                affected_parts.append(
+                retr_parts.append(
                     self._merge_view_shards_onejob(
                         vdef, updates, new_entries, counts, buckets
                     )
@@ -738,24 +768,155 @@ class MapReduce:
                 with ThreadPoolExecutor(
                     max_workers=min(len(counts), 8)
                 ) as pool:
-                    affected_parts.extend(
+                    retr_parts.extend(
                         pool.map(_write_shard, sorted(counts))
                     )
             else:
-                affected_parts.extend(
+                retr_parts.extend(
                     _write_shard(o) for o in sorted(counts)
                 )
-            if vdef.reduce is not None:
-                keys = affected_parts[0]
-                for p in affected_parts[1:]:
-                    keys = keys.union(p)
-                keys = keys.distinct().cache()
+            if vdef.reduce is not None and not count_delta:
+                retr = retr_parts[0]
+                for p in retr_parts[1:]:
+                    retr = retr.union(p)
+                keys = (
+                    retr.select("key_json")
+                    .union(new_entries.select("key_json"))
+                    .distinct()
+                    .cache()
+                )
                 self._reaggregate(vdef, keys)
                 keys.unpersist()
             return counts
         finally:
             if owns_map:
                 new_entries.unpersist()
+
+    def _retracted_rows_premerge(
+        self,
+        vdef: ViewDefinition,
+        updates: DataFrame,
+        counts: "dict[str, int]",
+        buckets: "dict[str, list[int]]",
+    ) -> DataFrame:
+        """(key, key_json) rows about to be retracted by this batch,
+        multiplicity preserved, read from the CURRENT (pre-merge)
+        shard snapshots — the count-delta path's subtraction side.
+        Touched buckets only on engine-layout shards; a shard with a
+        divergent pinned bucket count (post-rebucket) or a flat
+        legacy snapshot reads whole — rare, and correct either way
+        (the semi join does the narrowing)."""
+        affected_urls = updates.select("url")
+        parts = []
+        for o in sorted(counts):
+            t = self._entries_table(vdef.name, o)
+            if (
+                t.exists()
+                and t.current_is_bucketed()
+                and t.n_buckets == self.entries_buckets
+            ):
+                parts.append(t.read_buckets(buckets[o]))
+            else:
+                parts.append(t.read())
+        old = parts[0]
+        for p in parts[1:]:
+            old = old.unionByName(p)
+        return old.join(
+            F.broadcast(affected_urls),
+            old["file_url"] == affected_urls["url"],
+            "left_semi",
+        ).select("key", "key_json")
+
+    def _reaggregate_count_delta(
+        self,
+        vdef: ViewDefinition,
+        new_entries: DataFrame,
+        retracted_rows: DataFrame,
+        batch_token: int,
+    ) -> None:
+        """Watch-path re-aggregation for ``reduce='count'`` WITHOUT
+        the entries scan: count is the one builtin fold that is
+        exactly SUBTRACTABLE (integers — sum/avg would drift under FP
+        retraction, min/max/collect aren't invertible at all), so
+        reduced'(k) = old(k) - retracted(k) + added(k), computed from
+        the batch's own rows. _reaggregate's general path re-folds
+        affected keys from a FULL entries_df scan — O(view entries)
+        per micro-batch however small the delta, the one remaining
+        O(table) step in the maintenance cycle at 100 TB. Here the
+        only table touched is the reduced table itself (the SMALL
+        aggregated side by design — its copy-on-write rewrite is
+        already the merge contract). Exactness: integer arithmetic,
+        so this converges to bit-identical state with the full
+        re-fold — pinned by the stream=batch equality tests, whose
+        batch twin still takes the general path. Delete-on-empty
+        falls out of the count>0 filter (lib/view.js:139-143).
+
+        EXACTLY-ONCE under replay (the reason this path is safe at
+        all): a delta, unlike a refold, must apply exactly once per
+        logical batch. Two mechanisms compose: (1) ORDER — the caller
+        commits this BEFORE any entries pointer flips, so the
+        retraction side always reads the true pre-batch state; a
+        crash before this flip replays cleanly from scratch, and a
+        crash after it leaves the entries merges to their own
+        idempotent retract-then-add replay. (2) TOKEN — the
+        checkpointed batch id commits atomically with the reduced
+        pointer (manifest meta); a replay of an already-applied batch
+        sees its own token and skips, never double-applying. A
+        checkpoint deleted out-of-band degrades gracefully: the full
+        changelog re-delivers, retractions equal additions per key,
+        delta = 0."""
+        red_table = self._reduced_table(vdef.name)
+        if red_table.manifest_meta().get("batch_token") == batch_token:
+            return  # replay of an already-applied batch
+        add = new_entries.groupBy("key", "key_json").agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+        sub = retracted_rows.groupBy("key", "key_json").agg(
+            (-F.count(F.lit(1))).cast("long").alias("d")
+        )
+        delta = (
+            add.unionByName(sub)
+            .groupBy("key", "key_json")
+            .agg(F.sum("d").cast("long").alias("d"))
+            .filter(F.col("d") != 0)
+        ).cache()
+        try:
+            old = red_table.read()
+            # batch-sized delta broadcasts; full-outer would refuse a
+            # broadcast side, so: updated-existing ∪ brand-new keys
+            updated = (
+                old.join(
+                    F.broadcast(delta.select("key_json", "d")),
+                    "key_json",
+                    "left",
+                )
+                .select(
+                    "key",
+                    "key_json",
+                    (
+                        F.col("value").cast("long")
+                        + F.coalesce(F.col("d"), F.lit(0))
+                    ).alias("cnt"),
+                )
+                .filter(F.col("cnt") > 0)
+                .select(
+                    "key", "key_json", F.col("cnt").cast("string").alias("value")
+                )
+            )
+            fresh = (
+                delta.join(old.select("key_json"), "key_json", "left_anti")
+                .filter(F.col("d") > 0)
+                .select(
+                    "key", "key_json", F.col("d").cast("string").alias("value")
+                )
+            )
+            red_table.overwrite(
+                updated.unionByName(fresh),
+                sort_cols=["key_json"],
+                meta={"batch_token": batch_token},
+            )
+        finally:
+            delta.unpersist()
 
     def _reaggregate(self, vdef: ViewDefinition, affected_keys: DataFrame) -> None:
         """Re-fold only affected keys, merge into the reduced table.

@@ -57,11 +57,23 @@ class VersionedTable:
         except (FileNotFoundError, KeyError, json.JSONDecodeError):
             return None
 
-    def _set_current(self, v: int) -> None:
+    def _set_current(self, v: int, meta: "dict | None" = None) -> None:
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"current": v}, f)
+            json.dump({"current": v, **(meta or {})}, f)
         os.replace(tmp, self._manifest_path)
+
+    def manifest_meta(self) -> dict:
+        """Extra keys committed ATOMICALLY with the current pointer
+        (the os.replace flip) — e.g. the count-delta re-aggregation's
+        batch token, whose exactly-once contract needs 'this snapshot
+        reflects batch B' to be unseparable from the snapshot flip."""
+        try:
+            with open(self._manifest_path) as f:
+                m = json.load(f)
+            return {k: v for k, v in m.items() if k != "current"}
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
 
     def _snapshot_dir(self, v: int) -> str:
         return f"{self.root}/v{v:08d}"
@@ -111,7 +123,12 @@ class VersionedTable:
         return victims
 
     # -- writes -----------------------------------------------------
-    def overwrite(self, df: DataFrame, sort_cols: list[str] | None = None) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        sort_cols: list[str] | None = None,
+        meta: "dict | None" = None,
+    ) -> None:
         v = (self._current() or 0) + 1
         writer = df
         if sort_cols:
@@ -120,7 +137,7 @@ class VersionedTable:
             # for LevelDB's sorted iterator, SURVEY.md §4)
             writer = df.sortWithinPartitions(*sort_cols)
         writer.write.mode("overwrite").parquet(self._snapshot_dir(v))
-        self._set_current(v)
+        self._set_current(v, meta)
 
     def append(self, df: DataFrame, sort_cols: list[str] | None = None) -> None:
         v = self._current()

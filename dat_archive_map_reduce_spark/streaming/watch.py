@@ -263,6 +263,7 @@ def watch(
                                     t[2],
                                     prepared=shared[t[3]],
                                     mapped=mapped.get(t[4]),
+                                    batch_token=batch_id,
                                 ),
                                 todo,
                             )
@@ -275,6 +276,7 @@ def watch(
                         origin_starts,
                         prepared=shared[pk],
                         mapped=mapped.get(mk),
+                        batch_token=batch_id,
                     )
             finally:
                 for df in mapped.values():

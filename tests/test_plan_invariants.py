@@ -384,10 +384,12 @@ FORCED_BROADCAST_SITES = {
     "operators/graph.py": 5,
     "operators/ranking.py": 4,
     "operators/similarity.py": 14,
-    # 6 = the per-origin merge's two batch-bounded affected_urls
-    # broadcasts + the r12 one-job merge's identical pair (same
-    # micro-batch bound) + 2 pre-existing metadata sites
-    "engine.py": 6,
+    # 8 = the per-origin merge's two batch-bounded affected_urls
+    # broadcasts + the r12 one-job merge's identical pair + the
+    # count-delta pre-merge retraction probe's one + the count-delta
+    # key-delta broadcast (all the same micro-batch bound) + 2
+    # pre-existing metadata sites
+    "engine.py": 8,
     # streaming_contamination's blocklist — broadcast-sized BY
     # CONTRACT (distinct shingles of protected corpora; documented)
     "streaming/watch.py": 1,

@@ -1245,3 +1245,105 @@ def test_streaming_contamination_equals_batch(spark, tmp_path):
     files = _g.glob(out2 + "/*.parquet")
     assert not files or spark.read.parquet(out2).count() == 0
     blocklist.unpersist()
+
+
+def test_count_delta_reaggregation_exactly_once(spark, tmp_path):
+    """The r12 count-delta re-aggregation path: a watch drain over a
+    reduce='count' view must (1) land the identical state as a
+    batch-indexed twin (delta == refold, integers), (2) stamp the
+    checkpointed batch token into the reduced manifest, (3) SKIP a
+    replay of an already-applied token (exactly-once), and (4) heal
+    the crash window where the reduced table committed but the
+    entries merges did not — the replayed batch re-runs the merges
+    idempotently while the token guard keeps the delta from
+    double-applying."""
+    wh = str(tmp_path / "wh-delta")
+    db = MapReduce(spark, wh)
+    db.define("k", path="/d/*.json", map=map_first, key_schema=["string"])
+    db.define("kc", path="/d/*.json", map=map_first, reduce="count",
+              key_schema=["string"])
+    rows = [
+        {"origin": f"dat://c{i % 2}", "pathname": f"/d/{i}.json",
+         "version": 1,
+         "content": json.dumps({"first": f"key{i % 5}", "second": i,
+                                "third": "t"})}
+        for i in range(20)
+    ]
+    db.append_changes(rows)
+    W.watch_until_caught_up(db)
+    red = db._reduced_table("kc")
+    tok1 = red.manifest_meta().get("batch_token")
+    assert tok1 is not None, "watch drain must stamp the batch token"
+    # (1) state equals the batch twin (whose reagg takes the refold path)
+    dbb = MapReduce(spark, str(tmp_path / "wh-delta-b"))
+    dbb.define("kc", path="/d/*.json", map=map_first, reduce="count",
+               key_schema=["string"])
+    dbb.append_changes(rows)
+    dbb.index("dat://c0")
+    dbb.index("dat://c1")
+    assert db.list("kc") == dbb.list("kc")
+
+    # (3) replaying the SAME token is a no-op even with a bogus delta
+    from dat_archive_map_reduce_spark.operators.map_reduce import (
+        entries_schema,
+    )
+    from dat_archive_map_reduce_spark.plans.catalog import empty_df
+
+    v_before = red._current()
+    bogus = db._entries_table("kc", "dat://c0").read()  # nonzero rows
+    db._reaggregate_count_delta(
+        db._view("kc"), bogus, empty_df(spark, entries_schema(
+            db._view("kc").key_types())).select("key", "key_json"),
+        batch_token=tok1,
+    )
+    assert red._current() == v_before, "replayed token must skip"
+
+    # (2)+(4) crash window: v2 updates — commit the reduced delta with
+    # a new token but 'crash' before the entries merges, then replay
+    # the whole batch through _apply_view_batch with the same token
+    upd_rows = [
+        {"origin": "dat://c0", "pathname": "/d/0.json", "version": 2,
+         "content": json.dumps({"first": "keyX", "second": 0,
+                                "third": "t"})}
+    ]
+    from dat_archive_map_reduce_spark.operators.map_reduce import run_map
+    from dat_archive_map_reduce_spark.sources.files import (
+        changelog_from_rows,
+        glob_filter,
+        latest_wins,
+    )
+
+    vdef = db._view("kc")
+    upd = latest_wins(
+        glob_filter(changelog_from_rows(spark, upd_rows), vdef.path)
+    ).cache()
+    new_e = run_map(
+        upd.filter(F.col("type") == "put"), vdef.map, vdef.key_types()
+    ).cache()
+    counts = {"dat://c0": 1}
+    buckets = {"dat://c0": sorted(
+        r["b"] for r in upd.select(
+            db._entries_table("kc", "dat://c0").bucket_expr("url").alias("b")
+        ).distinct().collect())}
+    tok2 = 999_001
+    db._reaggregate_count_delta(
+        vdef, new_e,
+        db._retracted_rows_premerge(vdef, upd, counts, buckets),
+        batch_token=tok2,
+    )
+    # crash happened here: reduced reflects v2, entries still v1.
+    # replay of the full batch with the same token:
+    db._apply_view_batch(
+        vdef, upd, {"dat://c0": -1},
+        prepared=(upd, counts, buckets), mapped=new_e,
+        batch_token=tok2,
+    )
+    upd.unpersist()
+    new_e.unpersist()
+    # final state equals a batch twin that saw v1+v2
+    dbb.append_changes(upd_rows)
+    dbb.index("dat://c0")
+    assert db.list("kc") == dbb.list("kc")
+    assert db.get("kc", "keyX") == {"key": "keyX", "value": 1}
+    db.close()
+    dbb.close()
