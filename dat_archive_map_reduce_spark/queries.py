@@ -14868,6 +14868,297 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_spearman_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS u
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), ser AS (
+      SELECT list(n ORDER BY day) AS xn, list(u ORDER BY day) AS xu
+      FROM daily
+    ), rk AS (
+      SELECT CAST(len(xn) AS BIGINT) AS m,
+             list_transform(xn, x ->
+               CAST(2 * len(list_filter(xn, e -> e < x))
+                    + len(list_filter(xn, e -> e = x)) + 1 AS BIGINT))
+               AS rn2,
+             list_transform(xu, x ->
+               CAST(2 * len(list_filter(xu, e -> e < x))
+                    + len(list_filter(xu, e -> e = x)) + 1 AS BIGINT))
+               AS ru2
+      FROM ser
+    ), sums AS (
+      SELECT m,
+             CAST(list_sum(list_transform(range(1, len(rn2) + 1), i ->
+               rn2[CAST(i AS INT)] * ru2[CAST(i AS INT)]))
+               AS BIGINT) AS s_xy,
+             CAST(list_sum(rn2) AS BIGINT) AS s_x,
+             CAST(list_sum(ru2) AS BIGINT) AS s_y,
+             CAST(list_sum(list_transform(rn2, r -> r * r))
+               AS BIGINT) AS s_xx,
+             CAST(list_sum(list_transform(ru2, r -> r * r))
+               AS BIGINT) AS s_yy
+      FROM rk
+    )
+    SELECT m AS n_days, s_xy, s_x, s_y, s_xx, s_yy,
+           CASE WHEN (m * s_xx - s_x * s_x) > 0
+                 AND (m * s_yy - s_y * s_y) > 0
+                THEN floor((m * s_xy - s_x * s_y)
+                  / sqrt(CAST(m * s_xx - s_x * s_x AS DOUBLE)
+                         * (m * s_yy - s_y * s_y))
+                  * 1000000 + 0.5) / 1000000 END AS spearman_rho
+    FROM sums
+    """,
+)
+def events_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the daily event-count and
+    daily distinct-user series — the third member of the rank-
+    correlation kit (tau-b counts concordant PAIRS; Spearman is
+    Pearson on average-tie RANKS, more sensitive to large rank
+    displacements). Same observed-day series as
+    events_kendall_tau_daily, so the two statistics are directly
+    comparable on the same data.
+
+    Integer-exact core: DOUBLED average ranks 2r = 2*(#less) +
+    (#equal) + 1 are BIGINTs (the eval_roc_auc trick applied
+    element-wise over the bounded day arrays), and all five Pearson
+    sums over them stay BIGINT (the 2x scale cancels in the
+    normalized ratio); rho is ONE double expression of six integers
+    (6dp portable floor), NULL when either series is constant.
+
+    Scale shape: ONE day-grain fact rollup; the O(D^2) rank fold
+    runs inside a 1-row aggregate over the calendar-bounded arrays
+    (the theil_sen/mann_kendall/tau shape)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = (
+        F.col("ts").cast("date").cast("timestamp").cast("long") / 86400
+    ).cast("long")
+    daily = e.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("u"),
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "n", "u"))).alias("s")
+    ).select(
+        F.transform(F.col("s"), lambda x: x["n"]).alias("xn"),
+        F.transform(F.col("s"), lambda x: x["u"]).alias("xu"),
+    )
+
+    def ranks2(col):
+        return F.transform(
+            col,
+            lambda x: (
+                2 * F.size(F.filter(col, lambda e: e < x))
+                + F.size(F.filter(col, lambda e: e == x))
+                + 1
+            ).cast("long"),
+        )
+
+    rk = ser.select(
+        F.size("xn").cast("long").alias("m"),
+        ranks2(F.col("xn")).alias("rn2"),
+        ranks2(F.col("xu")).alias("ru2"),
+    )
+    zero = F.lit(0).cast("long")
+    s_xy = F.aggregate(
+        F.zip_with(F.col("rn2"), F.col("ru2"), lambda a, b: a * b),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    s_sum = lambda c: F.aggregate(F.col(c), zero, lambda acc, x: acc + x)
+    s_sq = lambda c: F.aggregate(
+        F.col(c), zero, lambda acc, x: acc + x * x
+    )
+    sums = rk.select(
+        F.col("m").alias("n_days"),
+        s_xy.alias("s_xy"),
+        s_sum("rn2").alias("s_x"),
+        s_sum("ru2").alias("s_y"),
+        s_sq("rn2").alias("s_xx"),
+        s_sq("ru2").alias("s_yy"),
+    )
+    m = F.col("n_days")
+    var_x = (m * F.col("s_xx") - F.col("s_x") * F.col("s_x")).cast("long")
+    var_y = (m * F.col("s_yy") - F.col("s_y") * F.col("s_y")).cast("long")
+    cov = m * F.col("s_xy") - F.col("s_x") * F.col("s_y")
+    return sums.select(
+        "n_days",
+        "s_xy",
+        "s_x",
+        "s_y",
+        "s_xx",
+        "s_yy",
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            _ffloor(
+                cov.cast("double")
+                / F.sqrt(var_x.cast("double") * var_y),
+                6,
+            ),
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "eval_cohens_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT CASE WHEN label = 0 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END AS r2
+      FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r1 * r2) AS BIGINT) AS n11,
+             CAST(sum(r1 * (1 - r2)) AS BIGINT) AS n10,
+             CAST(sum((1 - r1) * r2) AS BIGINT) AS n01,
+             CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS n00
+      FROM r
+    )
+    SELECT n, n11, n10, n01, n00,
+           CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00)) > 0
+                THEN floor(CAST(n * (n11 + n00)
+                    - ((n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                  / (n * n - ((n11 + n10) * (n11 + n01)
+                              + (n01 + n00) * (n10 + n00)))
+                  * 1000000 + 0.5) / 1000000 END AS kappa
+    FROM c
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two binary
+    raters, THE inter-annotator metric a labeling pipeline reports
+    before trusting its labels (raw accuracy rewards agreeing on the
+    majority class; kappa subtracts the agreement two independent
+    raters would reach by luck). Raters here: the stored label
+    (label==0) vs the first embedding dimension's sign — any
+    (rater1, rater2) pair slots in.
+
+    Integer-exact: the 2x2 table and BOTH kappa terms clear their
+    denominators — kappa = (N*agree - chance) / (N^2 - chance) with
+    chance = row1*col1 + row0*col0, every operand BIGINT; one double
+    division at the 6dp portable floor, NULL when a degenerate table
+    (both raters constant) zeroes the denominator.
+
+    Scale shape: one map-side projection to (r1, r2) bits, ONE
+    partial-combined 1-row fold. No shuffle beyond the final
+    aggregate."""
+    e = _t(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
+    r1 = F.when(F.col("label") == 0, 1).otherwise(0)
+    r2 = F.when(F.element_at("embedding", 1) > 0, 1).otherwise(0)
+    c = e.select(r1.alias("r1"), r2.alias("r2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("n11"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).cast("long").alias("n01"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2")))
+        .cast("long")
+        .alias("n00"),
+    )
+    n = F.col("n")
+    chance = (F.col("n11") + F.col("n10")) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    denom = (n * n - chance).cast("long")
+    num = n * (F.col("n11") + F.col("n00")) - chance
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            denom > 0, _ffloor(num.cast("double") / denom, 6)
+        ).alias("kappa"),
+    )
+
+
+@query(
+    "events_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_j,
+             sum(value) AS s_j,
+             sum(value * value) AS q_j
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(n_j) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(s_j) AS s,
+             sum(q_j) AS q,
+             sum(s_j * s_j / n_j) AS sb
+      FROM g
+    )
+    SELECT n, k,
+           CAST(k - 1 AS BIGINT) AS dof_between,
+           CAST(n - k AS BIGINT) AS dof_within,
+           floor((sb - s * s / n) * 1000000 + 0.5) / 1000000
+             AS ss_between,
+           floor((q - sb) * 1000000 + 0.5) / 1000000 AS ss_within,
+           CASE WHEN k > 1 AND n > k AND (q - sb) > 0
+                THEN floor(((sb - s * s / n) / (k - 1))
+                  / ((q - sb) / (n - k)) * 1000000 + 0.5) / 1000000
+                END AS f_stat
+    FROM t
+    """,
+)
+def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event types on value — the
+    PARAMETRIC counterpart of events_kruskal_wallis (same question,
+    mean-based: under normal-ish values F is the more powerful
+    test; disagreement between the two flags heavy tails). Sufficient
+    statistics only: per-group (n, sum, sum of squares), so SSB =
+    sum s_j^2/n_j - S^2/N and SSW = Q - sum s_j^2/n_j never
+    materialize residuals.
+
+    Determinism: the value sums are distributed double folds (the
+    diff_in_diff precedent — green across three SFs for the mean
+    family); group count and dofs are BIGINT; SSB/SSW/F report at
+    the 6dp portable floor, F NULL when degenerate (one group, or
+    zero within-group variance).
+
+    Scale shape: ONE type-grain partial-combined rollup (bounded
+    dim), one 1-row fold. The textbook two-pass ANOVA is one pass
+    here because the sufficient statistics commute."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+        F.sum("value").alias("s_j"),
+        F.sum(F.col("value") * F.col("value")).alias("q_j"),
+    )
+    t = g.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("s_j").alias("s"),
+        F.sum("q_j").alias("q"),
+        F.sum(F.col("s_j") * F.col("s_j") / F.col("n_j")).alias("sb"),
+    )
+    n, k = F.col("n"), F.col("k")
+    ssb = F.col("sb") - F.col("s") * F.col("s") / n
+    ssw = F.col("q") - F.col("sb")
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return t.select(
+        "n",
+        "k",
+        (k - 1).cast("long").alias("dof_between"),
+        (n - k).cast("long").alias("dof_within"),
+        _ffloor(ssb, 6).alias("ss_between"),
+        _ffloor(ssw, 6).alias("ss_within"),
+        F.when((k > 1) & (n > k) & (ssw > 0), _ffloor(f_stat, 6)).alias(
+            "f_stat"
+        ),
+    )
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

@@ -257,3 +257,61 @@ def test_adamic_adar_matches_python(spark, docs_pdf):
     assert [
         (r["u"], r["w"], r["n_common"], r["adamic_adar"]) for r in rows
     ] == [(u, w, c, s) for (u, w), (c, s) in top]
+
+
+def test_spearman_daily_matches_python(spark, events_pdf):
+    ev = events_pdf[events_pdf["ts"].notna()]
+    days = ev["ts"].values.astype("datetime64[D]").astype("int64")
+    g = pd.DataFrame({"day": days, "user_id": ev["user_id"].values})
+    daily = g.groupby("day").agg(
+        n=("user_id", "size"), u=("user_id", "nunique")
+    ).sort_index()
+    rn = daily["n"].rank(method="average").to_numpy()
+    ru = daily["u"].rank(method="average").to_numpy()
+    rho = float(np.corrcoef(rn, ru)[0, 1])
+    row = QUERIES["events_spearman_daily"](spark, SF).collect()[0]
+    assert row["n_days"] == len(daily)
+    # doubled-rank sums re-derived independently
+    assert row["s_x"] == int(round((2 * rn).sum()))
+    assert row["s_y"] == int(round((2 * ru).sum()))
+    assert abs(row["spearman_rho"] - rho) < 1e-6
+
+
+def test_cohens_kappa_matches_python(spark):
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = emb[emb["label"].notna() & emb["embedding"].notna()]
+    r1 = (emb["label"] == 0).astype(int).to_numpy()
+    r2 = np.array([1 if e[0] > 0 else 0 for e in emb["embedding"]])
+    n = len(r1)
+    n11 = int(((r1 == 1) & (r2 == 1)).sum())
+    n10 = int(((r1 == 1) & (r2 == 0)).sum())
+    n01 = int(((r1 == 0) & (r2 == 1)).sum())
+    n00 = int(((r1 == 0) & (r2 == 0)).sum())
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) / n**2
+    kappa = (po - pe) / (1 - pe)
+    row = QUERIES["eval_cohens_kappa"](spark, SF).collect()[0]
+    assert (row["n"], row["n11"], row["n10"], row["n01"], row["n00"]) == (
+        n, n11, n10, n01, n00)
+    assert abs(row["kappa"] - kappa) < 1e-6
+
+
+def test_anova_oneway_matches_python(spark, events_pdf):
+    ev = events_pdf[events_pdf["value"].notna()]
+    vals = ev["value"].to_numpy(float)
+    n = len(vals)
+    grand = vals.mean()
+    ssb = ssw = 0.0
+    k = 0
+    for _t, grp in ev.groupby("event_type"):
+        x = grp["value"].to_numpy(float)
+        ssb += len(x) * (x.mean() - grand) ** 2
+        ssw += ((x - x.mean()) ** 2).sum()
+        k += 1
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    row = QUERIES["events_anova_oneway"](spark, SF).collect()[0]
+    assert (row["n"], row["k"]) == (n, k)
+    assert (row["dof_between"], row["dof_within"]) == (k - 1, n - k)
+    assert abs(row["ss_between"] - ssb) < 1e-4
+    assert abs(row["ss_within"] - ssw) < 1e-4
+    assert abs(row["f_stat"] - f) < 1e-5
