@@ -199,6 +199,45 @@ def _bench_streaming(spark) -> dict:
                 t0 = time.perf_counter()
                 db.index_source(hot, upd)
                 per_batch.append(time.perf_counter() - t0)
+            if backfill == 65536:
+                # bucket-count evolution under load (r11 verdict #2's
+                # done-criterion): force the threshold-crossing
+                # rebucket the watch cadence would fire, then keep
+                # dripping — per-batch cost must hold ~flat across
+                # the layout doubling (ratio ~1.0 = the migration is
+                # invisible to the steady state)
+                pre = sorted(per_batch)
+                pre_med = pre[len(pre) // 2]
+                store = db._entries_table("by_key", hot)
+                total = sum(store.bucket_stats().values())
+                n_before = store.n_buckets
+                # 1/(1.5N) of the on-disk bytes: past one doubling the
+                # mean lands back under, so exactly N -> 2N migrates
+                db.auto_rebucket_entries(
+                    max(1, int(total / (1.5 * n_before)))
+                )
+                n_after = db._entries_table("by_key", hot).n_buckets
+                post = []
+                for b in range(8, 16):
+                    upd = [
+                        {
+                            "origin": hot,
+                            "pathname": f"/docs/{b * 8 + j}.json",
+                            "version": 2,
+                            "content": json.dumps(
+                                {"first": f"u{b}-{j}", "n": j}
+                            ),
+                        }
+                        for j in range(8)
+                    ]
+                    t0 = time.perf_counter()
+                    db.index_source(hot, upd)
+                    post.append(time.perf_counter() - t0)
+                post.sort()
+                out["maintain_rebucket_n"] = [n_before, n_after]
+                out["maintain_drip_rebucket_ratio"] = round(
+                    post[len(post) // 2] / pre_med, 3
+                )
             db.close()
             per_batch.sort()
             drip[label] = round(per_batch[len(per_batch) // 2], 4)
