@@ -424,13 +424,16 @@ def read_avro(
         return spark.read.format("avro").load(path)
     import glob as _g
 
-    candidates = sorted(
-        _g.glob(os.path.join(path, glob))
-        if os.path.isdir(path)
-        else _g.glob(path)
-    )
+    if os.path.isdir(path):
+        base, pat = path, glob
+    else:
+        # a single-file (or glob) path: scope the binaryFile scan to
+        # exactly that name — dirname + "*.avro" would silently pull
+        # in SIBLING containers
+        base, pat = os.path.dirname(path) or ".", os.path.basename(path)
+    candidates = sorted(_g.glob(os.path.join(base, pat)))
     if not candidates:
-        raise FileNotFoundError(f"no avro files under {path!r} ({glob})")
+        raise FileNotFoundError(f"no avro files under {path!r} ({pat})")
     with open(candidates[0], "rb") as fh:
         schema, _ = decode_avro(fh.read())
 
@@ -445,8 +448,8 @@ def read_avro(
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", glob)
-        .load(path if os.path.isdir(path) else os.path.dirname(path))
+        .option("pathGlobFilter", pat)
+        .load(base)
         .select("content")
     )
     return files.mapInPandas(_decode_files, schema=schema)

@@ -307,6 +307,10 @@ def test_avro_spark_roundtrip_all_types(spark, tmp_path):
     assert back.schema == sch
     assert sorted(back.collect(), key=str) == sorted(
         spark.createDataFrame(rows, sch).collect(), key=str)
+    # single-FILE path reads exactly that container, never siblings
+    if len(paths) > 1:
+        one = read_avro(spark, sorted(paths)[0])
+        assert 0 < one.count() < back.count()
     # TPC-H shape: region through avro == region from parquet
     region = load_table(spark, SF, "region")
     out2 = str(tmp_path / "avro_region")
