@@ -841,6 +841,179 @@ def decode_bmp(content: bytes) -> "tuple[int, int, np.ndarray]":
     return w, h, rows[:, :, ::-1].reshape(-1).copy()  # BGR -> RGB
 
 
+_TGA_FOOTER = b"\x00\x00\x00\x00\x00\x00\x00\x00TRUEVISION-XFILE.\x00"
+
+
+def encode_tga(
+    width: int,
+    height: int,
+    rgb: np.ndarray,
+    *,
+    top_down: bool = False,
+    rle: bool = True,
+) -> bytes:
+    """Real 24-bit Truevision TGA, type 10 (run-length-encoded
+    truecolor) or type 2 (uncompressed): the 18-byte header, BGR
+    pixel order, bottom-up rows unless the descriptor's bit 5 is set
+    (top-down), and — the axis the codec family lacked — a genuine
+    RLE compressor: run packets (high bit set, count-1 in the low 7
+    bits, ONE pixel) and raw packets (count pixels follow), both
+    capped at 128 pixels. A TGA 2.0 footer (TRUEVISION-XFILE.) is
+    appended — TGA has no leading magic, so the footer is what lets
+    a format sniffer identify the stream. ``rgb`` is flat R,G,B in
+    raster order, the decode_ppm payload contract."""
+    import struct as _st
+
+    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)[
+        :, :, ::-1
+    ]  # RGB -> BGR
+    if not top_down:
+        px = px[::-1]  # stored bottom-up
+    header = _st.pack(
+        "<BBBHHBHHHHBB",
+        0,  # id length
+        0,  # no color map
+        10 if rle else 2,
+        0, 0, 0,  # color map spec
+        0, 0,  # origin
+        width, height,
+        24,
+        0x20 if top_down else 0x00,
+    )
+    flat = px.reshape(-1, 3)
+    if not rle:
+        return header + flat.tobytes() + _TGA_FOOTER
+    out = bytearray(header)
+    i, n = 0, flat.shape[0]
+    while i < n:
+        run = 1
+        while (
+            i + run < n and run < 128 and (flat[i + run] == flat[i]).all()
+        ):
+            run += 1
+        if run >= 2:
+            out.append(0x80 | (run - 1))
+            out += flat[i].tobytes()
+            i += run
+        else:
+            j = i + 1
+            while j < n and (j - i) < 128:
+                if j + 1 < n and (flat[j] == flat[j + 1]).all():
+                    break
+                j += 1
+            out.append((j - i) - 1)
+            out += flat[i:j].tobytes()
+            i = j
+    return bytes(out) + _TGA_FOOTER
+
+
+def decode_tga(content: bytes) -> "tuple[int, int, np.ndarray]":
+    """Decode a 24-bit TGA (type 10 RLE or type 2 uncompressed):
+    validates the header grammar, replays the RLE packet stream with
+    overrun/truncation checks, honors the descriptor's row-order bit
+    and the bottom-up default, swaps B,G,R back to R,G,B. Returns
+    (width, height, flat uint8 RGB in raster order) — the decode_ppm
+    payload contract. Color-mapped / 15/16/32-bit / monochrome
+    variants are rejected with ValueError, the codec-family
+    convention. The optional TGA 2.0 footer is tolerated and
+    ignored (packet accounting stops at the image's pixel count, so
+    trailing metadata never corrupts the payload)."""
+    import struct as _st
+
+    buf = bytes(content)
+    if len(buf) < 18:
+        raise ValueError("truncated TGA header")
+    (
+        idlen, cmap_type, img_type, _cmf, _cml, _cms,
+        _xo, _yo, w, h, depth, desc,
+    ) = _st.unpack("<BBBHHBHHHHBB", buf[:18])
+    if cmap_type != 0:
+        raise ValueError("color-mapped TGA not supported")
+    if img_type not in (2, 10):
+        raise ValueError(
+            f"only TGA types 2/10 (truecolor) supported, got {img_type}"
+        )
+    if depth != 24:
+        raise ValueError(f"only 24-bit TGA supported, got {depth}-bit")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad TGA dimensions {w}x{h}")
+    off = 18 + idlen
+    n = w * h
+    if img_type == 2:
+        if len(buf) < off + 3 * n:
+            raise ValueError("truncated TGA pixel array")
+        px = np.frombuffer(buf, np.uint8, count=3 * n, offset=off).reshape(
+            n, 3
+        )
+    else:
+        px = np.empty((n, 3), np.uint8)
+        i, filled = off, 0
+        while filled < n:
+            if i >= len(buf):
+                raise ValueError("truncated TGA RLE stream")
+            hdr = buf[i]
+            i += 1
+            cnt = (hdr & 0x7F) + 1
+            if filled + cnt > n:
+                raise ValueError("TGA RLE packet overruns the image")
+            if hdr & 0x80:
+                if i + 3 > len(buf):
+                    raise ValueError("truncated TGA run packet")
+                px[filled : filled + cnt] = np.frombuffer(
+                    buf, np.uint8, 3, i
+                )
+                i += 3
+            else:
+                if i + 3 * cnt > len(buf):
+                    raise ValueError("truncated TGA raw packet")
+                px[filled : filled + cnt] = np.frombuffer(
+                    buf, np.uint8, 3 * cnt, i
+                ).reshape(cnt, 3)
+                i += 3 * cnt
+            filled += cnt
+    rows = px.reshape(h, w, 3)
+    if not (desc & 0x20):
+        rows = rows[::-1]  # stored bottom-up
+    return w, h, rows[:, :, ::-1].reshape(-1).copy()  # BGR -> RGB
+
+
+def tga_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
+    """Corpus of REAL RLE TGA bytes whose decoded pixels are
+    md5-re-derivable by a SQL oracle (the bmp_media_corpus recipe,
+    RLE this time so the packet replay is on the proven path):
+
+      b(k)  = byte k of md5('tga' + str(i))
+      w = 8 + b(0) % 24, h = 8 + b(1) % 24
+      even i (RUN-heavy): r = (i*13 + 5*(j // 7)) % 256 — constant
+        7-pixel stretches, so the encoder emits run packets
+      odd i  (RAW-heavy): r = (i*13 + 5*j) % 256 — no two adjacent
+        pixels equal, so the encoder emits raw packets
+      g = (r + 60) % 256, b = (r + 120) % 256
+
+    i % 3 == 0 writes the top-down descriptor variant, the rest
+    bottom-up, so both row orders decode every gate run; val_first /
+    val_last pin raster order, val_sum pins every byte."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        hb = hashlib.md5(f"tga{i}".encode()).digest()
+        w = 8 + hb[0] % 24
+        h = 8 + hb[1] % 24
+        j = np.arange(w * h, dtype=np.int64)
+        base = j // 7 if i % 2 == 0 else j
+        r = (np.int64(i) * 13 + 5 * base) % 256
+        rgb = np.stack([r, (r + 60) % 256, (r + 120) % 256], axis=1)
+        content = encode_tga(
+            w, h, rgb.astype(np.uint8), top_down=(i % 3 == 0)
+        )
+        rows.append((i, "image", bytearray(content), (w, h, None, None)))
+    n_slices = max(1, min(n // 8, spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), MEDIA_SCHEMA
+    )
+
+
 def bmp_media_corpus(spark: SparkSession, n: int = 24) -> DataFrame:
     """Corpus of REAL 24-bit BMP bytes whose decoded pixels are
     md5-re-derivable by a SQL oracle (the png_media_corpus recipe,
@@ -1321,6 +1494,9 @@ def decode_media_stats(media: DataFrame) -> DataFrame:
                     width, height, sr = w, h, None
                 elif bytes(content[:4]) == b"GIF8":
                     w, h, vals = decode_gif(content)
+                    width, height, sr = w, h, None
+                elif bytes(content[-18:]) == _TGA_FOOTER[8:]:
+                    w, h, vals = decode_tga(content)
                     width, height, sr = w, h, None
                 else:
                     raise NotImplementedError("real formats only")

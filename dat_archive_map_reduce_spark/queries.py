@@ -15159,6 +15159,67 @@ def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_tga_decode",
+    oracle="""
+    WITH m AS (
+      SELECT i, md5('tga' || CAST(i AS VARCHAR)) AS h FROM range(0, 24) t(i)
+    ), b AS (
+      SELECT i,
+        16 * (strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
+        16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
+          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
+      FROM b0src
+    ), b0src AS (SELECT i, h FROM m)
+    SELECT i AS media_id, 'image' AS kind,
+           CAST(8 + b0 % 24 AS INT) AS width,
+           CAST(8 + b1 % 24 AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST((8 + b0 % 24) * (8 + b1 % 24) * 3 AS BIGINT) AS n_vals,
+           CAST(list_reduce(list_transform(
+                  range(0, (8 + b0 % 24) * (8 + b1 % 24)),
+                  j -> (i * 13 + 5 * (CASE WHEN i % 2 = 0
+                                           THEN j // 7 ELSE j END)) % 256
+                     + ((i * 13 + 5 * (CASE WHEN i % 2 = 0
+                                            THEN j // 7 ELSE j END)) % 256
+                        + 60) % 256
+                     + ((i * 13 + 5 * (CASE WHEN i % 2 = 0
+                                            THEN j // 7 ELSE j END)) % 256
+                        + 120) % 256),
+                (a, x) -> a + x) AS BIGINT) AS val_sum,
+           CAST((i * 13) % 256 AS INT) AS val_first,
+           CAST(((i * 13 + 5 * (CASE WHEN i % 2 = 0
+                  THEN ((8 + b0 % 24) * (8 + b1 % 24) - 1) // 7
+                  ELSE (8 + b0 % 24) * (8 + b1 % 24) - 1 END)) % 256
+                 + 120) % 256 AS INT) AS val_last
+    FROM b
+    """,
+)
+def multimodal_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TGA path: a corpus of genuine type-10 (RLE truecolor)
+    Truevision TGA files built and parsed by the pure-numpy codec in
+    operators/multimodal.py, decoded end-to-end in Arrow batches —
+    the RUN-LENGTH-ENCODING axis the codec family lacked (PNG covers
+    deflate, GIF covers LZW, JPEG covers DCT; TGA's packet stream is
+    the classic byte-oriented RLE with its own traps: the count-1
+    bias, the 128-pixel packet cap, run vs raw discrimination).
+    Even-indexed images are run-heavy (7-pixel constant stretches ->
+    run packets), odd raw-heavy (no two adjacent pixels equal -> raw
+    packets), every third file top-down — so a hash match proves
+    BOTH packet kinds, both row orders, the B,G,R swap, and the
+    footer-based sniff (TGA has no leading magic; the TGA 2.0
+    TRUEVISION-XFILE footer identifies it). Lossless, so the
+    md5-arithmetic oracle re-derives every decoded stat exactly.
+    Scale shape: map-only Arrow-batched decode, zero shuffles."""
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_media_stats,
+        tga_media_corpus,
+    )
+
+    return decode_media_stats(tga_media_corpus(spark, n=24))
+
+
 def _assert_no_oracle_twins() -> None:
     missing = [
         n

@@ -183,11 +183,8 @@ def _encoder_for(ft: Any):
             def _enc_ts(buf, v):
                 if v.tzinfo is not None:
                     v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-                us = int(
-                    (v - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
-                )
-                # re-derive exactly (float seconds lose sub-us at far
-                # dates): integer math on the timedelta components
+                # integer math on the timedelta components — float
+                # seconds lose sub-us precision at far dates
                 d = v - datetime.datetime(1970, 1, 1)
                 us = (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
                 _write_long(buf, us)

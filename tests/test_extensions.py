@@ -3200,3 +3200,63 @@ def test_gif_codec_rejects_corruption_and_unsupported():
     frame = good[desc:-1]  # descriptor through data blocks, no trailer
     with _pytest.raises(ValueError, match="multi-frame"):
         decode_gif(good[:-1] + frame + b"\x3b")
+
+
+def test_tga_codec_roundtrip_and_rle_packets():
+    """TGA type-10 RLE is lossless: encode -> decode is bit-exact for
+    random pixels (raw packets), constant runs (run packets crossing
+    the 128-pixel cap), both row orders, and the uncompressed type-2
+    form; run-heavy content genuinely compresses; corruption and
+    unsupported variants reject with ValueError (codec-family
+    convention)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_tga,
+        encode_tga,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h, td, rle in [(9, 4, False, True), (13, 7, True, True),
+                          (8, 8, False, False), (1, 1, True, True)]:
+        rgb = rng.integers(0, 256, w * h * 3, dtype=np.int64).astype(np.uint8)
+        w2, h2, out = decode_tga(encode_tga(w, h, rgb, top_down=td, rle=rle))
+        assert (w2, h2) == (w, h) and np.array_equal(out, rgb)
+    # >128-pixel constant run: the packet cap must split it
+    flat = np.zeros(40 * 10 * 3, dtype=np.uint8) + 7
+    enc = encode_tga(40, 10, flat)
+    assert np.array_equal(decode_tga(enc)[2], flat)
+    raw = encode_tga(40, 10, flat, rle=False)
+    assert len(enc) < len(raw) / 10
+    # bottom-up vs top-down decode to the same raster
+    rgb = rng.integers(0, 256, 6 * 5 * 3, dtype=np.int64).astype(np.uint8)
+    assert np.array_equal(
+        decode_tga(encode_tga(6, 5, rgb, top_down=True))[2],
+        decode_tga(encode_tga(6, 5, rgb, top_down=False))[2],
+    )
+    good = encode_tga(6, 5, rgb)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_tga(good[:30])
+    # 32-bit depth rejected (offset 16)
+    bad = bytearray(good)
+    bad[16] = 32
+    with _pytest.raises(ValueError, match="24-bit"):
+        decode_tga(bytes(bad))
+    # color-mapped rejected (offset 1)
+    bad = bytearray(good)
+    bad[1] = 1
+    with _pytest.raises(ValueError, match="color-mapped"):
+        decode_tga(bytes(bad))
+    # monochrome image type rejected (offset 2)
+    bad = bytearray(good)
+    bad[2] = 3
+    with _pytest.raises(ValueError, match="types 2/10"):
+        decode_tga(bytes(bad))
+    # RLE packet overrunning the pixel count rejected
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, 2, 1, 24, 0)
+    overrun = hdr + bytes([0x80 | 127]) + b"\\x01\\x02\\x03"
+    with _pytest.raises(ValueError, match="overruns"):
+        decode_tga(overrun)
