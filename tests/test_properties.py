@@ -541,3 +541,110 @@ def test_dhash_single_block_edit_flips_at_most_two_bits(spark):
         ) % 251
         d = bin(dhash_of(img) ^ h0).count("1")
         assert d <= 2, (cell, d)
+
+
+# -- Avro container codec (driver-side core, no Spark) -----------------
+
+_avro_cell = {
+    "long": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+    "double": st.one_of(
+        st.none(),
+        st.floats(allow_nan=False, allow_infinity=True, width=64),
+    ),
+    "string": st.one_of(st.none(), st.text(max_size=40)),
+    "boolean": st.one_of(st.none(), st.booleans()),
+    "binary": st.one_of(st.none(), st.binary(max_size=32)),
+}
+
+
+@given(
+    st.lists(
+        st.sampled_from(list(_avro_cell)), min_size=1, max_size=5
+    ).flatmap(
+        lambda kinds: st.tuples(
+            st.just(kinds),
+            st.lists(
+                st.tuples(*[_avro_cell[k] for k in kinds]),
+                min_size=0,
+                max_size=50,
+            ),
+        )
+    ),
+    st.sampled_from(["null", "deflate"]),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=150, deadline=None)
+def test_avro_container_roundtrips(case, codec, block):
+    """encode_avro -> decode_avro is IDENTITY for every nullable
+    primitive column mix, both codecs, and every block-size framing
+    (multi-block containers included) — the property the Spark-level
+    round-trip test relies on, checked exhaustively without a
+    session. Extreme longs (int64 edges), +-inf doubles, empty
+    strings/bytes, and all-null rows are all in the strategy."""
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.sources.avro_io import (
+        decode_avro,
+        encode_avro,
+    )
+
+    kinds, rows = case
+    spark_t = {
+        "long": T.LongType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "boolean": T.BooleanType(),
+        "binary": T.BinaryType(),
+    }
+    schema = T.StructType(
+        [T.StructField(f"c{i}", spark_t[k], True) for i, k in enumerate(kinds)]
+    )
+    buf = encode_avro(rows, schema, codec=codec, records_per_block=block)
+    schema_back, rows_back = decode_avro(buf)
+    assert [f.dataType for f in schema_back.fields] == [
+        f.dataType for f in schema.fields
+    ]
+    assert len(rows_back) == len(rows)
+    for got, want in zip(rows_back, rows):
+        for g, w, k in zip(got, want, kinds):
+            if k == "binary" and w is not None:
+                assert bytes(g) == bytes(w)
+            else:
+                assert g == w, (k, g, w)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.booleans(),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=80, deadline=None)
+def test_tga_codec_roundtrips(w, h, top_down, rle, seed):
+    """encode_tga -> decode_tga is IDENTITY for arbitrary dimensions,
+    both row orders, both image types, and pixel content ranging from
+    fully random (raw packets) to seeded-constant stretches (run
+    packets), including the 128-pixel packet-cap boundary."""
+    import numpy as np
+
+    from dat_archive_map_reduce_spark.operators.multimodal import (
+        decode_tga,
+        encode_tga,
+    )
+
+    rng = np.random.default_rng(seed)
+    if seed % 3 == 0:
+        # run-heavy: long constant stretches exercise the packet cap
+        flat = np.repeat(
+            rng.integers(0, 256, max(1, w * h // 100 + 1), dtype=np.int64),
+            200,
+        )[: w * h]
+        rgb = np.stack([flat, flat, flat], axis=1).reshape(-1).astype(np.uint8)
+    else:
+        rgb = rng.integers(0, 256, w * h * 3, dtype=np.int64).astype(np.uint8)
+    w2, h2, out = decode_tga(
+        encode_tga(w, h, rgb, top_down=top_down, rle=rle)
+    )
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, rgb)

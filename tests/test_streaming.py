@@ -1347,3 +1347,63 @@ def test_count_delta_reaggregation_exactly_once(spark, tmp_path):
     assert db.get("kc", "keyX") == {"key": "keyX", "value": 1}
     db.close()
     dbb.close()
+
+
+def test_two_level_layout_count_delta_rebucket_integration(spark, tmp_path):
+    """The three r12 features COMPOSED: an engine on the two-level
+    origin_hash= changelog layout, maintaining a reduce='count' view
+    (delta re-aggregation path) under the watch cadence with
+    rebucket_every firing a mid-stream bucket migration — final
+    state must equal a flat-layout batch-indexed twin, the layout
+    must have evolved, and a follow-up incremental drain must stay
+    correct against the migrated layout."""
+    from test_view_engine import _bucket_membership_ok
+
+    wh = str(tmp_path / "wh-i12")
+    db = MapReduce(spark, wh, entries_buckets=2, changelog_hash_levels=1)
+    db.define("k", path="/d/*.json", map=map_first, key_schema=["string"])
+    db.define("kc", path="/d/*.json", map=map_first, reduce="count",
+              key_schema=["string"])
+    origins = [f"dat://i{j}" for j in range(3)]
+    rows = [
+        {"origin": origins[i % 3], "pathname": f"/d/{i}.json", "version": 1,
+         "content": json.dumps({"first": f"key{i % 9}", "second": i,
+                                "third": "t" * 64})}
+        for i in range(60)
+    ]
+    db.append_changes(rows)
+    q = W.watch(db, rebucket_every=1, rebucket_bytes=1024)
+    q.awaitTermination()
+    # twin: flat layout, batch indexed (general refold path)
+    dbb = MapReduce(spark, str(tmp_path / "wh-i12-b"), entries_buckets=2)
+    dbb.define("k", path="/d/*.json", map=map_first, key_schema=["string"])
+    dbb.define("kc", path="/d/*.json", map=map_first, reduce="count",
+               key_schema=["string"])
+    dbb.append_changes(rows)
+    for o in origins:
+        dbb.index(o)
+    assert db.list("k") == dbb.list("k")
+    assert db.list("kc") == dbb.list("kc")
+    # at least one hot shard crossed the threshold and evolved
+    evolved = [o for o in origins
+               if db._entries_table("k", o).n_buckets > 2]
+    assert evolved, "rebucket cadence never fired"
+    for o in origins:
+        assert _bucket_membership_ok(db._entries_table("k", o))
+    # incremental drain AFTER the migration, against the new layout,
+    # through the count-delta path again
+    upd = [
+        {"origin": origins[0], "pathname": "/d/0.json", "version": 2,
+         "content": json.dumps({"first": "keyX", "second": 0,
+                                "third": "t"})}
+    ]
+    db.append_changes(upd)
+    q2 = W.watch(db, rebucket_every=1, rebucket_bytes=1024)
+    q2.awaitTermination()
+    dbb.append_changes(upd)
+    dbb.index(origins[0])
+    assert db.list("k") == dbb.list("k")
+    assert db.list("kc") == dbb.list("kc")
+    assert db.get("kc", "keyX") == {"key": "keyX", "value": 1}
+    db.close()
+    dbb.close()
