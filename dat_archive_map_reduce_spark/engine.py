@@ -864,7 +864,16 @@ class MapReduce:
         sees its own token and skips, never double-applying. A
         checkpoint deleted out-of-band degrades gracefully: the full
         changelog re-delivers, retractions equal additions per key,
-        delta = 0."""
+        delta = 0.
+
+        Interleaved BATCH indexing composes safely too: the batch
+        path's general refold overwrites the reduced table WITHOUT a
+        token (erasing this path's marker), but a refold recomputes
+        from the entries' current state — so reduced and entries
+        re-align at whatever point the batch pass saw, and a later
+        stream replay's delta is computed against that same state
+        (entries already reflecting a batch make its retractions
+        equal its additions: delta 0). Every ordering converges."""
         red_table = self._reduced_table(vdef.name)
         if red_table.manifest_meta().get("batch_token") == batch_token:
             return  # replay of an already-applied batch

@@ -15170,8 +15170,8 @@ def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS b0,
         16 * (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)
           + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS b1
-      FROM b0src
-    ), b0src AS (SELECT i, h FROM m)
+      FROM m
+    )
     SELECT i AS media_id, 'image' AS kind,
            CAST(8 + b0 % 24 AS INT) AS width,
            CAST(8 + b1 % 24 AS INT) AS height,

@@ -1407,3 +1407,52 @@ def test_two_level_layout_count_delta_rebucket_integration(spark, tmp_path):
     assert db.get("kc", "keyX") == {"key": "keyX", "value": 1}
     db.close()
     dbb.close()
+
+
+def test_count_delta_interleaved_with_batch_refold(spark, tmp_path):
+    """Stream (count-delta, token) -> BATCH index (general refold —
+    erases the token) -> stream again (count-delta): every ordering
+    must converge to the pure-batch twin. The refold recomputes from
+    entries, re-aligning reduced with entries, so the next delta is
+    computed against consistent state (the docstring's composition
+    argument, pinned)."""
+    wh = str(tmp_path / "wh-mix")
+    db = MapReduce(spark, wh)
+    db.define("kc", path="/d/*.json", map=map_first, reduce="count",
+              key_schema=["string"])
+    dbb = MapReduce(spark, str(tmp_path / "wh-mix-b"))
+    dbb.define("kc", path="/d/*.json", map=map_first, reduce="count",
+               key_schema=["string"])
+
+    def add(version, keys):
+        rows = [
+            {"origin": "dat://m", "pathname": f"/d/{k}.json",
+             "version": version,
+             "content": json.dumps({"first": kk, "second": 1,
+                                    "third": "t"})}
+            for k, kk in keys
+        ]
+        db.append_changes(rows)
+        dbb.append_changes(rows)
+
+    # stream drain (delta path)
+    add(1, [(i, f"a{i % 3}") for i in range(9)])
+    W.watch_until_caught_up(db)
+    dbb.index("dat://m")
+    assert db.list("kc") == dbb.list("kc")
+    red = db._reduced_table("kc")
+    assert red.manifest_meta().get("batch_token") is not None
+    # BATCH index in between (general refold, token erased)
+    add(2, [(0, "b0"), (1, "b0")])
+    db.index("dat://m")
+    dbb.index("dat://m")
+    assert red.manifest_meta().get("batch_token") is None
+    assert db.list("kc") == dbb.list("kc")
+    # stream drain again (delta path against the refolded state)
+    add(3, [(2, "c0"), (5, "a0")])
+    W.watch_until_caught_up(db)
+    dbb.index("dat://m")
+    assert db.list("kc") == dbb.list("kc")
+    assert db.get("kc", "b0") == {"key": "b0", "value": 2}
+    db.close()
+    dbb.close()
