@@ -244,6 +244,127 @@ def _bench_streaming(spark) -> dict:
         out["maintain_drip_sec_per_batch"] = drip
         out["maintain_drip_big_over_small"] = round(drip["64k"] / drip["4k"], 3)
 
+        # -- 1c. reduced-table growth drip (r12 verdict #1) -----------
+        # Same drip shape, but the variable is the REDUCED side's
+        # cardinality (2k vs 32k distinct keys over identical entries
+        # volume). The r12 design rewrote the whole flat reduced
+        # table per merge — per-batch cost scaled with |reduced|; the
+        # bucketed reduced table rewrites only the delta's key
+        # buckets, so per-batch cost must hold ~flat across the 16x
+        # cardinality growth (ratio ~1.0). Drips ride the WATCH path
+        # (exact count delta + bucket-scoped commit).
+        rdrip: dict = {}
+        for label, n_keys in (("2k", 2048), ("32k", 32768)):
+            db = MapReduce(
+                spark, f"{root}/red{n_keys}", reduced_buckets=256
+            )
+            db.define(
+                "counts",
+                path="/docs/*.json",
+                map=map_first,
+                reduce="count",
+                key_schema=["string"],
+            )
+            db.append_changes(
+                [
+                    {
+                        "origin": "dat://red",
+                        "pathname": f"/docs/{i}.json",
+                        "version": 1,
+                        "content": json.dumps(
+                            {"first": f"k{i % n_keys}", "n": i}
+                        ),
+                    }
+                    for i in range(32768)
+                ]
+            )
+            q = _watch(db)
+            q.awaitTermination()
+            per_batch = []
+            for b in range(6):
+                db.append_changes(
+                    [
+                        {
+                            "origin": "dat://red",
+                            "pathname": f"/docs/{b * 8 + j}.json",
+                            "version": 2,
+                            "content": json.dumps(
+                                {"first": f"u{b}-{j}", "n": j}
+                            ),
+                        }
+                        for j in range(8)
+                    ]
+                )
+                t0 = time.perf_counter()
+                q = _watch(db)
+                q.awaitTermination()
+                per_batch.append(time.perf_counter() - t0)
+            db.close()
+            per_batch.sort()
+            rdrip[label] = round(per_batch[len(per_batch) // 2], 4)
+        out["maintain_drip_reduced_sec_per_batch"] = rdrip
+        out["maintain_drip_reduced_big_over_small"] = round(
+            rdrip["32k"] / rdrip["2k"], 3
+        )
+
+        # -- 1d. two-level origin layout at >= 1k origins (r12 #3) ----
+        # The hash_levels=1 changelog layout exists for warehouses
+        # tracking MILLIONS of sources, where any driver-side
+        # per-origin directory op on a flat origin= level is an
+        # O(origins) listdir. Probe the listing op (partition_dir —
+        # what expiry and swap_origin_files call per origin) at two
+        # origin counts per layout: flat cost grows with origin
+        # count, two-level stays ~flat; the per-origin delta scan
+        # (read_origin + count) is reported alongside for the same
+        # sample.
+        two_level: dict = {}
+        for hl, lname in ((0, "flat"), (1, "two_level")):
+            for n_org in (256, 1024):
+                db = MapReduce(
+                    spark,
+                    f"{root}/tl-{lname}-{n_org}",
+                    changelog_hash_levels=hl,
+                )
+                db.append_changes(
+                    [
+                        {
+                            "origin": f"dat://org{o}",
+                            "pathname": f"/docs/{r}.json",
+                            "version": 1,
+                            "content": json.dumps({"first": f"k{r}", "n": r}),
+                        }
+                        for o in range(n_org)
+                        for r in range(2)
+                    ]
+                )
+                sample = [f"dat://org{o}" for o in range(0, n_org, n_org // 32)]
+                t0 = time.perf_counter()
+                for o in sample:
+                    assert db.changelog.partition_dir(o) is not None
+                list_ms = (time.perf_counter() - t0) / len(sample) * 1000
+                t0 = time.perf_counter()
+                for o in sample[:4]:
+                    db.changelog.read_origin(o).count()
+                scan_ms = (time.perf_counter() - t0) / 4 * 1000
+                two_level[f"{lname}_{n_org}"] = {
+                    "partition_dir_ms": round(list_ms, 3),
+                    "read_origin_ms": round(scan_ms, 1),
+                }
+                db.close()
+        # headline: listing-cost growth factor per layout (flat grows
+        # ~linearly with origins; two-level should stay ~flat)
+        two_level["flat_growth"] = round(
+            two_level["flat_1024"]["partition_dir_ms"]
+            / max(two_level["flat_256"]["partition_dir_ms"], 1e-6),
+            2,
+        )
+        two_level["two_level_growth"] = round(
+            two_level["two_level_1024"]["partition_dir_ms"]
+            / max(two_level["two_level_256"]["partition_dir_ms"], 1e-6),
+            2,
+        )
+        out["two_level"] = two_level
+
         # -- 2. event-time windowed aggregation as a real stream ------
         # events split into 8 files, drained 2 files per micro-batch
         # (4 stateful batches with watermarked window state), sinking

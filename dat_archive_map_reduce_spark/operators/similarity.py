@@ -375,6 +375,30 @@ def portable_lsh_topk(
 # IVF (inverted file) — coarse quantizer + probe
 # ---------------------------------------------------------------------
 
+def ivf_assign_expr(
+    cents: "list[tuple[int, Sequence[float]]]", vec_col: str = "embedding"
+) -> Column:
+    """Deterministic nearest-pinned-centroid assignment: argmax of
+    cosine over the (id, vector) codebook, ties to the SMALLER
+    centroid id (the -id trick inside array_max's lexicographic
+    struct compare). One shared implementation so the batch IVF plan
+    (portable_ivf_topk) and the streaming maintenance twin
+    (streaming.watch.streaming_ivf_assign) can never drift — their
+    stream=batch equality is pinned by test. Codebook is baked as
+    plan literals: zero-shuffle narrow scan, the 100 TB shape."""
+    v = F.col(vec_col).cast("array<double>")
+    choices = F.array(
+        *[
+            F.struct(
+                cosine(v, F.array(*[F.lit(float(x)) for x in cv])).alias("c"),
+                F.lit(-int(cid)).alias("nid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    return -F.array_max(choices)["nid"]
+
+
 def portable_ivf_topk(
     corpus: DataFrame,
     query_vec: Sequence[float],
@@ -428,17 +452,7 @@ def portable_ivf_topk(
             key=lambda t: (-t[1], t[0]),
         )[:n_probe]
     ]
-    v = F.col(vec_col).cast("array<double>")
-    choices = F.array(
-        *[
-            F.struct(
-                cosine(v, F.array(*[F.lit(x) for x in cv])).alias("c"),
-                F.lit(-cid).alias("nid"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    assigned = corpus.withColumn("_cluster", -F.array_max(choices)["nid"])
+    assigned = corpus.withColumn("_cluster", ivf_assign_expr(cents, vec_col))
     cands = assigned.filter(F.col("_cluster").isin(probed)).drop("_cluster")
     return brute_force_topk(cands, query_vec, k, vec_col, id_col)
 

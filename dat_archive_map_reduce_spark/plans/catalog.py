@@ -674,6 +674,7 @@ class BucketedEntriesTable(VersionedTable):
         touched_ids: "list[int]",
         touched_df: DataFrame,
         sort_cols: "list[str] | None" = None,
+        meta: "dict | None" = None,
     ) -> None:
         """Commit a new snapshot: ``touched_df`` (which must contain
         ONLY rows whose bucket id is in ``touched_ids`` — i.e. the
@@ -682,7 +683,14 @@ class BucketedEntriesTable(VersionedTable):
         files are hardlinked from the previous snapshot. If the
         previous snapshot is flat (pre-bucketing or a reset), the
         caller must pass the FULL table as touched_df with all ids —
-        one re-bucketing rewrite, incremental afterwards."""
+        one re-bucketing rewrite, incremental afterwards.
+
+        ``meta``: extra manifest keys committed atomically with the
+        pointer flip (same contract as overwrite(meta=...)) — the
+        exact-delta re-aggregation's batch token rides here. Omitted
+        meta REPLACES the manifest with just the pointer, erasing any
+        previous token (the general-refold overwrite semantics the
+        delta path's interleave story depends on)."""
         cur = self._current()
         n = self.n_buckets  # the CURRENT snapshot's layout count
         v = (cur or 0) + 1
@@ -705,7 +713,14 @@ class BucketedEntriesTable(VersionedTable):
                 if os.path.isdir(src):
                     _link_tree(src, self._bucket_dir(v, b))
         self._write_snapshot_meta(dest, n)
-        self._set_current(v)
+        self._set_current(v, meta)
+
+
+# The bucketed layout is generic over its bucket column — the engine
+# uses it for entries shards (bucket_col='file_url', the retraction
+# key) AND for the reduced table (bucket_col='key_json', the
+# re-aggregation key). The alias names the general contract.
+BucketedTable = BucketedEntriesTable
 
 
 def _link_tree(src: str, dst: str) -> None:

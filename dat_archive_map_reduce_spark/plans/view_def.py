@@ -41,6 +41,27 @@ class ViewDefinition:
     # string component. Accepts pyspark DataTypes or the strings
     # "string" | "long" | "double" | "boolean" | "timestamp".
     key_schema: Sequence[Any] = field(default_factory=lambda: ["string"])
+    # Declared type of the VALUES map emits (None = untyped JSON, the
+    # reference's model). Purely an optimization hint today: declaring
+    # "long"/"int" on a reduce="sum" view lets the watch path maintain
+    # the fold by EXACT integer delta (never re-scanning entries),
+    # because integer sums are exactly subtractable — the same
+    # argument as count (= sum of ones). A "double" declaration is
+    # deliberately NOT delta-eligible: FP addition is not associative,
+    # so subtract-then-add drifts from a true refold bit-for-bit.
+    value_type: str | None = None
+
+    def exact_delta_fold(self) -> str | None:
+        """The exactly-subtractable fold this view's maintenance can
+        take ('count' | 'sum'), or None when only the general refold
+        is sound. Exactness bound for 'sum': values and running sums
+        stay integers, exact in the double fold up to 2^53 — the same
+        magnitude at which the refold itself degrades."""
+        if self.reduce == "count":
+            return "count"
+        if self.reduce == "sum" and self.value_type in ("long", "int", "bigint"):
+            return "sum"
+        return None
 
     def key_types(self) -> list[T.DataType]:
         out = []
@@ -87,4 +108,10 @@ def validate_view_def(vdef: ViewDefinition) -> ViewDefinition:
     for t in vdef.key_schema:
         if not isinstance(t, T.DataType) and str(t) not in _NAME_TO_TYPE:
             raise SchemaError(f"view '{vdef.name}': unknown key component type {t!r}")
+    if vdef.value_type is not None and vdef.value_type not in (
+        "long", "int", "bigint", "double", "string", "boolean",
+    ):
+        raise SchemaError(
+            f"view '{vdef.name}': unknown value_type {vdef.value_type!r}"
+        )
     return vdef

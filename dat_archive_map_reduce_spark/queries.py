@@ -14489,6 +14489,12 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 0 END
                + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE)
                    / (CAST(tb AS DOUBLE) * (a + b) / (ta + tb)))
+                 ELSE 0 END
+               + CASE WHEN ta - a > 0 THEN (ta - a) * ln(CAST(ta - a AS DOUBLE)
+                   / (CAST(ta AS DOUBLE) * (ta + tb - a - b) / (ta + tb)))
+                 ELSE 0 END
+               + CASE WHEN tb - b > 0 THEN (tb - b) * ln(CAST(tb - b AS DOUBLE)
+                   / (CAST(tb AS DOUBLE) * (ta + tb - a - b) / (ta + tb)))
                  ELSE 0 END) * 1000000 + 0.5) / 1000000 AS llr
     FROM cnt CROSS JOIN tot
     ORDER BY llr DESC, w LIMIT 20
@@ -14500,10 +14506,14 @@ def text_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
     because rare-but-concentrated terms beat merely-frequent ones):
     split the corpus by the deterministic md5 doc_id hash (the
     corpus_hash_split function, ~50/50 here), then for every term
-    compare its occurrence count a in split A vs b in split B
-    against the pooled expectation; LLR = 2*(a ln(a/Ea) + b ln(b/Eb))
-    with Ea = ta(a+b)/(ta+tb). Top-20 by (llr DESC, term) — the
-    terms whose usage most separates the two halves.
+    compare its 2x2 contingency table (a = count in split A, b = in
+    split B, ta-a / tb-b the complement cells) against independence:
+    the FULL four-term G^2 = 2 * sum over all four cells of
+    k_ij ln(k_ij/E_ij), E_ij = row_i*col_j/N — the standard Dunning
+    statistic, matching external implementations (the 2-term
+    truncation drops the complement cells and mis-ranks frequent
+    terms). Top-20 by (llr DESC, term) — the terms whose usage most
+    separates the two halves.
 
     Determinism: a, b, ta, tb are BIGINTs; each llr is one double
     expression of four integers (x ln x terms with a zero count
@@ -14531,8 +14541,14 @@ def text_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("b").cast("long").alias("tb"),
     )
     ab = F.col("a") + F.col("b")
-    ea = F.col("ta").cast("double") * ab / (F.col("ta") + F.col("tb"))
-    eb = F.col("tb").cast("double") * ab / (F.col("ta") + F.col("tb"))
+    n_tot = F.col("ta") + F.col("tb")
+    rest = n_tot - ab  # complement row: tokens NOT equal to w
+    ca = F.col("ta") - F.col("a")  # complement cells of the 2x2 table
+    cb = F.col("tb") - F.col("b")
+    ea = F.col("ta").cast("double") * ab / n_tot
+    eb = F.col("tb").cast("double") * ab / n_tot
+    eca = F.col("ta").cast("double") * rest / n_tot
+    ecb = F.col("tb").cast("double") * rest / n_tot
     llr = _ffloor(
         2
         * (
@@ -14544,6 +14560,12 @@ def text_dunning_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("b") > 0,
                 F.col("b") * F.log(F.col("b").cast("double") / eb),
             ).otherwise(F.lit(0.0))
+            + F.when(ca > 0, ca * F.log(ca.cast("double") / eca)).otherwise(
+                F.lit(0.0)
+            )
+            + F.when(cb > 0, cb * F.log(cb.cast("double") / ecb)).otherwise(
+                F.lit(0.0)
+            )
         ),
         6,
     )

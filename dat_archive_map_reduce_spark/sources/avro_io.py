@@ -416,18 +416,29 @@ def read_avro(
     schema is read from ONE file header driver-side (a bounded
     metadata read), then every container decodes inside Arrow-batched
     mapInPandas — parallelism = file count, which under the null
-    codec is Avro's real split unit anyway."""
-    if _native_avro_available(spark):
-        return spark.read.format("avro").load(path)
-    import glob as _g
-
+    codec is Avro's real split unit anyway. Every file's embedded
+    writer schema must resolve to the same Spark schema as the first
+    file's — a directory mixing field orders/types raises ValueError
+    instead of silently misassigning values positionally. Both paths
+    (native and portable) apply the SAME file scoping: directory ->
+    ``glob`` within it; file/glob path -> exactly that name, so the
+    selected file set does not depend on whether spark-avro is
+    deployed."""
     if os.path.isdir(path):
         base, pat = path, glob
     else:
-        # a single-file (or glob) path: scope the binaryFile scan to
-        # exactly that name — dirname + "*.avro" would silently pull
-        # in SIBLING containers
+        # a single-file (or glob) path: scope the scan to exactly
+        # that name — dirname + "*.avro" would silently pull in
+        # SIBLING containers
         base, pat = os.path.dirname(path) or ".", os.path.basename(path)
+    if _native_avro_available(spark):
+        return (
+            spark.read.format("avro")
+            .option("pathGlobFilter", pat)
+            .load(base)
+        )
+    import glob as _g
+
     candidates = sorted(_g.glob(os.path.join(base, pat)))
     if not candidates:
         raise FileNotFoundError(f"no avro files under {path!r} ({pat})")
@@ -439,15 +450,27 @@ def read_avro(
 
         names = [f.name for f in schema.fields]
         for pdf in batches:
-            for content in pdf["content"]:
-                _, rows = decode_avro(bytes(content))
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                file_schema, rows = decode_avro(bytes(content))
+                if file_schema != schema:
+                    # the batch assembles POSITIONALLY under the
+                    # driver-resolved schema — a file with different
+                    # field order/names/types must reject loudly, not
+                    # misassign values (the module's ValueError
+                    # convention)
+                    raise ValueError(
+                        f"avro writer schema of {fpath} does not match "
+                        f"the directory's resolved schema: "
+                        f"{file_schema.simpleString()} != "
+                        f"{schema.simpleString()}"
+                    )
                 yield pd.DataFrame(rows, columns=names)
 
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pat)
         .load(base)
-        .select("content")
+        .select("path", "content")
     )
     return files.mapInPandas(_decode_files, schema=schema)
 

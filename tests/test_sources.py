@@ -318,3 +318,31 @@ def test_avro_spark_roundtrip_all_types(spark, tmp_path):
     back2 = read_avro(spark, out2)
     assert sorted(map(tuple, back2.collect())) == sorted(
         map(tuple, region.collect()))
+
+
+def test_avro_mixed_schema_dir_rejects(spark, tmp_path):
+    """A directory mixing writer schemas must raise ValueError (the
+    portable reader assembles batches positionally under the FIRST
+    file's resolved schema — silent misassignment is the failure
+    mode this pins against, ADVICE r12)."""
+    from pyspark.sql import types as T
+
+    from dat_archive_map_reduce_spark.sources.avro_io import (
+        encode_avro,
+        read_avro,
+    )
+
+    d = tmp_path / "avro_mixed"
+    d.mkdir()
+    sch_a = T.StructType([
+        T.StructField("x", T.LongType(), True),
+        T.StructField("y", T.StringType(), True),
+    ])
+    sch_b = T.StructType([  # same names, swapped order
+        T.StructField("y", T.StringType(), True),
+        T.StructField("x", T.LongType(), True),
+    ])
+    (d / "a.avro").write_bytes(encode_avro([(1, "one")], sch_a))
+    (d / "b.avro").write_bytes(encode_avro([("two", 2)], sch_b))
+    with pytest.raises(Exception, match="does not match"):
+        read_avro(spark, str(d)).collect()

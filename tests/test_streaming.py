@@ -1291,7 +1291,7 @@ def test_count_delta_reaggregation_exactly_once(spark, tmp_path):
 
     v_before = red._current()
     bogus = db._entries_table("kc", "dat://c0").read()  # nonzero rows
-    db._reaggregate_count_delta(
+    db._reaggregate_exact_delta(
         db._view("kc"), bogus, empty_df(spark, entries_schema(
             db._view("kc").key_types())).select("key", "key_json"),
         batch_token=tok1,
@@ -1326,7 +1326,7 @@ def test_count_delta_reaggregation_exactly_once(spark, tmp_path):
             db._entries_table("kc", "dat://c0").bucket_expr("url").alias("b")
         ).distinct().collect())}
     tok2 = 999_001
-    db._reaggregate_count_delta(
+    db._reaggregate_exact_delta(
         vdef, new_e,
         db._retracted_rows_premerge(vdef, upd, counts, buckets),
         batch_token=tok2,

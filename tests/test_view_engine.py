@@ -1091,3 +1091,23 @@ def test_watch_converges_under_two_level_layout(spark, tmp_path):
     assert db.list("v") == dbb.list("v")
     db.close()
     dbb.close()
+
+
+def test_auto_rebucket_rejects_nonpositive_threshold(spark, tmp_path):
+    """auto_rebucket_entries(threshold <= 0) must raise, not loop
+    forever doubling new_n on a non-empty shard (total/new_n > 0
+    never exits); watch_views validates rebucket_bytes at stream
+    setup for the same reason (ADVICE r12)."""
+    db = MapReduce(spark, str(tmp_path / "wh-thresh"))
+    db.define("v", path="/d/*.json", map=map_first, key_schema=["string"])
+    db.index_source("dat://t", [
+        {"origin": "dat://t", "pathname": "/d/a.json", "version": 1,
+         "content": json.dumps({"first": "k", "second": 1, "third": "t"})}
+    ])
+    with pytest.raises(ValueError, match="threshold_bytes"):
+        db.auto_rebucket_entries(0)
+    with pytest.raises(ValueError, match="threshold_bytes"):
+        db.auto_rebucket_entries(-5)
+    with pytest.raises(ValueError, match="rebucket_bytes"):
+        db.watch_views(rebucket_every=1, rebucket_bytes=0)
+    db.close()
