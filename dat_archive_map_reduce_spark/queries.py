@@ -10174,6 +10174,11 @@ _REVERIFY_SINCE: "dict[str, int]" = {
     # candidates) — half-way boundary semantics changed
     "text_kneser_ney_bigram": 12,
     "events_mann_kendall": 12,
+    # r13 ADVICE close: text_dunning_llr moved from the 2-term
+    # truncation to the standard 4-term Dunning G^2 (complement
+    # cells) — every llr value changed, so prior driver greens no
+    # longer vouch
+    "text_dunning_llr": 13,
 }
 
 # The round this code ships in — bumped at the START of each round
@@ -10185,7 +10190,7 @@ _REVERIFY_SINCE: "dict[str, int]" = {
 # still pending after its round closed means the changed semantics
 # were never re-verified at all, and the import fails loudly (the
 # NO_ORACLE_TWINS hygiene pattern, r11 verdict #6).
-_CURRENT_ROUND = 12
+_CURRENT_ROUND = 13
 
 @query(
     "dedup_image_dhash",
@@ -15413,6 +15418,461 @@ def _assert_reverify_discharged() -> None:
         f"closed: {pending} — the changed semantics were never "
         "re-verified by a driver green; run the full oracle gate and "
         "check the rotation put them in the window"
+    )
+
+
+@query(
+    "events_welch_ttest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    dense AS (
+      SELECT gs.dd AS day, coalesce(daily.n, 0) AS n
+      FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                          (SELECT hi FROM span))) AS dd) gs
+      LEFT JOIN daily ON daily.day = gs.dd
+    ), g AS (
+      SELECT CAST(sum(CASE WHEN (day + 3) % 7 < 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN (day + 3) % 7 < 5 THEN n ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN (day + 3) % 7 < 5 THEN n * n ELSE 0 END)
+                  AS BIGINT) AS ss1,
+             CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN n ELSE 0 END)
+                  AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN n * n ELSE 0 END)
+                  AS BIGINT) AS ss2
+      FROM dense
+    )
+    SELECT n1 AS n_weekday, n2 AS n_weekend,
+           floor(CAST(s1 AS DOUBLE) / n1 * 1000000 + 0.5) / 1000000
+             AS mean_weekday,
+           floor(CAST(s2 AS DOUBLE) / n2 * 1000000 + 0.5) / 1000000
+             AS mean_weekend,
+           floor((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+                 / sqrt((CAST(ss1 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+                        + (CAST(ss2 AS DOUBLE)
+                           - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2)
+                 * 1000000 + 0.5) / 1000000 AS t_stat,
+           floor(((CAST(ss1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+                  + (CAST(ss2 AS DOUBLE)
+                     - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2)
+                 * ((CAST(ss1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+                    + (CAST(ss2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2)
+                 / ((CAST(ss1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+                    * ((CAST(ss1 AS DOUBLE)
+                        - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1)
+                    / (n1 - 1)
+                    + (CAST(ss2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2
+                      * ((CAST(ss2 AS DOUBLE)
+                          - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2)
+                      / (n2 - 1))
+                 * 10000 + 0.5) / 10000 AS df
+    FROM g
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test of weekend vs weekday daily event
+    volume — the unequal-variance location test (Welch 1947) a
+    pipeline runs before trusting a "weekend lift" readout, completing
+    the classical-inference family next to Mann-Whitney (its
+    rank-based sibling) and the chi-square mix test. Daily counts
+    come from THE shared dense-calendar scaffold
+    (_dense_daily_counts: gap days are zero-count days of their
+    weekday), day-of-week is the engine-portable (day + 3) % 7 with
+    0 = Monday (never each engine's offset-incompatible builtin).
+
+    Determinism: the only aggregates are BIGINT sums (n, sum,
+    sum-of-squares per group, one conditional rollup); mean, sample
+    variance ((ss - s*s/n)/(n-1) — the exact-integer-ratio form, not
+    the engines' own var_samp whose summation order differs), the t
+    statistic, and the Welch-Satterthwaite df are each ONE double
+    expression of six integers with identical association in both
+    engines, reported at the portable floor (6dp; df 4dp).
+
+    Scale shape: one day-grain fact rollup, dense-calendar explode,
+    ONE 6-integer conditional fold -> a single-row select."""
+    dense = _dense_daily_counts(spark, sf_dir)
+    wk = ((F.col("day") + 3) % 7) < 5
+    g = dense.agg(
+        F.sum(F.when(wk, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(wk, F.col("n")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(wk, F.col("n") * F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("ss1"),
+        F.sum(F.when(~wk, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(~wk, F.col("n")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(~wk, F.col("n") * F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("ss2"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
+    se1 = (ss1.cast("double") - s1.cast("double") * s1 / n1) / (n1 - 1) / n1
+    se2 = (ss2.cast("double") - s2.cast("double") * s2 / n2) / (n2 - 1) / n2
+    return g.select(
+        n1.alias("n_weekday"),
+        n2.alias("n_weekend"),
+        _ffloor(s1.cast("double") / n1, 6).alias("mean_weekday"),
+        _ffloor(s2.cast("double") / n2, 6).alias("mean_weekend"),
+        _ffloor(
+            (s1.cast("double") / n1 - s2.cast("double") / n2)
+            / F.sqrt(se1 + se2),
+            6,
+        ).alias("t_stat"),
+        _ffloor(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)),
+            4,
+        ).alias("df"),
+    )
+
+
+@query(
+    "events_bh_discoveries",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) // 86400
+                  AS BIGINT) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), span AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    dense AS (
+      SELECT t.event_type, gs.dd AS day, coalesce(daily.n, 0) AS n
+      FROM types t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM span),
+                                                (SELECT hi FROM span)))
+                  AS dd) gs
+      LEFT JOIN daily ON daily.event_type = t.event_type
+                     AND daily.day = gs.dd
+    ), g AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN (day + 3) % 7 < 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN (day + 3) % 7 < 5 THEN n ELSE 0 END)
+                  AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN (day + 3) % 7 < 5 THEN n * n ELSE 0 END)
+                  AS BIGINT) AS ss1,
+             CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN n ELSE 0 END)
+                  AS BIGINT) AS s2,
+             CAST(sum(CASE WHEN (day + 3) % 7 >= 5 THEN n * n ELSE 0 END)
+                  AS BIGINT) AS ss2
+      FROM dense GROUP BY 1
+    ), z AS (
+      SELECT event_type,
+             (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / sqrt((CAST(ss1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1
+                    + (CAST(ss2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2)
+               AS zr
+      FROM g
+    ), pv AS (
+      SELECT event_type, zr,
+             2 * (0.3989422804014327 * exp(-0.5 * abs(zr) * abs(zr))
+                  * ((1.0 / (1.0 + 0.2316419 * abs(zr)))
+                     * (0.319381530
+                        + (1.0 / (1.0 + 0.2316419 * abs(zr)))
+                          * (-0.356563782
+                             + (1.0 / (1.0 + 0.2316419 * abs(zr)))
+                               * (1.781477937
+                                  + (1.0 / (1.0 + 0.2316419 * abs(zr)))
+                                    * (-1.821255978
+                                       + (1.0 / (1.0 + 0.2316419 * abs(zr)))
+                                         * 1.330274429)))))) AS p
+      FROM z
+    ), ranked AS (
+      SELECT event_type,
+             floor(zr * 1000000 + 0.5) / 1000000 AS z_stat,
+             floor(p * 100000000 + 0.5) / 100000000 AS p_value,
+             CAST(row_number() OVER (
+               ORDER BY floor(p * 100000000 + 0.5) / 100000000,
+                        event_type) AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ), cut AS (
+      SELECT *,
+             max(CASE WHEN p_value <= rnk * 0.05 / m THEN rnk END)
+               OVER () AS k
+      FROM ranked
+    )
+    SELECT event_type, z_stat, p_value, rnk, m,
+           coalesce(rnk <= k, FALSE) AS rejected
+    FROM cut ORDER BY rnk
+    """,
+)
+def events_bh_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control (Benjamini & Hochberg 1995)
+    over the per-event-type weekend-effect tests — the
+    multiple-testing correction any pipeline needs the moment it
+    tests MANY hypotheses at once (one z per event type here; at
+    scale: one per feature/slice): p-values sort ascending, the
+    step-up cut is k = max{i : p_i <= i*alpha/m} (alpha = 0.05), and
+    ranks 1..k are discoveries. Per type, the statistic is the Welch
+    z of weekend vs weekday daily counts (normal approximation —
+    n_days is large) on the per-type DENSE calendar (a type with no
+    events on a day counts 0 — skipping absent days is the same
+    under-counting bug the chi-square's dense grid avoids); p comes
+    from the Abramowitz-Stegun 26.2.17 polynomial for the normal
+    tail, the SAME literal expression in both engines (neither Spark
+    nor DuckDB exposes a portable normal CDF).
+
+    Determinism: counts are BIGINTs; z and p are single double
+    expressions of the six per-type integers; ranking orders by the
+    FLOORED p (8dp) with event_type tiebreak so both engines rank
+    identically; the step-up max() is over a bounded metadata-sized
+    window (m = distinct types).
+
+    Scale shape: ONE (type, day)-grain fact rollup, dense-calendar
+    explode against the bounded type dimension, one type-grain
+    conditional fold, then window ops over m rows (metadata-sized —
+    the unpartitioned window is bounded by the type count, never by
+    fact rows)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    daily = ev.select("event_type", day.alias("day")).groupBy(
+        "event_type", "day"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    span = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    types = daily.select("event_type").distinct()
+    days = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    dense = (
+        # bounded dims both sides (types x span days) — broadcast
+        # nested loop, never a CartesianProduct (the sweep invariant)
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+    )
+    wk = ((F.col("day") + 3) % 7) < 5
+    g = dense.groupBy("event_type").agg(
+        F.sum(F.when(wk, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(wk, F.col("n")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(wk, F.col("n") * F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("ss1"),
+        F.sum(F.when(~wk, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(~wk, F.col("n")).otherwise(0)).cast("long").alias("s2"),
+        F.sum(F.when(~wk, F.col("n") * F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("ss2"),
+    )
+    n1, s1, ss1 = F.col("n1"), F.col("s1"), F.col("ss1")
+    n2, s2, ss2 = F.col("n2"), F.col("s2"), F.col("ss2")
+    se1 = (ss1.cast("double") - s1.cast("double") * s1 / n1) / (n1 - 1) / n1
+    se2 = (ss2.cast("double") - s2.cast("double") * s2 / n2) / (n2 - 1) / n2
+    zr = (s1.cast("double") / n1 - s2.cast("double") / n2) / F.sqrt(se1 + se2)
+    za = F.abs(F.col("zr"))
+    t = 1.0 / (1.0 + 0.2316419 * za)
+    p = 2 * (
+        F.lit(0.3989422804014327)
+        * F.exp(-0.5 * za * za)
+        * (
+            t
+            * (
+                0.319381530
+                + t
+                * (
+                    -0.356563782
+                    + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+                )
+            )
+        )
+    )
+    pv = g.select("event_type", zr.alias("zr")).select(
+        "event_type",
+        _ffloor(F.col("zr"), 6).alias("z_stat"),
+        _ffloor(p, 8).alias("p_value"),
+    )
+    w_rank = Window.orderBy("p_value", "event_type")
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "event_type",
+        "z_stat",
+        "p_value",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("m"),
+    )
+    cut = ranked.withColumn(
+        "k",
+        F.max(
+            F.when(
+                F.col("p_value") <= F.col("rnk") * 0.05 / F.col("m"),
+                F.col("rnk"),
+            )
+        ).over(w_all),
+    )
+    return cut.select(
+        "event_type",
+        "z_stat",
+        "p_value",
+        "rnk",
+        "m",
+        F.coalesce(F.col("rnk") <= F.col("k"), F.lit(False)).alias(
+            "rejected"
+        ),
+    ).orderBy("rnk")
+
+
+@query(
+    "text_kn_perplexity_filter",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS in_a,
+             string_split(lower(text), ' ') AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id, in_a, t[pos] AS a, t[pos + 1] AS b
+      FROM docs, unnest(generate_series(1, len(t) - 1)) AS u(pos)
+    ), cab AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+      FROM big WHERE in_a = 1 GROUP BY 1, 2
+    ), lefts AS (
+      SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+             CAST(count(*) AS BIGINT) AS n1p_a
+      FROM cab GROUP BY 1
+    ), rights AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n1p_b FROM cab GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nbt,
+             CAST(count(DISTINCT b) AS BIGINT) AS vb
+      FROM cab
+    ), sc AS (
+      SELECT big.doc_id,
+             ln(CASE
+                WHEN cab.cab IS NOT NULL THEN
+                  (cab.cab - 0.75) / lefts.ca
+                  + 0.75 * lefts.n1p_a / lefts.ca
+                    * ((coalesce(rights.n1p_b, 0) + 1.0)
+                       / (tot.nbt + tot.vb + 1))
+                WHEN lefts.ca IS NOT NULL THEN
+                  0.75 * lefts.n1p_a / lefts.ca
+                    * ((coalesce(rights.n1p_b, 0) + 1.0)
+                       / (tot.nbt + tot.vb + 1))
+                ELSE (coalesce(rights.n1p_b, 0) + 1.0)
+                     / (tot.nbt + tot.vb + 1)
+                END) AS lp
+      FROM big
+      LEFT JOIN cab ON big.a = cab.a AND big.b = cab.b
+      LEFT JOIN lefts ON big.a = lefts.a
+      LEFT JOIN rights ON big.b = rights.b
+      CROSS JOIN tot
+      WHERE big.in_a = 0
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp), 4) AS xent
+    FROM sc GROUP BY doc_id
+    ORDER BY xent, doc_id LIMIT 20
+    """,
+)
+def text_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney perplexity quality filter — the
+    KenLM-grade upgrade of corpus_lm_xent (that one scores add-k
+    smoothed, trained on the SAME corpus it scores; this one trains
+    the interpolated-KN bigram LM on split A of the md5 hash split
+    and scores split B, the contamination-correct protocol a CCNet
+    pipeline uses for perplexity filtering, Wenzek et al. 2020).
+    Per scored bigram: the full interpolated-KN case split —
+    seen bigram: (c(ab)-D)/c(a.) + D*N1+(a.)/c(a.) * Pc(b);
+    seen history only: D*N1+(a.)/c(a.) * Pc(b) (the backoff mass);
+    unseen history: Pc(b) — with D = 0.75 and the ADD-ONE smoothed
+    continuation Pc(b) = (N1+(.b) + 1)/(N1+(..) + Vb + 1) so unseen
+    continuations get mass instead of ln(0) (the OOV floor every
+    deployed LM filter needs). Output: the 20 most fluent held-out
+    docs (lowest cross-entropy) — the keep-list head.
+
+    Determinism: all LM counts are BIGINTs; each bigram's log-prob is
+    one double CASE expression with identical association in both
+    engines; the per-doc mean reports at round-4 (the corpus_lm_xent
+    precedent — summation noise is orders below 4dp) and the top-20
+    orders by the ROUNDED value with doc_id tiebreak.
+
+    Scale shape: map-side consecutive-pair assembly (array slice +
+    zip, no window), train-side rollups partial-combine on token
+    keys, the scoring join shuffles on the bigram key (Zipf-skewed
+    both sides — AQE skew-split territory), totals broadcast as one
+    row, TakeOrdered(20)."""
+    d = _t(spark, sf_dir, "documents")
+    in_a = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    toks = F.split(F.lower(F.col("text")), " ")
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))).alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    )
+    big = d.select(
+        "doc_id", in_a.alias("in_a"), F.explode(pairs).alias("p")
+    ).select("doc_id", "in_a", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    train = big.filter(F.col("in_a"))
+    cab = train.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cab")
+    )
+    lefts = cab.groupBy("a").agg(
+        F.sum("cab").cast("long").alias("ca"),
+        F.count(F.lit(1)).cast("long").alias("n1p_a"),
+    )
+    rights = cab.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_b")
+    )
+    tot = cab.agg(
+        F.count(F.lit(1)).cast("long").alias("nbt"),
+        F.count_distinct("b").cast("long").alias("vb"),
+    )
+    pc = (F.coalesce(F.col("n1p_b"), F.lit(0)) + 1.0) / (
+        F.col("nbt") + F.col("vb") + 1
+    )
+    lp = F.log(
+        F.when(
+            F.col("cab").isNotNull(),
+            (F.col("cab") - 0.75) / F.col("ca")
+            + F.lit(0.75) * F.col("n1p_a") / F.col("ca") * pc,
+        )
+        .when(
+            F.col("ca").isNotNull(),
+            F.lit(0.75) * F.col("n1p_a") / F.col("ca") * pc,
+        )
+        .otherwise(pc)
+    )
+    sc = (
+        big.filter(~F.col("in_a"))
+        .join(cab, ["a", "b"], "left")
+        .join(lefts, "a", "left")
+        .join(rights, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.avg("lp"), 4).alias("xent"),
+        )
+        .orderBy("xent", "doc_id")
+        .limit(20)
     )
 
 
