@@ -232,16 +232,21 @@ class MapReduce:
         )
 
     def _reduced_cnt_table(self, view: str) -> BucketedEntriesTable:
-        """Sidecar (key_json, cnt) table for sum-delta views: an
-        integer sum is exactly subtractable, but delete-on-empty
-        needs the live ENTRY COUNT per key (a key whose entries all
-        retracted must vanish, while a key whose remaining entries
-        genuinely sum to 0 must stay) — and the reduced row for 'sum'
-        stores only the sum. Maintained by the same exact count delta
-        as reduce='count', committed with the same batch token,
-        bucketed identically to the reduced table so one delta
-        bucket-id set serves both. Views whose fold is not
-        sum-delta-eligible never materialize it."""
+        """Sidecar (key_json, cnt, ssum) table for sum/avg-delta
+        views — the EXACT integer sufficient statistics of the fold:
+        live entry count and integer value sum per key. Two needs:
+        (1) delete-on-empty requires the live COUNT (a key whose
+        entries all retracted must vanish, while a key whose
+        remaining entries genuinely sum to 0 must stay — the sum
+        cannot signal emptiness); (2) avg is not recoverable from its
+        own folded value (sum/count collapses two integers into one
+        double), so the delta path maintains the pair and DERIVES the
+        reduced value from it — pure integer arithmetic until the
+        final double format, bit-identical to the refold (whose
+        double sums over integers are exact). Committed with the same
+        batch token as the reduced table, bucketed identically so one
+        delta serves both. Views whose fold is not delta-eligible
+        never materialize it."""
         from pyspark.sql import types as T
 
         return BucketedEntriesTable(
@@ -251,6 +256,7 @@ class MapReduce:
                 [
                     T.StructField("key_json", T.StringType(), False),
                     T.StructField("cnt", T.LongType(), False),
+                    T.StructField("ssum", T.LongType(), False),
                 ]
             ),
             bucket_col="key_json",
@@ -783,6 +789,7 @@ class MapReduce:
         )
         retr_parts: "list[DataFrame]" = []
         exact_delta = vdef.exact_delta_fold() is not None and batch_token is not None
+        minmax_fast = False
         try:
             # materialize the mapped batch ONCE up front so the
             # concurrent shard writes below all read the cache
@@ -803,6 +810,26 @@ class MapReduce:
                     ),
                     batch_token,
                 )
+            elif vdef.reduce in ("min", "max") and batch_token is not None:
+                # min/max are not subtractable, but the COMMON stream
+                # workload is append-only — and against a batch that
+                # retracts nothing, min/max fold monotonically:
+                # new(k) = min(old(k), batch_min(k)). The probe (is
+                # anything retracted?) reads only the batch's touched
+                # entry buckets, so append-only batches never rescan
+                # the view; a batch that does retract falls through
+                # to the general refold below. Replay-idempotent
+                # without a token (min/max are idempotent), and a
+                # crash between this commit and the entries merges
+                # replays into the refold arm (the replayed files'
+                # urls now exist in the shard), which recomputes from
+                # entries state — every ordering converges.
+                retr = self._retracted_rows_premerge(
+                    vdef, updates, counts, buckets
+                )
+                if retr.isEmpty():
+                    self._reaggregate_monotone_appendonly(vdef, new_entries)
+                    minmax_fast = True
 
             def _write_shard(origin: str) -> DataFrame:
                 return self._merge_entry_shard(
@@ -844,7 +871,7 @@ class MapReduce:
                 retr_parts.extend(
                     _write_shard(o) for o in sorted(counts)
                 )
-            if vdef.reduce is not None and not exact_delta:
+            if vdef.reduce is not None and not exact_delta and not minmax_fast:
                 retr = retr_parts[0]
                 for p in retr_parts[1:]:
                     retr = retr.union(p)
@@ -984,29 +1011,36 @@ class MapReduce:
         Every ordering converges."""
         fold = vdef.exact_delta_fold()
         red_table = self._reduced_table(vdef.name)
-        cnt_table = self._reduced_cnt_table(vdef.name) if fold == "sum" else None
+        cnt_table = (
+            self._reduced_cnt_table(vdef.name) if fold in ("sum", "avg") else None
+        )
         red_done = self._token_applied(red_table, batch_token)
         cnt_done = cnt_table is None or self._token_applied(cnt_table, batch_token)
         if red_done and cnt_done:
             return  # replay of a fully-applied batch
-        val_d = F.col("value").cast("double")
-        if fold == "sum":
+        if fold in ("sum", "avg"):
+            # EXACT integer deltas of the sufficient statistics
+            # (count, integer value sum) — pure BIGINT arithmetic
+            # end-to-end; the folded double is derived only at format
+            # time, so it cannot drift from the refold's (exact)
+            # double sums over the same integers
+            val_l = F.col("value").cast("long")
             add = new_entries.groupBy("key", "key_json").agg(
                 F.count(F.lit(1)).cast("long").alias("dc"),
-                F.sum(val_d).alias("ds"),
+                F.sum(val_l).cast("long").alias("dsl"),
             )
             sub = retracted_rows.groupBy("key", "key_json").agg(
                 (-F.count(F.lit(1))).cast("long").alias("dc"),
-                (-F.sum(val_d)).alias("ds"),
+                (-F.sum(val_l)).cast("long").alias("dsl"),
             )
             delta = (
                 add.unionByName(sub)
                 .groupBy("key", "key_json")
                 .agg(
                     F.sum("dc").cast("long").alias("dc"),
-                    F.sum("ds").alias("ds"),
+                    F.sum("dsl").cast("long").alias("dsl"),
                 )
-                .filter((F.col("dc") != 0) | (F.col("ds") != 0.0))
+                .filter((F.col("dc") != 0) | (F.col("dsl") != 0))
             ).cache()
         else:
             add = new_entries.groupBy("key", "key_json").agg(
@@ -1028,55 +1062,44 @@ class MapReduce:
                 if not ids:
                     return  # empty delta: replaying it is a no-op anyway
                 old = red_table.read_buckets(ids)
-                if fold == "sum":
-                    # the delete decision needs the LIVE entry count:
-                    # sidecar rows for the touched keys (pre-batch —
-                    # when !red_done the sidecar cannot be ahead, see
-                    # commit order above)
+                if fold in ("sum", "avg"):
+                    # post-batch integer state of every delta key:
+                    # old sidecar (pre-batch — when !red_done the
+                    # sidecar cannot be ahead, see commit order) plus
+                    # the delta. Both the reduced VALUE and the
+                    # sidecar row derive from this one frame.
                     old_cnt = cnt_table.read_buckets(
                         self._touched_bucket_ids(cnt_table, delta_keys)
                     ).join(F.broadcast(delta_keys), "key_json", "left_semi")
-                    updated = (
-                        old.join(F.broadcast(old_cnt), "key_json", "left")
-                        .join(
-                            F.broadcast(delta.select("key_json", "dc", "ds")),
-                            "key_json",
-                            "left",
-                        )
+                    state = (
+                        delta.join(F.broadcast(old_cnt), "key_json", "left")
                         .select(
                             "key",
                             "key_json",
-                            (
-                                F.col("value").cast("double")
-                                + F.coalesce(F.col("ds"), F.lit(0.0))
-                            ).alias("s"),
                             (
                                 F.coalesce(F.col("cnt"), F.lit(0))
-                                + F.coalesce(F.col("dc"), F.lit(0))
-                            ).alias("c"),
-                            F.col("dc").isNull().alias("untouched"),
+                                + F.col("dc")
+                            ).alias("cnt"),
+                            (
+                                F.coalesce(F.col("ssum"), F.lit(0))
+                                + F.col("dsl")
+                            ).alias("ssum"),
                         )
-                        # the c>0 delete test applies only to keys IN
-                        # the delta: an untouched key in a touched
-                        # bucket has no sidecar row here (old_cnt is
-                        # delta-scoped) — null cnt must mean "carry
-                        # over", never "delete"
-                        .filter(F.col("untouched") | (F.col("c") > 0))
-                        .select(
-                            "key",
-                            "key_json",
-                            F.col("s").cast("string").alias("value"),
-                        )
+                        .filter(F.col("cnt") > 0)  # delete-on-empty
                     )
-                    fresh = (
-                        delta.join(old.select("key_json"), "key_json", "left_anti")
-                        .filter(F.col("dc") > 0)
-                        .select(
-                            "key",
-                            "key_json",
-                            F.col("ds").cast("string").alias("value"),
-                        )
+                    fmt = (
+                        F.col("ssum").cast("double")
+                        if fold == "sum"
+                        else F.col("ssum").cast("double") / F.col("cnt")
+                    ).cast("string")
+                    live = state.select("key", "key_json", fmt.alias("value"))
+                    # untouched rows of touched buckets carry; every
+                    # delta key's row is REPLACED by (or deleted from)
+                    # the derived state
+                    updated = old.join(
+                        F.broadcast(delta_keys), "key_json", "left_anti"
                     )
+                    fresh = live
                 else:
                     # batch-sized delta broadcasts; full-outer would
                     # refuse a broadcast side, so: updated-existing ∪
@@ -1121,34 +1144,97 @@ class MapReduce:
                 cids = self._touched_bucket_ids(cnt_table, delta_keys)
                 if not cids:
                     return
+                # recompute the derived state against the sidecar's
+                # OWN current rows (still pre-batch for this table —
+                # its pointer has not flipped), so a crash between
+                # the two commits replays into exactly this state
                 cold = cnt_table.read_buckets(cids)
-                cupd = (
-                    cold.join(
-                        F.broadcast(delta.select("key_json", "dc")),
+                cstate = (
+                    delta.join(
+                        F.broadcast(
+                            cold.join(
+                                F.broadcast(delta_keys),
+                                "key_json",
+                                "left_semi",
+                            )
+                        ),
                         "key_json",
                         "left",
                     )
                     .select(
                         "key_json",
                         (
-                            F.col("cnt") + F.coalesce(F.col("dc"), F.lit(0))
+                            F.coalesce(F.col("cnt"), F.lit(0)) + F.col("dc")
                         ).alias("cnt"),
+                        (
+                            F.coalesce(F.col("ssum"), F.lit(0))
+                            + F.col("dsl")
+                        ).alias("ssum"),
                     )
                     .filter(F.col("cnt") > 0)
                 )
-                cfresh = (
-                    delta.join(cold.select("key_json"), "key_json", "left_anti")
-                    .filter(F.col("dc") > 0)
-                    .select("key_json", F.col("dc").alias("cnt"))
-                )
                 cnt_table.write_merged(
                     cids,
-                    cupd.unionByName(cfresh),
+                    cold.join(F.broadcast(delta_keys), "key_json", "left_anti")
+                    .unionByName(cstate),
                     sort_cols=["key_json"],
                     meta={"batch_token": batch_token},
                 )
         finally:
             delta.unpersist()
+
+    def _reaggregate_monotone_appendonly(
+        self, vdef: ViewDefinition, new_entries: DataFrame
+    ) -> None:
+        """Watch-path re-aggregation for ``reduce='min'/'max'`` over
+        an APPEND-ONLY batch (caller proved nothing retracts): the
+        fold is monotone under pure insertion, so
+        reduced'(k) = min(old(k), fold(batch rows at k)) — computed
+        from the batch alone, never rescanning entries, committed
+        bucket-scoped like every reduced merge. Deletes cannot occur
+        (no retractions), formatting round-trips exactly (double ->
+        string -> double is lossless for Spark's shortest-repr
+        strings), and the merge is IDEMPOTENT (min(x, m) applied
+        twice = once), so no batch token is needed — a replayed batch
+        either reapplies harmlessly here or, post-merge, falls to the
+        refold arm, which recomputes from entries. Bit-identical to
+        the refold by min/max exactness over doubles."""
+        red_table = self._reduced_table(vdef.name)
+        val_d = F.col("value").cast("double")
+        agg = F.min(val_d) if vdef.reduce == "min" else F.max(val_d)
+        comb = F.least if vdef.reduce == "min" else F.greatest
+        batch = (
+            new_entries.groupBy("key", "key_json")
+            .agg(agg.cast("string").alias("bv"))
+            .cache()
+        )
+        try:
+            ids = self._touched_bucket_ids(red_table, batch.select("key_json"))
+            if not ids:
+                return
+            old = red_table.read_buckets(ids)
+            updated = old.join(
+                F.broadcast(batch.select("key_json", "bv")), "key_json", "left"
+            ).select(
+                "key",
+                "key_json",
+                F.when(F.col("bv").isNull(), F.col("value"))
+                .otherwise(
+                    comb(
+                        F.col("value").cast("double"),
+                        F.col("bv").cast("double"),
+                    ).cast("string")
+                )
+                .alias("value"),
+            )
+            fresh = batch.join(
+                old.select("key_json"), "key_json", "left_anti"
+            ).select("key", "key_json", F.col("bv").alias("value"))
+            red_table.write_merged(
+                ids, updated.unionByName(fresh), sort_cols=["key_json"]
+            )
+        finally:
+            batch.unpersist()
 
     def _touched_bucket_ids(
         self, table: BucketedEntriesTable, keys_df: DataFrame
@@ -1194,19 +1280,26 @@ class MapReduce:
         entries = self.entries_df(vdef.name)
         touched = entries.join(F.broadcast(affected_keys), "key_json", "left_semi")
         kept = old.join(F.broadcast(affected_keys), "key_json", "left_anti")
-        if vdef.exact_delta_fold() == "sum":
+        if vdef.exact_delta_fold() in ("sum", "avg"):
             # ONE touched-entries pass serves both the refold and the
-            # delete-on-empty sidecar realignment (sum + count in the
-            # same agg; the sidecar must follow every refold or a
-            # later stream delta would delete on stale counts). The
-            # sum expression mirrors _reduce_builtin exactly.
+            # sidecar realignment (folded value + exact integer
+            # sufficient statistics in the same agg; the sidecar must
+            # follow every refold or a later stream delta would apply
+            # against stale counts/sums). The fold expression mirrors
+            # _reduce_builtin exactly.
+            fold_expr = (
+                F.sum(F.col("value").cast("double"))
+                if vdef.reduce == "sum"
+                else F.avg(F.col("value").cast("double"))
+            )
             both = (
                 touched.groupBy("key", "key_json")
                 .agg(
-                    F.sum(F.col("value").cast("double"))
-                    .cast("string")
-                    .alias("value"),
+                    fold_expr.cast("string").alias("value"),
                     F.count(F.lit(1)).cast("long").alias("cnt"),
+                    F.sum(F.col("value").cast("long"))
+                    .cast("long")
+                    .alias("ssum"),
                 )
                 .cache()
             )
@@ -1223,7 +1316,9 @@ class MapReduce:
                 )
                 cnt_table.write_merged(
                     cnt_ids,
-                    kept_cnt.unionByName(both.select("key_json", "cnt")),
+                    kept_cnt.unionByName(
+                        both.select("key_json", "cnt", "ssum")
+                    ),
                     sort_cols=["key_json"],
                 )
             finally:
@@ -1334,7 +1429,7 @@ class MapReduce:
         tables: list[VersionedTable] = [self.offsets]
         for name, vdef in self.views.items():
             tables.append(self._reduced_table(name))
-            if vdef.exact_delta_fold() == "sum":
+            if vdef.exact_delta_fold() in ("sum", "avg"):
                 tables.append(self._reduced_cnt_table(name))
             for origin in self._known_origins():
                 tables.append(self._entries_table(name, origin))
@@ -1515,7 +1610,7 @@ class MapReduce:
             vdef = self.views.get(name)
             if vdef is not None and vdef.reduce is not None:
                 _probe(self._reduced_table(name), ["key_json"])
-                if vdef.exact_delta_fold() == "sum":
+                if vdef.exact_delta_fold() in ("sum", "avg"):
                     _probe(self._reduced_cnt_table(name), ["key_json"])
         return out
 
@@ -1556,7 +1651,9 @@ class MapReduce:
         for origin in self._known_origins():
             self._entries_table(view, origin).reset()
         self._reduced_table(view).reset()
-        if view in self.views and self.views[view].exact_delta_fold() == "sum":
+        if view in self.views and self.views[view].exact_delta_fold() in (
+            "sum", "avg",
+        ):
             self._reduced_cnt_table(view).reset()
         self.offsets.overwrite_rows(
             [r for r in self.offsets.read_rows() if r[0] != view]

@@ -43,24 +43,32 @@ class ViewDefinition:
     key_schema: Sequence[Any] = field(default_factory=lambda: ["string"])
     # Declared type of the VALUES map emits (None = untyped JSON, the
     # reference's model). Purely an optimization hint today: declaring
-    # "long"/"int" on a reduce="sum" view lets the watch path maintain
-    # the fold by EXACT integer delta (never re-scanning entries),
-    # because integer sums are exactly subtractable — the same
-    # argument as count (= sum of ones). A "double" declaration is
+    # "long"/"int" on a reduce="sum" or reduce="avg" view lets the
+    # watch path maintain the fold by EXACT integer delta (never
+    # re-scanning entries), because integer sums are exactly
+    # subtractable — the same argument as count (= sum of ones); avg
+    # derives from the (count, sum) pair. A "double" declaration is
     # deliberately NOT delta-eligible: FP addition is not associative,
     # so subtract-then-add drifts from a true refold bit-for-bit.
     value_type: str | None = None
 
     def exact_delta_fold(self) -> str | None:
         """The exactly-subtractable fold this view's maintenance can
-        take ('count' | 'sum'), or None when only the general refold
-        is sound. Exactness bound for 'sum': values and running sums
-        stay integers, exact in the double fold up to 2^53 — the same
-        magnitude at which the refold itself degrades."""
+        take ('count' | 'sum' | 'avg'), or None when only the general
+        refold is sound. sum and avg require declared-integer values:
+        the delta path then maintains the EXACT integer sufficient
+        statistics (count, integer sum) and derives the folded value,
+        bit-identical to a refold up to 2^53 — the same magnitude at
+        which the refold's own double sums degrade. min/max are not
+        subtractable at all, but append-only batches get their own
+        no-rescan fast path (engine._reaggregate_monotone_appendonly);
+        collect always refolds."""
         if self.reduce == "count":
             return "count"
-        if self.reduce == "sum" and self.value_type in ("long", "int", "bigint"):
-            return "sum"
+        if self.reduce in ("sum", "avg") and self.value_type in (
+            "long", "int", "bigint",
+        ):
+            return self.reduce
         return None
 
     def key_types(self) -> list[T.DataType]:

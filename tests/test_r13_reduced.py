@@ -358,3 +358,107 @@ def test_streaming_ivf_assign_equals_batch(spark, tmp_path):
     )
     got_topk = [tuple(r) for r in brute_force_topk(cands, qv, 5).collect()]
     assert got_topk == expect
+
+
+def test_avg_delta_stream_equals_batch_bit_exact(spark, tmp_path):
+    """reduce='avg' over declared-long values takes the exact delta
+    path (integer (cnt, ssum) sufficient statistics in the sidecar;
+    the folded value derives as ssum/cnt at format time) and lands
+    bit-identical reduced state to a batch-indexed refold twin,
+    through replacements, retractions, delete-on-empty, and fresh
+    keys."""
+    db = MapReduce(spark, str(tmp_path / "wh-avg"))
+    db.define("a", path="/d/*.json", map=map_sum, reduce="avg",
+              key_schema=["string"], value_type="long")
+    dbb = MapReduce(spark, str(tmp_path / "wh-avg-b"))
+    dbb.define("a", path="/d/*.json", map=map_sum, reduce="avg",
+               key_schema=["string"], value_type="long")
+    r1 = [
+        _row("dat://a", "/d/0.json", 1, "x", 3),
+        _row("dat://a", "/d/1.json", 1, "x", 4),   # avg 3.5
+        _row("dat://a", "/d/2.json", 1, "y", 10),
+        _row("dat://b", "/d/3.json", 1, "z", -7),
+    ]
+    db.append_changes(r1)
+    W.watch_until_caught_up(db)
+    dbb.append_changes(r1)
+    dbb.index("dat://a")
+    dbb.index("dat://b")
+    assert _reduced_pairs(db, "a") == _reduced_pairs(dbb, "a")
+    assert db.get("a", "x") == {"key": "x", "value": 3.5}
+    tok = db._reduced_table("a").manifest_meta().get("batch_token")
+    assert isinstance(tok, str) and ":" in tok
+    sc = {r["key_json"]: (r["cnt"], r["ssum"])
+          for r in db._reduced_cnt_table("a").read().collect()}
+    assert sc == {'"x"': (2, 7), '"y"': (1, 10), '"z"': (1, -7)}
+    # replacement + delete-on-empty + fresh key
+    r2 = [
+        _row("dat://a", "/d/0.json", 2, "x", 30),  # x avg -> 17.0
+        _row("dat://a", "/d/2.json", 2, None, None, typ="del"),  # y gone
+        _row("dat://b", "/d/4.json", 2, "q", 5),
+    ]
+    db.append_changes(r2)
+    W.watch_until_caught_up(db)
+    dbb.append_changes(r2)
+    dbb.index("dat://a")
+    dbb.index("dat://b")
+    assert _reduced_pairs(db, "a") == _reduced_pairs(dbb, "a")
+    assert db.get("a", "x") == {"key": "x", "value": 17.0}
+    assert db.get("a", "y") is None
+    assert db.get("a", "q") == {"key": "q", "value": 5.0}
+    db.close()
+    dbb.close()
+
+
+def test_minmax_appendonly_fast_path_and_refold_fallback(spark, tmp_path):
+    """min/max under watch: an APPEND-ONLY batch takes the monotone
+    fast path (no entries rescan, no token — min/max replay
+    idempotently) and matches the batch twin bit-for-bit; a batch
+    that RETRACTS falls back to the general refold (a min cannot be
+    un-folded) and still matches."""
+    db = MapReduce(spark, str(tmp_path / "wh-mm"))
+    db.define("mn", path="/d/*.json", map=map_sum, reduce="min",
+              key_schema=["string"])
+    db.define("mx", path="/d/*.json", map=map_sum, reduce="max",
+              key_schema=["string"])
+    dbb = MapReduce(spark, str(tmp_path / "wh-mm-b"))
+    dbb.define("mn", path="/d/*.json", map=map_sum, reduce="min",
+               key_schema=["string"])
+    dbb.define("mx", path="/d/*.json", map=map_sum, reduce="max",
+               key_schema=["string"])
+    r1 = [
+        _row("dat://a", "/d/0.json", 1, "x", 5),
+        _row("dat://a", "/d/1.json", 1, "x", 2.5),
+        _row("dat://a", "/d/2.json", 1, "y", -3),
+    ]
+    db.append_changes(r1)
+    W.watch_until_caught_up(db)
+    # append-only follow-up: fast path again, extends mins/maxes
+    r2 = [
+        _row("dat://a", "/d/3.json", 1, "x", 1),
+        _row("dat://a", "/d/4.json", 1, "z", 9),
+    ]
+    db.append_changes(r2)
+    W.watch_until_caught_up(db)
+    dbb.append_changes(r1 + r2)
+    dbb.index("dat://a")
+    for v in ("mn", "mx"):
+        assert _reduced_pairs(db, v) == _reduced_pairs(dbb, v)
+    assert db.get("mn", "x") == {"key": "x", "value": 1.0}
+    assert db.get("mx", "x") == {"key": "x", "value": 5.0}
+    # fast path leaves no token (idempotent merge needs none)
+    assert db._reduced_table("mn").manifest_meta().get("batch_token") is None
+    # retraction batch: /d/3.json re-keyed -> x's min must RISE back
+    # to 2.5 (impossible for the monotone path; proves the refold
+    # fallback engaged and was correct)
+    r3 = [_row("dat://a", "/d/3.json", 2, "w", 100)]
+    db.append_changes(r3)
+    W.watch_until_caught_up(db)
+    dbb.append_changes(r3)
+    dbb.index("dat://a")
+    for v in ("mn", "mx"):
+        assert _reduced_pairs(db, v) == _reduced_pairs(dbb, v)
+    assert db.get("mn", "x") == {"key": "x", "value": 2.5}
+    assert db.get("mx", "w") == {"key": "w", "value": 100.0}
+    db.close()
+    dbb.close()
