@@ -299,6 +299,33 @@ def _bench_streaming(spark) -> dict:
                 q = _watch(db)
                 q.awaitTermination()
                 per_batch.append(time.perf_counter() - t0)
+            if n_keys == 32768:
+                # serving: point lookup on the 32k-key reduced table.
+                # The bucketed path reads ONE key bucket (1/256th of
+                # the table) + row-group pruning; the flat baseline is
+                # the same predicate over a whole-table scan — the
+                # pre-r13 get() shape.
+                import statistics as _st
+
+                reds = db._reduced_table("counts")
+                # probe keys the drips above cannot have re-keyed
+                # (drips touch files 0..47 only -> keys k0..k47)
+                t_b = []
+                for i in range(5):
+                    t0 = time.perf_counter()
+                    assert db.get("counts", f"k{1000 + i * 101}") is not None
+                    t_b.append(time.perf_counter() - t0)
+                t_f = []
+                from pyspark.sql import functions as _F
+
+                for i in range(5):
+                    t0 = time.perf_counter()
+                    reds.read().filter(
+                        _F.col("key_json") == f'"k{1000 + i * 101}"'
+                    ).first()
+                    t_f.append(time.perf_counter() - t0)
+                out["serving_get_bucketed_sec"] = round(_st.median(t_b), 4)
+                out["serving_get_fullscan_sec"] = round(_st.median(t_f), 4)
             db.close()
             per_batch.sort()
             rdrip[label] = round(per_batch[len(per_batch) // 2], 4)

@@ -377,8 +377,11 @@ FORCED_BROADCAST_SITES = {
     # dedup) and Brier's 1-row totals broadcast
     # 96 = + r12's six 1-row/bounded aggregates: chi-square's weekday
     # marginal (<= 7 rows) and totals, KS / Mann-Whitney-free / LLR /
-    # JSD 1-row totals, Kruskal-Wallis' 1-row (n, tie_cube)
-    "queries.py": 96,
+    # JSD 1-row totals, Kruskal-Wallis' 1-row (n, tie_cube).
+    # 98 = + r13: events_bh_discoveries' span-day sequence (bounded by
+    # the calendar span) and text_kn_perplexity_filter's 1-row
+    # (nbt, vb) totals
+    "queries.py": 98,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
@@ -388,8 +391,14 @@ FORCED_BROADCAST_SITES = {
     # broadcasts + the r12 one-job merge's identical pair + the
     # count-delta pre-merge retraction probe's one + the count-delta
     # key-delta broadcast (all the same micro-batch bound) + 2
-    # pre-existing metadata sites
-    "engine.py": 8,
+    # pre-existing metadata sites.
+    # 16 = + r13's eight, every one bounded by the micro-batch's own
+    # delta: the exact-delta path's delta-key semi/anti joins and
+    # sidecar-state joins (5), the bucket-scoped refold's
+    # affected-keys joins gained one for the sidecar realignment (1),
+    # the min/max monotone path's batch-aggregate join (1), and the
+    # sum/avg sidecar's delta-scoped carry anti-join (1)
+    "engine.py": 16,
     # streaming_contamination's blocklist — broadcast-sized BY
     # CONTRACT (distinct shingles of protected corpora; documented)
     "streaming/watch.py": 1,
