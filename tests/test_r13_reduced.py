@@ -462,3 +462,58 @@ def test_minmax_appendonly_fast_path_and_refold_fallback(spark, tmp_path):
     assert db.get("mx", "w") == {"key": "w", "value": 100.0}
     db.close()
     dbb.close()
+
+
+def test_delta_maintenance_never_rescans_entries(spark, tmp_path):
+    """THE claim behind the exact-delta and monotone fast paths,
+    pinned: a watch drain over count/sum/avg (declared-long) and an
+    append-only min batch must never call engine.entries_df — the
+    general refold's full-view scan (O(view entries) per micro-batch
+    at 100 TB). A RETRACTING batch on the min view must then fall
+    back to the refold, which does scan (the fallback is the point,
+    not a regression)."""
+    db = MapReduce(spark, str(tmp_path / "wh-nrs"))
+    db.define("c", path="/d/*.json", map=map_sum, reduce="count",
+              key_schema=["string"])
+    db.define("s", path="/d/*.json", map=map_sum, reduce="sum",
+              key_schema=["string"], value_type="long")
+    db.define("a", path="/d/*.json", map=map_sum, reduce="avg",
+              key_schema=["string"], value_type="long")
+    db.define("mn", path="/d/*.json", map=map_sum, reduce="min",
+              key_schema=["string"])
+    db.append_changes([
+        _row("dat://a", f"/d/{i}.json", 1, f"k{i % 4}", i) for i in range(12)
+    ])
+    W.watch_until_caught_up(db)
+
+    calls = []
+    orig = db.entries_df
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    db.entries_df = spy
+    try:
+        # append-only batch: every view takes its no-rescan path
+        db.append_changes([
+            _row("dat://a", f"/d/{12 + i}.json", 1, f"n{i}", 100 + i)
+            for i in range(4)
+        ])
+        W.watch_until_caught_up(db)
+        assert calls == [], (
+            f"delta/fast-path maintenance scanned entries: {calls}"
+        )
+        # retracting batch: count/sum/avg stay on the delta path; the
+        # min view CANNOT (min is not subtractable) and must refold
+        db.append_changes([_row("dat://a", "/d/0.json", 2, "kX", -50)])
+        W.watch_until_caught_up(db)
+        assert calls == [("mn",)], calls
+    finally:
+        db.entries_df = orig
+    # end state correct on every view
+    assert db.get("c", "kX") == {"key": "kX", "value": 1}
+    assert db.get("s", "kX") == {"key": "kX", "value": -50.0}
+    assert db.get("mn", "kX") == {"key": "kX", "value": -50.0}
+    assert db.get("a", "n0") == {"key": "n0", "value": 100.0}
+    db.close()
