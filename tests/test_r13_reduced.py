@@ -517,3 +517,56 @@ def test_delta_maintenance_never_rescans_entries(spark, tmp_path):
     assert db.get("mn", "kX") == {"key": "kX", "value": -50.0}
     assert db.get("a", "n0") == {"key": "n0", "value": 100.0}
     db.close()
+
+
+def test_lineage_tokens_across_restart_and_checkpoint_loss(spark, tmp_path):
+    """The r12 ADVICE scenario, executable: (1) a NEW engine instance
+    on the same warehouse resumes the same checkpoint lineage (query
+    id persists in checkpoint metadata), so replays keep deduping
+    across restarts; (2) an out-of-band checkpoint DELETION restarts
+    batch ids at 0 — the old int-token scheme would match the stored
+    token from the first drain's batch 0 and silently drop the new
+    batch's delta; lineage scoping must apply it."""
+    import shutil
+
+    wh = str(tmp_path / "wh-lin")
+
+    def build(w):
+        d = MapReduce(spark, w)
+        d.define("c", path="/d/*.json", map=map_sum, reduce="count",
+                 key_schema=["string"])
+        return d
+
+    db = build(wh)
+    db.append_changes([_row("dat://a", "/d/0.json", 1, "x", 1),
+                       _row("dat://a", "/d/1.json", 1, "y", 2)])
+    W.watch_until_caught_up(db)
+    red = db._reduced_table("c")
+    tok1 = red.manifest_meta()["batch_token"]
+    qid1, bid1 = tok1.rsplit(":", 1)
+    assert bid1 == "0"  # single-batch drain: the collision setup
+    db.close()
+
+    # (1) same checkpoint, new engine instance: lineage persists
+    db2 = build(wh)
+    db2.append_changes([_row("dat://a", "/d/2.json", 2, "x", 3)])
+    W.watch_until_caught_up(db2)
+    tok2 = db2._reduced_table("c").manifest_meta()["batch_token"]
+    assert tok2.rsplit(":", 1)[0] == qid1, "lineage must survive restart"
+    assert db2.get("c", "x") == {"key": "x", "value": 2}
+    db2.close()
+
+    # (2) out-of-band checkpoint deletion: batch ids restart at 0.
+    # The new batch re-delivers the whole changelog PLUS genuinely
+    # new rows; its delta must APPLY (new lineage != stored lineage),
+    # never skip on the colliding batch id.
+    shutil.rmtree(f"{wh}/_stream_checkpoint")
+    db3 = build(wh)
+    db3.append_changes([_row("dat://a", "/d/3.json", 3, "z", 9)])
+    W.watch_until_caught_up(db3)
+    tok3 = db3._reduced_table("c").manifest_meta().get("batch_token")
+    assert tok3 is not None and tok3.rsplit(":", 1)[0] != qid1
+    assert db3.get("c", "z") == {"key": "z", "value": 1}
+    assert db3.get("c", "x") == {"key": "x", "value": 2}
+    assert db3.get("c", "y") == {"key": "y", "value": 1}
+    db3.close()
