@@ -570,3 +570,32 @@ def test_lineage_tokens_across_restart_and_checkpoint_loss(spark, tmp_path):
     assert db3.get("c", "x") == {"key": "x", "value": 2}
     assert db3.get("c", "y") == {"key": "y", "value": 1}
     db3.close()
+
+
+def test_get_many_matches_per_key_get(spark, tmp_path):
+    """Batched point lookup == a get() loop on both view shapes, with
+    the reduced probe reading only the requested keys' buckets
+    (inputFiles bounded to those bucket dirs)."""
+    db = MapReduce(spark, str(tmp_path / "wh-gm"), reduced_buckets=8)
+    db.define("m", path="/d/*.json", map=map_sum, key_schema=["string"])
+    db.define("c", path="/d/*.json", map=map_sum, reduce="count",
+              key_schema=["string"])
+    db.index_source("dat://a", [
+        _row("dat://a", f"/d/{i}.json", 1, f"k{i % 6}", i) for i in range(18)
+    ])
+    want_c = {k: db.get("c", k)["value"] for k in ("k0", "k3", "k5")}
+    got_c = db.get_many("c", ["k0", "k3", "k5", "absent"])
+    assert got_c == want_c and "absent" not in got_c
+    want_m = {k: db.get("m", k)["value"] for k in ("k1", "k4")}
+    assert db.get_many("m", ["k1", "k4"]) == want_m
+    assert db.get_many("c", []) == {}
+    # bucket pruning: the reduced probe lists only the probed buckets
+    red = db._reduced_table("c")
+    probed = {red.bucket_of('"k0"'), red.bucket_of('"k3"')}
+    files = (
+        red.read_buckets(sorted(probed)).inputFiles()
+    )
+    assert files and all(
+        any(f"_b={b}/" in f for b in probed) for f in files
+    )
+    db.close()
