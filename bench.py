@@ -392,6 +392,67 @@ def _bench_streaming(spark) -> dict:
         )
         out["two_level"] = two_level
 
+        # -- 1e. entries serving at >= 1k origins (r13 verdict #2) ----
+        # entries_df is ONE multi-path parquet relation (r14); the old
+        # per-origin unionByName chain made plan construction itself
+        # O(origins) — a mapped-view get()/list() at the
+        # millions-of-sources scale would die in the analyzer. Probe:
+        # build an N-origin warehouse via one watch drain, then time
+        # (a) entries_df plan construction + analysis, (b) a full
+        # count, (c) a 8-key get_many, at two origin counts. The
+        # headline is the build-time growth factor (must stay ~flat;
+        # the count/read cost legitimately grows with file count).
+        entries_serving: dict = {}
+        for n_org in (256, 1024):
+            db = MapReduce(
+                spark, f"{root}/es-{n_org}", entries_buckets=4
+            )
+            db.define(
+                "m", path="/docs/*.json", map=map_first, key_schema=["string"]
+            )
+            db.append_changes(
+                [
+                    {
+                        "origin": f"dat://org{o}",
+                        "pathname": f"/docs/{r}.json",
+                        "version": 1,
+                        "content": json.dumps(
+                            {"first": f"k{o}-{r}", "n": r}
+                        ),
+                    }
+                    for o in range(n_org)
+                    for r in range(2)
+                ]
+            )
+            q = _watch(db)
+            q.awaitTermination()
+            t0 = time.perf_counter()
+            df = db.entries_df("m")
+            df._jdf.queryExecution().analyzed()  # force plan analysis
+            build_ms = (time.perf_counter() - t0) * 1000
+            t0 = time.perf_counter()
+            n = df.count()
+            read_ms = (time.perf_counter() - t0) * 1000
+            assert n == 2 * n_org
+            t0 = time.perf_counter()
+            got = db.get_many(
+                "m", [f"k{o}-0" for o in range(0, n_org, n_org // 8)]
+            )
+            get_many_ms = (time.perf_counter() - t0) * 1000
+            assert len(got) == 8
+            entries_serving[f"origins_{n_org}"] = {
+                "plan_build_ms": round(build_ms, 1),
+                "count_ms": round(read_ms, 1),
+                "get_many8_ms": round(get_many_ms, 1),
+            }
+            db.close()
+        entries_serving["plan_build_growth"] = round(
+            entries_serving["origins_1024"]["plan_build_ms"]
+            / max(entries_serving["origins_256"]["plan_build_ms"], 1e-6),
+            2,
+        )
+        out["entries_serving"] = entries_serving
+
         # -- 2. event-time windowed aggregation as a real stream ------
         # events split into 8 files, drained 2 files per micro-batch
         # (4 stateful batches with watermarked window state), sinking

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dat_archive_map_reduce_spark.errors import SchemaError
 from dat_archive_map_reduce_spark.functions.keys import key_json as _key_json
 from dat_archive_map_reduce_spark.functions.keys import key_struct_type, normalize_key
 
@@ -85,16 +86,29 @@ def run_map(
     files: DataFrame,
     map_fn: Callable[[str, dict, Callable[[Any, Any], None]], None],
     key_types: Sequence[T.DataType],
+    value_type: "str | None" = None,
 ) -> DataFrame:
     """Run the user's map UDF over a files DataFrame -> entries rows.
 
     ``files`` must have columns (origin, pathname, url, content); only
     'put' rows should be passed in. Uses mapInPandas so each Python
     worker processes an Arrow batch of whole files at a time.
+
+    ``value_type`` declared-integer ('long'/'int'/'bigint') ENFORCES
+    integer emits (r13 ADVICE): the declaration licenses the exact
+    sum/avg delta path, whose BIGINT arithmetic would silently
+    null/truncate a float or numeric-string value while the batch
+    refold sums it as a double — exactly the stream/batch drift the
+    declaration exists to prevent. A non-integer emit — floats,
+    numeric strings, booleans, AND None (the sum/avg folds cast the
+    stored JSON text, where a null is not an integer) — raises INSIDE
+    the map stage (worker-side, zero extra jobs), failing the batch
+    loudly before anything commits.
     """
     n_key = len(key_types)
     out_schema = entries_schema(key_types)
     key_types_local = list(key_types)
+    integer_values = value_type in ("long", "int", "bigint")
 
     def _map_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -126,6 +140,16 @@ def run_map(
                     comps = tuple(
                         _coerce_component(c, key_types_local[i]) for i, c in enumerate(comps)
                     )
+                    if integer_values and (
+                        isinstance(value, bool) or not isinstance(value, int)
+                    ):
+                        raise SchemaError(
+                            f"map emitted non-integer value {value!r} at "
+                            f"key {key!r} ({url}) but the view declares "
+                            "value_type integer — the exact-delta fold "
+                            "would diverge from the refold; emit ints, "
+                            "or drop the value_type declaration"
+                        )
                     out["key"].append(comps)
                     out["key_json"].append(_key_json(comps if n_key > 1 else comps[0]))
                     out["value"].append(json.dumps(value, separators=(",", ":")))

@@ -675,7 +675,8 @@ class BucketedEntriesTable(VersionedTable):
         touched_df: DataFrame,
         sort_cols: "list[str] | None" = None,
         meta: "dict | None" = None,
-    ) -> None:
+        defer_commit: bool = False,
+    ):
         """Commit a new snapshot: ``touched_df`` (which must contain
         ONLY rows whose bucket id is in ``touched_ids`` — i.e. the
         touched buckets' full post-merge contents) is written
@@ -690,30 +691,63 @@ class BucketedEntriesTable(VersionedTable):
         exact-delta re-aggregation's batch token rides here. Omitted
         meta REPLACES the manifest with just the pointer, erasing any
         previous token (the general-refold overwrite semantics the
-        delta path's interleave story depends on)."""
+        delta path's interleave story depends on).
+
+        ``defer_commit=True`` splits the write from the commit: the
+        Spark job writing the touched buckets runs NOW (into the new
+        snapshot directory, invisible to readers — only the pointer
+        flip publishes it), and the returned zero-arg closure performs
+        the driver-side commit (hardlink untouched buckets, layout
+        meta, pointer flip). Callers use this to overlap several
+        tables' write jobs, or to ORDER pointer flips across tables —
+        the exact-delta watch path runs the entries-shard writes
+        concurrently with the reduced commit but flips the entries
+        pointers only after it (engine._apply_view_batch). An
+        abandoned closure (commit-ordering predecessor failed) leaves
+        only an orphaned vNNNNNNNN directory that the next merge's
+        mode('overwrite') at the same version clears."""
         cur = self._current()
         n = self.n_buckets  # the CURRENT snapshot's layout count
         v = (cur or 0) + 1
         dest = self._snapshot_dir(v)
         os.makedirs(dest, exist_ok=True)
         w = touched_df.withColumn("_b", self.bucket_expr())
-        # one shuffle partition per touched bucket: each bucket dir
-        # gets one sorted file (row-group min/max stats prune key-range
-        # scans within the bucket, the LevelDB-iterator stand-in)
-        w = w.repartition(max(1, len(touched_ids)), "_b")
+        # no explicit partition count: a REPARTITION_BY_COL shuffle
+        # lets AQE size the write tasks to the DELTA (a drip batch
+        # coalesces to ~1 task, a rebucket/backfill keeps full
+        # parallelism) — the explicit len(touched_ids) count pinned
+        # one near-empty task per touched bucket, which at 16-256
+        # buckets WAS the dominant fixed cost of every micro-batch
+        # reduced commit (r13 maintain regression, r13 verdict #1).
+        # Each _b value still hashes wholly into one task, so every
+        # bucket dir gets at most a handful of sorted files (row-group
+        # min/max stats prune key-range scans within the bucket, the
+        # LevelDB-iterator stand-in).
+        w = w.repartition("_b")
         if sort_cols:
             w = w.sortWithinPartitions("_b", *sort_cols)
         w.write.mode("overwrite").partitionBy("_b").parquet(dest)
-        if cur is not None and self.current_is_bucketed():
-            touched = set(touched_ids)
-            for b in range(n):
-                if b in touched:
-                    continue
-                src = self._bucket_dir(cur, b)
-                if os.path.isdir(src):
-                    _link_tree(src, self._bucket_dir(v, b))
-        self._write_snapshot_meta(dest, n)
-        self._set_current(v, meta)
+        # pin the layout decision at WRITE time: nothing else mutates
+        # this table between the write and its deferred commit (the
+        # engine serializes writers per table within a batch)
+        was_bucketed = cur is not None and self.current_is_bucketed()
+
+        def _commit() -> None:
+            if was_bucketed:
+                touched = set(touched_ids)
+                for b in range(n):
+                    if b in touched:
+                        continue
+                    src = self._bucket_dir(cur, b)
+                    if os.path.isdir(src):
+                        _link_tree(src, self._bucket_dir(v, b))
+            self._write_snapshot_meta(dest, n)
+            self._set_current(v, meta)
+
+        if defer_commit:
+            return _commit
+        _commit()
+        return None
 
 
 # The bucketed layout is generic over its bucket column — the engine
@@ -741,6 +775,192 @@ def _link_tree(src: str, dst: str) -> None:
                 os.link(s, d)
             except OSError:
                 shutil.copy2(s, d)
+
+
+class BucketedMetaTable(VersionedTable):
+    """VersionedTable for driver-local METADATA rows, hash-bucketed on
+    one string column so per-origin access is O(bucket), not O(table):
+
+        <root>/vXXXXXXXX/bucket-00042.parquet   (one file per non-empty bucket)
+        <root>/_metabuckets.json                {"n": N, "col": "origin"}
+
+    The offsets table is one row per (view, origin) — bounded, but
+    bounded by views x SOURCES. At the millions-of-sources scale the
+    two-level changelog layout targets, r13's flat layout made every
+    maintenance batch read AND rewrite every row on the driver (r13
+    verdict #3). Bucketing by crc32(origin) % N gives the metadata
+    path the same contract BucketedEntriesTable gives the data path:
+    a batch touching k origins reads only their bucket files and the
+    upsert rewrites only those buckets, HARDLINKING every untouched
+    bucket file into the new snapshot — per-batch metadata IO is
+    O(origins-in-batch), flat in total source count. All IO stays
+    driver-local pyarrow (read_rows/overwrite_rows contract — never a
+    Spark job); the snapshot + pointer-flip protocol is unchanged, so
+    crash-safety, time travel, and vacuum are identical.
+
+    Layout compatibility: a flat legacy snapshot (part-*.parquet from
+    the pre-r14 writer or a plain Spark overwrite) reads whole
+    whatever the filter, and the next upsert/overwrite re-buckets it
+    in one full rewrite — incremental afterwards."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        bucket_col: str,
+        n_buckets: int = 64,
+    ):
+        super().__init__(spark, root, schema)
+        self.bucket_col = bucket_col
+        self._col_idx = [f.name for f in schema.fields].index(bucket_col)
+        meta_path = f"{self.root}/_metabuckets.json"
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.n_buckets = int(meta["n"])
+        except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
+            # first open pins the bucket count (membership math
+            # depends on N, so it must never drift between sessions)
+            self.n_buckets = int(n_buckets)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n": self.n_buckets, "col": bucket_col}, f)
+            os.replace(tmp, meta_path)
+
+    def bucket_of(self, value) -> int:
+        import zlib
+
+        return zlib.crc32(str(value).encode("utf-8")) % self.n_buckets
+
+    def _bucket_path(self, d: str, b: int) -> str:
+        return f"{d}/bucket-{b:05d}.parquet"
+
+    def _bucket_files(self, v: int, values=None) -> "list[str]":
+        """Data files of snapshot ``v``, pruned to ``values``' buckets
+        when given and the snapshot is bucketed; flat legacy snapshots
+        read whole regardless of the filter."""
+        import glob as _glob
+
+        d = self._snapshot_dir(v)
+        bucketed = sorted(_glob.glob(f"{d}/bucket-*.parquet"))
+        if not bucketed:
+            return sorted(_glob.glob(f"{d}/*.parquet"))  # flat legacy
+        if values is None:
+            return bucketed
+        want = sorted({self.bucket_of(x) for x in values})
+        return [
+            self._bucket_path(d, b)
+            for b in want
+            if os.path.exists(self._bucket_path(d, b))
+        ]
+
+    def read_rows(self, values=None) -> "list[tuple]":
+        """Driver-local row tuples; ``values`` prunes the read to those
+        bucket-column values' buckets. SUPERSET semantics: rows of
+        other values that share a bucket ride along — callers filter
+        (they key their lookups exactly anyway)."""
+        import pyarrow.parquet as pq
+
+        v = self._current()
+        if v is None:
+            return []
+        names = [f.name for f in self.schema.fields]
+        out: "list[tuple]" = []
+        for path in self._bucket_files(v, values):
+            t = pq.read_table(path, columns=names)
+            cols = [t.column(n).to_pylist() for n in names]
+            out.extend(zip(*cols) if cols and t.num_rows else [])
+        return out
+
+    def _write_bucket_file(self, d: str, b: int, rows: "list[tuple]") -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = self._pa_schema()
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.names]
+        table = pa.table(
+            {n: list(c) for n, c in zip(schema.names, cols)}, schema=schema
+        )
+        pq.write_table(table, self._bucket_path(d, b))
+
+    def _fresh_snapshot_dir(self) -> "tuple[int, str]":
+        import shutil
+
+        v = (self._current() or 0) + 1
+        d = self._snapshot_dir(v)
+        if os.path.isdir(d):  # crash-orphaned dir: overwrite-clears-dest
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        return v, d
+
+    def overwrite_rows(self, rows: "list[tuple]") -> None:
+        """Full copy-on-write rewrite, landing in the BUCKETED layout
+        (so every snapshot this class writes supports pruned reads and
+        incremental upserts)."""
+        by_bucket: "dict[int, list]" = {}
+        for r in rows:
+            by_bucket.setdefault(self.bucket_of(r[self._col_idx]), []).append(r)
+        v, d = self._fresh_snapshot_dir()
+        for b, rs in by_bucket.items():
+            self._write_bucket_file(d, b, rs)
+        self._set_current(v)
+
+    def upsert_rows(
+        self, updates: "list[tuple]", key_cols: "tuple[int, ...]"
+    ) -> None:
+        """Upsert row tuples keyed by the ``key_cols`` column indices,
+        touching ONLY the updates' buckets: each touched bucket file
+        is rewritten with its surviving rows + the updates, every
+        untouched bucket file hardlinks into the new snapshot (same
+        inode, two directory entries — vacuum of either snapshot
+        leaves the other readable). A flat legacy current snapshot is
+        re-bucketed whole by this upsert; incremental afterwards."""
+        import glob as _glob
+        import pyarrow.parquet as pq
+
+        if not updates:
+            return
+        by_bucket: "dict[int, list]" = {}
+        for r in updates:
+            by_bucket.setdefault(self.bucket_of(r[self._col_idx]), []).append(r)
+        keys = {tuple(r[i] for i in key_cols) for r in updates}
+        cur = self._current()
+        flat = cur is not None and not _glob.glob(
+            f"{self._snapshot_dir(cur)}/bucket-*.parquet"
+        )
+        if cur is None or flat:
+            old = self.read_rows() if cur is not None else []
+            merged = [
+                r for r in old if tuple(r[i] for i in key_cols) not in keys
+            ]
+            merged.extend(updates)
+            self.overwrite_rows(merged)
+            return
+        names = [f.name for f in self.schema.fields]
+        old_dir = self._snapshot_dir(cur)
+        v, d = self._fresh_snapshot_dir()
+        for b in range(self.n_buckets):
+            src = self._bucket_path(old_dir, b)
+            if b not in by_bucket:
+                if os.path.exists(src):
+                    try:
+                        os.link(src, self._bucket_path(d, b))
+                    except OSError:
+                        import shutil
+
+                        shutil.copy2(src, self._bucket_path(d, b))
+                continue
+            kept: "list[tuple]" = []
+            if os.path.exists(src):
+                t = pq.read_table(src, columns=names)
+                cols = [t.column(n).to_pylist() for n in names]
+                for r in (zip(*cols) if cols and t.num_rows else []):
+                    if tuple(r[i] for i in key_cols) not in keys:
+                        kept.append(r)
+            kept.extend(by_bucket[b])
+            self._write_bucket_file(d, b, kept)
+        self._set_current(v)
 
 
 class AppendOnlyLog:

@@ -10190,7 +10190,7 @@ _REVERIFY_SINCE: "dict[str, int]" = {
 # still pending after its round closed means the changed semantics
 # were never re-verified at all, and the import fails loudly (the
 # NO_ORACLE_TWINS hygiene pattern, r11 verdict #6).
-_CURRENT_ROUND = 13
+_CURRENT_ROUND = 14
 
 @query(
     "dedup_image_dhash",
@@ -15377,17 +15377,38 @@ def _reorder_registry() -> None:
         key=lambda n: (seen.get(n, -1), reg_pos[n]),
     )
     slot_holder = no_oracle_rank[0] if no_oracle_rank else None
-    window, deferred = [], []
+    # the slot-holder's hash-green portable twin must land in the SAME
+    # driver window (r13 verdict #4: CORRECTNESS_r13 carried the weak
+    # dedup_simhash row without its twin's green row, so the
+    # driver-facing artifact could not prove the twin discipline on
+    # its own) — the pair is placed adjacently, or the slot defers to
+    # the next rotation when fewer than two seats remain
+    twin = NO_ORACLE_TWINS.get(slot_holder) if slot_holder else None
+    window, deferred, placed = [], [], set()
     for n in order:
+        if n in placed:
+            continue
         if len(window) >= gate_window:
             window.append(n)  # past the window: order no longer matters
+            placed.add(n)
             continue
         if n not in ORACLE and n != slot_holder:
             deferred.append(n)
+            placed.add(n)
+            continue
+        if n == slot_holder and twin is not None and twin not in window:
+            if len(window) <= gate_window - 2:
+                window.extend([n, twin])
+                placed.update((n, twin))
+            else:
+                deferred.append(n)
+                placed.add(n)
             continue
         window.append(n)
-        if len(window) == gate_window and deferred:
+        placed.add(n)
+        if len(window) >= gate_window and deferred:
             window.extend(deferred)
+            placed.update(deferred)
             deferred = []
     order = [*window, *deferred]
     QUERIES = {n: QUERIES[n] for n in order}

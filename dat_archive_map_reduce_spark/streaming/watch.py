@@ -26,6 +26,7 @@ live here too: tumbling / sliding / session windows with watermarks.
 
 from __future__ import annotations
 
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -146,7 +147,50 @@ def watch(
                 lineage.append("q")
         return f"{lineage[0]}:{batch_id}"
 
+    restamped: list = []
+    # captured BEFORE the stream starts (the query writes its
+    # checkpoint metadata at start): an absent metadata file means
+    # this is a FRESH checkpoint, so NO stored bare-int token can be a
+    # same-checkpoint replay — all of them are stale
+    fresh_checkpoint = not os.path.exists(
+        f"{engine.warehouse}/_stream_checkpoint/metadata"
+    )
+
+    def _neutralize_legacy_tokens(batch_id: int) -> None:
+        """r13 ADVICE #4: a bare-int batch token stored by a pre-r13
+        engine matches ANY lineage whose trailing batch id equals it
+        (_token_applied's one-restart upgrade arm) — so a checkpoint
+        deleted DURING the upgrade window could still silently skip a
+        genuinely new batch whose id collides. On the FIRST batch of
+        each stream instance: under a FRESH checkpoint (no metadata
+        existed at stream start) EVERY stored bare int is stale and is
+        restamped; under a resumed checkpoint, a stored bare int EQUAL
+        to the incoming batch id is the legitimate same-checkpoint
+        upgrade replay and is left for the legacy arm to honor, while
+        any other bare int cannot be mid-replay of this batch. The
+        restamp rewrites it to an inert 'legacy:<id>' string (matches
+        no lineage, trips no legacy arm), closing the collision for
+        every later batch. Driver-side manifest IO once per stream
+        start; no-op on r13+ warehouses (tokens are already strings)."""
+        for name, vdef in list(engine.views.items()):
+            if vdef.exact_delta_fold() is None:
+                continue
+            tables = [engine._reduced_table(name)]
+            if vdef.exact_delta_fold() in ("sum", "avg"):
+                tables.append(engine._reduced_cnt_table(name))
+            for t in tables:
+                m = t.manifest_meta()
+                tok = m.get("batch_token")
+                if isinstance(tok, int) and (fresh_checkpoint or tok != batch_id):
+                    cur = t._current()
+                    if cur is not None:
+                        m["batch_token"] = f"legacy:{tok}"
+                        t._set_current(cur, m)
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if not restamped:
+            restamped.append(True)
+            _neutralize_legacy_tokens(batch_id)
         # Per-batch fixed costs are the watch path's throughput ceiling
         # (bench maintain_curve), so the cycle is structured to pay
         # each one ONCE per micro-batch, not once per (origin, view):
@@ -176,9 +220,83 @@ def watch(
                     else (vdef.path,)
                 )
                 path_groups.setdefault(pk, vdef.path)
-            per_origin, g_counts, g_buckets = engine._probe_batch(
-                batch_df, path_groups
-            )
+            # views sharing a map stage may differ in value_type; the
+            # shared run enforces the strictest declared-integer one
+            # (enforcement is a check, not a transform — the emitted
+            # rows are identical whenever it passes, so the cache
+            # stays shared; run_map docstring, r13 ADVICE)
+            mk_vt: dict = {}
+            for _name, vdef in views_snapshot:
+                pk0 = (
+                    tuple(vdef.path)
+                    if isinstance(vdef.path, (list, tuple))
+                    else (vdef.path,)
+                )
+                if vdef.value_type in ("long", "int", "bigint"):
+                    mk_vt[(pk0, vdef.map, tuple(vdef.key_schema))] = vdef.value_type
+            from concurrent.futures import ThreadPoolExecutor
+
+            # the probe job and the Python map stage both read only the
+            # persisted batch and neither needs the other's output, so
+            # they run CONCURRENTLY (r14: serializing them put the two
+            # largest per-batch fixed costs end-to-end). The map is
+            # materialized OPTIMISTICALLY for every (path, map, schema)
+            # group before the probe says which groups matched — a
+            # group with no matching files costs one empty-input job,
+            # and the stream only fires when files arrived at all.
+            upd_cache: dict = {}  # path-key -> cached compacted updates
+            mapped: dict = {}  # (path-key, map fn, key schema) -> cached entries
+            with ThreadPoolExecutor(max_workers=1) as probe_pool:
+                probe_fut = probe_pool.submit(
+                    engine._probe_batch, batch_df, path_groups
+                )
+                try:
+                    for name, vdef in views_snapshot:
+                        pk = (
+                            tuple(vdef.path)
+                            if isinstance(vdef.path, (list, tuple))
+                            else (vdef.path,)
+                        )
+                        if pk not in upd_cache:
+                            upd_cache[pk] = latest_wins(
+                                glob_filter(batch_df, vdef.path)
+                            ).cache()
+                        mk = (pk, vdef.map, tuple(vdef.key_schema))
+                        if mk not in mapped:
+                            # views sharing (path, map fn, key schema)
+                            # share ONE Python map stage per batch (the
+                            # mapped+reduced twin-view pattern halves
+                            # the dominant per-batch Python cost)
+                            mapped[mk] = run_map(
+                                upd_cache[pk].filter(F.col("type") == "put"),
+                                vdef.map,
+                                vdef.key_types(),
+                                value_type=mk_vt.get(mk),
+                            ).cache()
+                    # materialize each shared map output ONCE before
+                    # the concurrent view applies race to read it —
+                    # concurrently: sequential counts would serialize
+                    # the dominant Python map cost and make a
+                    # multi-group batch's wall the SUM of its map
+                    # stages instead of the max (the r10 pool shape)
+                    if len(mapped) > 1:
+                        with ThreadPoolExecutor(
+                            max_workers=min(len(mapped), 4)
+                        ) as mp:
+                            list(mp.map(lambda df: df.count(), mapped.values()))
+                    else:
+                        for df in mapped.values():
+                            df.count()
+                except BaseException:
+                    # a raising user map fn (or a dying job) must not
+                    # leak the pinned caches on every foreachBatch
+                    # retry of a persistently-failing stream
+                    for df in mapped.values():
+                        df.unpersist()
+                    for upd in upd_cache.values():
+                        upd.unpersist()
+                    raise
+                per_origin, g_counts, g_buckets = probe_fut.result()
             origins = sorted(per_origin)
             for origin in origins:
                 engine._indexed_origins.add(origin)
@@ -188,10 +306,13 @@ def watch(
                     # archive-found, lib/indexer.js:309-340)
                     engine._missing_origins.discard(origin)
                     engine._emit("archive-found", origin=origin)
-            # driver-local metadata read — O(views x sources) rows,
-            # no Spark job (the per-batch fixed-cost budget)
+            # driver-local metadata read, BUCKET-PRUNED to the batch's
+            # origins (r13 verdict #3): O(origins-in-batch) bucket
+            # files, not the whole (views x sources) table — no Spark
+            # job either way. Superset rows sharing a bucket ride
+            # along harmlessly (the dict is keyed exactly).
             offsets = (
-                {(v, o): lv for v, o, lv in engine.offsets.read_rows()}
+                {(v, o): lv for v, o, lv in engine.offsets.read_rows(origins)}
                 if origins
                 else {}
             )
@@ -212,7 +333,6 @@ def watch(
             # (directory-corpus imports use version=0 puts).
             plan = []  # (name, vdef, origin_starts, path-key, map-key)
             shared: dict = {}  # path-key -> (cached updates, counts, buckets)
-            mapped: dict = {}  # (path-key, map fn, key schema) -> cached entries
             for name, vdef in views_snapshot:
                 origin_starts = {origin: -1 for origin in origins}
                 for origin in origins:
@@ -230,54 +350,20 @@ def watch(
                         else (vdef.path,)
                     )
                     if pk not in shared:
-                        # compacted updates: CACHED but not counted —
-                        # the probe already sized the batch, so the
-                        # cache fills on its first real consumer (the
-                        # map stage below)
                         shared[pk] = (
-                            latest_wins(glob_filter(batch_df, vdef.path)).cache(),
+                            upd_cache[pk],
                             g_counts[pk],
                             g_buckets[pk],
                         )
-                    # views sharing (path, map fn, key schema) share ONE
-                    # Python map stage per batch (the mapped+reduced
-                    # twin-view pattern halves the dominant per-batch
-                    # Python cost)
                     mk = (pk, vdef.map, tuple(vdef.key_schema))
-                    if mk not in mapped and g_counts[pk]:
-                        mapped[mk] = run_map(
-                            shared[pk][0].filter(F.col("type") == "put"),
-                            vdef.map,
-                            vdef.key_types(),
-                        ).cache()
                 plan.append((name, vdef, origin_starts, pk, mk))
             # Pass 2: apply views CONCURRENTLY — each view's entries
             # shards and reduced table are disjoint storage, so the
             # merges run as parallel Spark jobs and a multi-view
             # engine's batch wall is ~the slowest view, not the sum.
-            # The materialization counts run INSIDE this try: they are
-            # the first place a user map fn can raise, and an escape
-            # before the finally would leak the pinned caches on every
-            # foreachBatch retry of a persistently-failing stream.
             try:
-                # materialize each shared map output ONCE before the
-                # concurrent view applies race to read it —
-                # concurrently: sequential counts would serialize the
-                # dominant Python map cost and make a multi-group
-                # batch's wall the SUM of its map stages instead of
-                # the max (the r10 pool shape)
-                if len(mapped) > 1:
-                    from concurrent.futures import ThreadPoolExecutor
-
-                    with ThreadPoolExecutor(max_workers=min(len(mapped), 4)) as mp:
-                        list(mp.map(lambda df: df.count(), mapped.values()))
-                else:
-                    for df in mapped.values():
-                        df.count()
                 todo = [t for t in plan if t[2]]
                 if len(todo) > 1:
-                    from concurrent.futures import ThreadPoolExecutor
-
                     with ThreadPoolExecutor(max_workers=min(len(todo), 4)) as pool:
                         list(
                             pool.map(
@@ -305,7 +391,7 @@ def watch(
             finally:
                 for df in mapped.values():
                     df.unpersist()
-                for upd, *_ in shared.values():
+                for upd in upd_cache.values():
                     upd.unpersist()
             for name, *_ in plan:
                 for origin in origins:

@@ -84,3 +84,23 @@ def test_every_no_oracle_query_has_gated_portable_twin():
     )
     for name, twin in NO_ORACLE_TWINS.items():
         assert twin in ORACLE, f"{name}'s twin {twin} is not oracle-gated"
+
+
+def test_weak_window_is_self_contained():
+    """r13 verdict #4: CORRECTNESS_r13's 50-query driver window carried
+    the weak dedup_simhash row WITHOUT its hash-green twin, so the
+    driver-facing artifact could not prove the twin discipline on its
+    own. The rotation must place every in-window no-oracle query's
+    portable twin in the SAME leading window (or defer the pair)."""
+    from dat_archive_map_reduce_spark import queries as Q
+
+    names = list(Q.QUERIES)
+    gw = Q._gate_window(Q._driver_rows_by_round())
+    lead = set(names[:gw])
+    for n in names[:gw]:
+        if n not in Q.ORACLE:
+            twin = Q.NO_ORACLE_TWINS[n]
+            assert twin in lead, (
+                f"weak query {n} is in the driver window but its twin "
+                f"{twin} is not (window={gw})"
+            )
