@@ -15897,6 +15897,320 @@ def text_kn_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# R14 additions: DSIR hashed-n-gram importance resampling, DoReMi
+# one-step domain-mixture reweighting, CCNet perplexity buckets
+# =====================================================================
+
+@query(
+    "corpus_dsir_select",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, substr(md5(t.tok), 1, 2) AS b
+      FROM documents,
+           unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ), tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct FROM toks
+      WHERE lang = 'en' GROUP BY 1
+    ), raw AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY 1
+    ), tots AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM toks WHERE lang = 'en') AS nt,
+             (SELECT CAST(count(*) AS BIGINT) FROM toks) AS nr
+    ), lr AS (
+      SELECT raw.b,
+             ln((coalesce(tgt.ct, 0) + 1.0) / (tots.nt + 256))
+             - ln((raw.cr + 1.0) / (tots.nr + 256)) AS lw
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tots
+    ), per_doc AS (
+      SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+             round(sum(lr.lw) / count(*), 4) AS iw
+      FROM toks JOIN lr ON toks.b = lr.b
+      GROUP BY toks.doc_id
+    )
+    SELECT doc_id, n_toks, iw FROM per_doc
+    ORDER BY iw DESC, doc_id LIMIT 20
+    """,
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via hashed-n-gram importance
+    resampling (Xie et al. 2023, arXiv:2302.03169): estimate a target
+    feature distribution p and the raw-pool distribution q over
+    HASHED unigram buckets (md5 first-2-hex = 256 buckets, the
+    engine-portable hash family), score every raw document by its
+    mean per-token log importance ratio ln(p/q), and keep the head —
+    the 'make the pool look like the target domain' selection every
+    pretraining-mix pipeline runs. Target here: the 'en' slice of
+    `documents`; both distributions are add-one smoothed over the
+    256-bucket feature space, so unseen buckets get mass instead of
+    ln(0). Output: the 20 raw docs most target-like (highest mean
+    ratio; rounded-value ordering with doc_id tiebreak).
+
+    Determinism: bucket counts are BIGINTs; each bucket's log ratio
+    is one double expression; per-doc scores are sums of <=
+    tokens-per-doc doubles reported at round-4 (the corpus_lm_xent
+    precedent — summation noise is orders below 4dp).
+
+    Scale shape: tokenize/hash is map-side; p and q are 256-key
+    partial-combined rollups that BROADCAST (the whole model is 256
+    rows however big the corpus — DSIR's point); the scoring join is
+    a broadcast hash join, so raw docs are scored in one map-side
+    pass with no fact-table shuffle; top-k via
+    TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id", "lang", F.substring(F.md5("tok"), 1, 2).alias("b")
+        )
+    )
+    tgt = toks.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    tots = toks.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("nr"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + 256)
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + 256))
+            ).alias("lw"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(F.sum("lw") / F.count(F.lit(1)), 4).alias("iw"),
+        )
+        .orderBy(F.col("iw").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "corpus_doremi_step",
+    oracle="""
+    WITH toks AS (
+      SELECT source, t.tok AS tok
+      FROM documents,
+           unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ), cdt AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ), ct AS (
+      SELECT tok, CAST(sum(c) AS BIGINT) AS c FROM cdt GROUP BY 1
+    ), nd AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cdt GROUP BY 1
+    ), tots AS (
+      SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ct) AS n,
+             (SELECT CAST(count(*) AS BIGINT) FROM ct) AS v
+    ), excess AS (
+      SELECT cdt.source,
+             sum((CAST(cdt.c AS DOUBLE) / nd.n)
+                 * (ln((cdt.c + 1.0) / (nd.n + tots.v))
+                    - ln((ct.c + 1.0) / (tots.n + tots.v)))) AS ex
+      FROM cdt JOIN ct USING (tok) JOIN nd USING (source) CROSS JOIN tots
+      GROUP BY cdt.source
+    ), z AS (
+      SELECT sum(exp(ex)) AS s FROM excess
+    )
+    SELECT source, round(ex, 6) AS excess_loss,
+           round(exp(ex) / z.s, 6) AS weight
+    FROM excess CROSS JOIN z
+    ORDER BY source
+    """,
+)
+def corpus_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi domain-reweighting step (Xie et al. 2023,
+    arXiv:2305.10429): per source domain, the EXCESS LOSS — how much
+    worse the pooled (reference) unigram LM fits the domain than the
+    domain's own LM, excess_d = H(q_d, p_pool) - H(q_d, p_d) >= 0 —
+    then one exponentiated-gradient update of the sampling mixture,
+    w_d ∝ exp(excess_d), normalized. Domains the shared model
+    underfits get upweighted; the output weights ARE the next
+    epoch's sampling mixture. Both LMs are add-one smoothed over the
+    pooled vocabulary, so the domain/pool cross-entropies share one
+    event space.
+
+    Determinism: all LM counts are BIGINTs; excess is a sum over the
+    domain's DISTINCT tokens (never per-occurrence rows) of one
+    double expression, reported at round-6; the softmax normalizer
+    is a domains-sized fold.
+
+    Scale shape: (domain, token) counts partial-combine map-side;
+    the pooled table re-aggregates from them (no second corpus
+    pass); the scoring join shuffles on the token key with both
+    sides orders smaller than the corpus; domain totals and the
+    softmax normalizer broadcast as metadata-sized aggregates —
+    nothing driver-side."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cdt = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ct = cdt.groupBy("tok").agg(F.sum("c").cast("long").alias("cg"))
+    nd = cdt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    tots = ct.agg(
+        F.sum("cg").cast("long").alias("ng"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    excess = (
+        cdt.join(ct, "tok")
+        .join(F.broadcast(nd), "source")
+        .crossJoin(F.broadcast(tots))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (F.col("c").cast("double") / F.col("n"))
+                * (
+                    F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+                    - F.log((F.col("cg") + 1.0) / (F.col("ng") + F.col("v")))
+                )
+            ).alias("ex")
+        )
+    )
+    z = excess.agg(F.sum(F.exp("ex")).alias("s"))
+    return (
+        excess.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.round("ex", 6).alias("excess_loss"),
+            F.round(F.exp("ex") / F.col("s"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, pos, t[pos] AS a
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+            FROM documents),
+           unnest(generate_series(1, len(t))) AS u(pos)
+    ), big AS (
+      SELECT doc_id, a,
+             lead(a) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+      FROM toks
+      QUALIFY b IS NOT NULL
+    ), cnt_ab AS (
+      SELECT a, b, count(*) AS cab FROM big GROUP BY 1, 2
+    ), cnt_a AS (
+      SELECT a, count(*) AS ca FROM big GROUP BY 1
+    ), vocab AS (
+      SELECT count(DISTINCT a) AS v FROM toks
+    ), scored AS (
+      SELECT big.doc_id,
+             ln((cnt_ab.cab + 0.5) / (cnt_a.ca + 0.5 * vocab.v)) AS lp
+      FROM big JOIN cnt_ab USING (a, b) JOIN cnt_a USING (a)
+      CROSS JOIN vocab
+    ), xent AS (
+      SELECT doc_id, round(-avg(lp), 4) AS xent
+      FROM scored GROUP BY doc_id
+    ), bucketed AS (
+      SELECT x.doc_id, d.lang, x.xent,
+             ntile(3) OVER (ORDER BY x.xent, x.doc_id) AS nt
+      FROM xent x JOIN documents d USING (doc_id)
+    )
+    SELECT CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CAST(round(xent * 10000) AS BIGINT))
+                 / (10000.0 * count(*)), 4) AS avg_xent
+    FROM bucketed GROUP BY nt, lang ORDER BY nt, lang
+    """,
+)
+def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus accounting (Wenzek et al. 2020):
+    bucket every document into perplexity TERCILES of its LM
+    cross-entropy (the shared bigram_lm_scores operator — identical
+    scores to corpus_lm_xent) and report the per-(bucket, language)
+    document counts and mean cross-entropy — the table a CCNet-style
+    pipeline publishes to decide which slice feeds training
+    ('head'), which gets a second look, and which is dropped.
+
+    The tercile assignment uses the DISTRIBUTED exact-rank scaffold
+    (operators/ranking.py::exact_global_rank — quantile range
+    buckets + per-bucket ranks + broadcast offsets), never a
+    single-partition ntile window over the fact rows: bucket =
+    floor((pos-1)*3/n)+1, the exact closed form of SQL NTILE(3)
+    (first n%3 buckets take the extra row), pinned against the
+    oracle's real ntile. Ordering is (rounded xent, doc_id) — total,
+    so ranks and buckets are deterministic.
+
+    Scale shape: the LM scoring is corpus_lm_xent's plan; the rank
+    adds one quantile sketch pass + a per-range-bucket window whose
+    partitions are data-sized fractions, plus a <= 64-row metadata
+    window for offsets; the final rollup is 15 rows."""
+    from dat_archive_map_reduce_spark.operators.ranking import (
+        exact_global_rank,
+    )
+    from dat_archive_map_reduce_spark.operators.text import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    xent = bigram_lm_scores(d, "text", "doc_id").select("doc_id", "xent")
+    ranked = exact_global_rank(
+        xent, "xent", tie_breakers=[F.col("doc_id")], pos_col="pos"
+    )
+    nt = (
+        F.floor((F.col("pos") - 1) * 3 / F.col("__gr_total")) + 1
+    ).cast("int")
+    bucketed = ranked.select(
+        "doc_id", "xent", nt.alias("nt")
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    return (
+        bucketed.groupBy("nt", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            # mean of the (already 4dp-rounded) per-doc scores via
+            # EXACT integer sums — averaging the doubles directly
+            # parks the result on a .00005 rounding boundary where
+            # the engines' last-ulp sums round apart
+            F.round(
+                F.sum(F.round(F.col("xent") * 10000).cast("long"))
+                / (10000.0 * F.count(F.lit(1))),
+                4,
+            ).alias("avg_xent"),
+        )
+        .select(
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "lang",
+            "n_docs",
+            "avg_xent",
+            "nt",
+        )
+        .orderBy("nt", "lang")
+        .drop("nt")
+    )
+
+
 _assert_no_oracle_twins()
 _assert_reverify_discharged()
 _reorder_registry()

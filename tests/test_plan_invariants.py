@@ -381,7 +381,11 @@ FORCED_BROADCAST_SITES = {
     # 98 = + r13: events_bh_discoveries' span-day sequence (bounded by
     # the calendar span) and text_kn_perplexity_filter's 1-row
     # (nbt, vb) totals
-    "queries.py": 98,
+    # 103 = + r14: corpus_dsir_select's 1-row token totals and its
+    # 256-row hashed-feature model (bounded by the hash space — the
+    # DSIR design point), corpus_doremi_step's domain-count table and
+    # 1-row (pooled total, vocab) totals and 1-row softmax normalizer
+    "queries.py": 103,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
@@ -397,8 +401,11 @@ FORCED_BROADCAST_SITES = {
     # sidecar-state joins (5), the bucket-scoped refold's
     # affected-keys joins gained one for the sidecar realignment (1),
     # the min/max monotone path's batch-aggregate join (1), and the
-    # sum/avg sidecar's delta-scoped carry anti-join (1)
-    "engine.py": 16,
+    # sum/avg sidecar's delta-scoped carry anti-join (1).
+    # 17 = + r14: the sidecar BOOTSTRAP refold's affected-keys
+    # anti-join (bounded by the batch's affected-key set, like every
+    # other refold broadcast)
+    "engine.py": 17,
     # streaming_contamination's blocklist — broadcast-sized BY
     # CONTRACT (distinct shingles of protected corpora; documented)
     "streaming/watch.py": 1,
