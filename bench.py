@@ -334,6 +334,72 @@ def _bench_streaming(spark) -> dict:
             rdrip["32k"] / rdrip["2k"], 3
         )
 
+        # -- 1c2. min-RETRACTION drip (r13 verdict #7) ----------------
+        # Every drip batch re-keys files that hold their key's CURRENT
+        # MINIMUM — the worst case for min maintenance. The r13 design
+        # refolded the whole view per retracting batch (O(view)); the
+        # r14 value-histogram delta promotes the next-smallest from
+        # the key's kept set, so per-batch cost must hold ~flat across
+        # a 16x backfill growth (ratio ~1.0). The 64k point also
+        # exercises the overflow arm (128 values/key > the 64 bound).
+        def map_kv(content, meta, emit):
+            obj = json.loads(content)
+            emit(obj["k"], obj["v"])
+
+        mdrip: dict = {}
+        for label, backfill in (("4k", 4096), ("64k", 65536)):
+            db = MapReduce(spark, f"{root}/mm{backfill}")
+            db.define(
+                "mn",
+                path="/docs/*.json",
+                map=map_kv,
+                reduce="min",
+                key_schema=["string"],
+            )
+            db.append_changes(
+                [
+                    {
+                        "origin": "dat://mm",
+                        "pathname": f"/docs/{i}.json",
+                        "version": 1,
+                        # key k{i%512} holds values i, i+512, ... —
+                        # its minimum lives in file i (i < 512)
+                        "content": json.dumps({"k": f"k{i % 512}", "v": i}),
+                    }
+                    for i in range(backfill)
+                ]
+            )
+            q = _watch(db)
+            q.awaitTermination()
+            per_batch = []
+            for b in range(6):
+                db.append_changes(
+                    [
+                        {
+                            "origin": "dat://mm",
+                            "pathname": f"/docs/{b * 8 + j}.json",
+                            "version": 2,
+                            "content": json.dumps(
+                                {"k": f"u{b}-{j}", "v": -1}
+                            ),
+                        }
+                        for j in range(8)
+                    ]
+                )
+                t0 = time.perf_counter()
+                q = _watch(db)
+                q.awaitTermination()
+                per_batch.append(time.perf_counter() - t0)
+            # the retracted minimums were promoted, not refolded
+            assert db.get("mn", "k1")["value"] == 513.0
+            db.close()
+            per_batch.sort()
+            mdrip[label] = round(per_batch[len(per_batch) // 2], 4)
+        out["maintain_drip_minmax_sec_per_batch"] = mdrip
+        out["maintain_drip_minmax_big_over_small"] = round(
+            mdrip["64k"] / mdrip["4k"], 3
+        )
+
         # -- 1d. two-level origin layout at >= 1k origins (r12 #3) ----
         # The hash_levels=1 changelog layout exists for warehouses
         # tracking MILLIONS of sources, where any driver-side

@@ -97,6 +97,7 @@ class MapReduce:
         entries_buckets: int = 16,
         reduced_buckets: int = 16,
         changelog_hash_levels: int = 0,
+        minmax_hist_bound: int = 64,
     ):
         """``listeners`` registers callbacks before the warehouse opens
         (the reference attaches handlers before open(), index.js:34-60,
@@ -124,11 +125,18 @@ class MapReduce:
         sources, where a flat origin= listing is the bottleneck
         (AppendOnlyLog docstring). A property of the warehouse:
         pinned on first write, adopted on reopen; an existing
-        single-level warehouse refuses the upgrade loudly."""
+        single-level warehouse refuses the upgrade loudly.
+
+        ``minmax_hist_bound``: per-key distinct-value budget of the
+        min/max histogram sidecar (_reduced_hist_table) — the bound
+        past which a retraction-drained key falls back to the refold.
+        Applies to NEW hist rows as each batch ranks; an existing
+        warehouse's rows re-rank under the current bound."""
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.entries_buckets = int(entries_buckets)
         self.reduced_buckets = int(reduced_buckets)
+        self.minmax_hist_bound = int(minmax_hist_bound)
         self.views: dict[str, ViewDefinition] = {}
         self._listeners: dict[str, list[Callable[..., None]]] = {}
         for event, cbs in (listeners or {}).items():
@@ -268,6 +276,43 @@ class MapReduce:
                     T.StructField("key_json", T.StringType(), False),
                     T.StructField("cnt", T.LongType(), False),
                     T.StructField("ssum", T.LongType(), False),
+                ]
+            ),
+            bucket_col="key_json",
+            n_buckets=self.reduced_buckets,
+        )
+
+    def _reduced_hist_table(self, view: str) -> BucketedEntriesTable:
+        """Bounded per-key value-HISTOGRAM sidecar for min/max views
+        (r13 verdict #7): rows (key_json, v_txt, cnt, hz) where the
+        non-null-v_txt rows are the key's <= minmax_hist_bound most
+        extreme distinct raw value TEXTS with their live entry counts
+        (smallest for min, largest for max), and at most one
+        OVERFLOW row per key (v_txt NULL) carries the exact count of
+        untracked entries plus the HORIZON hz — the value text
+        separating tracked from untracked: every untracked value is
+        at or beyond hz in the fold's direction, every tracked one
+        strictly inside it. That invariant is what makes retraction
+        O(delta): a retracted value routes to the kept row or the
+        overflow count by a pure hz comparison, the new extreme reads
+        off the kept set, delete-on-empty is the exact total count,
+        and only a key whose kept set drains while its overflow is
+        non-empty needs the refold (the sanctioned fallback past the
+        bound). Ordering is (double value, text) so texts that cast
+        to one double still rank totally. Bucketed like every reduced
+        table; committed with the reduced table's batch token /
+        refold sync marker (one fused write)."""
+        from pyspark.sql import types as T
+
+        return BucketedEntriesTable(
+            self.spark,
+            f"{self.warehouse}/views/{view}/reduced_hist",
+            T.StructType(
+                [
+                    T.StructField("key_json", T.StringType(), False),
+                    T.StructField("v_txt", T.StringType(), True),
+                    T.StructField("cnt", T.LongType(), False),
+                    T.StructField("hz", T.StringType(), True),
                 ]
             ),
             bucket_col="key_json",
@@ -863,7 +908,15 @@ class MapReduce:
             and batch_token is not None
             and self._sidecar_synced(vdef)
         )
-        minmax_fast = False
+        # min/max: the bounded value-histogram delta path (r14) —
+        # same sync gate as sum/avg (a pre-r14 warehouse has no hist;
+        # the general refold bootstraps it)
+        minmax_delta = (
+            vdef.reduce in ("min", "max")
+            and batch_token is not None
+            and self._sidecar_synced(vdef)
+        )
+        delta_applied = False
         try:
             # materialize the mapped batch ONCE up front so the
             # concurrent shard writes below all read the cache
@@ -879,7 +932,7 @@ class MapReduce:
                 not self._entries_table(vdef.name, o).exists()
                 for o in counts
             )
-            if exact_delta:
+            if exact_delta or minmax_delta:
                 # REDUCED FIRST: the delta derives from the PRE-merge
                 # shard state, so it must commit before any entries
                 # pointer FLIPS — but the entries WRITE jobs (data
@@ -908,47 +961,28 @@ class MapReduce:
                         counts,
                         buckets,
                     )
-                    self._reaggregate_exact_delta(
-                        vdef, new_entries, retr, batch_token
-                    )
+                    if exact_delta:
+                        self._reaggregate_exact_delta(
+                            vdef, new_entries, retr, batch_token
+                        )
+                        delta_applied = True
+                    else:
+                        # returns False when some key's extreme fell
+                        # past the histogram bound — nothing committed,
+                        # the post-merge refold below handles the batch
+                        delta_applied = self._reaggregate_minmax_delta(
+                            vdef, new_entries, retr, batch_token
+                        )
                     pairs = fut.result()
             else:
-                if vdef.reduce in ("min", "max") and batch_token is not None:
-                    # min/max are not subtractable, but the COMMON
-                    # stream workload is append-only — and against a
-                    # batch that retracts nothing, min/max fold
-                    # monotonically: new(k) = min(old(k),
-                    # batch_min(k)). Absent shards prove append-only
-                    # driver-side; otherwise the probe reads only the
-                    # batch's touched entry buckets — append-only
-                    # batches never rescan the view; a batch that does
-                    # retract falls through to the general refold
-                    # below. Replay-idempotent without a token (min/
-                    # max are idempotent), and a crash between this
-                    # commit and the entries merges replays into the
-                    # refold arm (the replayed files' urls now exist
-                    # in the shard), which recomputes from entries
-                    # state — every ordering converges.
-                    if no_old:
-                        self._reaggregate_monotone_appendonly(vdef, new_entries)
-                        minmax_fast = True
-                    else:
-                        retr = self._retracted_rows_premerge(
-                            vdef, updates, counts, buckets
-                        )
-                        if retr.isEmpty():
-                            self._reaggregate_monotone_appendonly(
-                                vdef, new_entries
-                            )
-                            minmax_fast = True
                 pairs = self._write_entry_merges(
                     vdef, updates, new_entries, counts, buckets
                 )
             # publish the entries snapshots (pointer flips — after the
-            # reduced commit on the delta/monotone paths)
+            # reduced commit on the delta paths)
             for _retr, commit in pairs:
                 commit()
-            if vdef.reduce is not None and not exact_delta and not minmax_fast:
+            if vdef.reduce is not None and not delta_applied:
                 retr = pairs[0][0]
                 for p, _c in pairs[1:]:
                     retr = retr.union(p)
@@ -1315,58 +1349,280 @@ class MapReduce:
         finally:
             delta.unpersist()
 
-    def _reaggregate_monotone_appendonly(
-        self, vdef: ViewDefinition, new_entries: DataFrame
-    ) -> None:
-        """Watch-path re-aggregation for ``reduce='min'/'max'`` over
-        an APPEND-ONLY batch (caller proved nothing retracts): the
-        fold is monotone under pure insertion, so
-        reduced'(k) = min(old(k), fold(batch rows at k)) — computed
-        from the batch alone, never rescanning entries, committed
-        bucket-scoped like every reduced merge. Deletes cannot occur
-        (no retractions), formatting round-trips exactly (double ->
-        string -> double is lossless for Spark's shortest-repr
-        strings), and the merge is IDEMPOTENT (min(x, m) applied
-        twice = once), so no batch token is needed — a replayed batch
-        either reapplies harmlessly here or, post-merge, falls to the
-        refold arm, which recomputes from entries. Bit-identical to
-        the refold by min/max exactness over doubles."""
-        red_table = self._reduced_table(vdef.name)
-        val_d = F.col("value").cast("double")
-        agg = F.min(val_d) if vdef.reduce == "min" else F.max(val_d)
-        comb = F.least if vdef.reduce == "min" else F.greatest
-        batch = (
-            new_entries.groupBy("key", "key_json")
-            .agg(agg.cast("string").alias("bv"))
-            .cache()
+    def _minmax_hist_parts(
+        self, vdef: ViewDefinition, live: DataFrame
+    ) -> "tuple[DataFrame, DataFrame, DataFrame]":
+        """Rank a (key_json, v_txt, cnt) frame of LIVE value counts
+        into the bounded-histogram shape: returns (ranked frame with
+        the rn column, kept hist rows, overflow hist rows). Ordering
+        is (double value, text) in the fold's direction, so the rank
+        is total and deterministic; the overflow row's horizon hz is
+        the FIRST evicted value — by construction every evicted value
+        sits at or beyond it and every kept one strictly inside."""
+        from pyspark.sql.window import Window
+
+        asc = vdef.reduce == "min"
+        dv = F.col("v_txt").cast("double")
+        order = [dv.asc(), F.col("v_txt").asc()] if asc else [
+            dv.desc(), F.col("v_txt").desc()
+        ]
+        w = Window.partitionBy("key_json").orderBy(*order)
+        ranked = live.withColumn("rn", F.row_number().over(w))
+        bound = self.minmax_hist_bound
+        keep = ranked.filter(F.col("rn") <= bound).select(
+            "key_json",
+            "v_txt",
+            "cnt",
+            F.lit(None).cast("string").alias("hz"),
         )
+        pair = F.struct(dv.alias("d"), F.col("v_txt").alias("t"))
+        hz_agg = (F.min(pair) if asc else F.max(pair)).getField("t")
+        ev = (
+            ranked.filter(F.col("rn") > bound)
+            .groupBy("key_json")
+            .agg(
+                F.sum("cnt").cast("long").alias("evc"),
+                hz_agg.alias("ev_hz"),
+            )
+        )
+        return ranked, keep, ev
+
+    def _reaggregate_minmax_delta(
+        self,
+        vdef: ViewDefinition,
+        new_entries: DataFrame,
+        retracted_rows: "DataFrame | None",
+        batch_token,
+    ) -> bool:
+        """Watch-path re-aggregation for ``reduce='min'/'max'`` by
+        EXACT delta against the bounded value-histogram sidecar
+        (_reduced_hist_table) — r13 verdict #7, replacing the r13
+        monotone-append-only fast path (which this subsumes: an
+        append-only batch is a pure-adds delta) AND the r13 refold
+        fallback on every retracting batch. Per batch: net per-(key,
+        value-text) counts from the batch's own rows route to the
+        kept set or the overflow count by the horizon comparison;
+        the merged kept candidates re-rank (a window over <= bound +
+        batch-values rows per key); evictions move count mass to the
+        overflow and tighten the horizon; the new extreme is the
+        rank-1 kept value — entries are NEVER rescanned. Returns True
+        when applied; False when ANY key needs the general refold —
+        a kept set drained into a non-empty overflow (the min/max
+        truly is beyond the bound), or an inconsistent retraction —
+        in which case NOTHING commits and the caller routes the whole
+        batch's re-aggregation to the post-merge refold (which
+        rebuilds both tables and re-stamps the sync marker). The
+        refold-needed probe job is skipped for append-only batches
+        (adds cannot drain a kept set or retract anything).
+
+        Exactly-once mirrors the sum/avg path: reduced commits first,
+        then the histogram, both from ONE fused write with the
+        lineage-scoped batch token; a crash between the flips replays
+        with reduced skipping on its token while the histogram —
+        derived only from its OWN pre-batch rows plus the recomputed
+        delta — applies, realigning both. Exactness: counts are
+        BIGINTs, the extreme is MIN/MAX over doubles (no arithmetic
+        to drift), and the value format is the refold's own
+        cast(min(double) as string) — pinned bit-identical by the
+        stream=batch tests."""
+        red_table = self._reduced_table(vdef.name)
+        hist_table = self._reduced_hist_table(vdef.name)
+        red_done = self._token_applied(red_table, batch_token)
+        hist_done = self._token_applied(hist_table, batch_token)
+        if red_done and hist_done:
+            return True
+        asc = vdef.reduce == "min"
+        grp = ["key", "key_json", "value"]
+        add = new_entries.groupBy(*grp).agg(
+            F.count(F.lit(1)).cast("long").alias("dc")
+        )
+        if retracted_rows is None:
+            delta = add
+        else:
+            sub = retracted_rows.groupBy(*grp).agg(
+                (-F.count(F.lit(1))).cast("long").alias("dc")
+            )
+            delta = (
+                add.unionByName(sub)
+                .groupBy(*grp)
+                .agg(F.sum("dc").cast("long").alias("dc"))
+                .filter(F.col("dc") != 0)
+            )
+        delta = delta.withColumnRenamed("value", "v_txt").cache()
         try:
-            ids = self._touched_bucket_ids(red_table, batch.select("key_json"))
-            if not ids:
-                return
-            old = red_table.read_buckets(ids)
-            updated = old.join(
-                F.broadcast(batch.select("key_json", "bv")), "key_json", "left"
-            ).select(
-                "key",
-                "key_json",
-                F.when(F.col("bv").isNull(), F.col("value"))
-                .otherwise(
-                    comb(
-                        F.col("value").cast("double"),
-                        F.col("bv").cast("double"),
-                    ).cast("string")
+            delta_keys = delta.select("key_json").distinct()
+            (rk, ids), (_hk, hids) = self._touched_bucket_ids_multi(
+                [red_table, hist_table], delta_keys
+            )
+            if rk == "probed" and not ids:
+                return True  # empty delta: replaying it is a no-op
+            old_red = red_table.read_buckets(ids)
+            old_hist = hist_table.read_buckets(hids)
+            oh = old_hist.join(F.broadcast(delta_keys), "key_json", "left_semi")
+            kept_old = oh.filter(F.col("v_txt").isNotNull()).select(
+                "key_json", "v_txt", F.col("cnt").alias("oc")
+            )
+            ov_old = oh.filter(F.col("v_txt").isNull()).select(
+                "key_json", F.col("cnt").alias("ovc"), "hz"
+            )
+            # horizon routing: a delta value strictly inside the
+            # horizon belongs to the kept set; at/beyond it, to the
+            # overflow count (exact by the hist invariant)
+            dv = F.col("v_txt").cast("double")
+            hzd = F.col("hz").cast("double")
+            if asc:
+                inside = (
+                    F.col("hz").isNull()
+                    | (dv < hzd)
+                    | ((dv == hzd) & (F.col("v_txt") < F.col("hz")))
                 )
-                .alias("value"),
+            else:
+                inside = (
+                    F.col("hz").isNull()
+                    | (dv > hzd)
+                    | ((dv == hzd) & (F.col("v_txt") > F.col("hz")))
+                )
+            dj = delta.join(
+                F.broadcast(ov_old.select("key_json", "hz")), "key_json", "left"
             )
-            fresh = batch.join(
-                old.select("key_json"), "key_json", "left_anti"
-            ).select("key", "key_json", F.col("bv").alias("value"))
-            red_table.write_merged(
-                ids, updated.unionByName(fresh), sort_cols=["key_json"]
+            tracked = dj.filter(inside).select("key_json", "v_txt", "dc")
+            unt = (
+                dj.filter(~inside)
+                .groupBy("key_json")
+                .agg(F.sum("dc").cast("long").alias("ov_dc"))
             )
+            cand = kept_old.join(
+                tracked, ["key_json", "v_txt"], "full_outer"
+            ).select(
+                "key_json",
+                "v_txt",
+                (
+                    F.coalesce(F.col("oc"), F.lit(0))
+                    + F.coalesce(F.col("dc"), F.lit(0))
+                ).alias("cnt"),
+                # retracting a value the kept set never tracked while
+                # it sits inside the horizon = inconsistent state
+                (
+                    F.col("oc").isNull() & (F.coalesce(F.col("dc"), F.lit(0)) < 0)
+                ).alias("bad"),
+            )
+            live = cand.filter(~F.col("bad") & (F.col("cnt") > 0))
+            # CACHED: the join+window pipeline is the batch's heavy
+            # plan, and it feeds the refold probe AND the commit write
+            # — without the cache each job recomputes it (measured
+            # ~2x the per-batch wall on retracting drips)
+            ranked, _keep0, _ev0 = self._minmax_hist_parts(vdef, live)
+            ranked = ranked.cache()
+            dv_r = F.col("v_txt").cast("double")
+            keep = ranked.filter(
+                F.col("rn") <= self.minmax_hist_bound
+            ).select(
+                "key_json", "v_txt", "cnt",
+                F.lit(None).cast("string").alias("hz"),
+            )
+            pair_r = F.struct(dv_r.alias("d"), F.col("v_txt").alias("t"))
+            ev = (
+                ranked.filter(F.col("rn") > self.minmax_hist_bound)
+                .groupBy("key_json")
+                .agg(
+                    F.sum("cnt").cast("long").alias("evc"),
+                    (F.min(pair_r) if asc else F.max(pair_r))
+                    .getField("t")
+                    .alias("ev_hz"),
+                )
+            )
+            ovf = (
+                delta_keys.join(ov_old, "key_json", "left")
+                .join(ev, "key_json", "left")
+                .join(unt, "key_json", "left")
+                .select(
+                    "key_json",
+                    (
+                        F.coalesce(F.col("ovc"), F.lit(0))
+                        + F.coalesce(F.col("evc"), F.lit(0))
+                        + F.coalesce(F.col("ov_dc"), F.lit(0))
+                    ).alias("ovc"),
+                    # an eviction horizon is always tighter than the
+                    # old one (evicted candidates were inside it)
+                    F.coalesce(F.col("ev_hz"), F.col("hz")).alias("hz"),
+                )
+            ).cache()
+            if retracted_rows is not None:
+                # refold-needed probe (adds alone cannot trip it):
+                # negative counts, untracked-inside retractions, or a
+                # key whose kept set drained into a non-empty overflow
+                keep_keys = keep.select("key_json").distinct()
+                needs_refold = (
+                    cand.filter(F.col("bad") | (F.col("cnt") < 0))
+                    .select("key_json")
+                    .unionByName(
+                        ovf.filter(F.col("ovc") < 0).select("key_json")
+                    )
+                    .unionByName(
+                        ovf.filter(F.col("ovc") > 0)
+                        .join(keep_keys, "key_json", "left_anti")
+                        .select("key_json")
+                    )
+                )
+                if not needs_refold.isEmpty():
+                    return False
+            # outputs: hist = carried untouched keys + kept + overflow
+            hist_df = (
+                old_hist.join(F.broadcast(delta_keys), "key_json", "left_anti")
+                .unionByName(keep)
+                .unionByName(
+                    ovf.filter(F.col("ovc") > 0).select(
+                        "key_json",
+                        F.lit(None).cast("string").alias("v_txt"),
+                        F.col("ovc").alias("cnt"),
+                        "hz",
+                    )
+                )
+            )
+            # the new extreme per surviving key = rank-1 kept value,
+            # formatted exactly like the refold (cast(extreme double))
+            newv = ranked.filter(F.col("rn") == 1).select(
+                "key_json", dv.cast("string").alias("nv")
+            )
+            red_upd = (
+                old_red.join(F.broadcast(delta_keys), "key_json", "left_semi")
+                .join(newv, "key_json", "inner")  # drops deleted keys
+                .select("key", "key_json", F.col("nv").alias("value"))
+            )
+            key_structs = delta.select("key", "key_json").distinct()
+            red_fresh = (
+                newv.join(old_red.select("key_json"), "key_json", "left_anti")
+                .join(key_structs, "key_json")
+                .select("key", "key_json", F.col("nv").alias("value"))
+            )
+            red_df = (
+                old_red.join(F.broadcast(delta_keys), "key_json", "left_anti")
+                .unionByName(red_upd)
+                .unionByName(red_fresh)
+            )
+            meta = {"batch_token": batch_token}
+            if not red_done and not hist_done:
+                self._write_merged_pair(
+                    red_table, ids, red_df, meta,
+                    hist_table, hids, hist_df, meta,
+                    sort_cols=["key_json"],
+                )
+            elif not red_done:
+                red_table.write_merged(
+                    ids, red_df, sort_cols=["key_json"], meta=meta
+                )
+            else:  # crash window: only the histogram is pending
+                hist_table.write_merged(
+                    hids, hist_df, sort_cols=["key_json"], meta=meta
+                )
+            return True
         finally:
-            batch.unpersist()
+            try:
+                ranked.unpersist()
+                ovf.unpersist()
+            except (NameError, UnboundLocalError):
+                pass
+            delta.unpersist()
 
     def _touched_bucket_ids_multi(
         self,
@@ -1446,17 +1702,22 @@ class MapReduce:
         refold, which realigns BOTH tables from entries (bootstrapping
         the FULL sidecar, not just the touched keys) and re-stamps the
         shared marker — one O(view) recovery/upgrade pass, after which
-        the delta path resumes. Driver-side manifest reads only; count
-        views have no sidecar and are always synced."""
-        if vdef.exact_delta_fold() not in ("sum", "avg"):
+        the delta path resumes. Driver-side manifest reads only; the
+        same contract covers min/max views' value-histogram sidecar
+        (_reduced_hist_table); count views have no sidecar and are
+        always synced."""
+        if vdef.exact_delta_fold() in ("sum", "avg"):
+            side = self._reduced_cnt_table(vdef.name)
+        elif vdef.reduce in ("min", "max"):
+            side = self._reduced_hist_table(vdef.name)
+        else:
             return True
         red = self._reduced_table(vdef.name)
         if not self._has_data_files(red):
             return True  # nothing materialized: the first commit bootstraps both
-        cnt = self._reduced_cnt_table(vdef.name)
-        if not cnt.exists():
+        if not side.exists():
             return False
-        rm, cm = red.manifest_meta(), cnt.manifest_meta()
+        rm, cm = red.manifest_meta(), side.manifest_meta()
         rsync = rm.get("batch_token", rm.get("sync"))
         csync = cm.get("batch_token", cm.get("sync"))
         return rsync is not None and rsync == csync
@@ -1666,6 +1927,61 @@ class MapReduce:
             finally:
                 both.unpersist()
             return
+        if vdef.reduce in ("min", "max"):
+            # min/max refold maintains the value-histogram sidecar the
+            # same way the sum/avg refold maintains (cnt, ssum): both
+            # tables rebuild from ONE touched-entries pass and commit
+            # fused with a shared sync marker. An unsynced sidecar
+            # (pre-r14 warehouse, refold crash window, or a delta
+            # batch that hit the bound on SOME key) bootstraps the
+            # FULL histogram from entries.
+            hist_table = self._reduced_hist_table(vdef.name)
+            synced = self._sidecar_synced(vdef)
+            (rk, ids), (_hk, hist_ids) = self._touched_bucket_ids_multi(
+                [red_table, hist_table], affected_keys, probe_absent=True
+            )
+            if rk == "probed" and not ids:
+                return  # empty affected set: nothing to refold or delete
+            import uuid as _uuid
+
+            sync = {"sync": _uuid.uuid4().hex}
+            old = red_table.read_buckets(ids)
+            entries = self.entries_df(vdef.name)
+            touched = entries.join(
+                F.broadcast(affected_keys), "key_json", "left_semi"
+            )
+            kept = old.join(F.broadcast(affected_keys), "key_json", "left_anti")
+            refolded = reduce_entries(touched, vdef.reduce, vdef.key_types())
+            red_df = kept.unionByName(refolded)
+
+            def _hist_rows(ents: DataFrame) -> DataFrame:
+                live = ents.groupBy("key_json", F.col("value").alias("v_txt")).agg(
+                    F.count(F.lit(1)).cast("long").alias("cnt")
+                )
+                _ranked, keep_rows, ev = self._minmax_hist_parts(vdef, live)
+                ov_rows = ev.select(
+                    "key_json",
+                    F.lit(None).cast("string").alias("v_txt"),
+                    F.col("evc").alias("cnt"),
+                    F.col("ev_hz").alias("hz"),
+                )
+                return keep_rows.unionByName(ov_rows)
+
+            if synced:
+                hist_df = (
+                    hist_table.read_buckets(hist_ids)
+                    .join(F.broadcast(affected_keys), "key_json", "left_anti")
+                    .unionByName(_hist_rows(touched))
+                )
+            else:
+                hist_ids = list(range(hist_table.n_buckets))
+                hist_df = _hist_rows(entries)
+            self._write_merged_pair(
+                red_table, ids, red_df, sync,
+                hist_table, hist_ids, hist_df, sync,
+                sort_cols=["key_json"],
+            )
+            return
         ids = self._touched_bucket_ids(red_table, affected_keys)
         if not ids:
             return  # empty affected set: nothing to refold or delete
@@ -1780,6 +2096,8 @@ class MapReduce:
             tables.append(self._reduced_table(name))
             if vdef.exact_delta_fold() in ("sum", "avg"):
                 tables.append(self._reduced_cnt_table(name))
+            if vdef.reduce in ("min", "max"):
+                tables.append(self._reduced_hist_table(name))
             for origin in self._known_origins():
                 tables.append(self._entries_table(name, origin))
         for t in tables:
@@ -1961,6 +2279,8 @@ class MapReduce:
                 _probe(self._reduced_table(name), ["key_json"])
                 if vdef.exact_delta_fold() in ("sum", "avg"):
                     _probe(self._reduced_cnt_table(name), ["key_json"])
+                if vdef.reduce in ("min", "max"):
+                    _probe(self._reduced_hist_table(name), ["key_json"])
         return out
 
     def close(self) -> None:
@@ -2004,6 +2324,8 @@ class MapReduce:
             "sum", "avg",
         ):
             self._reduced_cnt_table(view).reset()
+        if view in self.views and self.views[view].reduce in ("min", "max"):
+            self._reduced_hist_table(view).reset()
         self.offsets.overwrite_rows(
             [r for r in self.offsets.read_rows() if r[0] != view]
         )

@@ -404,8 +404,12 @@ FORCED_BROADCAST_SITES = {
     # sum/avg sidecar's delta-scoped carry anti-join (1).
     # 17 = + r14: the sidecar BOOTSTRAP refold's affected-keys
     # anti-join (bounded by the batch's affected-key set, like every
-    # other refold broadcast)
-    "engine.py": 17,
+    # other refold broadcast).
+    # 24 = + r14 min/max histogram delta (_reaggregate_minmax_delta +
+    # the refold's hist rebuild): seven delta-key/affected-key-scoped
+    # semi/anti/horizon joins, every one bounded by the micro-batch's
+    # own key set like the sum/avg sidecar's
+    "engine.py": 24,
     # streaming_contamination's blocklist — broadcast-sized BY
     # CONTRACT (distinct shingles of protected corpora; documented)
     "streaming/watch.py": 1,

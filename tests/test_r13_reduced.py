@@ -410,12 +410,14 @@ def test_avg_delta_stream_equals_batch_bit_exact(spark, tmp_path):
     dbb.close()
 
 
-def test_minmax_appendonly_fast_path_and_refold_fallback(spark, tmp_path):
-    """min/max under watch: an APPEND-ONLY batch takes the monotone
-    fast path (no entries rescan, no token — min/max replay
-    idempotently) and matches the batch twin bit-for-bit; a batch
-    that RETRACTS falls back to the general refold (a min cannot be
-    un-folded) and still matches."""
+def test_minmax_hist_delta_stream_equals_batch(spark, tmp_path):
+    """min/max under watch take the bounded value-HISTOGRAM delta
+    path (r14, superseding the r13 monotone fast path + refold-on-
+    retraction): append-only batches, a retraction that RAISES a min
+    (impossible for any monotone merge — proves the histogram
+    supplied the next-smallest value without an entries rescan), and
+    delete-on-empty all land BIT-IDENTICAL to a batch-indexed twin,
+    with the lineage token stamped on BOTH tables."""
     db = MapReduce(spark, str(tmp_path / "wh-mm"))
     db.define("mn", path="/d/*.json", map=map_sum, reduce="min",
               key_schema=["string"])
@@ -433,7 +435,6 @@ def test_minmax_appendonly_fast_path_and_refold_fallback(spark, tmp_path):
     ]
     db.append_changes(r1)
     W.watch_until_caught_up(db)
-    # append-only follow-up: fast path again, extends mins/maxes
     r2 = [
         _row("dat://a", "/d/3.json", 1, "x", 1),
         _row("dat://a", "/d/4.json", 1, "z", 9),
@@ -446,12 +447,16 @@ def test_minmax_appendonly_fast_path_and_refold_fallback(spark, tmp_path):
         assert _reduced_pairs(db, v) == _reduced_pairs(dbb, v)
     assert db.get("mn", "x") == {"key": "x", "value": 1.0}
     assert db.get("mx", "x") == {"key": "x", "value": 5.0}
-    # fast path leaves no token (idempotent merge needs none)
-    assert db._reduced_table("mn").manifest_meta().get("batch_token") is None
-    # retraction batch: /d/3.json re-keyed -> x's min must RISE back
-    # to 2.5 (impossible for the monotone path; proves the refold
-    # fallback engaged and was correct)
-    r3 = [_row("dat://a", "/d/3.json", 2, "w", 100)]
+    # the delta path ran: lineage-scoped token on BOTH tables
+    tok = db._reduced_table("mn").manifest_meta().get("batch_token")
+    assert isinstance(tok, str) and ":" in tok
+    assert db._reduced_hist_table("mn").manifest_meta().get("batch_token") == tok
+    # retraction: /d/3.json re-keyed -> x's min RISES back to 2.5
+    # (the histogram's next-smallest), and y deletes on empty
+    r3 = [
+        _row("dat://a", "/d/3.json", 2, "w", 100),
+        _row("dat://a", "/d/2.json", 2, None, None, typ="del"),
+    ]
     db.append_changes(r3)
     W.watch_until_caught_up(db)
     dbb.append_changes(r3)
@@ -459,19 +464,64 @@ def test_minmax_appendonly_fast_path_and_refold_fallback(spark, tmp_path):
     for v in ("mn", "mx"):
         assert _reduced_pairs(db, v) == _reduced_pairs(dbb, v)
     assert db.get("mn", "x") == {"key": "x", "value": 2.5}
+    assert db.get("mn", "y") is None
     assert db.get("mx", "w") == {"key": "w", "value": 100.0}
     db.close()
     dbb.close()
 
 
+def test_minmax_hist_bound_overflow_refolds(spark, tmp_path):
+    """Past the histogram bound the kept set can drain into a
+    non-empty overflow — the min is then genuinely beyond the bound
+    and the batch must route to the general refold (the sanctioned
+    fallback), still landing batch-identical state; later batches
+    resume the delta path against the rebuilt histogram."""
+    db = MapReduce(spark, str(tmp_path / "wh-ovf"), minmax_hist_bound=2)
+    db.define("mn", path="/d/*.json", map=map_sum, reduce="min",
+              key_schema=["string"])
+    # 5 distinct values for one key: hist keeps {1, 2}, overflow
+    # holds {3, 4, 5} with horizon 3
+    r1 = [_row("dat://a", f"/d/{i}.json", 1, "x", i) for i in (1, 2, 3, 4, 5)]
+    db.append_changes(r1)
+    W.watch_until_caught_up(db)
+    assert db.get("mn", "x") == {"key": "x", "value": 1.0}
+    hist = {(r["v_txt"], r["cnt"]): r["hz"]
+            for r in db._reduced_hist_table("mn").read().collect()}
+    assert ("1", 1) in hist and ("2", 1) in hist
+    assert hist[(None, 3)] == "3"  # overflow count + horizon
+    # retract BOTH kept values in one batch: kept drains, overflow
+    # non-empty -> refold; min becomes 3 (from entries)
+    r2 = [
+        _row("dat://a", "/d/1.json", 2, None, None, typ="del"),
+        _row("dat://a", "/d/2.json", 2, "y", 0),
+    ]
+    db.append_changes(r2)
+    W.watch_until_caught_up(db)
+    assert db.get("mn", "x") == {"key": "x", "value": 3.0}
+    assert db.get("mn", "y") == {"key": "y", "value": 0.0}
+    # the refold re-stamped a shared sync marker (no batch token) and
+    # rebuilt the histogram; the NEXT retraction rides the delta again
+    rm = db._reduced_table("mn").manifest_meta()
+    hm = db._reduced_hist_table("mn").manifest_meta()
+    assert rm.get("batch_token") is None
+    assert rm.get("sync") is not None and rm["sync"] == hm.get("sync")
+    r3 = [_row("dat://a", "/d/3.json", 3, None, None, typ="del")]
+    db.append_changes(r3)
+    W.watch_until_caught_up(db)
+    assert db.get("mn", "x") == {"key": "x", "value": 4.0}
+    tok = db._reduced_table("mn").manifest_meta().get("batch_token")
+    assert isinstance(tok, str) and ":" in tok
+    db.close()
+
+
 def test_delta_maintenance_never_rescans_entries(spark, tmp_path):
-    """THE claim behind the exact-delta and monotone fast paths,
-    pinned: a watch drain over count/sum/avg (declared-long) and an
-    append-only min batch must never call engine.entries_df — the
-    general refold's full-view scan (O(view entries) per micro-batch
-    at 100 TB). A RETRACTING batch on the min view must then fall
-    back to the refold, which does scan (the fallback is the point,
-    not a regression)."""
+    """THE claim behind the exact-delta paths, pinned: a watch drain
+    over count/sum/avg (declared-long) and min must never call
+    engine.entries_df — the general refold's full-view scan (O(view
+    entries) per micro-batch at 100 TB). As of r14 that includes
+    RETRACTING batches on the min view (the bounded value-histogram
+    supplies the next extreme); only a key drained past the bound
+    refolds, pinned by test_minmax_hist_bound_overflow_refolds."""
     db = MapReduce(spark, str(tmp_path / "wh-nrs"))
     db.define("c", path="/d/*.json", map=map_sum, reduce="count",
               key_schema=["string"])
@@ -504,11 +554,11 @@ def test_delta_maintenance_never_rescans_entries(spark, tmp_path):
         assert calls == [], (
             f"delta/fast-path maintenance scanned entries: {calls}"
         )
-        # retracting batch: count/sum/avg stay on the delta path; the
-        # min view CANNOT (min is not subtractable) and must refold
+        # retracting batch: count/sum/avg stay on the exact delta AND
+        # (r14) min rides its histogram delta — no rescan anywhere
         db.append_changes([_row("dat://a", "/d/0.json", 2, "kX", -50)])
         W.watch_until_caught_up(db)
-        assert calls == [("mn",)], calls
+        assert calls == [], calls
     finally:
         db.entries_df = orig
     # end state correct on every view
