@@ -1505,7 +1505,7 @@ class MapReduce:
                 (
                     F.col("oc").isNull() & (F.coalesce(F.col("dc"), F.lit(0)) < 0)
                 ).alias("bad"),
-            )
+            ).cache()
             live = cand.filter(~F.col("bad") & (F.col("cnt") > 0))
             # CACHED: the join+window pipeline is the batch's heavy
             # plan, and it feeds the refold probe AND the commit write
@@ -1547,25 +1547,25 @@ class MapReduce:
                     F.coalesce(F.col("ev_hz"), F.col("hz")).alias("hz"),
                 )
             ).cache()
-            if retracted_rows is not None:
-                # refold-needed probe (adds alone cannot trip it):
-                # negative counts, untracked-inside retractions, or a
-                # key whose kept set drained into a non-empty overflow
-                keep_keys = keep.select("key_json").distinct()
-                needs_refold = (
-                    cand.filter(F.col("bad") | (F.col("cnt") < 0))
-                    .select("key_json")
-                    .unionByName(
-                        ovf.filter(F.col("ovc") < 0).select("key_json")
-                    )
-                    .unionByName(
-                        ovf.filter(F.col("ovc") > 0)
-                        .join(keep_keys, "key_json", "left_anti")
-                        .select("key_json")
-                    )
+            # refold-needed flags (adds alone cannot trip them):
+            # negative counts, untracked-inside retractions, or a key
+            # whose kept set drained into a non-empty overflow. NOT
+            # probed as its own job: the write below materializes the
+            # cand/ranked/ovf caches, and the flag check afterwards
+            # runs against them — one job wave instead of two.
+            keep_keys = keep.select("key_json").distinct()
+            needs_refold = (
+                cand.filter(F.col("bad") | (F.col("cnt") < 0))
+                .select("key_json")
+                .unionByName(
+                    ovf.filter(F.col("ovc") < 0).select("key_json")
                 )
-                if not needs_refold.isEmpty():
-                    return False
+                .unionByName(
+                    ovf.filter(F.col("ovc") > 0)
+                    .join(keep_keys, "key_json", "left_anti")
+                    .select("key_json")
+                )
+            )
             # outputs: hist = carried untouched keys + kept + overflow
             hist_df = (
                 old_hist.join(F.broadcast(delta_keys), "key_json", "left_anti")
@@ -1602,22 +1602,35 @@ class MapReduce:
             )
             meta = {"batch_token": batch_token}
             if not red_done and not hist_done:
-                self._write_merged_pair(
+                # optimistic staged write, then the flag check against
+                # the caches it just filled; a flagged key cancels the
+                # staged write (temp dir dropped, no table touched)
+                commit, cancel = self._write_merged_pair(
                     red_table, ids, red_df, meta,
                     hist_table, hids, hist_df, meta,
                     sort_cols=["key_json"],
+                    defer_commit=True,
                 )
-            elif not red_done:
+                if retracted_rows is not None and not needs_refold.isEmpty():
+                    cancel()
+                    return False
+                commit()
+                return True
+            # crash-window singles (rare): probe first, then write
+            if retracted_rows is not None and not needs_refold.isEmpty():
+                return False
+            if not red_done:
                 red_table.write_merged(
                     ids, red_df, sort_cols=["key_json"], meta=meta
                 )
-            else:  # crash window: only the histogram is pending
+            else:
                 hist_table.write_merged(
                     hids, hist_df, sort_cols=["key_json"], meta=meta
                 )
             return True
         finally:
             try:
+                cand.unpersist()
                 ranked.unpersist()
                 ovf.unpersist()
             except (NameError, UnboundLocalError):
@@ -1733,7 +1746,8 @@ class MapReduce:
         b_df: DataFrame,
         b_meta: "dict | None",
         sort_cols: "list[str] | None" = None,
-    ) -> None:
+        defer_commit: bool = False,
+    ):
         """Commit TWO bucketed tables from ONE Spark write job (r13
         verdict #1): the reduced table and its (cnt, ssum) sidecar
         fold over the same touched aggregate, and committing them as
@@ -1749,7 +1763,15 @@ class MapReduce:
         fallback) recovers. Schemas may differ: each side's frame is
         padded with the other's missing columns as typed NULLs
         (parquet nulls are metadata-cheap, and every read pins its own
-        table schema, so the padding is never projected)."""
+        table schema, so the padding is never projected).
+
+        ``defer_commit=True`` runs the Spark write NOW and returns
+        (commit, cancel) closures: commit performs both tables'
+        driver-side commits; cancel discards the staged write (temp
+        dir removed, no table touched) — the min/max delta path
+        writes optimistically, checks its refold-needed flags against
+        the caches the write just materialized, and cancels when a
+        key must refold."""
         import os as _os
         import shutil as _shutil
         import tempfile as _tf
@@ -1779,35 +1801,50 @@ class MapReduce:
         tmp = _tf.mkdtemp(prefix="_merge-pair-", dir=self.warehouse)
         try:
             w.write.mode("overwrite").partitionBy("_t", "_b").parquet(tmp)
-            for idx, (t, ids, meta) in enumerate(
-                ((a_table, a_ids, a_meta), (b_table, b_ids, b_meta))
-            ):
-                cur = t._current()
-                n = t.n_buckets
-                v = (cur or 0) + 1
-                dest = t._snapshot_dir(v)
-                if _os.path.isdir(dest):
-                    # crash-orphaned dir at this version: clear it, the
-                    # overwrite-clears-dest convention of every writer
-                    _shutil.rmtree(dest, ignore_errors=True)
-                _os.makedirs(dest, exist_ok=True)
-                src_root = f"{tmp}/_t={idx}"
-                if _os.path.isdir(src_root):
-                    for bd in _os.listdir(src_root):
-                        if bd.startswith("_b="):
-                            _os.rename(f"{src_root}/{bd}", f"{dest}/{bd}")
-                if cur is not None and t.current_is_bucketed():
-                    touched = set(ids)
-                    for b in range(n):
-                        if b in touched:
-                            continue
-                        src = t._bucket_dir(cur, b)
-                        if _os.path.isdir(src):
-                            _link_tree(src, t._bucket_dir(v, b))
-                t._write_snapshot_meta(dest, n)
-                t._set_current(v, meta)
-        finally:
+        except BaseException:
             _shutil.rmtree(tmp, ignore_errors=True)
+            raise
+
+        def _commit() -> None:
+            try:
+                for idx, (t, ids, meta) in enumerate(
+                    ((a_table, a_ids, a_meta), (b_table, b_ids, b_meta))
+                ):
+                    cur = t._current()
+                    n = t.n_buckets
+                    v = (cur or 0) + 1
+                    dest = t._snapshot_dir(v)
+                    if _os.path.isdir(dest):
+                        # crash-orphaned dir at this version: clear it,
+                        # the overwrite-clears-dest convention of every
+                        # writer
+                        _shutil.rmtree(dest, ignore_errors=True)
+                    _os.makedirs(dest, exist_ok=True)
+                    src_root = f"{tmp}/_t={idx}"
+                    if _os.path.isdir(src_root):
+                        for bd in _os.listdir(src_root):
+                            if bd.startswith("_b="):
+                                _os.rename(f"{src_root}/{bd}", f"{dest}/{bd}")
+                    if cur is not None and t.current_is_bucketed():
+                        touched = set(ids)
+                        for b in range(n):
+                            if b in touched:
+                                continue
+                            src = t._bucket_dir(cur, b)
+                            if _os.path.isdir(src):
+                                _link_tree(src, t._bucket_dir(v, b))
+                    t._write_snapshot_meta(dest, n)
+                    t._set_current(v, meta)
+            finally:
+                _shutil.rmtree(tmp, ignore_errors=True)
+
+        def _cancel() -> None:
+            _shutil.rmtree(tmp, ignore_errors=True)
+
+        if defer_commit:
+            return _commit, _cancel
+        _commit()
+        return None
 
     def _touched_bucket_ids(
         self, table: BucketedEntriesTable, keys_df: DataFrame
