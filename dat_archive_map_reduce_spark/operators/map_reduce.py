@@ -185,11 +185,17 @@ def reduce_entries(
 
 def _reduce_builtin(entries: DataFrame, name: str) -> DataFrame:
     val = F.col("value").cast("double")
+    # min/max SKIP non-numeric values (try_cast -> NULL, which the agg
+    # skips; ANSI mode would otherwise throw on the first string emit)
+    # — mirrored exactly by the engine's histogram delta path, which
+    # tracks numeric values only. sum/avg stay strict: a non-numeric
+    # value there is a genuine type error, not an ignorable outlier.
+    tval = F.col("value").try_cast("double")
     aggs = {
         "count": F.count(F.lit(1)),
         "sum": F.sum(val),
-        "min": F.min(val),
-        "max": F.max(val),
+        "min": F.min(tval),
+        "max": F.max(tval),
         "avg": F.avg(val),
         # entries.value ALREADY holds JSON text, so the array must be
         # assembled from the raw fragments — to_json() over the strings

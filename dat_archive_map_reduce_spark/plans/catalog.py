@@ -962,6 +962,52 @@ class BucketedMetaTable(VersionedTable):
             self._write_bucket_file(d, b, kept)
         self._set_current(v)
 
+    def delete_rows(self, values) -> None:
+        """Drop every row whose bucket column value is in ``values``,
+        touching ONLY those values' buckets (untouched bucket files
+        hardlink, exactly like upsert_rows). A flat legacy snapshot
+        re-buckets whole. No-op on an absent table."""
+        import glob as _glob
+        import pyarrow.parquet as pq
+
+        values = set(values)
+        if not values:
+            return
+        cur = self._current()
+        if cur is None:
+            return
+        flat = not _glob.glob(f"{self._snapshot_dir(cur)}/bucket-*.parquet")
+        if flat:
+            self.overwrite_rows(
+                [r for r in self.read_rows() if r[self._col_idx] not in values]
+            )
+            return
+        want = {self.bucket_of(x) for x in values}
+        names = [f.name for f in self.schema.fields]
+        old_dir = self._snapshot_dir(cur)
+        v, d = self._fresh_snapshot_dir()
+        for b in range(self.n_buckets):
+            src = self._bucket_path(old_dir, b)
+            if not os.path.exists(src):
+                continue
+            if b not in want:
+                try:
+                    os.link(src, self._bucket_path(d, b))
+                except OSError:
+                    import shutil
+
+                    shutil.copy2(src, self._bucket_path(d, b))
+                continue
+            t = pq.read_table(src, columns=names)
+            cols = [t.column(n).to_pylist() for n in names]
+            kept = [
+                r
+                for r in (zip(*cols) if cols and t.num_rows else [])
+                if r[self._col_idx] not in values
+            ]
+            self._write_bucket_file(d, b, kept)
+        self._set_current(v)
+
 
 class AppendOnlyLog:
     """Append-only parquet log in ONE stable directory.
