@@ -508,6 +508,34 @@ def _bench_streaming(spark) -> dict:
             )
             get_many_ms = (time.perf_counter() - t0) * 1000
             assert len(got) == 8
+            # maintain curve vs ORIGIN COUNT (r14 verdict #6): fixed
+            # drip (4 origins x 8 rows per batch, 4 batches) against
+            # the n_org-origin warehouse — per-batch wall must stay
+            # ~flat in TOTAL origin count now that entries_df resolves
+            # shards from the pointer table and nothing in the batch
+            # reads per-origin metadata beyond the batch's origins
+            drip_walls = []
+            for b in range(4):
+                db.append_changes(
+                    [
+                        {
+                            "origin": f"dat://org{o}",
+                            "pathname": f"/docs/d{b}-{r}.json",
+                            "version": 2 + b,
+                            "content": json.dumps(
+                                {"first": f"d{o}-{b}-{r}", "n": r}
+                            ),
+                        }
+                        for o in range(4)
+                        for r in range(8)
+                    ]
+                )
+                t0 = time.perf_counter()
+                q = _watch(db)
+                q.awaitTermination()
+                drip_walls.append(time.perf_counter() - t0)
+            drip_walls.sort()
+            drip_sec = drip_walls[len(drip_walls) // 2]
             entries_serving[f"origins_{n_org}"] = {
                 # end-to-end maintain drain at MANY origins (the 4-origin
                 # curve's missing axis, r13 verdict): the 64-file trigger
@@ -517,6 +545,7 @@ def _bench_streaming(spark) -> dict:
                 "plan_build_ms": round(build_ms, 1),
                 "count_ms": round(read_ms, 1),
                 "get_many8_ms": round(get_many_ms, 1),
+                "maintain_drip_sec_per_batch": round(drip_sec, 3),
             }
             db.close()
         entries_serving["plan_build_growth"] = round(
@@ -524,6 +553,59 @@ def _bench_streaming(spark) -> dict:
             / max(entries_serving["origins_256"]["plan_build_ms"], 1e-6),
             2,
         )
+        entries_serving["maintain_origin_growth"] = round(
+            entries_serving["origins_1024"]["maintain_drip_sec_per_batch"]
+            / max(
+                entries_serving["origins_256"]["maintain_drip_sec_per_batch"],
+                1e-6,
+            ),
+            2,
+        )
+        # -- 1f. pointer-resolution microbench at 10k origins (r14
+        # verdict #1 done-criterion): per-origin manifest opens vs one
+        # pointer-table read, driver-side only (no Spark job, no data
+        # files — 10k synthetic shard manifests + the consolidated
+        # rows they'd produce). The ratio is the driver cost entries_df
+        # sheds per read at many-source scale.
+        import os as _os
+
+        from dat_archive_map_reduce_spark.engine import (
+            MapReduce as _MR,
+            _origin_shard,
+        )
+
+        db = _MR(spark, f"{root}/ptr10k")
+        db.define(
+            "m", path="/docs/*.json", map=map_first, key_schema=["string"]
+        )
+        n_ptr = 10_000
+        base = f"{db.warehouse}/views/m/entries"
+        rows = []
+        for i in range(n_ptr):
+            o = f"dat://p{i}"
+            d = f"{base}/{_origin_shard(o)}"
+            _os.makedirs(d, exist_ok=True)
+            with open(f"{d}/_manifest.json", "w") as f:
+                json.dump({"current": 1}, f)
+            rows.append((o, 1))
+        t0 = time.perf_counter()
+        legacy = []
+        for o, _v in rows:
+            with open(f"{base}/{_origin_shard(o)}/_manifest.json") as f:
+                legacy.append((o, json.load(f)["current"]))
+        manifest_ms = (time.perf_counter() - t0) * 1000
+        ptr = db._entries_ptr_table("m")
+        ptr.overwrite_rows(rows)
+        t0 = time.perf_counter()
+        got = ptr.read_rows()
+        ptr_ms = (time.perf_counter() - t0) * 1000
+        assert len(got) == n_ptr and len(legacy) == n_ptr
+        db.close()
+        entries_serving["ptr_resolution_10k"] = {
+            "manifest_walk_ms": round(manifest_ms, 1),
+            "ptr_table_ms": round(ptr_ms, 1),
+            "speedup": round(manifest_ms / max(ptr_ms, 1e-6), 1),
+        }
         out["entries_serving"] = entries_serving
 
         # -- 2. event-time windowed aggregation as a real stream ------

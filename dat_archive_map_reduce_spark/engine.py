@@ -216,12 +216,39 @@ class MapReduce:
                 value_type=value_type,
             )
         )
+        import os as _os
+
         existing = self.views.get(name)
         if existing is not None:
             # redefining a view resets its materialization, as the
             # reference requires an explicit reset after def change
             self.reset(name)
+        old_sid = None
+        sp = f"{self.warehouse}/views/{name}/store.json"
+        try:
+            with open(sp) as f:
+                old_sid = json.load(f)["store"]
+        except (FileNotFoundError, KeyError, json.JSONDecodeError):
+            pass
         self.views[name] = vdef
+        sid = self._store_key(vdef)
+        if old_sid is not None and old_sid != sid:
+            # the view's map stage changed ACROSS sessions (store.json
+            # pins the identity the materialized state was built
+            # under): detach from the old shared store and reset —
+            # the same contract in-session redefinition gets above.
+            # Without this, an identity-keyed store would silently
+            # serve an EMPTY view for a changed map (worse than the
+            # legacy stale-entries failure mode).
+            self._remove_store_member(old_sid, name)
+            if existing is None:
+                self.reset(name)
+        _os.makedirs(_os.path.dirname(sp), exist_ok=True)
+        tmp = sp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"store": sid}, f)
+        _os.replace(tmp, sp)
+        self._add_store_member(sid, name)
         return vdef
 
     def _view(self, name: str) -> ViewDefinition:
@@ -230,14 +257,90 @@ class MapReduce:
         return self.views[name]
 
     # -- storage handles --------------------------------------------
+    def _store_key(self, vdef: ViewDefinition) -> str:
+        """Grouping key of the view's ENTRIES STORE (r14 verdict #5).
+        'map:<identity>' — a store SHARED by every view with the same
+        (path, map code, key schema), so twin views (the mapped +
+        reduced pattern) write each entry row ONCE; 'view:<name>' — a
+        private store, used when the map's behavior is not provable
+        from its code (ViewDefinition.map_identity returns None) or
+        when the view already has a LEGACY per-view store on disk
+        (pre-r15 warehouse — membership math must never move an
+        existing store)."""
+        import os as _os
+
+        if _os.path.isdir(f"{self.warehouse}/views/{vdef.name}/entries"):
+            return f"view:{vdef.name}"
+        ident = vdef.map_identity()
+        return f"map:{ident}" if ident is not None else f"view:{vdef.name}"
+
+    def _store_paths(self, vdef: ViewDefinition) -> "tuple[str, str]":
+        """(entries root, pointer-table root) of the view's store."""
+        sid = self._store_key(vdef)
+        if sid.startswith("view:"):
+            base = f"{self.warehouse}/views/{vdef.name}"
+            return f"{base}/entries", f"{base}/entries_ptrs"
+        base = f"{self.warehouse}/stores/{sid[4:]}"
+        return f"{base}/entries", f"{base}/_ptrs"
+
+    def _store_members_path(self, sid: str) -> "str | None":
+        if not sid.startswith("map:"):
+            return None  # private stores have exactly one member
+        return f"{self.warehouse}/stores/{sid[4:]}/_members.json"
+
+    def _store_members(self, sid: str) -> "set[str]":
+        p = self._store_members_path(sid)
+        if p is None:
+            return set()
+        try:
+            with open(p) as f:
+                return set(json.load(f))
+        except (FileNotFoundError, json.JSONDecodeError):
+            return set()
+
+    def _add_store_member(self, sid: str, name: str) -> None:
+        p = self._store_members_path(sid)
+        if p is None:
+            return
+        import os as _os
+
+        members = self._store_members(sid) | {name}
+        _os.makedirs(_os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(members), f)
+        _os.replace(tmp, p)
+
+    def _remove_store_member(self, sid: str, name: str) -> None:
+        """Drop ``name`` from the shared store's member registry; a
+        store left with NO members is deleted outright (its entries
+        are derived data no remaining view references)."""
+        p = self._store_members_path(sid)
+        if p is None:
+            return
+        import os as _os
+        import shutil as _shutil
+
+        members = self._store_members(sid) - {name}
+        if members:
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sorted(members), f)
+            _os.replace(tmp, p)
+        else:
+            _shutil.rmtree(_os.path.dirname(p), ignore_errors=True)
+
     def _entries_table(self, view: str, origin: str) -> BucketedEntriesTable:
-        """Per-(view, origin) entries shard, hash-bucketed on file_url
+        """Per-(store, origin) entries shard, hash-bucketed on file_url
         (the retraction key): merges rewrite only buckets containing
-        the batch's changed files — see BucketedEntriesTable."""
+        the batch's changed files — see BucketedEntriesTable. Views
+        sharing a map stage resolve the SAME shard (r14 verdict #5);
+        pre-r15 per-view layouts keep resolving their legacy path."""
         vdef = self._view(view)
+        ent_root, _ = self._store_paths(vdef)
         return BucketedEntriesTable(
             self.spark,
-            f"{self.warehouse}/views/{view}/entries/{_origin_shard(origin)}",
+            f"{ent_root}/{_origin_shard(origin)}",
             entries_schema(vdef.key_types()),
             bucket_col="file_url",
             n_buckets=self.entries_buckets,
@@ -360,9 +463,10 @@ class MapReduce:
         batch origins' buckets and hardlinks the rest."""
         from pyspark.sql import types as T
 
+        _, ptr_root = self._store_paths(self._view(view))
         return BucketedMetaTable(
             self.spark,
-            f"{self.warehouse}/views/{view}/entries_ptrs",
+            ptr_root,
             T.StructType(
                 [
                     T.StructField("origin", T.StringType(), False),
@@ -391,7 +495,7 @@ class MapReduce:
         (the legacy O(origins) walk) and persist the consolidated
         rows, so every later entries_df is pointer-table-only."""
         rows: "list[tuple[str, int]]" = []
-        base = f"{self.warehouse}/views/{view}/entries"
+        base, _ = self._store_paths(self._view(view))
         for o in sorted(self._known_origins()):
             try:
                 with open(f"{base}/{_origin_shard(o)}/_manifest.json") as f:
@@ -427,7 +531,7 @@ class MapReduce:
         import os as _os
 
         vdef = self._view(view)
-        base = f"{self.warehouse}/views/{view}/entries"
+        base, _ = self._store_paths(vdef)
         ptr = self._entries_ptr_table(view)
         if ptr.exists():
             rows = ptr.read_rows(origins)
@@ -541,30 +645,63 @@ class MapReduce:
         }
         any_work = False
         offset_updates: list[tuple[str, str, int]] = []
+        # group views by (entries store, start offset): map-twin views
+        # at the same offset share ONE merge (the entries rows are
+        # byte-identical — r14 verdict #5) and re-aggregate each from
+        # the shared affected keys; a twin at a DIFFERENT offset (e.g.
+        # defined later) indexes separately over its own update range
+        groups: "dict[tuple[str, int], list[tuple[str, ViewDefinition]]]" = {}
         for name, vdef in self.views.items():
             start = offsets.get(name, 0)
             if start >= target_version:
                 continue
-            self._emit("archive-indexing", origin=origin, view=name, version=target_version)
-            updates = latest_wins(glob_filter(log, vdef.path), start=start, end=target_version)
+            groups.setdefault((self._store_key(vdef), start), []).append(
+                (name, vdef)
+            )
+        for (_sid, start), members in groups.items():
+            for name, _v in members:
+                self._emit(
+                    "archive-indexing",
+                    origin=origin,
+                    view=name,
+                    version=target_version,
+                )
+            updates = latest_wins(
+                glob_filter(log, members[0][1].path),
+                start=start,
+                end=target_version,
+            )
             try:
-                applied = self._apply_updates(vdef, origin, updates)
+                applied = self._apply_updates_group(
+                    [v for _n, v in members], origin, updates
+                )
             except Exception as e:  # reference archive-error, indexer.js:338
-                self._emit("archive-error", origin=origin, view=name, error=str(e))
+                self._emit(
+                    "archive-error",
+                    origin=origin,
+                    view=members[0][0],
+                    error=str(e),
+                )
                 raise
             # progress granularity is the compacted batch, not the
             # single file: one emission per (view, origin) delta
             # (reference ticks per update, lib/indexer.js:413-418 —
             # per-row driver callbacks would defeat batch execution)
-            self._emit(
-                "archive-index-progress",
-                origin=origin,
-                view=name,
-                processed=applied,
-                total=applied,
-            )
-            offset_updates.append((name, origin, target_version))
-            self._emit("archive-indexed", origin=origin, view=name, version=target_version)
+            for name, _v in members:
+                self._emit(
+                    "archive-index-progress",
+                    origin=origin,
+                    view=name,
+                    processed=applied,
+                    total=applied,
+                )
+                offset_updates.append((name, origin, target_version))
+                self._emit(
+                    "archive-indexed",
+                    origin=origin,
+                    view=name,
+                    version=target_version,
+                )
             any_work = True
         self._set_offsets(offset_updates)
         if any_work:
@@ -921,11 +1058,33 @@ class MapReduce:
         lib/indexer.js:217-292). Returns the number of file updates
         applied (for archive-index-progress).
         """
-        n_updates, affected_keys = self._apply_entry_updates(vdef, origin, updates)
+        return self._apply_updates_group([vdef], origin, updates)
+
+    def _apply_updates_group(
+        self,
+        vdefs: "list[ViewDefinition]",
+        origin: str,
+        updates: DataFrame,
+    ) -> int:
+        """_apply_updates for a group of views SHARING one entries
+        store (same _store_key — byte-identical entry rows): the
+        merge runs once, every member re-aggregates from the shared
+        affected keys (r14 verdict #5 — running the merge per twin
+        doubled entry-write IO, and under a shared store the second
+        merge would find its own rows already present). The map stage
+        enforces the strictest declared-integer value_type in the
+        group, mirroring the watch path's shared-map contract."""
+        lead = vdefs[0]
+        for v in vdefs:
+            if v.value_type in ("long", "int", "bigint"):
+                lead = v
+                break
+        n_updates, affected_keys = self._apply_entry_updates(lead, origin, updates)
         if affected_keys is None:
             return 0
-        if vdef.reduce is not None:
-            self._reaggregate(vdef, affected_keys)
+        for v in vdefs:
+            if v.reduce is not None:
+                self._reaggregate(v, affected_keys)
         affected_keys.unpersist()
         return n_updates
 
@@ -976,16 +1135,36 @@ class MapReduce:
         mapped: "DataFrame | None" = None,
         batch_token: "int | None" = None,
     ) -> "dict[str, int]":
-        """Watch-path merge for ONE view over a multi-origin
-        micro-batch, paying each per-batch cost once instead of once
-        per origin: a single latest-wins window across all origins
-        (partitioned by (origin, pathname), so one shuffle), the map
-        UDF run ONCE over the whole batch and persisted (per-origin
-        shard writes filter from the cached result instead of
-        re-executing the Python stage), and one re-aggregation over
+        """Single-view shim over _apply_store_batch (kept for direct
+        callers/tests; the watch path groups map-twin views and calls
+        the store form so a shared store merges exactly once)."""
+        return self._apply_store_batch(
+            [vdef], log, origin_starts, prepared, mapped, batch_token
+        )
+
+    def _apply_store_batch(
+        self,
+        vdefs: "list[ViewDefinition]",
+        log: DataFrame,
+        origin_starts: "dict[str, int]",
+        prepared: "tuple[DataFrame, dict[str, int], dict[str, list[int]]]",
+        mapped: "DataFrame | None" = None,
+        batch_token: "int | None" = None,
+    ) -> "dict[str, int]":
+        """Watch-path merge for ONE ENTRIES STORE (every view in
+        ``vdefs`` shares it — map-twins, r14 verdict #5) over a
+        multi-origin micro-batch, paying each per-batch cost once
+        instead of once per (origin, view): a single latest-wins
+        window across all origins (partitioned by (origin, pathname),
+        so one shuffle), the map UDF run ONCE and persisted, ONE
+        entries merge for the whole group (the rows are
+        byte-identical across members — merging per twin doubled the
+        entry-write IO, and under a shared store concurrent per-view
+        merges would race the snapshot version), one shared premerge
+        retraction probe, and a re-aggregation per member view over
         the union of every origin's affected keys. Converges to the
         identical state as per-origin _apply_updates cycles — the
-        entries shards and the reduced merge see the same rows, only
+        entries shards and the reduced merges see the same rows, only
         batched. Returns {origin: n file updates applied}.
 
         ``prepared``: caller-owned (cached updates, per-origin counts,
@@ -1015,6 +1194,15 @@ class MapReduce:
         updates, counts, buckets = prepared
         if not counts:
             return {}
+        # merge LEAD: the store is shared by every member (watch groups
+        # by _store_key), so ONE member drives the entries merge; the
+        # map stage enforces the strictest declared-integer value_type
+        # in the group (mirrors the shared-map cache contract)
+        vdef = vdefs[0]
+        for v in vdefs:
+            if v.value_type in ("long", "int", "bigint"):
+                vdef = v
+                break
         owns_map = mapped is None
         new_entries = (
             run_map(
@@ -1026,26 +1214,25 @@ class MapReduce:
             if owns_map
             else mapped
         )
-        # sum/avg additionally require a SYNCED sidecar: a reduced
-        # table materialized before the view declared value_type (the
-        # pre-r13 upgrade), or a crash between a refold's two table
-        # commits, leaves reduced/sidecar state the delta arithmetic
-        # would silently diverge on (r13 ADVICE) — those batches take
-        # the general refold below, which realigns and re-stamps both
-        exact_delta = (
-            vdef.exact_delta_fold() is not None
-            and batch_token is not None
-            and self._sidecar_synced(vdef)
-        )
-        # min/max: the bounded value-histogram delta path (r14) —
-        # same sync gate as sum/avg (a pre-r14 warehouse has no hist;
-        # the general refold bootstraps it)
-        minmax_delta = (
-            vdef.reduce in ("min", "max")
-            and batch_token is not None
-            and self._sidecar_synced(vdef)
-        )
-        delta_applied = False
+        # Per-view re-aggregation routing. sum/avg require a SYNCED
+        # sidecar: a reduced table materialized before the view
+        # declared value_type (the pre-r13 upgrade), or a crash
+        # between a refold's two table commits, leaves reduced/sidecar
+        # state the delta arithmetic would silently diverge on (r13
+        # ADVICE) — those batches take the general refold, which
+        # realigns and re-stamps both. min/max take the bounded
+        # value-histogram delta path (r14) under the same sync gate.
+        def _delta_kind(v: ViewDefinition) -> "str | None":
+            if batch_token is None:
+                return None
+            if v.exact_delta_fold() is not None and self._sidecar_synced(v):
+                return "exact"
+            if v.reduce in ("min", "max") and self._sidecar_synced(v):
+                return "minmax"
+            return None
+
+        kinds = {v.name: _delta_kind(v) for v in vdefs}
+        delta_applied: "dict[str, bool]" = {}
         try:
             # materialize the mapped batch ONCE up front so the
             # concurrent shard writes below all read the cache
@@ -1061,17 +1248,19 @@ class MapReduce:
                 not self._entries_table(vdef.name, o).exists()
                 for o in counts
             )
-            if exact_delta or minmax_delta:
+            if any(kinds.values()):
                 # REDUCED FIRST: the delta derives from the PRE-merge
                 # shard state, so it must commit before any entries
                 # pointer FLIPS — but the entries WRITE jobs (data
                 # files into not-yet-published snapshot dirs) carry no
                 # ordering constraint, so they run CONCURRENTLY with
-                # the reduced commit and only their pointer flips wait
+                # the reduced commits and only their pointer flips wait
                 # (r13 verdict #1: the serialized delta-then-merge
                 # chain was the per-batch latency floor). Both sides
                 # read the retraction state from plans pinned to the
                 # PRE-merge snapshots, so the overlap cannot leak.
+                # The premerge retraction probe is computed ONCE for
+                # the whole group (shared store = shared retractions).
                 from concurrent.futures import ThreadPoolExecutor
 
                 retr = (
@@ -1090,28 +1279,36 @@ class MapReduce:
                         counts,
                         buckets,
                     )
-                    if exact_delta:
-                        self._reaggregate_exact_delta(
-                            vdef, new_entries, retr, batch_token
-                        )
-                        delta_applied = True
-                    else:
-                        # returns False when some key's extreme fell
-                        # past the histogram bound — nothing committed,
-                        # the post-merge refold below handles the batch
-                        delta_applied = self._reaggregate_minmax_delta(
-                            vdef, new_entries, retr, batch_token
-                        )
+                    for v in vdefs:
+                        if kinds[v.name] == "exact":
+                            self._reaggregate_exact_delta(
+                                v, new_entries, retr, batch_token
+                            )
+                            delta_applied[v.name] = True
+                        elif kinds[v.name] == "minmax":
+                            # False when some key's extreme fell past
+                            # the histogram bound — nothing committed,
+                            # the post-merge refold handles that view
+                            delta_applied[v.name] = (
+                                self._reaggregate_minmax_delta(
+                                    v, new_entries, retr, batch_token
+                                )
+                            )
                     pairs = fut.result()
             else:
                 pairs = self._write_entry_merges(
                     vdef, updates, new_entries, counts, buckets
                 )
             # publish the entries snapshots (pointer flips — after the
-            # reduced commit on the delta paths)
+            # reduced commits on the delta paths)
             for _retr, commit in pairs:
                 commit()
-            if vdef.reduce is not None and not delta_applied:
+            refold = [
+                v
+                for v in vdefs
+                if v.reduce is not None and not delta_applied.get(v.name)
+            ]
+            if refold:
                 retr = pairs[0][0]
                 for p, _c in pairs[1:]:
                     retr = retr.union(p)
@@ -1121,7 +1318,8 @@ class MapReduce:
                     .distinct()
                     .cache()
                 )
-                self._reaggregate(vdef, keys)
+                for v in refold:
+                    self._reaggregate(v, keys)
                 keys.unpersist()
             return counts
         finally:
@@ -2254,9 +2452,9 @@ class MapReduce:
             [{"origin": origin, "pathname": pathname, "version": v, "type": "put", "content": content}],
         )
         self._indexed_origins.add(origin)
-        for vdef in self.views.values():
-            upd = glob_filter(row, vdef.path)
-            self._apply_updates(vdef, origin, upd)
+        for vdefs in self._views_by_store():
+            upd = glob_filter(row, vdefs[0].path)
+            self._apply_updates_group(vdefs, origin, upd)
 
     def unindex_file(self, origin: str, pathname: str) -> None:
         """Retract one file everywhere (the reference *intends* this;
@@ -2266,25 +2464,40 @@ class MapReduce:
             self.spark,
             [{"origin": origin, "pathname": pathname, "version": self.current_version(origin) + 1, "type": "del", "content": None}],
         )
-        for vdef in self.views.values():
-            upd = glob_filter(row, vdef.path)
-            self._apply_updates(vdef, origin, upd)
+        for vdefs in self._views_by_store():
+            upd = glob_filter(row, vdefs[0].path)
+            self._apply_updates_group(vdefs, origin, upd)
+
+    def _views_by_store(self) -> "list[list[ViewDefinition]]":
+        """Defined views grouped by entries store (map-twins together,
+        r14 verdict #5) — the iteration unit for every operation that
+        must touch each STORE exactly once."""
+        by_store: "dict[str, list[ViewDefinition]]" = {}
+        for _name, vdef in self.views.items():
+            by_store.setdefault(self._store_key(vdef), []).append(vdef)
+        return list(by_store.values())
 
     # -- source removal (fixing the reference's broken unindex) -----
     def unindex(self, origin: str) -> None:
         """Remove a source: drop its entry shards, re-aggregate the
         keys it contributed, drop its offsets
         (intended semantics of lib/indexer.js:190-204)."""
-        for name, vdef in self.views.items():
-            ent_table = self._entries_table(name, origin)
+        # group views by entries STORE: a shared store's shard resets
+        # ONCE, and every member view re-aggregates the same gone keys
+        # (resetting per view would find the shard already empty for
+        # the second twin and silently skip its re-aggregation)
+        for vdefs in self._views_by_store():
+            lead = vdefs[0]
+            ent_table = self._entries_table(lead.name, origin)
             gone_keys = ent_table.read().select("key_json").distinct()
             gone_keys = gone_keys.cache()
             ent_table.reset()
             # drop the origin's pointer row BEFORE re-aggregating —
             # the refold's entries_df must no longer see this shard
-            self._entries_ptr_table(name).delete_rows([origin])
-            if vdef.reduce is not None:
-                self._reaggregate(vdef, gone_keys)
+            self._entries_ptr_table(lead.name).delete_rows([origin])
+            for vdef in vdefs:
+                if vdef.reduce is not None:
+                    self._reaggregate(vdef, gone_keys)
             gone_keys.unpersist()
         self.offsets.overwrite_rows(
             [r for r in self.offsets.read_rows() if r[1] != origin]
@@ -2572,11 +2785,24 @@ class MapReduce:
 
     # -- reset (reference index.js:111-115) -------------------------
     def reset(self, view: str) -> None:
-        for origin in self._known_origins():
-            self._entries_table(view, origin).reset()
-        # empty pointer table = entries_df resolves no shards (the
-        # reset shards' fresh empty snapshots need not be read)
-        self._entries_ptr_table(view).overwrite_rows([])
+        vdef = self.views.get(view)
+        sid = self._store_key(vdef) if vdef is not None else None
+        others = (
+            self._store_members(sid) - {view} if sid is not None else set()
+        )
+        if vdef is not None and not others:
+            # sole owner (private store, or a shared store no other
+            # view references): wipe the entries, current behavior
+            for origin in self._known_origins():
+                self._entries_table(view, origin).reset()
+            # empty pointer table = entries_df resolves no shards (the
+            # reset shards' fresh empty snapshots need not be read)
+            self._entries_ptr_table(view).overwrite_rows([])
+        # else: the store is SHARED with live views — entries stay (a
+        # map-twin's rows are byte-identical to what this view's
+        # replay would rebuild; the retract-then-add merge makes the
+        # replay converge on the shared store without duplication),
+        # and only this view's derived state resets below
         self._reduced_table(view).reset()
         if view in self.views and self.views[view].exact_delta_fold() in (
             "sum", "avg",

@@ -859,15 +859,26 @@ class BucketedMetaTable(VersionedTable):
         """Driver-local row tuples; ``values`` prunes the read to those
         bucket-column values' buckets. SUPERSET semantics: rows of
         other values that share a bucket ride along — callers filter
-        (they key their lookups exactly anyway)."""
+        (they key their lookups exactly anyway). Full reads over many
+        bucket files go through one pyarrow DATASET scan (parallel
+        file IO) instead of a sequential per-file loop — the fixed
+        cost of a full pointer-table read is what every entries_df
+        pays (r14 verdict #1)."""
         import pyarrow.parquet as pq
 
         v = self._current()
         if v is None:
             return []
         names = [f.name for f in self.schema.fields]
+        files = self._bucket_files(v, values)
+        if len(files) > 8:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(files, format="parquet").to_table(columns=names)
+            cols = [t.column(n).to_pylist() for n in names]
+            return list(zip(*cols)) if cols and t.num_rows else []
         out: "list[tuple]" = []
-        for path in self._bucket_files(v, values):
+        for path in files:
             t = pq.read_table(path, columns=names)
             cols = [t.column(n).to_pylist() for n in names]
             out.extend(zip(*cols) if cols and t.num_rows else [])

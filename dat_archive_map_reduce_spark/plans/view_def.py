@@ -72,6 +72,72 @@ class ViewDefinition:
             return self.reduce
         return None
 
+    def map_identity(self) -> "str | None":
+        """Stable identity of this view's MAP STAGE — (path glob(s),
+        map function code, key schema). Two views agreeing on all
+        three emit byte-identical entry rows for any input, so they
+        can share ONE entries store (r14 verdict #5 — the mapped +
+        reduced twin-view pattern otherwise duplicates every entry
+        row on disk and in per-batch write IO). value_type is
+        deliberately excluded: declared-integer enforcement is a
+        check, not a transform, so the rows stay identical whenever
+        it passes (the same argument that lets twins share the
+        per-batch Python map cache, streaming/watch.py).
+
+        Returns None — NO sharing, the view gets a private store —
+        whenever the function's behavior cannot be proven stable
+        from its code object alone: closures (a factory-made map
+        differing only in a closed-over value has identical bytecode
+        but different behavior), callables without __code__
+        (functools.partial, bound methods, C callables), or
+        constants that do not hash stably across processes (nested
+        code objects repr their address). The identity otherwise
+        hashes module + qualname + bytecode + stable constants +
+        defaults, so it survives process restarts and CHANGES when
+        the map's source changes — define() uses that to detect a
+        cross-session definition change and reset the view, the same
+        contract in-session redefinition already has."""
+        import hashlib
+        import json as _json
+
+        code = getattr(self.map, "__code__", None)
+        if code is None or getattr(self.map, "__closure__", None):
+            return None
+
+        def _stable(c) -> bool:
+            if isinstance(c, (str, bytes, int, float, bool, type(None))):
+                return True
+            if isinstance(c, (tuple, frozenset)):
+                return all(_stable(x) for x in c)
+            return False
+
+        if not all(_stable(c) for c in code.co_consts):
+            return None
+        defaults = getattr(self.map, "__defaults__", None) or ()
+        if not all(_stable(d) for d in defaults):
+            return None
+        paths = (
+            list(self.path)
+            if isinstance(self.path, (list, tuple))
+            else [self.path]
+        )
+        keys = [
+            t.simpleString() if isinstance(t, T.DataType) else str(t)
+            for t in self.key_schema
+        ]
+        blob = _json.dumps(
+            [
+                paths,
+                getattr(self.map, "__module__", "?"),
+                getattr(self.map, "__qualname__", "?"),
+                hashlib.sha1(code.co_code).hexdigest(),
+                repr(code.co_consts),
+                repr(defaults),
+                keys,
+            ]
+        )
+        return hashlib.sha1(blob.encode()).hexdigest()[:16]
+
     def key_types(self) -> list[T.DataType]:
         out = []
         for t in self.key_schema:

@@ -10190,7 +10190,7 @@ _REVERIFY_SINCE: "dict[str, int]" = {
 # still pending after its round closed means the changed semantics
 # were never re-verified at all, and the import fails loudly (the
 # NO_ORACLE_TWINS hygiene pattern, r11 verdict #6).
-_CURRENT_ROUND = 14
+_CURRENT_ROUND = 15
 
 @query(
     "dedup_image_dhash",
@@ -16208,6 +16208,225 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nt", "lang")
         .drop("nt")
+    )
+
+
+# =====================================================================
+# R15 additions: RHO-loss-style per-example selection, datamodels-style
+# attribution on hashed features
+# =====================================================================
+
+@query(
+    "corpus_rho_select",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS hold,
+             substr(md5(t.tok), 1, 2) AS b
+      FROM documents,
+           unnest(string_split(lower(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ), cb AS (
+      SELECT b,
+             CAST(sum(CASE WHEN hold THEN 1 ELSE 0 END) AS BIGINT) AS ch,
+             CAST(sum(CASE WHEN hold THEN 0 ELSE 1 END) AS BIGINT) AS ct
+      FROM toks GROUP BY 1
+    ), tots AS (
+      SELECT CAST(sum(ch) AS BIGINT) AS nh,
+             CAST(sum(ct) AS BIGINT) AS nt FROM cb
+    ), lw AS (
+      SELECT b, ln((ch + 1.0) / (nh + 256))
+               - ln((ct + 1.0) / (nt + 256)) AS w
+      FROM cb CROSS JOIN tots
+    )
+    SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           round(sum(lw.w) / count(*), 4) AS rho
+    FROM toks JOIN lw USING (b)
+    WHERE NOT toks.hold
+    GROUP BY toks.doc_id
+    ORDER BY rho DESC, doc_id LIMIT 20
+    """,
+)
+def corpus_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss-style per-example selection (Mindermann et al. 2022,
+    arXiv:2206.07137 — 'learnable, worth learning, not yet learnt'):
+    split the corpus by a deterministic hash of doc_id into a
+    HOLDOUT half and a TRAINING half, fit one hashed-unigram proxy
+    model on each (md5 first-2-hex = 256 buckets, add-one smoothed —
+    the corpus_dsir_select feature family), and score every TRAINING
+    document by its reducible holdout loss: mean per-token
+    ln p_holdout(b) - ln p_train(b) = (loss under the current train
+    model) - (irreducible loss the holdout model also pays). High
+    scores = examples the training pool underfits but that are
+    learnable from held-out data — the prioritized-training batch.
+    Output: the 20 training docs with the highest excess (rounded-
+    value ordering, doc_id tiebreak).
+
+    Determinism: the split is a pure hash comparison (first md5 hex
+    of doc_id's decimal string < '8', identical bytewise in both
+    engines); bucket counts are BIGINTs; each bucket's log-ratio is
+    one double expression; per-doc scores are token-count-bounded
+    double sums reported at round-4 (corpus_dsir_select precedent).
+
+    Scale shape: tokenize/hash/split-flag is map-side; both proxy
+    models are 256-row partial-combined rollups computed in ONE
+    corpus pass (conditional sums, no second scan) and BROADCAST;
+    scoring is a broadcast hash join + map-side per-doc agg; top-k
+    via TakeOrderedAndProject. RHO with real LMs swaps the proxy for
+    per-doc loss columns; the selection plan is unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                < "8"
+            ).alias("hold"),
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .select(
+            "doc_id", "hold", F.substring(F.md5("tok"), 1, 2).alias("b")
+        )
+    )
+    cb = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("hold"), 1).otherwise(0)).cast("long").alias("ch"),
+        F.sum(F.when(F.col("hold"), 0).otherwise(1)).cast("long").alias("ct"),
+    )
+    tots = cb.agg(
+        F.sum("ch").cast("long").alias("nh"),
+        F.sum("ct").cast("long").alias("nt"),
+    )
+    lw = cb.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            F.log((F.col("ch") + 1.0) / (F.col("nh") + 256))
+            - F.log((F.col("ct") + 1.0) / (F.col("nt") + 256))
+        ).alias("w"),
+    )
+    return (
+        toks.filter(~F.col("hold"))
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(F.sum("w") / F.count(F.lit(1)), 4).alias("rho"),
+        )
+        .orderBy(F.col("rho").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "corpus_datamodel_attrib",
+    oracle="""
+    WITH xb AS (
+      SELECT d.doc_id,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+             substr(md5(t.tok), 1, 2) AS b,
+             CAST(count(*) AS BIGINT) AS x
+      FROM documents d,
+           unnest(string_split(lower(d.text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+      GROUP BY 1, 2, 3
+    ), st AS (
+      SELECT b,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM xb GROUP BY 1
+    ), gt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS sy
+      FROM documents
+    ), beta AS (
+      SELECT st.b,
+             CASE WHEN gt.n * st.sxx - st.sx * st.sx = 0 THEN 0.0
+                  ELSE CAST(gt.n * st.sxy - st.sx * gt.sy AS DOUBLE)
+                       / (gt.n * st.sxx - st.sx * st.sx) END AS beta
+      FROM st CROSS JOIN gt
+    )
+    SELECT xb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(xb.x * beta.beta), 4) AS score
+    FROM xb JOIN beta USING (b)
+    GROUP BY xb.doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def corpus_datamodel_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datamodels-style, influence-function-free data attribution
+    (Ilyas et al. 2022, arXiv:2202.00622): regress a doc-level target
+    metric (here the 'en' target-domain indicator) on HASHED unigram
+    features (md5 first-2-hex = 256 buckets — the DSIR feature
+    family) with one closed-form univariate OLS slope per feature,
+    beta_b = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), then attribute each
+    document its fitted contribution sum_b x_db * beta_b. High-score
+    docs are the ones the linear datamodel credits for the target
+    metric — the attribution table a curation pipeline uses to trace
+    WHAT in the pool drives a quality/domain metric, without
+    retraining or influence functions. Output: top 20 docs by fitted
+    score (rounded-value ordering, doc_id tiebreak) with their
+    distinct-feature counts.
+
+    Determinism: all sufficient statistics (Sx, Sxx, Sxy, n, Sy) are
+    exact BIGINTs over implicit-zero-complete per-doc counts (docs
+    missing a bucket contribute nothing to any S), so each beta is
+    ONE division of exact integers (0 when the feature has zero
+    variance); per-doc scores are <= 256-term double sums reported
+    at round-4 (corpus_dsir_select precedent).
+
+    Scale shape: the per-(doc, bucket) count table partial-combines
+    map-side; the model is a 256-row rollup that BROADCASTS with its
+    2-row global stats (the whole regression is metadata-sized
+    however big the corpus — the datamodels trick on hashed
+    features); attribution is a broadcast hash join + map-side
+    per-doc agg; top-k via TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    xb = (
+        d.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "y", F.substring(F.md5("tok"), 1, 2).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    st = xb.groupBy("b").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    gt = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("sy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (
+        st.crossJoin(F.broadcast(gt))
+        .select(
+            "b",
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / denom
+            )
+            .alias("beta"),
+        )
+    )
+    return (
+        xb.join(F.broadcast(beta), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.sum(F.col("x") * F.col("beta")), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
     )
 
 

@@ -217,7 +217,7 @@ def test_entries_ptr_bootstrap_legacy_warehouse(spark, tmp_path):
     db.define("m", path="/d/*.json", map=map_kv, key_schema=["string"])
     db.index_source("dat://a", [_row("dat://a", "/d/0.json", 1, "a", 1)])
     db.index_source("dat://b", [_row("dat://b", "/d/0.json", 1, "b", 2)])
-    shutil.rmtree(f"{db.warehouse}/views/m/entries_ptrs")
+    shutil.rmtree(db._entries_ptr_table("m").root)
     assert sorted(
         r["key_json"] for r in db.entries_df("m").select("key_json").collect()
     ) == ['"a"', '"b"']
@@ -278,3 +278,108 @@ def test_maintenance_batch_never_reads_full_offsets(spark, tmp_path):
         f"read(s); every read must be bucket-pruned"
     )
     db.close()
+
+
+# -- shared entries store for map-twin views (r14 verdict #5) --------
+
+def map_twin(content, meta, emit):
+    obj = json.loads(content)
+    emit(obj["k"], obj["v"])
+
+
+def test_map_twin_views_share_one_entries_store(spark, tmp_path):
+    """Views sharing (path, map code, key schema) — the mapped +
+    reduced twin pattern — resolve ONE entries store: entry rows are
+    written once, both views serve from them, and retraction under
+    watch stays correct for both."""
+    db = MapReduce(spark, str(tmp_path / "wh"))
+    db.define("m", path="/d/*.json", map=map_twin, key_schema=["string"])
+    db.define("c", path="/d/*.json", map=map_twin, reduce="count",
+              key_schema=["string"])
+    # one shared store on disk, same shard root for both views
+    assert (
+        db._entries_table("m", "dat://a").root
+        == db._entries_table("c", "dat://a").root
+    )
+    db.append_changes([
+        _row("dat://a", "/d/0.json", 1, "x", 1),
+        _row("dat://a", "/d/1.json", 1, "x", 2),
+        _row("dat://a", "/d/2.json", 1, "y", 3),
+    ])
+    W.watch_until_caught_up(db)
+    stores = os.listdir(f"{db.warehouse}/stores")
+    assert len(stores) == 1, stores
+    assert db.get("m", "x") == {"key": "x", "value": [1, 2]}
+    assert db.get("c", "x") == {"key": "x", "value": 2}
+    # retraction via the shared store: one file re-keyed
+    db.append_changes([_row("dat://a", "/d/1.json", 2, "y", 9)])
+    W.watch_until_caught_up(db)
+    assert db.get("m", "x") == {"key": "x", "value": [1]}
+    assert db.get("c", "x") == {"key": "x", "value": 1}
+    assert db.get("c", "y") == {"key": "y", "value": 2}
+    # reset of ONE twin keeps the shared store for the other
+    db.reset("c")
+    assert db.get("c", "x") is None
+    assert db.get("m", "x") == {"key": "x", "value": [1]}
+    # replay converges on the shared store without duplication
+    db.index("dat://a")
+    assert db.get("c", "x") == {"key": "x", "value": 1}
+    assert db.get("m", "x") == {"key": "x", "value": [1]}
+    # unindex drops the origin from BOTH views (one store reset, two
+    # re-aggregations)
+    db.unindex("dat://a")
+    assert db.get("c", "x") is None
+    assert db.get("m", "x") is None
+    db.close()
+
+
+def test_closure_maps_get_private_stores(spark, tmp_path):
+    """A map built by a factory (closure) has unprovable identity —
+    each view gets a PRIVATE store even when the bytecode matches."""
+
+    def mk(mult):
+        def f(content, meta, emit):
+            obj = json.loads(content)
+            emit(obj["k"], obj["v"] * mult)
+        return f
+
+    db = MapReduce(spark, str(tmp_path / "wh"))
+    db.define("a", path="/d/*.json", map=mk(1), key_schema=["string"])
+    db.define("b", path="/d/*.json", map=mk(10), key_schema=["string"])
+    assert (
+        db._entries_table("a", "dat://x").root
+        != db._entries_table("b", "dat://x").root
+    )
+    db.index_source("dat://x", [_row("dat://x", "/d/0.json", 1, "k", 2)])
+    assert db.get("a", "k") == {"key": "k", "value": [2]}
+    assert db.get("b", "k") == {"key": "k", "value": [20]}
+    db.close()
+
+
+def test_cross_session_map_change_resets_view(spark, tmp_path):
+    """store.json pins the identity a view's materialization was
+    built under: a NEW session defining the view with a changed map
+    resets it (the in-session redefinition contract, now enforced
+    across sessions) instead of silently serving an empty or stale
+    view."""
+    wh = str(tmp_path / "wh")
+    db = MapReduce(spark, wh)
+    db.define("v", path="/d/*.json", map=map_twin, reduce="count",
+              key_schema=["string"])
+    db.index_source("dat://a", [_row("dat://a", "/d/0.json", 1, "x", 1)])
+    assert db.get("v", "x") == {"key": "x", "value": 1}
+    db.close()
+
+    def map_changed(content, meta, emit):
+        obj = json.loads(content)
+        emit(obj["k"] + "!", obj["v"])
+
+    db2 = MapReduce(spark, wh)
+    db2.define("v", path="/d/*.json", map=map_changed, reduce="count",
+               key_schema=["string"])
+    # reset happened: offsets cleared, so a reindex rebuilds under
+    # the NEW map
+    db2.index("dat://a")
+    assert db2.get("v", "x") is None
+    assert db2.get("v", "x!") == {"key": "x!", "value": 1}
+    db2.close()

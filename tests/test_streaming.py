@@ -1044,7 +1044,9 @@ def test_watch_maintenance_composition_under_stream(spark, tmp_path):
     assert store.n_buckets > 2
     assert _bucket_membership_ok(store)
     # history bounded by the vacuum cadence
-    for manifest in g.glob(str(tmp_path / "wh-compose" / "views" / "**" /
+    # warehouse-wide: entries stores live under stores/ (shared, r15)
+    # as well as views/ (reduced + legacy), offsets at the root
+    for manifest in g.glob(str(tmp_path / "wh-compose" / "**" /
                                "_manifest.json"), recursive=True):
         import os
         root = os.path.dirname(manifest)

@@ -4,6 +4,14 @@ views, one availableNow drain) and prints ONE JSON line. Used by
 tools/ab_maintain.py to interleave A/B runs across two commits — the
 streaming twin of tools/ab_bench.py (r13 verdict #6).
 
+PROTOCOL NOTE (r14 verdict #7): this is the A/B PROBE, not the
+headline. Each invocation is a cold process (fresh JVM + session —
+what makes interleaved A/B pairs fair), so its absolute wall runs
+~2-3x bench.py's warm in-process maintain number on identical code.
+Compare maintain_point outputs only against other maintain_point
+outputs (paired, interleaved); the cross-round headline protocol is
+bench.py's.
+
 Run: PYTHONPATH=<tree> python tools/maintain_point.py [n_rows]
 """
 
