@@ -146,6 +146,8 @@ class MapReduce:
         self._missing_origins: set[str] = set()
         self._active_streams: list = []
         self._closed = False
+        # entries_df plan cache: store key -> (ptr version, DataFrame)
+        self._entries_df_cache: dict = {}
         # sweep staged-write orphans: a crash (or an exception that
         # escaped a deferred commit) between a staged pair/onejob
         # write and its commit/cancel leaves a data-sized _merge-*
@@ -533,6 +535,22 @@ class MapReduce:
         vdef = self._view(view)
         base, _ = self._store_paths(vdef)
         ptr = self._entries_ptr_table(view)
+        cache_key = cur_ptr_v = None
+        if origins is None:
+            # POINTER-VERSIONED PLAN CACHE: the ptr table flips on
+            # every entries commit/reset/unindex/rebucket, so its
+            # current version is exactly "has any shard changed".
+            # Serving workloads call entries_df per get()/list();
+            # rebuilding the multi-path relation each time re-lists
+            # every shard dir (the O(files) cost Spark's file index
+            # pays at construction — ~0.45 ms/path driver-side).
+            # Between flips the resolved plan is immutable, so repeat
+            # reads are a dict hit; one rebuild per batch flip.
+            cache_key = (self._store_key(vdef), tuple(vdef.key_types()))
+            cur_ptr_v = ptr._current()
+            hit = self._entries_df_cache.get(cache_key)
+            if hit is not None and hit[0] == cur_ptr_v:
+                return hit[1]
         if ptr.exists():
             rows = ptr.read_rows(origins)
             if origins is not None:
@@ -581,12 +599,16 @@ class MapReduce:
                 self._record_entry_ptrs(view, [o])
             dirs.append(d)
         if not dirs:
-            return empty_df(self.spark, entries_schema(vdef.key_types()))
-        return (
-            self.spark.read.schema(entries_schema(vdef.key_types()))
-            .option("recursiveFileLookup", "true")
-            .parquet(*dirs)
-        )
+            df = empty_df(self.spark, entries_schema(vdef.key_types()))
+        else:
+            df = (
+                self.spark.read.schema(entries_schema(vdef.key_types()))
+                .option("recursiveFileLookup", "true")
+                .parquet(*dirs)
+            )
+        if cache_key is not None:
+            self._entries_df_cache[cache_key] = (cur_ptr_v, df)
+        return df
 
     def reduced_df(self, view: str) -> DataFrame:
         return self._reduced_table(view).read()

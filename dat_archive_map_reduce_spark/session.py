@@ -49,6 +49,13 @@ def get_spark(app_name: str = "dat_archive_map_reduce_spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # multi-path reads (entries_df resolves one snapshot dir per
+        # origin shard) list 4x faster on the driver's parallel lister
+        # than through the default listing JOB below ~10k paths
+        # (measured r15: 1.8 s -> 0.46 s at 1,024 shard dirs); beyond
+        # that a distributed listing job genuinely wins, so the
+        # threshold is the crossover, not infinity
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # long-lived sessions accumulate unreferenced localCheckpoint /

@@ -383,3 +383,24 @@ def test_cross_session_map_change_resets_view(spark, tmp_path):
     assert db2.get("v", "x") is None
     assert db2.get("v", "x!") == {"key": "x!", "value": 1}
     db2.close()
+
+
+def test_entries_df_plan_cache(spark, tmp_path):
+    """Between pointer flips, repeat entries_df calls return the SAME
+    resolved plan (a dict hit — the serving path pays Spark's file
+    index once per flip, not per get/list); any shard flip
+    invalidates it via the pointer-table version."""
+    db = MapReduce(spark, str(tmp_path / "wh"))
+    db.define("m", path="/d/*.json", map=map_kv, key_schema=["string"])
+    db.index_source("dat://a", [_row("dat://a", "/d/0.json", 1, "a", 1)])
+    df1 = db.entries_df("m")
+    assert db.entries_df("m") is df1
+    db.index_source("dat://a", [_row("dat://a", "/d/1.json", 2, "b", 2)])
+    df3 = db.entries_df("m")
+    assert df3 is not df1
+    assert sorted(
+        r["key_json"] for r in df3.select("key_json").collect()
+    ) == ['"a"', '"b"']
+    # explicit-origin reads bypass the cache (different path set)
+    assert db.entries_df("m", ["dat://a"]) is not df3
+    db.close()
