@@ -140,6 +140,21 @@ def _bench_streaming(spark) -> dict:
             q = _watch(db, on_batch=lambda bid, n: n_batches.append(bid))
             q.awaitTermination()
             wall = time.perf_counter() - t0
+            if n_rows == 8192:
+                # the two views share (path, map, key schema), so they
+                # share ONE entries store (r15) — these bytes would
+                # double under the per-view layout
+                eb = 0
+                for dp, _dn, fs in os.walk(f"{db.warehouse}/stores"):
+                    eb += sum(
+                        os.path.getsize(f"{dp}/{f}")
+                        for f in fs
+                        if f.endswith(".parquet")
+                    )
+                out["maintain_entries_store_bytes"] = eb
+                out["maintain_entries_stores"] = len(
+                    os.listdir(f"{db.warehouse}/stores")
+                )
             db.close()
             curve.append(
                 {

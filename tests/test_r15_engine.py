@@ -404,3 +404,53 @@ def test_entries_df_plan_cache(spark, tmp_path):
     # explicit-origin reads bypass the cache (different path set)
     assert db.entries_df("m", ["dat://a"]) is not df3
     db.close()
+
+
+def test_twin_store_bytes_halved_vs_private(spark, tmp_path):
+    """The shared store's on-disk entry bytes for a twin pair are
+    ~half the bytes two PRIVATE stores hold for identical data (the
+    r14 verdict #5 done-criterion, pinned executable)."""
+
+    def _entry_bytes(wh):
+        total = 0
+        for base in (f"{wh}/stores", f"{wh}/views"):
+            for dp, _dn, fs in os.walk(base):
+                if "/entries" in dp or "/stores/" in dp:
+                    total += sum(
+                        os.path.getsize(f"{dp}/{f}")
+                        for f in fs
+                        if f.endswith(".parquet")
+                    )
+        return total
+
+    rows = [
+        _row("dat://a", f"/d/{i}.json", 1, f"k{i % 37}", i)
+        for i in range(400)
+    ]
+    shared = MapReduce(spark, str(tmp_path / "wh-shared"))
+    shared.define("m", path="/d/*.json", map=map_twin,
+                  key_schema=["string"])
+    shared.define("c", path="/d/*.json", map=map_twin, reduce="count",
+                  key_schema=["string"])
+    shared.index_source("dat://a", rows)
+    shared.close()
+
+    def mk(tag):
+        # closure -> unprovable identity -> private store per view
+        def f(content, meta, emit):
+            obj = json.loads(content)
+            emit(obj["k"], obj["v"] + 0 * len(tag))
+        return f
+
+    private = MapReduce(spark, str(tmp_path / "wh-private"))
+    private.define("m", path="/d/*.json", map=mk("m"),
+                   key_schema=["string"])
+    private.define("c", path="/d/*.json", map=mk("c"), reduce="count",
+                   key_schema=["string"])
+    private.index_source("dat://a", rows)
+    private.close()
+
+    sb = _entry_bytes(str(tmp_path / "wh-shared"))
+    pb = _entry_bytes(str(tmp_path / "wh-private"))
+    assert sb > 0 and pb > 0
+    assert sb < 0.65 * pb, (sb, pb)
