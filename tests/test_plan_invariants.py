@@ -385,7 +385,11 @@ FORCED_BROADCAST_SITES = {
     # 256-row hashed-feature model (bounded by the hash space — the
     # DSIR design point), corpus_doremi_step's domain-count table and
     # 1-row (pooled total, vocab) totals and 1-row softmax normalizer
-    "queries.py": 103,
+    # 107 = + r15: corpus_rho_select's 1-row split totals and 256-row
+    # hashed log-ratio model, corpus_datamodel_attrib's 1-row (n, sy)
+    # global stats and 256-row beta table (both bounded by the md5
+    # first-2-hex feature space, the DSIR design point)
+    "queries.py": 107,
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
