@@ -34,34 +34,59 @@ from pyspark.sql import functions as F
 _BUCKET, _CNT, _OFF, _TOTAL = "__gr_bucket", "__gr_cnt", "__gr_off", "__gr_total"
 
 
-def _range_bounds(
+_BOUNDS = "__gr_bounds"
+
+
+def _tag_range_buckets(
     df: DataFrame,
     order_col: str,
     num_buckets: int | None,
     quantile_err: float,
-) -> "list[float]":
-    """Deterministic range cut-points on ``order_col`` via the
-    mergeable Greenwald-Khanna approxQuantile sketch — shared by every
-    bucketed-window operator in this module so the bucketing contract
-    (pure value function of the row, equal values share a bucket)
-    lives in exactly one place."""
+    *,
+    descending: bool = False,
+) -> DataFrame:
+    """Add ``_BUCKET`` = monotone range-bucket id of ``order_col``
+    (bucket 0 sorts first; equal values always share a bucket) — the
+    bucketing contract of every distributed-window operator in this
+    module, in exactly one place.
+
+    The cut-points are computed IN-PLAN: one ``percentile_approx``
+    aggregate over ``order_col`` folds to a single sorted-distinct
+    array<double> row that broadcast-joins onto the scan. The r15
+    optimization pass replaced the previous driver-side
+    ``df.stat.approxQuantile`` call here because that was a SEPARATE
+    Spark action per rank/cumsum/ntile call — at 100 TB a whole extra
+    pass over the fact lineage (and locally one extra job wave) just
+    to learn the cut-points, re-paying every upstream scan/shuffle
+    the main plan pays. In-plan bounds share the input's exchanges
+    with the main plan (one pass when the input is cached or its
+    exchange is reused), and ANY monotone cut-point set yields the
+    identical exact rank/prefix output, so the sketch swap
+    (Greenwald-Khanna -> percentile_approx t-digest-style buckets)
+    cannot change results — only the intermediate bucket shapes.
+    """
     spark = df.sparkSession
     n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    return sorted(set(df.stat.approxQuantile(order_col, fracs, quantile_err)))
-
-
-def _bucket_expr(
-    order_col: str, bounds: "list[float]", *, descending: bool = False
-) -> Column:
-    """Monotone bucket id in the scan order: bucket 0 holds the rows
-    that sort first; equal values always land in the same bucket."""
+    accuracy = max(100, int(round(1.0 / quantile_err)))
+    bounds = df.agg(
+        F.array_sort(
+            F.array_distinct(
+                F.percentile_approx(
+                    F.col(order_col).cast("double"),
+                    F.array(*[F.lit(f) for f in fracs]),
+                    F.lit(accuracy),
+                )
+            )
+        ).alias(_BOUNDS)
+    )
     c = F.col(order_col)
-    bucket = F.lit(0)
-    for b in bounds:
-        hit = (c < F.lit(b)) if descending else (c > F.lit(b))
-        bucket = bucket + F.when(hit, F.lit(1)).otherwise(F.lit(0))
-    return bucket
+    hit = (lambda b: c < b) if descending else (lambda b: c > b)
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(_BUCKET, F.size(F.filter(F.col(_BOUNDS), hit)))
+        .drop(_BOUNDS)
+    )
 
 
 def exact_global_rank(
@@ -81,9 +106,8 @@ def exact_global_rank(
     deterministic. Also leaves the ``__gr_total`` column (row count of
     ``df``) for downstream position math.
     """
-    bounds = _range_bounds(df, order_col, num_buckets, quantile_err)
-    tagged = df.withColumn(
-        _BUCKET, _bucket_expr(order_col, bounds, descending=descending)
+    tagged = _tag_range_buckets(
+        df, order_col, num_buckets, quantile_err, descending=descending
     )
 
     counts = tagged.groupBy(_BUCKET).agg(F.count(F.lit(1)).alias(_CNT))
@@ -183,8 +207,7 @@ def exact_global_cumsum(
         raise ValueError(
             f"value_col/cumsum_col length mismatch: {value_cols} vs {out_cols}"
         )
-    bounds = _range_bounds(df, order_col, num_buckets, quantile_err)
-    tagged = df.withColumn(_BUCKET, _bucket_expr(order_col, bounds))
+    tagged = _tag_range_buckets(df, order_col, num_buckets, quantile_err)
 
     sums = tagged.groupBy(_BUCKET).agg(
         *[F.sum(vc).alias(f"{_CNT}{i}") for i, vc in enumerate(value_cols)]
@@ -254,9 +277,8 @@ def skyline_2d(
     The per-x table joins back on x, which also carries m_eq. No
     self-join (the naive dominance anti-join is O(n^2)), nothing
     corpus-sized single-partitions."""
-    bounds = _range_bounds(df, x_col, num_buckets, quantile_err)
     x, y = F.col(x_col), F.col(y_col)
-    tagged = df.withColumn(_BUCKET, _bucket_expr(x_col, bounds))
+    tagged = _tag_range_buckets(df, x_col, num_buckets, quantile_err)
 
     # per-distinct-x maxima: x is unique per row here, so a ROWS
     # suffix frame is exactly "strictly greater x" within the bucket

@@ -1772,7 +1772,6 @@ def kcenter_select(
     traffic is ONE winner row per round (the BPE merge-winner
     precedent: inherent to greedy iteration, bounded by k).
     """
-    spark = embeddings_df.sparkSession
     # persist the projected/cast input for the k-1 rounds: every
     # round re-scans the full table for its distance pass, and
     # without the cache each scan repays parquet read + f32->f64
@@ -1781,6 +1780,7 @@ def kcenter_select(
     e = embeddings_df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     ).persist()
+    caches = [e]
     try:
         first = e.filter(F.col("vid") == start_id).first()
         if first is None:
@@ -1789,20 +1789,40 @@ def kcenter_select(
                 f"{id_col} — pass an existing row id"
             )
         chosen: "list[tuple[int, int, float]]" = [(0, int(first["vid"]), 0.0)]
-        vecs = [list(first["v"])]
-        for r in range(1, k):
-            cents = spark.createDataFrame(
-                [(j, vecs[j]) for j in range(len(vecs))],
-                "cid int, centroid array<double>",
+
+        def dist_to(vec: "list[float]") -> Column:
+            # the newest prototype as a bounded literal array (one
+            # 64-dim vector — the PQ-codebook-literal precedent), fed
+            # to the SAME ordered-fold sqdist every other selection
+            # path uses, so each individual distance is bit-identical
+            # to the full-codebook form
+            return sqdist(
+                F.col("v"), F.array(*[F.lit(float(x)) for x in vec])
             )
+
+        # INCREMENTAL farthest-point state (r15): carry each point's
+        # min squared distance to the chosen set and fold in ONLY the
+        # newest prototype per round — min(min(d_0..d_{r-1}), d_r) is
+        # exactly min(d_0..d_r) (float min is exact), so the carried
+        # mindist equals the full recompute the previous form paid
+        # (O(k^2 n) distances + a codebook-fold broadcast job per
+        # round -> O(k n) distances, no codebook stage at all).
+        cur = e.select("vid", "v", dist_to(list(first["v"])).alias("mindist"))
+        for r in range(1, k):
+            cur = cur.persist()
+            caches.append(cur)
             far = (
-                nearest_centroid_join(e, cents, id_col="vid", vec_col="v")
-                .orderBy(F.desc("mindist"), F.asc("vid"))
+                cur.orderBy(F.desc("mindist"), F.asc("vid"))
                 .select(
                     "vid", "v", "mindist", F.round("mindist", 6).alias("radius_sq")
                 )
                 .first()
             )
+            # the TakeOrdered action above materialized every
+            # partition of the new state; the previous round's copy
+            # (and after round 1 the raw input) is dead — release it
+            # so the carried state is one table, not k
+            caches.pop(-2).unpersist()
             # stop on the UNROUNDED distance: near-duplicate points within
             # the 6dp reporting quantum must not abort selection early
             if float(far["mindist"]) == 0.0:
@@ -1811,10 +1831,15 @@ def kcenter_select(
                 # of padding the coreset with duplicate prototypes
                 break
             chosen.append((r, int(far["vid"]), float(far["radius_sq"])))
-            vecs.append(list(far["v"]))
+            cur = cur.select(
+                "vid",
+                "v",
+                F.least("mindist", dist_to(list(far["v"]))).alias("mindist"),
+            )
         return chosen
     finally:
-        e.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def quantize_embeddings_int8(

@@ -1371,6 +1371,51 @@ def pii_redact(
     return docs.select(*out_cols, *counts, clean.alias("text_clean"))
 
 
+def hashed_unigram_feats(
+    docs: DataFrame,
+    label_col: "str | None" = None,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hashed-unigram feature table shared by logreg train AND
+    serve: (doc[, y], bucket, x) where token -> md5 bucket in
+    [0, n_buckets), x = in-doc count / token count, plus the constant
+    bias feature at bucket -1. Factored out (r15) so a
+    train-then-score pipeline (corpus_classifier_calibration)
+    featurizes the corpus ONCE — the tokenize/hash/explode pass is
+    the dominant corpus-sized work on both paths, and the scoring
+    feature values are definitionally the training ones."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    label = (
+        [F.col(label_col).cast("double").alias("y")] if label_col else []
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc"), *label, toks.alias("t")
+    ).withColumn("n_tok", F.greatest(F.size("t"), F.lit(1)))
+    keys = ["doc", "y"] if label_col else ["doc"]
+    return (
+        base.select(*keys, "n_tok", F.explode("t").alias("tok"))
+        .withColumn(
+            "bucket",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
+                % n_buckets
+            ).cast("int"),
+        )
+        .groupBy(*keys, "n_tok", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *keys, "bucket", (F.col("cnt") / F.col("n_tok")).alias("x")
+        )
+        .unionByName(
+            base.select(
+                *keys, F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")
+            )
+        )
+    )
+
+
 def logreg_train_hashed(
     docs: DataFrame,
     label_col: str,
@@ -1379,6 +1424,7 @@ def logreg_train_hashed(
     n_rounds: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: "DataFrame | None" = None,
 ) -> DataFrame:
     """Distributed batch-gradient-descent training of a hashed-feature
     logistic-regression quality classifier — the classifier-based
@@ -1407,33 +1453,12 @@ def logreg_train_hashed(
     round is closed-form. Returns the final (bucket, weight) table,
     bias at bucket -1.
     """
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select(
-        F.col(id_col).alias("doc"),
-        F.col(label_col).cast("double").alias("y"),
-        toks.alias("t"),
-    ).withColumn("n_tok", F.greatest(F.size("t"), F.lit(1)))
-    feats = (
-        base.select("doc", "y", "n_tok", F.explode("t").alias("tok"))
-        .withColumn(
-            "bucket",
-            (
-                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
-                % n_buckets
-            ).cast("int"),
-        )
-        .groupBy("doc", "y", "n_tok", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "doc", "y", "bucket", (F.col("cnt") / F.col("n_tok")).alias("x")
-        )
-        .unionByName(
-            base.select(
-                "doc", "y", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")
-            )
-        )
-        .persist()
-    )
+    owns_feats = feats is None
+    if owns_feats:
+        feats = hashed_unigram_feats(
+            docs, label_col, n_buckets=n_buckets,
+            text_col=text_col, id_col=id_col,
+        ).persist()
     n_docs = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n_docs")))
     spark = docs.sparkSession
     weights = spark.range(-1, n_buckets).select(
@@ -1470,7 +1495,8 @@ def logreg_train_hashed(
             )
             .localCheckpoint(eager=False)
         )
-    feats.unpersist()
+    if owns_feats:
+        feats.unpersist()
     return weights
 
 
@@ -1480,30 +1506,19 @@ def logreg_score(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: "DataFrame | None" = None,
 ) -> DataFrame:
     """Serve a trained hashed-feature logistic model: per document the
     sigmoid quality score from the broadcast (bucket, w) table — one
-    (doc, bucket) aggregation plus a broadcast join, no driver state."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
-    base = docs.select(
-        F.col(id_col).alias("doc"), toks.alias("t")
-    ).withColumn("n_tok", F.greatest(F.size("t"), F.lit(1)))
-    feats = (
-        base.select("doc", "n_tok", F.explode("t").alias("tok"))
-        .withColumn(
-            "bucket",
-            (
-                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
-                % n_buckets
-            ).cast("int"),
+    (doc, bucket) aggregation plus a broadcast join, no driver state.
+    Pass ``feats`` (a cached hashed_unigram_feats table — extra
+    columns like the training label are ignored) to skip re-running
+    the corpus featurization pass."""
+    if feats is None:
+        feats = hashed_unigram_feats(
+            docs, None, n_buckets=n_buckets, text_col=text_col, id_col=id_col
         )
-        .groupBy("doc", "n_tok", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("doc", "bucket", (F.col("cnt") / F.col("n_tok")).alias("x"))
-        .unionByName(
-            base.select("doc", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x"))
-        )
-    )
+    feats = feats.select("doc", "bucket", "x")
     return (
         feats.join(F.broadcast(weights), "bucket", "left")
         .groupBy("doc")

@@ -8743,6 +8743,7 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         exact_global_rank,
     )
     from dat_archive_map_reduce_spark.operators.text import (
+        hashed_unigram_feats,
         logreg_score,
         logreg_train_hashed,
     )
@@ -8750,8 +8751,13 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     d = _t(spark, sf_dir, "documents").withColumn(
         "y", (F.col("lang") == "en").cast("double")
     )
-    w = logreg_train_hashed(d, "y", n_buckets=64, lr=4.0, n_rounds=2)
-    scored = logreg_score(d, w, n_buckets=64)
+    # featurize ONCE (r15): training's 2 gradient rounds and the
+    # scoring pass read the same cached (doc, y, bucket, x) table —
+    # previously scoring re-ran the whole tokenize/hash/explode
+    # featurization a second time
+    feats = hashed_unigram_feats(d, "y", n_buckets=64).persist()
+    w = logreg_train_hashed(d, "y", n_buckets=64, lr=4.0, n_rounds=2, feats=feats)
+    scored = logreg_score(d, w, n_buckets=64, feats=feats)
     p6 = F.round("score", 6)
     # rank_key assumes doc_id < 1e10 (composite order key; the oracle
     # shares the formula). persist: exact_global_rank's approxQuantile
@@ -8783,6 +8789,7 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg("y"), 6).alias("pos_rate"),
         ),
         joined,
+        feats,
     )
 
 
@@ -10056,19 +10063,23 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    tiled = exact_global_ntile(
+    # each ntile level PERSISTS (r15): level N feeds level N+1's
+    # bounds branch, bucket counts, and in-bucket window — uncached,
+    # the three chained levels re-ran each other's whole window plan
+    # once per branch (measured 41 jobs; 3 cached levels -> 15)
+    t1 = exact_global_ntile(
         users, "rec_days", 5, tie_breakers=[F.asc("user_id")], tile_col="r_tile"
-    )
-    tiled = exact_global_ntile(
-        tiled,
+    ).persist()
+    t2 = exact_global_ntile(
+        t1,
         "freq",
         5,
         descending=True,
         tie_breakers=[F.asc("user_id")],
         tile_col="f_tile",
-    )
+    ).persist()
     tiled = exact_global_ntile(
-        tiled,
+        t2,
         "mon",
         5,
         descending=True,
@@ -10090,7 +10101,7 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dat_archive_map_reduce_spark.operators._util import eager_release
 
-    return eager_release(out, users)
+    return eager_release(out, users, t1, t2)
 
 
 # =====================================================================
@@ -10682,20 +10693,31 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median and the outlier count both derive from the per-value
     # count table, which is distinct-value grain — the previous
     # formulation re-scanned the events-sized deviation table for the
-    # second median (r10 bench: 4.2s -> this shape)
-    vc = ev.groupBy(F.col("value").alias("x")).agg(F.count(F.lit(1)).alias("c"))
+    # second median (r10 bench: 4.2s -> this shape). Both count
+    # tables PERSIST (r15): each feeds the cumsum prefix, a median
+    # broadcast, and the final rollup — without the cache every one
+    # of those branches re-scans the events fact table through the
+    # same groupBy (5 fact passes measured; with it, exactly one)
+    vc = (
+        ev.groupBy(F.col("value").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
     med = lower_median_counts(vc)
     dc = (
         vc.crossJoin(F.broadcast(med))
         .groupBy(F.abs(F.col("x") - F.col("m")).alias("x"))
         .agg(F.sum("c").alias("c"))
+        .persist()
     )
     mad = lower_median_counts(dc, tot=med.select("n")).select(
         F.col("m").alias("mad")
     )
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     # sums/coalesce (not bare first): on an empty or all-NULL value
     # column the oracle's count(*) forms return 0, not NULL
-    return (
+    return eager_release(
         dc.crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(mad))
         .agg(
@@ -10706,7 +10728,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("x") > 3 * F.col("mad"), F.col("c")).otherwise(0)),
                 F.lit(0),
             ).cast("long").alias("n_outliers"),
-        )
+        ),
+        vc,
+        dc,
     )
 
 
@@ -16171,8 +16195,16 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dat_archive_map_reduce_spark.operators.text import bigram_lm_scores
 
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     d = _t(spark, sf_dir, "documents")
-    xent = bigram_lm_scores(d, "text", "doc_id").select("doc_id", "xent")
+    # persist (r15): the per-doc scores feed the rank's bounds branch,
+    # the per-bucket counts, and the in-bucket window — uncached, each
+    # branch re-runs the whole bigram-LM scoring plan (tokenize +
+    # bigram joins), the query's dominant cost
+    xent = (
+        bigram_lm_scores(d, "text", "doc_id").select("doc_id", "xent").persist()
+    )
     ranked = exact_global_rank(
         xent, "xent", tie_breakers=[F.col("doc_id")], pos_col="pos"
     )
@@ -16182,7 +16214,7 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = ranked.select(
         "doc_id", "xent", nt.alias("nt")
     ).join(d.select("doc_id", "lang"), "doc_id")
-    return (
+    return eager_release(
         bucketed.groupBy("nt", "lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -16207,7 +16239,8 @@ def text_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nt",
         )
         .orderBy("nt", "lang")
-        .drop("nt")
+        .drop("nt"),
+        xent,
     )
 
 

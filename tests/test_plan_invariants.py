@@ -393,7 +393,9 @@ FORCED_BROADCAST_SITES = {
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
-    "operators/ranking.py": 4,
+    # 5 = + r15: _tag_range_buckets' 1-row in-plan percentile_approx
+    # bounds aggregate (replaces the driver-side approxQuantile action)
+    "operators/ranking.py": 5,
     "operators/similarity.py": 14,
     # 8 = the per-origin merge's two batch-bounded affected_urls
     # broadcasts + the r12 one-job merge's identical pair + the
