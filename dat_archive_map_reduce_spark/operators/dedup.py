@@ -91,7 +91,12 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    # fan_out (r15): a single-split parquet input would tokenize and
+    # shuffle-write the whole corpus from one task (no-op when the
+    # scan already has >= parallelism splits)
+    toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
     )
@@ -887,7 +892,12 @@ def span_postings(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    # fan_out (r15): a single-split parquet input would tokenize and
+    # shuffle-write the whole corpus from one task (no-op when the
+    # scan already has >= parallelism splits)
+    toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
     )

@@ -220,8 +220,14 @@ def cross_containment_pairs(
             return truncated_shingle_fps(text_col, n, fp_hex_chars)
         return rolling_shingle_fingerprints(text_col, n)
 
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    # fan_out (r15): the md5-shingle projections are the operator's
+    # dominant compute; a single-split parquet input runs them on one
+    # core (no-op when the scan already has >= parallelism splits)
     p = (
-        probe.select(
+        fan_out(probe.select(id_col, text_col))
+        .select(
             F.col(id_col).alias("probe_id"),
             fps_expr().alias("fps"),
         )
@@ -233,7 +239,8 @@ def cross_containment_pairs(
         .filter(F.col("fp").isNotNull())
     )
     c = (
-        corpus.select(
+        fan_out(corpus.select(id_col, text_col))
+        .select(
             F.col(id_col).alias("corpus_id"),
             fps_expr().alias("fps"),
         )
@@ -643,7 +650,11 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    # fan_out (r15): single-split inputs would tokenize the corpus on
+    # one task (no-op when the scan has >= parallelism splits)
+    toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "a"),
     )
@@ -714,8 +725,13 @@ def dsir_weights(
         # (or empty text) produce — they would hash to the md5('')
         # bucket and count as real feature mass in n_tokens and the
         # score (the bpe paths apply the same filter).
+        from dat_archive_map_reduce_spark.operators._util import fan_out
+
+        # fan_out (r15): tokenize+md5 is the corpus-sized compute; a
+        # single-split input runs it on one task
         return (
-            df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("ts"))
+            fan_out(df.select(id_col, text_col))
+            .select(F.col(id_col).alias("doc"), tokens(text_col).alias("ts"))
             .select("doc", F.explode_outer("ts").alias("tok"))
             .filter(F.col("tok").isNotNull() & (F.length("tok") > 0))
             .select("doc", F.substring(F.md5("tok"), 1, 2).alias("bucket"))
@@ -1296,7 +1312,13 @@ def line_boilerplate_dedup(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col), lines_expr.alias("lines"))
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    # fan_out (r15): line segmentation + the hot-set rewrite are the
+    # corpus-sized compute; single-split inputs run them on one task
+    base = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col), lines_expr.alias("lines")
+    )
     total = docs.agg(F.count(F.lit(1)).alias("total"))
     # distinct docs per line == plain count after per-doc array_distinct:
     # the shuffle then carries (line, partial count) rows with full
@@ -1386,12 +1408,21 @@ def hashed_unigram_feats(
     featurizes the corpus ONCE — the tokenize/hash/explode pass is
     the dominant corpus-sized work on both paths, and the scoring
     feature values are definitionally the training ones."""
-    toks = F.split(F.lower(F.col(text_col)), " ")
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
     label = (
         [F.col(label_col).cast("double").alias("y")] if label_col else []
     )
-    base = docs.select(
-        F.col(id_col).alias("doc"), *label, toks.alias("t")
+    # fan_out (r15): the tokenize/hash/explode featurization is the
+    # corpus-sized work; a single-split input runs it on one task
+    base = fan_out(
+        docs.select(
+            F.col(id_col).alias("doc"), *label, F.col(text_col).alias("__t_raw")
+        )
+    ).select(
+        "doc",
+        *(["y"] if label_col else []),
+        F.split(F.lower(F.col("__t_raw")), " ").alias("t"),
     ).withColumn("n_tok", F.greatest(F.size("t"), F.lit(1)))
     keys = ["doc", "y"] if label_col else ["doc"]
     return (
@@ -1717,13 +1748,15 @@ def cdc_chunk_stats(
     hash. No pair explosion anywhere: hot chunks only ever carry
     their COUNT.
     """
-    from dat_archive_map_reduce_spark.operators._util import eager_release
+    from dat_archive_map_reduce_spark.operators._util import eager_release, fan_out
 
     # the chunking projection (one md5 per rolling gram + one per
     # chunk, the operator's dominant compute) feeds BOTH the instance
     # explode and the distinct-doc hash counts; persist it so Catalyst
-    # does not re-chunk the corpus for the second branch
-    base = df.select(
+    # does not re-chunk the corpus for the second branch. fan_out
+    # (r15): a single-split parquet input would run that md5 pass on
+    # ONE core; no-op when the scan already has >= parallelism splits
+    base = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col),
         cdc_chunk_structs(text_col, gram, boundary_below).alias("chunks"),
     ).persist()
@@ -1776,8 +1809,11 @@ def source_drift_kl(
     """
     import math
 
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
     buckets = (
-        docs.select(
+        fan_out(docs.select(source_col, text_col))
+        .select(
             F.col(source_col).alias("src"), tokens(text_col).alias("ts")
         )
         .select("src", F.explode_outer("ts").alias("tok"))
@@ -1861,7 +1897,9 @@ def rake_keyphrases(
     TakeOrderedAndProject."""
     from pyspark.sql import Window
 
-    toks = df.select(
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
+    toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.posexplode(tokens(text_col)).alias("pos", "w"),
     ).filter(F.length("w") > 0)

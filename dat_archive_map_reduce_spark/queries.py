@@ -2487,6 +2487,7 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate to 64 bits (16 hex chars) before the shuffle — identity
     is all the bucket join needs; dedup applies AFTER truncation on
     both sides (the text_ngram_novelty prefix-collision lesson)."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
     from dat_archive_map_reduce_spark.operators.dedup import (
         inverted_index_pair_counts,
     )
@@ -2495,9 +2496,14 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # alias-then-explode_outer: the inline generator's inferred filter
     # re-evaluates the md5-shingle array per row (see
-    # cross_containment_pairs)
+    # cross_containment_pairs). fan_out (r15): the md5-shingle
+    # projection is the query's dominant compute and a single-split
+    # parquet input would run it on ONE core (measured 1.85 s serial
+    # of a 3.2 s query); at real scale the input has thousands of
+    # splits and the repartition is a no-op.
     fp = (
-        d.select(
+        fan_out(d.select("doc_id", "text"))
+        .select(
             F.col("doc_id").alias("doc"),
             truncated_shingle_fps("text", n=5).alias("fps"),
         )
@@ -7279,8 +7285,12 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates against the tiny sketch. The exact side here exists
     for the report; the no-full-vocab-shuffle production path is the
     Misra-Gries pair (text_heavy_hitters_scalable)."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    # fan_out (r15): the 4-hash-per-token CMS projection below is the
+    # dominant compute; a single-split input runs it on one task
+    toks = fan_out(d.select("text")).select(
         F.explode(F.split(F.lower("text"), " ")).alias("tok")
     ).filter(F.length("tok") >= 3)
 
@@ -7460,14 +7470,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — attribution only needs identity, and half the key
     bytes is half the cache/shuffle volume. Never a pair explosion;
     cost linear in corpus fingerprint volume."""
-    from dat_archive_map_reduce_spark.operators._util import eager_release
+    from dat_archive_map_reduce_spark.operators._util import eager_release, fan_out
     from dat_archive_map_reduce_spark.operators.text import (
         truncated_shingle_fps,
     )
 
     d = _t(spark, sf_dir, "documents")
     fp = (
-        d.select(
+        fan_out(d.select("doc_id", "text"))
+        .select(
             "doc_id",
             # distinct applied AFTER truncation (mirroring the
             # oracle's list_distinct over the substr'd list): the
@@ -10952,6 +10963,8 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     side of the plan, never a vocabulary; all algebra is <= 3k-row
     metadata. Exactness pytest pins the estimates within 15% of the
     true counts at sf0.01."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
     k = 256
     d = _t(spark, sf_dir, "documents")
 
@@ -10972,9 +10985,11 @@ def sketch_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        shingles = d.filter(F.col("lang") == lang).select(
-            F.explode(sh).alias("sh")
-        )
+        # fan_out (r15): the shingle+md5 projection is the dominant
+        # compute and a single-split input runs it on one task
+        shingles = fan_out(
+            d.filter(F.col("lang") == lang).select("text")
+        ).select(F.explode(sh).alias("sh"))
         return (
             shingles.select(F.md5("sh").alias("h")).distinct().orderBy("h").limit(k)
         )
@@ -12347,14 +12362,21 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio are BIGINT-exact; one ln per surviving pair rounds at 6dp
     (the psi/zipf libm recipe); ranking on the rounded PMI with
     (wa, wb) tiebreak plans as TakeOrderedAndProject."""
+    from dat_archive_map_reduce_spark.operators._util import eager_release, fan_out
+
     docs = _t(spark, sf_dir, "documents")
+    # fan_out + persist (r15): the regex tokenization feeds the doc
+    # count, the vocab top-k, and the co-occurrence join — uncached it
+    # re-runs per branch, and a single-split input runs it on one task
     dw = (
-        docs.select(
+        fan_out(docs.select("doc_id", "text"))
+        .select(
             "doc_id",
             F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
         )
         .filter((F.length("w") >= 3) & (F.length("w") <= 24))
         .distinct()
+        .persist()
     )
     nd = dw.agg(F.count_distinct("doc_id").alias("n"))
     vocab = (
@@ -12380,11 +12402,12 @@ def text_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return (
+    return eager_release(
         co.crossJoin(F.broadcast(nd))
         .select("wa", "wb", "nab", "na", "nb", pmi.alias("pmi"))
         .orderBy(F.desc("pmi"), "wa", "wb")
-        .limit(20)
+        .limit(20),
+        dw,
     )
 
 
@@ -16307,9 +16330,14 @@ def corpus_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is a broadcast hash join + map-side per-doc agg; top-k
     via TakeOrderedAndProject. RHO with real LMs swaps the proxy for
     per-doc loss columns; the selection plan is unchanged."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
     d = _t(spark, sf_dir, "documents")
+    # fan_out (r15): tokenize+md5 is the corpus-sized compute; a
+    # single-split input runs it on one task
     toks = (
-        d.select(
+        fan_out(d.select("doc_id", "text"))
+        .select(
             "doc_id",
             (
                 F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
@@ -16321,6 +16349,7 @@ def corpus_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "hold", F.substring(F.md5("tok"), 1, 2).alias("b")
         )
+        .persist()
     )
     cb = toks.groupBy("b").agg(
         F.sum(F.when(F.col("hold"), 1).otherwise(0)).cast("long").alias("ch"),
@@ -16337,7 +16366,9 @@ def corpus_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("ct") + 1.0) / (F.col("nt") + 256))
         ).alias("w"),
     )
-    return (
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
         toks.filter(~F.col("hold"))
         .join(F.broadcast(lw), "b")
         .groupBy("doc_id")
@@ -16346,7 +16377,8 @@ def corpus_rho_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w") / F.count(F.lit(1)), 4).alias("rho"),
         )
         .orderBy(F.col("rho").desc(), "doc_id")
-        .limit(20)
+        .limit(20),
+        toks,
     )
 
 
@@ -16415,9 +16447,14 @@ def corpus_datamodel_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     however big the corpus — the datamodels trick on hashed
     features); attribution is a broadcast hash join + map-side
     per-doc agg; top-k via TakeOrderedAndProject."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
     d = _t(spark, sf_dir, "documents")
+    # fan_out (r15): tokenize+md5 is the corpus-sized compute; a
+    # single-split input runs it on one task
     xb = (
-        d.select(
+        fan_out(d.select("doc_id", "lang", "text"))
+        .select(
             "doc_id",
             F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
@@ -16425,6 +16462,7 @@ def corpus_datamodel_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok") != "")
         .groupBy("doc_id", "y", F.substring(F.md5("tok"), 1, 2).alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .persist()
     )
     st = xb.groupBy("b").agg(
         F.sum("x").cast("long").alias("sx"),
@@ -16451,7 +16489,9 @@ def corpus_datamodel_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("beta"),
         )
     )
-    return (
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
         xb.join(F.broadcast(beta), "b")
         .groupBy("doc_id")
         .agg(
@@ -16459,7 +16499,8 @@ def corpus_datamodel_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("x") * F.col("beta")), 4).alias("score"),
         )
         .orderBy(F.col("score").desc(), "doc_id")
-        .limit(20)
+        .limit(20),
+        xb,
     )
 
 
