@@ -237,16 +237,24 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     hot_cap: int | None = None,
+    sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold via the
     inverted-index bucket formulation (inverted_index_pair_counts):
     only docs sharing a shingle ever meet, singleton shingles are
     pruned before any pair work, and per-doc set sizes ride along so
     no extra joins are needed. Output: (id_a, id_b, jaccard),
-    id_a < id_b.
+    id_a < id_b. Pass ``sets`` (a cached shingle_sets table) when the
+    caller also feeds the same shingles to another consumer — the
+    shingling pass then runs once, not per consumer.
     """
-    sh = shingle_rows(df, text_col, id_col, n).select(
-        "doc", F.col("shingle").alias("token"), F.col("n_sh").alias("n_tok")
+    src = (
+        sets
+        if sets is not None
+        else shingle_sets(df, text_col, id_col, n)
+    )
+    sh = src.select(
+        "doc", F.explode("sh").alias("token"), F.col("n_sh").alias("n_tok")
     )
     return (
         inverted_index_pair_counts(sh, hot_cap=hot_cap)

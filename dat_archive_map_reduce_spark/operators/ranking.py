@@ -349,19 +349,27 @@ def peak_concurrency(spans: DataFrame, s_col: str = "s", e_col: str = "e") -> Da
     bucketed distributed running sum — never a single-partition
     window over the boundary table. Shared by events_max_concurrency
     and its brute-force property test."""
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     bounds = spans.select(
         (F.col(s_col) * 2 + 1).alias("k"), F.lit(1).alias("delta")
     ).union(spans.select(F.col(e_col) * 2, F.lit(-1)))
-    per_key = bounds.groupBy("k").agg(F.sum("delta").alias("d"))
+    # persist (r15): the per-key delta table feeds the cumsum's
+    # bounds/sums/tagged branches and the running sum feeds the peak
+    # scalar AND the argmin filter — uncached, the fact-table sweep
+    # re-ran once per branch. The 1-row result eager-releases both.
+    per_key = bounds.groupBy("k").agg(F.sum("delta").alias("d")).persist()
     run = exact_global_cumsum(per_key, "k", "d", cumsum_col="cum_before").select(
         "k", (F.col("cum_before") + F.col("d")).alias("cum")
-    )
+    ).persist()
     peak = run.agg(F.max("cum").alias("mx"))
-    return (
+    return eager_release(
         run.crossJoin(F.broadcast(peak))
         .filter(F.col("cum") == F.col("mx"))
         .agg(
             F.first(F.col("mx")).cast("long").alias("max_concurrent"),
             F.floor(F.min("k") / 2).cast("long").alias("peak_at"),
-        )
+        ),
+        per_key,
+        run,
     )

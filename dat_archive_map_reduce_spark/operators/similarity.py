@@ -696,18 +696,35 @@ def ann_cosine_near_pairs(
     the oracle. Recall vs the exact pair set is asserted in
     tests/test_extensions.py.
     """
-    codes = signbit_chunk_codes(corpus, n_bits, n_chunks, vec_col, id_col)
-    cand = None
-    for c in range(n_chunks):
-        a = codes.select(F.col("id").alias("id_a"), F.col(f"c{c}").alias("code"))
-        b = codes.select(F.col("id").alias("id_b"), F.col(f"c{c}").alias("code"))
-        p = (
-            a.join(b, "code")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    # POSTING-FORM candidate join (r15): explode each row's chunk
+    # codes to (chunk, code) postings and self-join ONCE on the
+    # composite key, instead of one join + union per chunk — same
+    # candidate set (a pair survives iff it shares >= 1 chunk code;
+    # distinct() collapses multi-chunk agreement either way), but
+    # n_chunks joins/exchanges collapse into one. The sign-bit code
+    # projection and the candidate list both PERSIST: codes feeds
+    # both posting sides and cand feeds the id semi-join AND the
+    # final pair semi-join — uncached they re-run per branch.
+    codes = signbit_chunk_codes(corpus, n_bits, n_chunks, vec_col, id_col).persist()
+    post = codes.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("chunk"), F.col(f"c{c}").alias("code"))
+                for c in range(n_chunks)
+            ])
+        ).alias("p"),
+    ).select("id", F.col("p.chunk").alias("chunk"), F.col("p.code").alias("code"))
+    cand = (
+        post.alias("a")
+        .join(post.alias("b"), ["chunk", "code"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .persist()
+    )
     ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))
@@ -715,7 +732,9 @@ def ann_cosine_near_pairs(
     )
     pruned = corpus.join(ids, id_col, "left_semi")
     scored = cosine_near_pairs(pruned, threshold, vec_col, id_col, n_blocks)
-    return scored.join(cand, ["id_a", "id_b"], "left_semi")
+    return eager_release(
+        scored.join(cand, ["id_a", "id_b"], "left_semi"), codes, cand
+    )
 
 
 # ---------------------------------------------------------------------

@@ -9988,14 +9988,21 @@ def dedup_lsh_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_sets,
     )
 
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
     num_perm, bands = 8, 4  # mirrored by the oracle's literal 8/4 SQL
     r = num_perm // bands
     d = _t(spark, sf_dir, "documents")
-    gt = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2, hot_cap=4)
+    # ONE shingling pass (r15): the ground-truth Jaccard pipeline and
+    # the minhash candidate stage consume the same cached shingle sets
+    sets = shingle_sets(d, "text", "doc_id", 3).persist()
+    gt = ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.2, hot_cap=4, sets=sets
+    )
     # raw candidate stage, no exact-verify join — detection is "the
     # pair shared an LSH bucket", which is what the S-curve predicts
     cands = portable_minhash_candidates(
-        shingle_sets(d, "text", "doc_id", 3), num_perm=num_perm, bands=bands
+        sets, num_perm=num_perm, bands=bands
     ).select("id_a", "id_b", F.lit(1).alias("det"))
     # theoretical detection probability 1 - (1 - s^r)^b, exponents
     # DERIVED from the banding config above; repeated multiplication
@@ -10015,13 +10022,16 @@ def dedup_lsh_scurve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) - q_b).alias("p_detect"),
         )
     )
-    return marked.groupBy(
-        F.floor(F.col("s") * 10).cast("bigint").alias("sim_decile")
-    ).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("det").cast("bigint").alias("n_detected"),
-        F.round(F.sum("det") / F.count(F.lit(1)), 4).alias("recall"),
-        F.round(F.avg("p_detect"), 4).alias("expected_recall"),
+    return eager_release(
+        marked.groupBy(
+            F.floor(F.col("s") * 10).cast("bigint").alias("sim_decile")
+        ).agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("det").cast("bigint").alias("n_detected"),
+            F.round(F.sum("det") / F.count(F.lit(1)), 4).alias("recall"),
+            F.round(F.avg("p_detect"), 4).alias("expected_recall"),
+        ),
+        sets,
     )
 
 
@@ -11612,9 +11622,12 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Counts are BIGINT-exact; each ratio is one fixed double division
     both engines evaluate identically."""
     li = _t(spark, sf_dir, "lineitem")
+    # persist (r15): the distinct item-per-order table feeds three
+    # branches (order total, item marginals, baskets) — uncached, the
+    # fact scan + distinct shuffle re-ran per branch
     items = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    ).distinct().persist()
     n_orders = items.agg(F.countDistinct("o").alias("total"))
     item_n = items.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     baskets = items.groupBy("o").agg(F.array_sort(F.collect_list("p")).alias("ps"))
@@ -11665,7 +11678,11 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    return scored.orderBy(F.desc("lift"), "pa", "pb").limit(20)
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        scored.orderBy(F.desc("lift"), "pa", "pb").limit(20), items
+    )
 
 
 @query(
@@ -12249,12 +12266,16 @@ def emb_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring), then ONE (width, query) partial-combined argmax
     aggregate; the recall join touches 3 x |queries| metadata rows.
     Zero-norm prefixes are filtered explicitly (cosine undefined)."""
+    from dat_archive_map_reduce_spark.operators._util import fan_out
+
     e = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
-    c = e.select(
+    # fan_out (r15): the 24-fold-per-corpus-row scoring fan-out below
+    # is map-only on the scan — a single-split input runs it serially
+    c = fan_out(e.select("vec_id", "embedding")).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").cast("array<double>").alias("cv"),
     )
