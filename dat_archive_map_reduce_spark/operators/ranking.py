@@ -50,26 +50,33 @@ def _tag_range_buckets(
     bucketing contract of every distributed-window operator in this
     module, in exactly one place.
 
-    The cut-points are computed IN-PLAN: one ``percentile_approx``
-    aggregate over ``order_col`` folds to a single sorted-distinct
-    array<double> row that broadcast-joins onto the scan. The r15
-    optimization pass replaced the previous driver-side
-    ``df.stat.approxQuantile`` call here because that was a SEPARATE
-    Spark action per rank/cumsum/ntile call — at 100 TB a whole extra
-    pass over the fact lineage (and locally one extra job wave) just
-    to learn the cut-points, re-paying every upstream scan/shuffle
-    the main plan pays. In-plan bounds share the input's exchanges
-    with the main plan (one pass when the input is cached or its
-    exchange is reused), and ANY monotone cut-point set yields the
-    identical exact rank/prefix output, so the sketch swap
-    (Greenwald-Khanna -> percentile_approx t-digest-style buckets)
-    cannot change results — only the intermediate bucket shapes.
+    The cut-points come from ONE ``percentile_approx`` aggregate over
+    ``order_col`` collected to the driver (a single sorted-distinct
+    array<double> row — bytes, not data), then folded into the plan
+    as literal comparisons. The r15 optimization pass replaced the
+    previous ``df.stat.approxQuantile`` call here: that goes through
+    the RDD path (internal-row -> pickle conversion of the sketch
+    partials; 0.58 s vs 0.06 s for the SQL aggregate on the same
+    sf0.1 input), while the SQL ``percentile_approx`` is a codegen'd
+    partial aggregate. An in-plan broadcast of the bounds row was
+    A/B'd and REJECTED (3.63 s vs 1.30 s on
+    agg_percentiles_exact_distributed): building the broadcast costs
+    the same full pass over the lineage that the driver collect does
+    — at 100 TB too, not just locally — and the
+    BroadcastNestedLoopJoin it plants under every consumer breaks
+    whole-stage codegen and re-evaluates the bounds subtree per
+    consumer. Driver-side literals keep the bucket id a pure value
+    function of the row, so the offsets job and the main job agree
+    with no cache. ANY monotone cut-point set yields the identical
+    exact rank/prefix output, so the sketch swap (Greenwald-Khanna ->
+    percentile_approx) cannot change results — only the intermediate
+    bucket shapes.
     """
     spark = df.sparkSession
     n_buckets = num_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     accuracy = max(100, int(round(1.0 / quantile_err)))
-    bounds = df.agg(
+    row = df.agg(
         F.array_sort(
             F.array_distinct(
                 F.percentile_approx(
@@ -79,14 +86,14 @@ def _tag_range_buckets(
                 )
             )
         ).alias(_BOUNDS)
-    )
+    ).first()
+    bounds = list(row[_BOUNDS] or [])  # NULL row on an empty input
     c = F.col(order_col)
-    hit = (lambda b: c < b) if descending else (lambda b: c > b)
-    return (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn(_BUCKET, F.size(F.filter(F.col(_BOUNDS), hit)))
-        .drop(_BOUNDS)
-    )
+    bucket = F.lit(0)
+    for b in bounds:
+        hit = (c < F.lit(b)) if descending else (c > F.lit(b))
+        bucket = bucket + F.when(hit, F.lit(1)).otherwise(F.lit(0))
+    return df.withColumn(_BUCKET, bucket)
 
 
 def exact_global_rank(

@@ -90,7 +90,10 @@ CONTRACTS = [
     #    doc-partitioned text ops must stay at one shuffle --
     ("text_gopher_rules", 0, 0, False, False),
     ("emb_jl_projection", 0, 0, False, False),
-    ("text_winnowing", 1, 0, False, False),
+    # +1 r15: span_postings' fan_out round-robin exchange — fires only
+    # when the scan reads fewer files than the parallelism (every
+    # local test input), a guarded no-op on any real many-split table
+    ("text_winnowing", 2, 0, False, False),
     ("corpus_chunk_overlap", 1, 0, False, False),
     ("corpus_bpe_merge_step", 2, 0, True, False),
     # 3rd shuffle = fan_out's round-robin spread of the single-split
@@ -110,14 +113,19 @@ CONTRACTS = [
     # lr join and its two scalar-total exchanges are gone (r6 verdict
     # #6); ReuseExchange unifies the doc_b pre-agg's two consumers at
     # execution, so at most 4 fact/doc-grain shuffles ever run
-    ("corpus_dsir_weights", 6, 2, False, True),
+    # +2 r15: fan_out round-robin exchanges ahead of the hashed-n-gram
+    # featurization on both corpus sides (few-file inputs only — the
+    # guard skips them on real many-split tables)
+    ("corpus_dsir_weights", 8, 2, False, True),
     # capped contamination (the headline since r7): partial-agg hot-fp
     # count + broadcast anti join — never a WindowExec that
     # sort-buffers the hottest fp groups (r3 regression), and the cap
     # itself adds no shuffle of the corpus posting list (the
     # groupBy-count shuffles only map-side-deduped (partition, fp)
     # rows)
-    ("corpus_contamination", 2, 1, False, False),
+    # +2 r15: fan_out of the train/eval shingle projections (guarded
+    # round-robin, no-op at scale)
+    ("corpus_contamination", 4, 1, False, False),
     # -- round-4 additions --
     # canonical keep-best: ONE fingerprint groupBy with an associative
     # max_by argmax — never a per-group row_number window
@@ -126,7 +134,8 @@ CONTRACTS = [
     ("corpus_temperature_mix", 2, 0, False, False),
     ("corpus_unimax_budget", 2, 1, False, False),
     # CMS: one sketch pass + exact top-k + broadcast estimate join
-    ("text_cms_heavy_hitters", 2, 1, True, False),
+    # +1 r15: fan_out of the 4-hash-per-token CMS projection
+    ("text_cms_heavy_hitters", 3, 1, True, False),
     # range search is a pure scan: no shuffle, predicate pushed
     ("emb_radius_search", 0, 0, False, True),
     # per-doc entropy is an in-row run-length fold — map-only, never
@@ -137,7 +146,8 @@ CONTRACTS = [
     ("text_lang_confusion", 2, 0, False, False),
     # novelty: min-agg over postings + attribution join on the SAME
     # fp partitioning (one side ReusedExchange) + per-doc rollup
-    ("text_ngram_novelty", 2, 1, False, False),
+    # +1 r15: fan_out of the shingle+md5 posting projection
+    ("text_ngram_novelty", 3, 1, False, False),
     # RRF fusion: both rankers end in TakeOrderedAndProject; the
     # fusion itself joins two <= 100-row rank lists
     ("retrieval_rrf_hybrid", 5, 3, True, True),
@@ -161,7 +171,9 @@ CONTRACTS = [
     # containment sizes ride the posting rows (size(fps) in the
     # explode projection) — one md5-sketch evaluation, no second
     # subtree for a sizes branch, no window
-    ("text_containment_pairs", 2, 0, False, False),
+    # +1 r15: fan_out of the md5-shingle projection (was a 1-task scan
+    # stage holding 1.85 s of the query's 3.2 s)
+    ("text_containment_pairs", 3, 0, False, False),
     # batched IVF serving: the ONE fact shuffle is the per-query
     # top-k window over the probe-pruned candidate set; the second
     # Exchange is the codebook fold (single partition, <= |codebook|
@@ -211,7 +223,8 @@ CONTRACTS = [
     # RAKE: boundary window + (doc,phrase) agg + word-grain stats,
     # word join back (broadcast at audit SF; sort-merge at scale),
     # top-k as TakeOrderedAndProject
-    ("text_rake_keyphrases", 3, 0, True, False),
+    # +1 r15: fan_out of the phrase-segmentation projection
+    ("text_rake_keyphrases", 4, 0, True, False),
     # NDCG: bm25's 5 exchanges; everything above the ranked list is a
     # 10-row metadata fold
     ("retrieval_ndcg_eval", 5, 1, True, False),
@@ -232,7 +245,9 @@ CONTRACTS = [
     # the RAW portable-LSH candidate stage (no verify joins — the
     # review split portable_minhash_candidates out for exactly this)
     # + the pair-keyed left join and <=10-row decile rollup
-    ("dedup_lsh_scurve_report", 6, 0, False, False),
+    # +1 r15: the shared shingling pass (feeds ground truth AND
+    # minhash) rides ONE fan_out exchange instead of shingling twice
+    ("dedup_lsh_scurve_report", 7, 0, False, False),
     # RFM: ONE fact shuffle (the per-user rollup, persisted), then
     # 3 composed exact-NTILE passes whose exchanges are user-grain or
     # metadata (bucket counts / broadcast offsets) — never a
@@ -267,7 +282,11 @@ CONTRACTS = [
     # medians, the deviation regroup, and the outlier count run at
     # distinct-value grain through the bucketed cumsum machinery —
     # the price of exactness, never a global sort
-    ("events_anomaly_mad", 13, 6, False, False),
+    # 18 in the STATIC count since r15: the per-value count table is
+    # persisted and its subtree (with its exchanges) is re-PRINTED
+    # under each of its consumers in the formatted plan; at runtime
+    # the cached table computes once (5 fact passes -> 1, the r15 win)
+    ("events_anomaly_mad", 18, 6, False, False),
     # zipf: ONE token-count shuffle; top-100 plans as TakeOrdered and
     # everything after is a <= 100-row metadata fold
     ("text_zipf_fit", 1, 0, True, False),
@@ -276,7 +295,8 @@ CONTRACTS = [
     # KMV set algebra: two tokenize+distinct fact shuffles feed
     # TakeOrdered(k) sketches; lang filters push to the scan; all
     # sketch algebra is broadcast <= 3k-row metadata
-    ("sketch_kmv_set_algebra", 2, 3, True, True),
+    # +2 r15: fan_out of the two tokenize+distinct sketch branches
+    ("sketch_kmv_set_algebra", 4, 3, True, True),
     # portable HLL: map-side-combined distinct on the NARROW 8-byte
     # key (md5 maps after — 5x less shuffle volume than hashing
     # first, at the cost of one extra exchange) + the 256-key
@@ -393,9 +413,11 @@ FORCED_BROADCAST_SITES = {
     "operators/dedup.py": 2,
     "operators/text.py": 14,
     "operators/graph.py": 5,
-    # 5 = + r15: _tag_range_buckets' 1-row in-plan percentile_approx
-    # bounds aggregate (replaces the driver-side approxQuantile action)
-    "operators/ranking.py": 5,
+    # r15: _tag_range_buckets computes its cut-points with a 1-row
+    # driver-side percentile_approx collect folded in as literals (the
+    # in-plan broadcast variant was A/B'd and rejected — see the
+    # docstring), so ranking.py is back to its 4 offsets broadcasts
+    "operators/ranking.py": 4,
     "operators/similarity.py": 14,
     # 8 = the per-origin merge's two batch-bounded affected_urls
     # broadcasts + the r12 one-job merge's identical pair + the
