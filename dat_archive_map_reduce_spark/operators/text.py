@@ -1393,28 +1393,38 @@ def pii_redact(
     return docs.select(*out_cols, *counts, clean.alias("text_clean"))
 
 
-def hashed_unigram_feats(
+def hashed_unigram_vecs(
     docs: DataFrame,
     label_col: "str | None" = None,
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The hashed-unigram feature table shared by logreg train AND
-    serve: (doc[, y], bucket, x) where token -> md5 bucket in
-    [0, n_buckets), x = in-doc count / token count, plus the constant
-    bias feature at bucket -1. Factored out (r15) so a
-    train-then-score pipeline (corpus_classifier_calibration)
-    featurizes the corpus ONCE — the tokenize/hash/explode pass is
-    the dominant corpus-sized work on both paths, and the scoring
-    feature values are definitionally the training ones."""
+    """Per-document hashed-unigram feature VECTOR shared by logreg
+    train AND serve: (doc[, y], xs) where xs is a dense
+    array<double> of length n_buckets + 1 — xs[0] is the constant
+    bias feature (the sparse layout's bucket -1), xs[b + 1] =
+    in-doc count of md5 bucket b / token count.
+
+    r15 (2nd pass): replaces the exploded (doc, bucket, x) feature
+    TABLE with per-doc sparse vectors: fx = the doc's
+    array<struct<b, x>> sorted by bucket (the bias feature, bucket
+    -1 / x = 1.0, stays implicit — it is constant). The old layout
+    re-shuffled one row per (doc, bucket) back to doc grain on
+    EVERY weight-apply pass (once per training round plus once to
+    score); with doc-grain vectors, z = w·x is a map-side fold
+    against the broadcast weight row, and only the per-round
+    gradient aggregation ((n_buckets+1) keys) ever exchanges
+    anything. The gradient sums see the same multiset of r*x terms
+    as the old layout, so results are unchanged.
+
+    fan_out: the tokenize+md5 projection is the corpus-sized
+    compute; a single-split input would run it on one task."""
     from dat_archive_map_reduce_spark.operators._util import fan_out
 
     label = (
         [F.col(label_col).cast("double").alias("y")] if label_col else []
     )
-    # fan_out (r15): the tokenize/hash/explode featurization is the
-    # corpus-sized work; a single-split input runs it on one task
     base = fan_out(
         docs.select(
             F.col(id_col).alias("doc"), *label, F.col(text_col).alias("__t_raw")
@@ -1428,22 +1438,53 @@ def hashed_unigram_feats(
     return (
         base.select(*keys, "n_tok", F.explode("t").alias("tok"))
         .withColumn(
-            "bucket",
+            "b",
             (
                 F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("bigint")
                 % n_buckets
             ).cast("int"),
         )
-        .groupBy(*keys, "n_tok", "bucket")
+        .groupBy(*keys, "n_tok", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            *keys, "bucket", (F.col("cnt") / F.col("n_tok")).alias("x")
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("b"),
+                        (F.col("cnt") / F.col("n_tok")).alias("x"),
+                    )
+                )
+            ).alias("fx")
         )
-        .unionByName(
-            base.select(
-                *keys, F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")
-            )
+    )
+
+
+def _weights_row(weights: DataFrame) -> DataFrame:
+    """Fold the (bucket, w) weight table into ONE broadcast row whose
+    array is in bucket order (bias bucket -1 at index 0, bucket b at
+    1-based position b + 2). The weights stay a table between rounds
+    (never plan literals or driver vectors); this is the kmeans
+    codebook-row pattern."""
+    return F.broadcast(
+        weights.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "w"))),
+                lambda s: s["w"],
+            ).alias("__w_arr")
         )
+    )
+
+
+def _dot_w(fx_col: str = "fx"):
+    """w·x as a fold over the doc's sparse feature vector with O(1)
+    ``element_at`` weight lookups, seeded with the bias term (bucket
+    -1, x = 1.0). Only present buckets contribute terms — the same
+    multiset the old sparse-table aggregation summed."""
+    return F.aggregate(
+        F.col(fx_col),
+        F.element_at(F.col("__w_arr"), 1) * F.lit(1.0),
+        lambda a, e: a + e["x"] * F.element_at(F.col("__w_arr"), e["b"] + 2),
     )
 
 
@@ -1455,7 +1496,7 @@ def logreg_train_hashed(
     n_rounds: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
-    feats: "DataFrame | None" = None,
+    vecs: "DataFrame | None" = None,
 ) -> DataFrame:
     """Distributed batch-gradient-descent training of a hashed-feature
     logistic-regression quality classifier — the classifier-based
@@ -1471,22 +1512,32 @@ def logreg_train_hashed(
     train_distributed centroid-table pattern: weights never exist as
     plan literals or driver vectors, every round is
 
-        z_d   = sum_b w_b x_db          (broadcast join on bucket)
+        z_d   = sum_b w_b x_db          (map-side fold vs the
+                                         broadcast weight row)
         p_d   = sigmoid(z_d)
         g_b   = sum_d (p_d - y_d) x_db / N
         w_b'  = round(w_b - lr * g_b, 6)
 
-    i.e. 2 shuffles per round at (doc, bucket) grain plus a
-    metadata-sized weight update; the 6-decimal per-round weight
-    rounding is exactly what makes the chained recurrence replayable
-    by an engine-portable SQL oracle (the kmeans precedent). Weights
-    start at 0, so round 1's p is exactly 0.5 — the oracle's first
-    round is closed-form. Returns the final (bucket, weight) table,
-    bias at bucket -1.
+    r15 (2nd pass): featurization is hashed_unigram_vecs — doc-grain
+    dense vectors folded in-row, so the ONLY exchange per round is
+    the (n_buckets+1)-key gradient aggregation (the old layout paid
+    a token-grain featurize shuffle plus a doc-grain re-group per
+    weight apply). The gradient sums see the same multiset of
+    r*x terms (dense zeros filtered before the agg), the 6-decimal
+    per-round weight rounding is unchanged, and the oracle replays
+    the recurrence exactly as before. Weights start at 0, so round
+    1's p is exactly 0.5 — the oracle's first round is closed-form.
+    Returns the final (bucket, weight) table, bias at bucket -1.
+    Pass ``vecs`` (a cached hashed_unigram_vecs table with the label)
+    to share one featurization with a scoring pass; otherwise the
+    map-only featurization replays per round.
     """
-    owns_feats = feats is None
-    if owns_feats:
-        feats = hashed_unigram_feats(
+    owns_vecs = vecs is None
+    if owns_vecs:
+        # cached so the per-round passes share one featurization; the
+        # eager per-round checkpoints (below) guarantee it is both
+        # materialized and safely releasable before return
+        vecs = hashed_unigram_vecs(
             docs, label_col, n_buckets=n_buckets,
             text_col=text_col, id_col=id_col,
         ).persist()
@@ -1495,24 +1546,22 @@ def logreg_train_hashed(
     weights = spark.range(-1, n_buckets).select(
         F.col("id").cast("int").alias("bucket"), F.lit(0.0).alias("w")
     )
+    bias = F.struct(
+        F.lit(-1).cast("int").alias("b"), F.lit(1.0).alias("x")
+    )
     for _ in range(n_rounds):
-        resid = (
-            feats.join(F.broadcast(weights), "bucket", "left")
-            .groupBy("doc", "y")
-            .agg(
-                F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("z")
-            )
-            .select(
-                "doc",
-                (
-                    F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))) - F.col("y")
-                ).alias("r"),
-            )
+        resid = vecs.crossJoin(_weights_row(weights)).select(
+            "fx",
+            (
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w())) - F.col("y")
+            ).alias("r"),
         )
         grads = (
-            feats.join(resid, "doc")
-            .groupBy("bucket")
-            .agg(F.sum(F.col("r") * F.col("x")).alias("gsum"))
+            resid.select(
+                "r", F.explode(F.concat(F.array(bias), F.col("fx"))).alias("e")
+            )
+            .groupBy(F.col("e.b").alias("bucket"))
+            .agg(F.sum(F.col("r") * F.col("e.x")).alias("gsum"))
             .crossJoin(n_docs)
             .select("bucket", (F.col("gsum") / F.col("n_docs")).alias("g"))
         )
@@ -1524,10 +1573,12 @@ def logreg_train_hashed(
                     F.col("w") - F.lit(lr) * F.coalesce("g", F.lit(0.0)), 6
                 ).alias("w"),
             )
-            .localCheckpoint(eager=False)
+            # 65 rows — eager, tiny, truncates lineage per round (the
+            # kmeans_train_distributed pattern)
+            .localCheckpoint(eager=True)
         )
-    if owns_feats:
-        feats.unpersist()
+    if owns_vecs:
+        vecs.unpersist()
     return weights
 
 
@@ -1537,26 +1588,27 @@ def logreg_score(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
-    feats: "DataFrame | None" = None,
+    vecs: "DataFrame | None" = None,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Serve a trained hashed-feature logistic model: per document the
-    sigmoid quality score from the broadcast (bucket, w) table — one
-    (doc, bucket) aggregation plus a broadcast join, no driver state.
-    Pass ``feats`` (a cached hashed_unigram_feats table — extra
-    columns like the training label are ignored) to skip re-running
-    the corpus featurization pass."""
-    if feats is None:
-        feats = hashed_unigram_feats(
+    sigmoid score as a MAP-SIDE ordered fold of the doc's feature
+    vector against the broadcast weight row — no shuffle, no driver
+    state (r15 2nd pass; the sparse layout paid a (doc, bucket)
+    re-group here). Pass ``vecs`` (a cached hashed_unigram_vecs
+    table) to skip re-featurizing; ``keep_cols`` names extra vec
+    columns (e.g. the training label) to carry through, which lets a
+    calibration pipeline skip a corpus-grain join back to the label."""
+    if vecs is None:
+        vecs = hashed_unigram_vecs(
             docs, None, n_buckets=n_buckets, text_col=text_col, id_col=id_col
         )
-    feats = feats.select("doc", "bucket", "x")
     return (
-        feats.join(F.broadcast(weights), "bucket", "left")
-        .groupBy("doc")
-        .agg(F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("x")).alias("z"))
+        vecs.crossJoin(_weights_row(weights))
         .select(
             F.col("doc").alias(id_col),
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("score"),
+            *keep_cols,
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w()))).alias("score"),
         )
     )
 

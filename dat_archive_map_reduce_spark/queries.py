@@ -4052,10 +4052,12 @@ def corpus_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFra
     batch-gradient-descent rounds of hashed-unigram logistic
     regression against the lang=='en' target — the GPT-3/LLaMA
     pipeline step that scores every page against a quality reference.
-    Model state is a weight TABLE updated via broadcast joins (the
-    kmeans_train_distributed centroid-table pattern — no plan
-    literals, no driver vectors); each round is two (doc, bucket)-
-    grain shuffles plus a 65-row metadata update. Zero-init makes
+    Model state is a weight TABLE applied as a broadcast weight row
+    (the kmeans_train_distributed centroid-table pattern — no plan
+    literals, no driver vectors); featurization and the weight-apply
+    fold are map-only over per-doc dense vectors (r15), so each round
+    is ONE (n_buckets+1)-key gradient aggregation plus a 65-row
+    metadata update. Zero-init makes
     round 1's sigmoid exactly 0.5, and per-round 6-decimal weight
     rounding makes the full recurrence engine-portable: the oracle
     replays featurization, both gradient steps, and the chained
@@ -8746,7 +8748,7 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     and the rank key is the composite BIGINT (p6 * 1e6) * 1e10 + doc
     — a total order, so decile membership is exact, never a float
     boundary. Scale: training is the classifier-train plan; scoring
-    is one (doc, bucket) aggregation + broadcast weights; the decile
+    is a map-side fold against the broadcast weight row; the decile
     assignment is exact_global_rank (range-bucketed — no
     single-partition window over the corpus); the rollup is a
     <= 10-key partial-combined aggregate."""
@@ -8754,7 +8756,7 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         exact_global_rank,
     )
     from dat_archive_map_reduce_spark.operators.text import (
-        hashed_unigram_feats,
+        hashed_unigram_vecs,
         logreg_score,
         logreg_train_hashed,
     )
@@ -8763,18 +8765,19 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         "y", (F.col("lang") == "en").cast("double")
     )
     # featurize ONCE (r15): training's 2 gradient rounds and the
-    # scoring pass read the same cached (doc, y, bucket, x) table —
-    # previously scoring re-ran the whole tokenize/hash/explode
-    # featurization a second time
-    feats = hashed_unigram_feats(d, "y", n_buckets=64).persist()
-    w = logreg_train_hashed(d, "y", n_buckets=64, lr=4.0, n_rounds=2, feats=feats)
-    scored = logreg_score(d, w, n_buckets=64, feats=feats)
+    # scoring pass read the same cached per-doc vector table (map-only
+    # to build — the old exploded layout shuffled one row per token),
+    # and scoring carries y through (keep_cols) so no corpus-grain
+    # join back to the label is needed
+    vecs = hashed_unigram_vecs(d, "y", n_buckets=64).persist()
+    w = logreg_train_hashed(d, "y", n_buckets=64, lr=4.0, n_rounds=2, vecs=vecs)
+    scored = logreg_score(d, w, n_buckets=64, vecs=vecs, keep_cols=("y",))
     p6 = F.round("score", 6)
     # rank_key assumes doc_id < 1e10 (composite order key; the oracle
-    # shares the formula). persist: exact_global_rank's approxQuantile
+    # shares the formula). persist: exact_global_rank's cut-point
     # pre-pass is a separate action that would otherwise re-run the
-    # whole train+score aggregation a second time
-    joined = scored.join(d.select("doc_id", "y"), "doc_id").select(
+    # whole train+score lineage a second time
+    joined = scored.select(
         p6.alias("p6"),
         "y",
         (
@@ -8800,7 +8803,7 @@ def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg("y"), 6).alias("pos_rate"),
         ),
         joined,
-        feats,
+        vecs,
     )
 
 

@@ -411,7 +411,10 @@ FORCED_BROADCAST_SITES = {
     # first-2-hex feature space, the DSIR design point)
     "queries.py": 107,
     "operators/dedup.py": 2,
-    "operators/text.py": 14,
+    # 13 = r15 2nd pass: logreg's per-round weight-table broadcast and
+    # score-side weight broadcast collapsed into ONE _weights_row site
+    # (the 65-row bucket-ordered weight row) + the n_docs 1-row agg
+    "operators/text.py": 13,
     "operators/graph.py": 5,
     # r15: _tag_range_buckets computes its cut-points with a 1-row
     # driver-side percentile_approx collect folded in as literals (the
