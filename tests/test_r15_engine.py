@@ -454,3 +454,53 @@ def test_twin_store_bytes_halved_vs_private(spark, tmp_path):
     pb = _entry_bytes(str(tmp_path / "wh-private"))
     assert sb > 0 and pb > 0
     assert sb < 0.65 * pb, (sb, pb)
+
+
+def test_minmax_driver_delta_matches_vectorized_path(spark, tmp_path):
+    """The r15 driver-side micro-batch fast path of the min/max
+    histogram delta must commit BIT-IDENTICAL reduced + histogram
+    state to the vectorized Spark form it replaces: run the same
+    backfill + retracting drip through two warehouses, one with the
+    driver path forced OFF (_MINMAX_DRIVER_LIMIT = 0 routes every
+    batch to the vectorized plan), and compare both tables row by
+    row plus the batch tokens. A string-valued emit rides along:
+    both paths must skip it identically (the try_cast filter runs
+    BEFORE the driver gate, so it reaches neither routing)."""
+    dbs = []
+    for name, limit in (("drv", None), ("vec", 0)):
+        db = MapReduce(spark, str(tmp_path / f"wh-{name}"))
+        if limit is not None:
+            db._MINMAX_DRIVER_LIMIT = limit
+        db.define("mn", path="/d/*.json", map=map_kv, reduce="min",
+                  key_schema=["string"])
+        rows = [_row("dat://a", f"/d/{i}.json", 1, f"k{i % 3}", i)
+                for i in range(9)]
+        # a non-numeric value: skipped by the fold on both paths
+        rows.append(_row("dat://a", "/d/9.json", 1, "k0", "not-a-number"))
+        db.append_changes(rows)
+        W.watch_until_caught_up(db)
+        # retraction that RAISES two keys' minimums + one fresh key
+        db.append_changes([
+            _row("dat://a", "/d/0.json", 2, "f", -7),
+            _row("dat://a", "/d/1.json", 2, None, None, typ="del"),
+        ])
+        W.watch_until_caught_up(db)
+        dbs.append(db)
+    drv, vec = dbs
+    red_d = sorted(map(tuple, drv._reduced_table("mn").read().collect()))
+    red_v = sorted(map(tuple, vec._reduced_table("mn").read().collect()))
+    assert red_d == red_v
+    hist_d = sorted(map(tuple, drv._reduced_hist_table("mn").read().collect()))
+    hist_v = sorted(map(tuple, vec._reduced_hist_table("mn").read().collect()))
+    assert hist_d == hist_v
+    # both delta paths stamped the lineage token on both tables
+    for db in dbs:
+        tok = db._reduced_table("mn").manifest_meta().get("batch_token")
+        assert isinstance(tok, str) and ":" in tok
+        assert (db._reduced_hist_table("mn").manifest_meta()
+                .get("batch_token") == tok)
+    assert drv.get("mn", "k0") == {"key": "k0", "value": 3.0}
+    assert drv.get("mn", "k1") == {"key": "k1", "value": 4.0}
+    assert drv.get("mn", "f") == {"key": "f", "value": -7.0}
+    for db in dbs:
+        db.close()
