@@ -1550,7 +1550,7 @@ class MapReduce:
             if retracted_rows is None:
                 delta = add.filter(
                     (F.col("dc") != 0) | (F.col("dsl") != 0)
-                ).cache()
+                )
             else:
                 sub = retracted_rows.groupBy("key", "key_json").agg(
                     (-F.count(F.lit(1))).cast("long").alias("dc"),
@@ -1564,13 +1564,13 @@ class MapReduce:
                         F.sum("dsl").cast("long").alias("dsl"),
                     )
                     .filter((F.col("dc") != 0) | (F.col("dsl") != 0))
-                ).cache()
+                )
         else:
             add = new_entries.groupBy("key", "key_json").agg(
                 F.count(F.lit(1)).cast("long").alias("dc")
             )
             if retracted_rows is None:
-                delta = add.filter(F.col("dc") != 0).cache()
+                delta = add.filter(F.col("dc") != 0)
             else:
                 sub = retracted_rows.groupBy("key", "key_json").agg(
                     (-F.count(F.lit(1))).cast("long").alias("dc")
@@ -1580,7 +1580,15 @@ class MapReduce:
                     .groupBy("key", "key_json")
                     .agg(F.sum("dc").cast("long").alias("dc"))
                     .filter(F.col("dc") != 0)
-                ).cache()
+                )
+        # NOTE (r15): a driver-side micro-batch fast path here (the
+        # _minmax_delta_driver pattern) was implemented, equivalence-
+        # tested and MEASURED AT PARITY (2.35 vs 2.30 s/drip-batch,
+        # 15 jobs either way), then reverted: unlike the ~10-join
+        # minmax plan it replaced there, this path is already one
+        # probe + one write (r13 job-budget work), and the driver
+        # variant's own collects cost the same three small job waves.
+        delta = delta.cache()
         try:
             delta_keys = delta.select("key_json")
             tables = [red_table] + ([cnt_table] if cnt_table is not None else [])
@@ -1760,10 +1768,20 @@ class MapReduce:
     _MINMAX_NUM_RE = _re.compile(
         r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
     )
-    # delta rows above this take the vectorized path (backfills); the
-    # collect stays micro-batch-bounded, the same class as the
-    # <=4096-row codebook fetches
-    _MINMAX_DRIVER_LIMIT = 1024
+    # delta rows above this take the vectorized path; the collect
+    # stays micro-batch-bounded, the same class as the <=4096-row
+    # codebook fetches. Note a "row" here is one already-aggregated
+    # (key, value) pair, so even a large backfill over few distinct
+    # values qualifies.
+    _DELTA_DRIVER_LIMIT = 1024
+
+    @staticmethod
+    def _driver_bucket_ids(table, keys: "list[str]") -> "list[int]":
+        # mirrors _touched_bucket_ids_multi's kinds without the probe
+        # job: bucket_of == the in-plan bucket expr (pinned by test)
+        if not table.exists() or not table.current_is_bucketed():
+            return list(range(table.n_buckets))
+        return sorted({table.bucket_of(k) for k in keys})
 
     def _minmax_delta_driver(
         self,
@@ -1795,8 +1813,8 @@ class MapReduce:
         Exactly-once is unchanged: same batch-token metadata, same
         reduced-then-histogram commit order, same crash-window
         single-table writes."""
-        rows = delta.limit(self._MINMAX_DRIVER_LIMIT + 1).collect()
-        if len(rows) > self._MINMAX_DRIVER_LIMIT:
+        rows = delta.limit(self._DELTA_DRIVER_LIMIT + 1).collect()
+        if len(rows) > self._DELTA_DRIVER_LIMIT:
             return None
         if not rows:
             return True  # empty delta: replaying it is a no-op
@@ -1804,15 +1822,8 @@ class MapReduce:
         if any(num(r["v_txt"]) is None for r in rows):
             return None
         keys = sorted({r["key_json"] for r in rows})
-
-        def _ids(t) -> "list[int]":
-            # mirrors _touched_bucket_ids_multi's kinds without the
-            # probe job: bucket_of == the in-plan bucket expr (pinned)
-            if not t.exists() or not t.current_is_bucketed():
-                return list(range(t.n_buckets))
-            return sorted({t.bucket_of(k) for k in keys})
-
-        ids, hids = _ids(red_table), _ids(hist_table)
+        ids = self._driver_bucket_ids(red_table, keys)
+        hids = self._driver_bucket_ids(hist_table, keys)
         kcol = F.col("key_json")
         old_red = red_table.read_buckets(ids)
         old_hist = hist_table.read_buckets(hids)

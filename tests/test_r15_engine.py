@@ -461,7 +461,7 @@ def test_minmax_driver_delta_matches_vectorized_path(spark, tmp_path):
     histogram delta must commit BIT-IDENTICAL reduced + histogram
     state to the vectorized Spark form it replaces: run the same
     backfill + retracting drip through two warehouses, one with the
-    driver path forced OFF (_MINMAX_DRIVER_LIMIT = 0 routes every
+    driver path forced OFF (_DELTA_DRIVER_LIMIT = 0 routes every
     batch to the vectorized plan), and compare both tables row by
     row plus the batch tokens. A string-valued emit rides along:
     both paths must skip it identically (the try_cast filter runs
@@ -470,7 +470,7 @@ def test_minmax_driver_delta_matches_vectorized_path(spark, tmp_path):
     for name, limit in (("drv", None), ("vec", 0)):
         db = MapReduce(spark, str(tmp_path / f"wh-{name}"))
         if limit is not None:
-            db._MINMAX_DRIVER_LIMIT = limit
+            db._DELTA_DRIVER_LIMIT = limit
         db.define("mn", path="/d/*.json", map=map_kv, reduce="min",
                   key_schema=["string"])
         rows = [_row("dat://a", f"/d/{i}.json", 1, f"k{i % 3}", i)
@@ -504,3 +504,4 @@ def test_minmax_driver_delta_matches_vectorized_path(spark, tmp_path):
     assert drv.get("mn", "f") == {"key": "f", "value": -7.0}
     for db in dbs:
         db.close()
+
