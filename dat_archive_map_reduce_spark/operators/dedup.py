@@ -82,53 +82,60 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(doc, sh array<string>, n_sh) — the distinct shingle SET per doc.
 
-    Deliberately NOT the array-transform formulation: Catalyst inlines
-    the tokenization into every lambda element and duplicates the whole
-    array expression into the Generate's inferred non-empty filter,
-    making it O(tokens^2) per doc. Here split() runs once per row
-    (posexplode), shingles assemble via window lead() — linear work,
-    and every stage stays in whole-stage codegen.
-    """
-    from pyspark.sql import Window
+    ROW-LOCAL (r15): shingles are windows over ONE document's token
+    array, so the whole set assembles inside the row — split once
+    into an attribute, transform+slice per position, array_distinct —
+    with NO shuffle at all. The pre-r15 form posexploded tokens, ran
+    a window lead() per doc (one hash-partition exchange plus a
+    per-doc sort over the full token stream) and re-aggregated with
+    collect_set; at 100 TB that exchange moved every token of the
+    corpus once per shingling pass.
 
+    Catalyst traps this avoids (measured, see the plan pins):
+    - the tokenization stays a MULTI-REFERENCE attribute (``ts``), so
+      CollapseProject cannot inline split() into every transform
+      element (the O(tokens^2) blow-up that killed the naive
+      array-transform form pre-r4);
+    - the short-doc prefilter tests the SPACE COUNT of the raw text,
+      not size(split(..)) — split() on a plain-space pattern yields
+      exactly (#spaces + 1) tokens, so the pushed-down scan filter
+      never duplicates the tokenizer.
+
+    Set ORDER changes vs the old collect_set (first-occurrence vs
+    partition-arrival), which no consumer observes: every reader
+    explodes, array_intersects or array_mins the set. Short docs
+    (< n tokens) are absent from the output, as before.
+    """
     from dat_archive_map_reduce_spark.operators._util import fan_out
 
-    # fan_out (r15): a single-split parquet input would tokenize and
-    # shuffle-write the whole corpus from one task (no-op when the
-    # scan already has >= parallelism splits)
-    toks = fan_out(df.select(id_col, text_col)).select(
+    spaces = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit(" "), F.lit(""))
+    )
+    # fan_out (r15): shingling + the downstream hash work is the
+    # corpus-sized compute; a single-split input would run it all on
+    # one task (no-op when the scan has >= parallelism splits)
+    base = fan_out(df.select(id_col, text_col).filter(spaces >= n - 1)).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ts"),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    # shingle and the tail guard must be computed in the SAME
-    # projection: window functions evaluate over the rows present at
-    # their own operator, so filtering first would re-window over the
-    # shortened partition and emit truncated tail shingles
-    grams = (
-        toks.select(
-            "doc",
-            F.concat_ws(" ", *parts).alias("shingle"),
-            F.lead("tok", n - 1).over(w).alias("tail_guard"),
-        )
-        .filter(F.col("tail_guard").isNotNull())
-        .select("doc", "shingle")
+    sh = F.expr(
+        f"array_distinct(transform(sequence(1, size(ts) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(ts, i, {n}))))"
     )
-    # dedup + set size in ONE aggregation keyed like the window above:
-    # the lead() window already hash-partitioned by doc, so Catalyst
-    # elides the Exchange here — one shuffle total for shingling where
-    # distinct() + count-window would take three. Per-doc set size is
-    # bounded by document length, the same bound the window pass held.
-    sets = grams.groupBy("doc").agg(F.collect_set("shingle").alias("sh"))
-    return sets.select("doc", "sh", F.size("sh").alias("n_sh"))
+    return base.select("doc", sh.alias("sh")).select(
+        "doc", "sh", F.size("sh").alias("n_sh")
+    )
 
 
 def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct (doc, n_sh, shingle) posting rows per document — the
-    exploded form of shingle_sets, for inverted-index consumers."""
+    exploded form of shingle_sets, for inverted-index consumers.
+    explode_outer: plain explode gets an inferred size(sh) > 0 filter
+    that re-inlines the whole row-local shingle expression under it
+    (2x evaluation); sets rows always carry >= 1 shingle, so outer is
+    row-identical."""
     return shingle_sets(df, text_col, id_col, n).select(
-        "doc", F.explode("sh").alias("shingle"), F.col("n_sh")
+        "doc", F.explode_outer("sh").alias("shingle"), F.col("n_sh")
     )
 
 
@@ -253,8 +260,11 @@ def ngram_jaccard_pairs(
         if sets is not None
         else shingle_sets(df, text_col, id_col, n)
     )
+    # explode_outer: see shingle_rows — avoids the inferred-filter
+    # double evaluation of the row-local shingle expression when
+    # ``sets`` is not a persisted table
     sh = src.select(
-        "doc", F.explode("sh").alias("token"), F.col("n_sh").alias("n_tok")
+        "doc", F.explode_outer("sh").alias("token"), F.col("n_sh").alias("n_tok")
     )
     return (
         inverted_index_pair_counts(sh, hot_cap=hot_cap)
@@ -892,37 +902,41 @@ def span_postings(
     start position, NOT deduplicated within the doc: positions matter
     downstream for coverage math).
 
-    Same linear window-lead formulation as shingle_sets — the
-    array-transform form re-inlines the tokenization into every lambda
-    element (O(tokens^2) per doc). One hash-partition-by-doc shuffle;
-    the posting that leaves this operator is (doc, pos, 16-byte md5),
-    never text.
+    ROW-LOCAL (r15), the shingle_sets rework applied here: spans are
+    windows over ONE document's token array, so each row hashes its
+    own spans (transform + slice + md5 over the ``ts`` attribute) and
+    posexplode_outer recovers the 0-based start position — NO shuffle
+    where the pre-r15 form hash-partitioned and per-doc-sorted the
+    full exploded token stream. Same Catalyst guards as shingle_sets:
+    ``ts`` stays a multi-reference attribute (no split() inlining per
+    lambda element), the short-doc prefilter tests the raw text's
+    space count (split on ' ' yields exactly #spaces + 1 tokens, so
+    the pushed-down filter never duplicates the tokenizer), and the
+    OUTER posexplode blocks the inferred non-empty filter that would
+    re-inline the span array. The posting that leaves this operator
+    is (doc, pos, md5 hex) — never text, and now never even a
+    materialized span string column.
     """
-    from pyspark.sql import Window
-
     from dat_archive_map_reduce_spark.operators._util import fan_out
 
-    # fan_out (r15): a single-split parquet input would tokenize and
-    # shuffle-write the whole corpus from one task (no-op when the
-    # scan already has >= parallelism splits)
-    toks = fan_out(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    spaces = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit(" "), F.lit(""))
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, span_len)]
-    # span text and its tail guard must come from the SAME projection —
-    # see shingle_sets: windows evaluate over the rows present at their
-    # own operator, so filtering first would re-window and truncate
-    return (
-        toks.select(
-            "doc",
-            "pos",
-            F.concat_ws(" ", *parts).alias("span"),
-            F.lead("tok", span_len - 1).over(w).alias("tail_guard"),
-        )
-        .filter(F.col("tail_guard").isNotNull())
-        .select("doc", "pos", F.md5("span").alias("h"))
+    # fan_out (r15): tokenize+md5 is the corpus-sized compute; a
+    # single-split input would run it all on one task (no-op when the
+    # scan has >= parallelism splits)
+    base = fan_out(
+        df.select(id_col, text_col).filter(spaces >= span_len - 1)
+    ).select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ts"),
+    )
+    spans = F.expr(
+        f"transform(sequence(1, size(ts) - {span_len - 1}),"
+        f" i -> md5(concat_ws(' ', slice(ts, i, {span_len}))))"
+    )
+    return base.select("doc", spans.alias("hs")).select(
+        "doc", F.posexplode_outer("hs").alias("pos", "h")
     )
 
 

@@ -402,48 +402,62 @@ def winnowing_stats(
     fingerprint, with sketch density ~2/(w+1) instead of the dense
     every-gram sketch rolling_shingle_fingerprints keeps.
 
-    The rightmost-min rule runs as ONE native windowed min over an
-    encoded key — md5(gram) || lpad(100000 - pos) — string-min gives
-    (min hash, then max position), identically on Spark and the SQL
-    oracle; no Python, no self-join. Documents with fewer than ``w``
-    grams winnow to their single overall min (the frame clips at the
-    partition end on both engines). Per-doc output: gram count,
+    The rightmost-min rule selects via an encoded key —
+    md5(gram) || lpad(100000 - pos) — string-min gives (min hash,
+    then max position), identically on Spark and the SQL oracle; no
+    Python, no self-join. Documents with fewer than ``w`` grams
+    winnow to their single overall min (the frame clips at the
+    document end on both engines). Per-doc output: gram count,
     selected-fingerprint count, density, and the min/max selected
     fingerprint (pins the actual selection, not just its size).
 
-    Scale shape: gram hashing is the linear window-lead pass from
-    span_postings (one hash-partition-by-doc shuffle); both window
-    passes and the final groupBy reuse that same doc partitioning, so
-    Catalyst elides further exchanges. Postings are (doc, pos, 16-byte
-    md5) — text never crosses the wire.
+    Scale shape (r15): ENTIRELY ROW-LOCAL — each document's k-gram
+    keys, per-window minima (array_min over a slice; slice truncates
+    at the array end, reproducing the frame clip) and distinct
+    selection all assemble inside the row, so the whole operator is
+    map-only with ZERO shuffle. The pre-r15 form ran the sliding min
+    as a frame window + distinct + groupBy over span_postings' doc
+    partitioning; with span_postings itself now row-local, that
+    window would REINTRODUCE a full hash-partition-by-doc exchange
+    of the gram stream. min_fp/max_fp come as substring(min/max full
+    key): keys order by the 32-hex hash prefix first, so the extreme
+    full key carries the extreme hash prefix. Same Catalyst guards
+    as shingle_sets: ``ts``/``keys``/``sel`` stay multi-reference
+    attributes, the short-doc prefilter tests the raw text's space
+    count.
     """
-    from pyspark.sql import Window
+    from dat_archive_map_reduce_spark.operators._util import fan_out
 
-    from dat_archive_map_reduce_spark.operators.dedup import span_postings
-
-    grams = span_postings(df, text_col, id_col, span_len=k)
-    w_doc = Window.partitionBy("doc")
-    w_frame = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
-    key = F.concat(
-        F.col("h"), F.lpad((F.lit(100000) - F.col("pos")).cast("string"), 6, "0")
+    spaces = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit(" "), F.lit(""))
     )
-    keyed = grams.select(
-        "doc",
-        "pos",
-        F.count(F.lit(1)).over(w_doc).alias("n_grams"),
-        F.min(key).over(w_frame).alias("key"),
+    base = fan_out(df.select(id_col, text_col).filter(spaces >= k - 1)).select(
+        F.col(id_col).alias("doc"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ts"),
     )
-    starts = keyed.filter(
-        F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0))
+    # encoded selection keys, one per 0-based gram position
+    keys = F.expr(
+        f"transform(sequence(1, size(ts) - {k - 1}),"
+        f" i -> concat(md5(concat_ws(' ', slice(ts, i, {k}))),"
+        f"             lpad(cast(100000 - (i - 1) as string), 6, '0')))"
     )
-    sel = starts.select("doc", "n_grams", "key").distinct()
-    return sel.groupBy("doc").agg(
-        F.any_value("n_grams").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_selected"),
-        F.round(F.count(F.lit(1)) / F.any_value("n_grams"), 4).alias("density"),
-        F.min(F.substring("key", 1, 32)).alias("min_fp"),
-        F.max(F.substring("key", 1, 32)).alias("max_fp"),
-    ).withColumnRenamed("doc", id_col)
+    with_keys = base.select("doc", keys.alias("keys"))
+    sel = F.expr(
+        f"array_distinct(transform("
+        f"  sequence(0, greatest(size(keys) - {w}, 0)),"
+        f"  p -> array_min(slice(keys, p + 1, {w}))))"
+    )
+    with_sel = with_keys.select(
+        "doc", F.size("keys").cast("long").alias("n_grams"), sel.alias("sel")
+    )
+    return with_sel.select(
+        F.col("doc").alias(id_col),
+        "n_grams",
+        F.size("sel").cast("long").alias("n_selected"),
+        F.round(F.size("sel") / F.col("n_grams"), 4).alias("density"),
+        F.substring(F.array_min("sel"), 1, 32).alias("min_fp"),
+        F.substring(F.array_max("sel"), 1, 32).alias("max_fp"),
+    )
 
 
 def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -640,32 +654,54 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     predictable in-distribution text; high = outlier/gibberish, the
     tail a quality-filtering pass drops.
 
-    Scale shape: bigrams assemble with the linear window-lead pass
-    (one hash-partition-by-doc shuffle); C(a,b) and C(a) are
-    partial-combined groupBys whose keys are token pairs, not
-    documents; the vocabulary size rides as a broadcast 1-row scalar.
-    The probability join shuffles on the bigram key — at 100 TB both
-    sides are Zipf-skewed the same way, which AQE skew-split handles;
-    nothing collects to the driver.
+    Scale shape (r15): bigrams assemble ROW-LOCALLY — consecutive
+    pairs are a zip_with over two slices of the per-doc token array,
+    so assembly is a narrow map with NO shuffle (the pre-r15 form
+    posexploded tokens and ran a window-lead per doc: one
+    hash-partition-by-doc exchange plus a per-doc sort, and the plan
+    re-ran that subtree once per consumer branch — 3 Window nodes).
+    The (doc, a, b) bigram table persists once for its three
+    consumers (C(a,b), C(a), the probability probe), the same
+    one-pass-feeds-all-branches pattern as the shingle postings
+    cache. C(a,b) and C(a) are partial-combined groupBys whose keys
+    are token pairs, not documents; the vocabulary size rides as a
+    broadcast 1-row scalar. The probability join shuffles on the
+    bigram key — at 100 TB both sides are Zipf-skewed the same way,
+    which AQE skew-split handles; nothing collects to the driver.
     """
-    from pyspark.sql import Window
-
     from dat_archive_map_reduce_spark.operators._util import fan_out
 
     # fan_out (r15): single-split inputs would tokenize the corpus on
     # one task (no-op when the scan has >= parallelism splits)
-    toks = fan_out(df.select(id_col, text_col)).select(
+    base = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "a"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ts"),
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    big = (
-        toks.select("doc", "pos", "a", F.lead("a", 1).over(w).alias("b"))
-        .filter(F.col("b").isNotNull())
-    )
+    # zip(ts[:-1], ts[1:]) == the window-lead pairs: slice(ts, 1,
+    # size-1) and slice(ts, 2, size-1) are equal length, and a
+    # single-token doc yields slice(.., 0) = [] — exactly the rows
+    # the old lead-IS-NULL filter dropped
+    big = base.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, size(ts) - 1),"
+                "         slice(ts, 2, size(ts) - 1),"
+                "         (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("p"),
+    ).select("doc", "p.a", "p.b").persist()
     cnt_ab = big.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
     cnt_a = big.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
-    vocab = toks.agg(F.count_distinct("a").alias("v"))
+    # explode_outer: the plain-explode form gets an inferred
+    # size(ts) > 0 filter that re-inlines the split() under it — the
+    # corpus would tokenize 3x in this branch (same Catalyst trap the
+    # shingle_sets docstring records). split() never yields an empty
+    # array and count_distinct ignores the NULL row a NULL text
+    # explodes to, so results are identical.
+    vocab = base.select(F.explode_outer("ts").alias("a")).agg(
+        F.count_distinct("a").alias("v")
+    )
     scored = (
         big.join(cnt_ab, ["a", "b"])
         .join(cnt_a, "a")
@@ -1940,38 +1976,61 @@ def rake_keyphrases(
     top-k phrases by (6dp-rounded score, phrase) with occurrence
     counts.
 
-    Scale shape: phrase assembly is ONE doc-partitioned window pass
-    (running stopword-boundary count) + a (doc, phrase) aggregate;
-    word stats partial-combine on the word grain and join back on
+    Scale shape (r15): phrase assembly is ROW-LOCAL — stopword-bounded
+    runs fold over ONE document's token array (a higher-order
+    ``aggregate`` whose accumulator is (finished runs, current run)),
+    so candidate phrases cost ZERO shuffle where the pre-r15 form
+    hash-partitioned and per-doc-sorted the full exploded token
+    stream (running stopword-count window) and re-aggregated on
+    (doc, phrase_id). The fold preserves the window form's semantics
+    exactly: empty tokens drop before segmentation, runs keep token
+    order, consecutive stopwords yield empty runs (filtered, like
+    the oracle's empty phrase_id groups), and the max-length cap
+    applies per run. The (phrase, plen, words) occurrence table
+    persists once for its two consumers (word stats, phrase scores).
+    Word stats partial-combine on the word grain and join back on
     word (fact-sized, vocabulary never broadcasts); the phrase score
     folds word scores in word order (ordered float sum — the
     KL/BM25 portability recipe); top-k plans as
     TakeOrderedAndProject."""
-    from pyspark.sql import Window
-
     from dat_archive_map_reduce_spark.operators._util import fan_out
 
-    toks = fan_out(df.select(id_col, text_col)).select(
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    base = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
-        F.posexplode(tokens(text_col)).alias("pos", "w"),
-    ).filter(F.length("w") > 0)
-    is_stop = F.col("w").isin(STOPWORDS)
-    w_doc = Window.partitionBy("doc").orderBy("pos")
-    seg = toks.withColumn(
-        "phrase_id",
-        F.sum(F.when(is_stop, 1).otherwise(0)).over(w_doc),
-    ).filter(~is_stop)
+        tokens(text_col).alias("ts"),
+    )
+    # ``ts`` stays a multi-reference attribute so CollapseProject
+    # cannot inline split() into the fold (the shingle_sets trap);
+    # explode_outer blocks the inferred non-empty filter that would
+    # re-evaluate the whole fold expression under it. A doc that is
+    # all stopwords/empty folds to zero runs -> explode_outer emits
+    # one NULL words row, which both consumers' explode("words")
+    # drops (explode of NULL emits nothing).
+    ph = F.expr(
+        f"""
+        filter(
+          aggregate(
+            filter(ts, w -> length(w) > 0),
+            named_struct('done', cast(array() as array<array<string>>),
+                         'cur',  cast(array() as array<string>)),
+            (acc, w) -> IF(w IN ({stop_list}),
+                           named_struct('done', acc.done || array(acc.cur),
+                                        'cur',  cast(array() as array<string>)),
+                           named_struct('done', acc.done,
+                                        'cur',  acc.cur || array(w))),
+            acc -> acc.done || array(acc.cur)),
+          p -> size(p) >= 1 AND size(p) <= {max_phrase_len})
+        """
+    )
     phrases = (
-        seg.groupBy("doc", "phrase_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                lambda s: s["w"],
-            ).alias("words")
+        base.select(F.explode_outer(ph).alias("words"))
+        .select(
+            F.array_join("words", " ").alias("phrase"),
+            F.size("words").alias("plen"),
+            "words",
         )
-        .filter(F.size("words") <= max_phrase_len)
-        .withColumn("phrase", F.array_join("words", " "))
-        .withColumn("plen", F.size("words"))
+        .persist()
     )
     word_stats = (
         phrases.select("plen", F.explode("words").alias("w"))

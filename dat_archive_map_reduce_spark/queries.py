@@ -3424,53 +3424,54 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition profile — the standard corpus-quality
     filter (docs dominated by one token or by repeated n-grams are
     boilerplate/spam): duplicate-token fraction, most-common-token
-    fraction, duplicate-bigram fraction. One tokenize pass feeds both
-    the unigram and bigram counts (bigrams assemble from a lead()
-    window over the same exploded rows, already partitioned by doc);
-    everything is native columns — no Python anywhere."""
+    fraction, duplicate-bigram fraction.
+
+    r15: ENTIRELY ROW-LOCAL — every stat is a function of one
+    document's token array (distinct counts via array_distinct,
+    top-token count as the longest run of the sorted array, bigrams
+    as a zip_with over two slices), so the query is ONE map-only
+    projection with zero shuffle and no join. The pre-r15 form
+    exploded the token stream, ran a lead() window per doc (full
+    hash-partition exchange + per-doc sort) and joined two chained
+    aggregate branches back on doc_id. Single-token docs drop via
+    the raw-text space-count prefilter — exactly the rows the old
+    inner join dropped for having no bigram — and the pushed-down
+    filter never touches the tokenizer."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    spaces = F.length(F.col("text")) - F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    )
+    base = d.filter(spaces >= 1).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ts")
+    )
+    # longest equal run of the sorted token array == max per-token
+    # count; the fold carries (previous token, current run, best run)
+    top_cnt = F.expr(
+        """
+        aggregate(array_sort(ts),
+          named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+          (acc, t) -> named_struct(
+            'prev', t,
+            'run',  IF(acc.prev IS NOT NULL AND t = acc.prev, acc.run + 1, 1L),
+            'best', greatest(acc.best,
+                             IF(acc.prev IS NOT NULL AND t = acc.prev,
+                                acc.run + 1, 1L))),
+          acc -> acc.best)
+        """
+    )
+    bg = F.expr(
+        "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),"
+        " (x, y) -> concat(x, ' ', y))"
+    )
+    return base.select(
         "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    both = toks.select(
-        "doc_id",
-        "tok",
-        F.when(
-            F.lead("tok", 1).over(w).isNotNull(),
-            F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)),
-        ).alias("bigram"),
-    )
-    tstats = (
-        both.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.max("c").alias("top_cnt"),
-        )
-    )
-    bstats = (
-        both.filter(F.col("bigram").isNotNull())
-        .groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("n_distinct_bigrams"),
-        )
-    )
-    return tstats.join(bstats, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+        F.size("ts").cast("long").alias("n_tokens"),
+        F.round(1.0 - F.size(F.array_distinct("ts")) / F.size("ts"), 4).alias(
             "dup_token_frac"
         ),
-        F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias("top_token_frac"),
+        F.round(top_cnt / F.size("ts"), 4).alias("top_token_frac"),
         F.round(
-            1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 4
+            1.0 - F.size(F.array_distinct(bg)) / (F.size("ts") - 1), 4
         ).alias("dup_bigram_frac"),
     )
 

@@ -3260,3 +3260,83 @@ def test_tga_codec_roundtrip_and_rle_packets():
     overrun = hdr + bytes([0x80 | 127]) + b"\\x01\\x02\\x03"
     with _pytest.raises(ValueError, match="overruns"):
         decode_tga(overrun)
+
+
+def test_shingle_sets_row_local_contract(spark):
+    """r15: shingle_sets assembles each doc's distinct shingle set
+    row-locally (no shuffle). Pin the SEMANTICS the old window-lead
+    form defined — short docs absent, consecutive-space empty tokens
+    kept, within-doc repeats deduplicated — and the plan shape: no
+    Window, no hash-partition-by-doc Exchange (the only allowed
+    exchange is fan_out's guarded round-robin, which local relations
+    always trigger), and the tokenizer evaluated ONCE (the Catalyst
+    re-inlining traps the operator docstring records)."""
+    docs = [
+        (1, "a b c d"),          # 2 shingles: "a b c", "b c d"
+        (2, "x y z"),            # exactly n tokens: 1 shingle
+        (3, "p q"),              # n-1 tokens: ABSENT from output
+        (4, ""),                 # 1 empty token: absent
+        (5, "a  b c"),           # double space -> empty token rides
+        (6, "r s t r s t r s"),  # repeats: set deduplicates
+        (7, None),               # NULL text: absent
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sets = dedup.shingle_sets(df, "text", "doc_id", n=3)
+    got = {r["doc"]: (sorted(r["sh"]), r["n_sh"]) for r in sets.collect()}
+    assert set(got) == {1, 2, 5, 6}
+    assert got[1] == (["a b c", "b c d"], 2)
+    assert got[2] == (["x y z"], 1)
+    assert got[5] == (sorted(["a  b", " b c"]), 2)  # empty middle token
+    assert got[6] == (sorted(["r s t", "s t r", "t r s"]), 3)
+    plan = sets._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "hashpartitioning(doc" not in plan
+    # count split() in the FINAL plan only: after AQE finalizes,
+    # toString() renders the initial plan too, duplicating every node
+    assert plan.split("== Initial Plan ==")[0].count("split(lower") == 1
+
+
+def test_span_postings_row_local_contract(spark):
+    """r15: span_postings emits (doc, 0-based start pos, md5) for
+    every maximal-overlap token window row-locally. Pin positions,
+    within-doc repeat spans (NOT deduplicated), short-doc absence,
+    and the no-Window/no-doc-partition plan shape."""
+    import hashlib
+
+    docs = [
+        (1, "a b c d e"),  # span_len=3 -> pos 0,1,2
+        (2, "a b"),        # too short: absent
+        (3, "w w w w"),    # repeated span "w w w" at pos 0 AND 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup.span_postings(df, "text", "doc_id", span_len=3)
+    rows = sorted((r["doc"], r["pos"], r["h"]) for r in out.collect())
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows == sorted(
+        [
+            (1, 0, md5("a b c")), (1, 1, md5("b c d")), (1, 2, md5("c d e")),
+            (3, 0, md5("w w w")), (3, 1, md5("w w w")),
+        ]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "hashpartitioning(doc" not in plan
+
+
+def test_bigram_lm_scores_row_local_bigrams(spark):
+    """r15: bigram_lm_scores assembles bigrams row-locally (zip_with
+    over token-array slices) — same add-k cross-entropy as the
+    window-lead form it replaced. Hand-check a 2-doc corpus."""
+    docs = [(1, "a b a b"), (2, "a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.bigram_lm_scores(df, "text", "doc_id").collect()}
+    # bigrams: doc1 = (a,b),(b,a),(a,b); doc2 = (a,b)
+    # C(a,b)=3, C(b,a)=1, C(a)=3, C(b)=1, V=2
+    pab = (3 + 0.5) / (3 + 0.5 * 2)
+    pba = (1 + 0.5) / (1 + 0.5 * 2)
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["xent"] - round(-(2 * math.log(pab) + math.log(pba)) / 3, 4)) < 1e-9
+    assert out[2]["n_bigrams"] == 1
+    assert abs(out[2]["xent"] - round(-math.log(pab), 4)) < 1e-9
+    plan = TX.bigram_lm_scores(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
