@@ -57,7 +57,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _dense_daily_counts(
-    spark: SparkSession, sf_dir: str, with_totals: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_totals: bool = False,
+    cached: bool = False,
 ) -> DataFrame:
     """THE daily -> span -> dense-calendar scaffold every time-series
     query shares (CUSUM / weekday seasonality / Theil-Sen /
@@ -86,7 +89,7 @@ def _dense_daily_counts(
         ]
         extra = ["t", "d"]
     span = daily.agg(*aggs)
-    return (
+    dense = (
         span.select(
             F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
             *extra,
@@ -94,6 +97,22 @@ def _dense_daily_counts(
         .join(daily, "day", "left")
         .select("day", *extra, F.coalesce(F.col("n"), F.lit(0)).alias("n"))
     )
+    # ``cached`` (r15, guide §5): a caller that consumes the dense
+    # calendar from MORE THAN ONE ACTION (the rank scaffold's
+    # cut-point collect is a separate job) opts into a LAZY persist —
+    # the first action (the cut-point collect) materializes the cache
+    # as a side effect, every later action reads it, so the day-grain
+    # fact rollup runs exactly once per query instead of once per
+    # action. Lazy, not eager: an explicit count() here added a whole
+    # extra job wave (measured +1 s warm at sf0.1) for no pass saved.
+    # Single-action callers stay uncached: within one plan the
+    # duplicated `daily` subtree shares its shuffle via exchange
+    # reuse, so a cache there only adds overhead. The cached table is
+    # calendar-bounded metadata (<= observed span in days) — never a
+    # fact-sized leak; the caller owns the handle (eager_release).
+    if cached:
+        dense = dense.persist()
+    return dense
 
 
 def _ffloor(col: F.Column, dp: int) -> F.Column:
@@ -3376,13 +3395,26 @@ def corpus_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
-    train = kept.filter(F.col("split") == "train").select("doc_id", "n_tokens")
+    # persist the train split (r15, guide §5): the prefix-sum
+    # scaffold's cut-point pre-pass is a separate action that re-ran
+    # the whole tokenize -> dedup -> join -> split lineage; cached it
+    # is (doc_id, n_tokens) — two narrow columns, no text
+    train = (
+        kept.filter(F.col("split") == "train")
+        .select("doc_id", "n_tokens")
+        .persist()
+    )
     packed = exact_global_cumsum(train, "doc_id", "n_tokens", cumsum_col="start_token")
-    return packed.select(
-        "doc_id",
-        "n_tokens",
-        "start_token",
-        F.floor(F.col("start_token") / chunk).alias("first_chunk"),
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        packed.select(
+            "doc_id",
+            "n_tokens",
+            "start_token",
+            F.floor(F.col("start_token") / chunk).alias("first_chunk"),
+        ),
+        train,
     )
 
 
@@ -3509,18 +3541,28 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dat_archive_map_reduce_spark.operators.text import token_count
 
     chunk = 2048
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", token_count("text").alias("n_tokens")
+    # persist the tokenized projection (r15, guide §5): the prefix-sum
+    # scaffold's cut-point pre-pass is a separate action that re-ran
+    # the tokenize pass; cached it is (doc_id, n_tokens), no text
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", token_count("text").alias("n_tokens"))
+        .persist()
     )
     c = exact_global_cumsum(d, "doc_id", "n_tokens", cumsum_col="start_token")
-    return c.select(
-        "doc_id",
-        "n_tokens",
-        "start_token",
-        F.floor(F.col("start_token") / chunk).alias("first_chunk"),
-        F.floor((F.col("start_token") + F.col("n_tokens") - 1) / chunk).alias(
-            "last_chunk"
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        c.select(
+            "doc_id",
+            "n_tokens",
+            "start_token",
+            F.floor(F.col("start_token") / chunk).alias("first_chunk"),
+            F.floor((F.col("start_token") + F.col("n_tokens") - 1) / chunk).alias(
+                "last_chunk"
+            ),
         ),
+        d,
     )
 
 
@@ -6397,8 +6439,13 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out BEFORE scoring: the single-split test file would
     # otherwise run the per-doc token lambdas (and approxQuantile's
     # extra pass over them) on one core
-    d = fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text")).select(
-        "doc_id", quality_score("text").alias("q")
+    # persist the scored projection (r15, guide §5): the rank
+    # scaffold's cut-point pre-pass is a separate action that re-ran
+    # the per-doc quality-score lambdas; cached it is (doc_id, q)
+    d = (
+        fan_out(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", quality_score("text").alias("q"))
+        .persist()
     )
     ranked = exact_global_rank(
         d,
@@ -6407,7 +6454,11 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_breakers=[F.asc("doc_id")],
         pos_col="train_order",
     )
-    return ranked.select("doc_id", "q", F.col("train_order").cast("long"))
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        ranked.select("doc_id", "q", F.col("train_order").cast("long")), d
+    )
 
 
 @query(
@@ -8872,6 +8923,11 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("bigint") * F.lit(10_000_000_000).cast("bigint")
             + F.col("doc_id"),
         )
+        # persist (r15, guide §5): consumed by the prefix-sum
+        # scaffold's cut-point pre-pass (separate action), the total-
+        # weight broadcast build, and the main plan — three tokenize
+        # passes without the cache; cached it is four narrow columns
+        .persist()
     )
     cum = exact_global_cumsum(d, "okey", "wt", cumsum_col="cwe")
     tot = d.agg(F.sum("wt").alias("tw"))
@@ -8885,8 +8941,13 @@ def agg_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.sum(F.when(hit, F.col("v")).otherwise(F.lit(0))).cast("bigint")
 
-    return r.agg(
-        pick(50).alias("wp50"), pick(90).alias("wp90"), pick(99).alias("wp99")
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        r.agg(
+            pick(50).alias("wp50"), pick(90).alias("wp90"), pick(99).alias("wp99")
+        ),
+        d,
     )
 
 
@@ -10338,6 +10399,10 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
+    # persist the score-grain rollup (r15, guide §5): the rank
+    # scaffold's cut-point pre-pass re-ran the fact rollup as a
+    # separate action before the main plan; cached it is bounded by
+    # distinct scores
     per_score = (
         e.select(
             F.element_at("embedding", 1).cast("double").alias("score"),
@@ -10345,6 +10410,7 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("score")
         .agg(F.count(F.lit(1)).alias("c"), F.sum("pos").alias("pos_cnt"))
+        .persist()
     )
     ranked = exact_global_cumsum(
         per_score, "score", "c", cumsum_col="rank_start"
@@ -10355,17 +10421,22 @@ def eval_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos_cnt") * (2 * F.col("rank_start") + F.col("c") + 1)
     )
     u2 = (two_rank_sum - n_pos * (n_pos + 1)).cast("long")
-    return ranked.agg(
-        n_pos.cast("long").alias("n_pos"),
-        n_neg.cast("long").alias("n_neg"),
-        u2.alias("u2"),
-        # single-class corpus (n_pos or n_neg = 0): AUC is undefined —
-        # NULL in both engines, never Inf/NaN (the z-test/zipf-slope
-        # degenerate-guard convention)
-        F.when(
-            (n_pos > 0) & (n_neg > 0),
-            F.round(u2.cast("double") / (2.0 * n_pos * n_neg), 6),
-        ).alias("auc"),
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        ranked.agg(
+            n_pos.cast("long").alias("n_pos"),
+            n_neg.cast("long").alias("n_neg"),
+            u2.alias("u2"),
+            # single-class corpus (n_pos or n_neg = 0): AUC is undefined —
+            # NULL in both engines, never Inf/NaN (the z-test/zipf-slope
+            # degenerate-guard convention)
+            F.when(
+                (n_pos > 0) & (n_neg > 0),
+                F.round(u2.cast("double") / (2.0 * n_pos * n_neg), 6),
+            ).alias("auc"),
+        ),
+        per_score,
     )
 
 
@@ -11757,6 +11828,12 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(us >= F.col("mid"), 1).otherwise(0)).alias("y"),
         )
         .withColumn("arm", F.col("user_id") % 2)
+        # persist (r15, guide §5): the pooled 1-row moments (built as
+        # a broadcast for theta) and the 2-row arm table both fold
+        # per_user — without the cache the user-grain fact rollup ran
+        # once per consumer action; cached it is (user, x, y, arm),
+        # far smaller than the fact table
+        .persist()
     )
     pooled = per_user.agg(
         F.count(F.lit(1)).alias("n"),
@@ -11792,7 +11869,9 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     y_mean = F.col("sy_arm").cast("double") / F.col("n_arm")
     x_mean = F.col("sx_arm").cast("double") / F.col("n_arm")
     x_pool = F.col("sx").cast("double") / F.col("n")
-    return (
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
         arms.crossJoin(F.broadcast(theta))
         .select(
             "arm",
@@ -11801,7 +11880,8 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(y_mean - F.col("th") * (x_mean - x_pool), 6).alias("y_cuped"),
             F.round("th", 6).alias("theta"),
         )
-        .orderBy("arm")
+        .orderBy("arm"),
+        per_user,
     )
 
 
@@ -12019,7 +12099,11 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), and the argmax fold are all calendar-bounded metadata."""
     from dat_archive_map_reduce_spark.operators.ranking import exact_global_cumsum
 
-    dense = _dense_daily_counts(spark, sf_dir, with_totals=True).select(
+    # cached: the prefix-sum scaffold's cut-point pre-pass is a
+    # separate action — without the cache it re-ran the day-grain
+    # fact rollup (r15, guide §5)
+    base = _dense_daily_counts(spark, sf_dir, with_totals=True, cached=True)
+    dense = base.select(
         "day",
         "d",
         (F.col("d") * F.col("n") - F.col("t")).alias("term"),
@@ -12035,15 +12119,20 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    return agg.select(
-        "n_days",
-        (-F.col("b.nd")).cast("long").alias("cp_day"),
-        F.col("b.s").cast("long").alias("s_scaled"),
-        # floor-form: s/d is a BIGINT ratio that terminates when the
-        # reduced d is 2^a*5^b (the q2/pagerank round() split)
-        _ffloor(F.col("b.s").cast("double") / F.col("dd"), 4).alias(
-            "cusum_peak"
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        agg.select(
+            "n_days",
+            (-F.col("b.nd")).cast("long").alias("cp_day"),
+            F.col("b.s").cast("long").alias("s_scaled"),
+            # floor-form: s/d is a BIGINT ratio that terminates when the
+            # reduced d is 2^a*5^b (the q2/pagerank round() split)
+            _ffloor(F.col("b.s").cast("double") / F.col("dd"), 4).alias(
+                "cusum_peak"
+            ),
         ),
+        base,
     )
 
 
@@ -13094,6 +13183,10 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
     )
+    # persist the score-grain rollup (r15, guide §5): the rank
+    # scaffold's cut-point pre-pass re-ran the fact rollup as a
+    # separate action before the main plan; cached it is bounded by
+    # distinct scores
     per_score = (
         e.select(
             F.element_at("embedding", 1).cast("double").alias("score"),
@@ -13102,6 +13195,7 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("score")
         .agg(F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p"))
         .withColumn("neg_score", -F.col("score"))
+        .persist()
     )
     ranked = exact_global_cumsum(
         per_score,
@@ -13114,19 +13208,24 @@ def eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos = F.round(F.lit(1000000000.0) * F.col("p") * tp / tot).cast("long")
     terms = ranked.select(F.col("p"), nanos.alias("nanos"))
     n_pos = F.sum("p")
-    return terms.agg(
-        n_pos.cast("long").alias("n_pos"),
-        F.count(F.lit(1)).cast("long").alias("n_groups"),
-        F.sum("nanos").cast("long").alias("ap_nanos"),
-        F.when(
-            n_pos > 0,
-            # floor-form, not F.round (the q2/pagerank sf0.1 lesson):
-            # sum(nanos)/1e9/n_pos terminates whenever n_pos is
-            # 2^a * 5^b, so 6dp half-way digits can occur
-            _ffloor(
-                F.sum("nanos").cast("double") / 1000000000.0 / n_pos, 6
-            ),
-        ).alias("avg_precision"),
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        terms.agg(
+            n_pos.cast("long").alias("n_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("nanos").cast("long").alias("ap_nanos"),
+            F.when(
+                n_pos > 0,
+                # floor-form, not F.round (the q2/pagerank sf0.1 lesson):
+                # sum(nanos)/1e9/n_pos terminates whenever n_pos is
+                # 2^a * 5^b, so 6dp half-way digits can occur
+                _ffloor(
+                    F.sum("nanos").cast("double") / 1000000000.0 / n_pos, 6
+                ),
+            ).alias("avg_precision"),
+        ),
+        per_score,
     )
 
 
@@ -13492,21 +13591,33 @@ def events_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dat_archive_map_reduce_spark.operators.ranking import exact_global_rank
 
     ev = _t(spark, sf_dir, "events")
-    pu = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    # persist the user-grain rollup (r15, guide §5): the rank
+    # scaffold's cut-point pre-pass re-ran the fact rollup as a
+    # separate action before the main plan; cached it is user-grain
+    pu = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .persist()
+    )
     ranked = exact_global_rank(
         pu, "x", tie_breakers=(F.col("user_id").asc(),), pos_col="i"
     )
     n = F.max("__gr_total")
     t = F.sum("x")
     gnum = F.sum((2 * F.col("i") - F.col("__gr_total") - 1) * F.col("x"))
-    return ranked.agg(
-        n.cast("long").alias("n_users"),
-        t.cast("long").alias("total_events"),
-        gnum.cast("long").alias("gini_num"),
-        F.when(
-            (n > 0) & (t > 0),
-            _ffloor(gnum.cast("double") / (n * t), 6),
-        ).alias("gini"),
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        ranked.agg(
+            n.cast("long").alias("n_users"),
+            t.cast("long").alias("total_events"),
+            gnum.cast("long").alias("gini_num"),
+            F.when(
+                (n > 0) & (t > 0),
+                _ffloor(gnum.cast("double") / (n * t), 6),
+            ).alias("gini"),
+        ),
+        pu,
     )
 
 
@@ -13581,8 +13692,14 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.datediff(
         F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
     ).cast("long")
-    pu = ev.select("user_id", day.alias("day")).groupBy("user_id").agg(
-        F.min("day").alias("f"), F.max("day").alias("l")
+    # persist the user-grain rollup (r15, guide §5): the (max_day,
+    # n_users) broadcast build and the pu2 main plan both fold pu —
+    # without the cache the fact rollup ran once per consumer action
+    pu = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("f"), F.max("day").alias("l"))
+        .persist()
     )
     mx = pu.agg(
         F.max("l").alias("m"), F.count(F.lit(1)).cast("long").alias("nu")
@@ -13632,17 +13749,22 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("hit_zero"),
     )
-    return km.select(
-        F.col("t").alias("span_days"),
-        F.col("n_risk").cast("long").alias("n_at_risk"),
-        F.col("c_dead").alias("n_deaths"),
-        F.when(F.col("hit_zero") == 1, F.lit(0.0))
-        .otherwise(
-            _ffloor(
-                F.exp(F.sum("term").over(w).cast("double") / 1000000.0), 4
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        km.select(
+            F.col("t").alias("span_days"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.col("c_dead").alias("n_deaths"),
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(
+                _ffloor(
+                    F.exp(F.sum("term").over(w).cast("double") / 1000000.0), 4
+                )
             )
-        )
-        .alias("s_cum"),
+            .alias("s_cum"),
+        ),
+        pu,
     )
 
 
@@ -14265,9 +14387,17 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
         & F.col("event_type").isin("click", "purchase")
     )
-    per_value = e.groupBy("value").agg(
-        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
-        F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
+    # persist the value-grain rollup (r15, guide §5): consumed by the
+    # rank scaffold's cut-point pre-pass (separate action), the totals
+    # broadcast build, and the main ranked plan — three fact rollups
+    # without the cache; bounded by distinct values with it
+    per_value = (
+        e.groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("c2"),
+        )
+        .persist()
     )
     ranked = exact_global_cumsum(
         per_value, "value", ["c1", "c2"], cumsum_col=["b1", "b2"]
@@ -14279,7 +14409,9 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     f1 = (F.col("b1") + F.col("c1")).cast("long")
     f2 = (F.col("b2") + F.col("c2")).cast("long")
     gap = F.abs(F.col("n2") * f1 - F.col("n1") * f2)
-    return (
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
         ranked.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
@@ -14298,7 +14430,8 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ).alias("ks_scaled"),
-        )
+        ),
+        per_value,
     )
 
 
@@ -14371,9 +14504,17 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
         & F.col("event_type").isin("click", "purchase")
     )
-    per_value = e.groupBy("value").agg(
-        F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
-        F.count(F.lit(1)).cast("long").alias("c"),
+    # persist the value-grain rollup (r15, guide §5): the rank
+    # scaffold's cut-point pre-pass is a separate action that re-ran
+    # the whole fact rollup before the main plan read it again; cached
+    # it is bounded by distinct values
+    per_value = (
+        e.groupBy("value")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .persist()
     )
     ranked = exact_global_cumsum(
         per_value, "value", "c", cumsum_col="rank_start"
@@ -14403,14 +14544,19 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         - tc.cast("double") / ((nn1 + nn2) * (nn1 + nn2 - 1.0))
     )
     z = (u2c.cast("double") / 2 - nn1.cast("double") * nn2 / 2) / F.sqrt(var)
-    return agg.select(
-        "n1",
-        "n2",
-        "u2",
-        "tie_cube",
-        F.when((nn1 > 0) & (nn2 > 0) & (var > 0), _ffloor(z, 6)).alias(
-            "z_stat"
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
+        agg.select(
+            "n1",
+            "n2",
+            "u2",
+            "tie_cube",
+            F.when((nn1 > 0) & (nn2 > 0) & (var > 0), _ffloor(z, 6)).alias(
+                "z_stat"
+            ),
         ),
+        per_value,
     )
 
 
@@ -14921,8 +15067,15 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    vt = e.groupBy("value", "event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # persist the (value, type)-grain rollup (r15, guide §5): it feeds
+    # the rank scaffold's cut-point pre-pass (a separate action), the
+    # ties broadcast build, AND the per_type join in the main plan —
+    # without the cache the fact rollup re-ran once per action/branch;
+    # cached it is value-grain, bounded by distinct (value, type)
+    vt = (
+        e.groupBy("value", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
     )
     v = vt.groupBy("value").agg(F.sum("cnt").cast("long").alias("c"))
     ranked = exact_global_cumsum(v, "value", "c", cumsum_col="rank_start")
@@ -14951,7 +15104,9 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = 1 - F.col("tie_cube").cast("double") / (
         nn.cast("double") * nn * nn - nn
     )
-    return (
+    from dat_archive_map_reduce_spark.operators._util import eager_release
+
+    return eager_release(
         per_type.crossJoin(F.broadcast(ties))
         .groupBy("n", "tie_cube")
         .agg(
@@ -14963,7 +15118,8 @@ def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "n", "n_groups", "tie_cube", "h_stat", "h_tie_corrected"
-        )
+        ),
+        vt,
     )
 
 
