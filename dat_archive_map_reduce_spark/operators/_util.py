@@ -54,7 +54,16 @@ def eager_release(result: DataFrame, *intermediates: DataFrame) -> DataFrame:
     it whenever.
     """
     out = result.persist()
-    out.count()
-    for df in intermediates:
-        df.unpersist()
+    try:
+        out.count()
+    except BaseException:
+        # the materialize failed: drop the result's (unmaterialized)
+        # storage level too, so nothing from this call outlives it
+        out.unpersist()
+        raise
+    finally:
+        # release the intermediates on success AND failure — without
+        # this a failed count() leaked them for the session lifetime
+        for df in intermediates:
+            df.unpersist()
     return out

@@ -15,6 +15,19 @@ collisions are measure-zero.
 Organization mirrors SURVEY.md §2: the reference's own view-engine
 contract recast onto the `events` table, then the standard relational
 surface, then the LLM-pipeline extensions (dedup / similarity / text).
+
+Result-cache ownership (r15/r16): a minority of queries (the
+multi-action persist family, e.g. corpus_train_pipeline,
+corpus_pack_chunks, corpus_curriculum_order and the rank-scaffold stat
+queries) return an eagerly-materialized, PERSISTED DataFrame via
+``operators._util.eager_release`` — their fat intermediates are
+released inside the query function, and the CALLER OWNS the returned
+result's cache. bench.py and the tests ``unpersist()`` the result after
+consuming it; an external library consumer iterating QUERIES should do
+the same (``df.unpersist()`` after collection) or accumulate one
+result-sized cache entry per call. Result caches are small (result
+rows, never fact-table rows), so the leak is bounded — but release them
+anyway.
 """
 
 from __future__ import annotations

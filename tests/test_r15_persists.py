@@ -78,5 +78,8 @@ def test_persisting_queries_release_intermediates(spark, name):
     # belongs to the returned result's lineage, so dropping the result
     # empties the cache entirely.
     df.unpersist()
-    spark.catalog.clearCache()
-    assert jsc.getPersistentRDDs().size() == 0
+    # capture BEFORE clearCache: clearCache would sweep a leaked
+    # intermediate itself and make this assertion unfalsifiable
+    remaining = jsc.getPersistentRDDs().size()
+    spark.catalog.clearCache()  # teardown only
+    assert remaining == 0
